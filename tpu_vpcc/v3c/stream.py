@@ -1,0 +1,199 @@
+"""V3C sample-stream demuxing: file → V3C units → per-GOF Context.
+
+Parity reference: ``tmc2-rs src/bitstream/reader.rs`` C3/C4/C6:
+sample-stream header + sized V3C units (``reader.rs:623-713``), the V3C
+unit header/payload decode (``reader.rs:17-143``), and the atlas NAL
+sample stream (``reader.rs:715-820``).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from ..bitio import Bitstream
+from .context import Context, V3CUnitHeader, VideoBitstream
+from .syntax import (
+    TILE_NAL_TYPES,
+    AtlasFrameParameterSet,
+    AtlasSequenceParameterSet,
+    AtlasTileLayer,
+    NalUnitType,
+    SeiMessage,
+    UnsupportedFeature,
+    V3CParameterSet,
+    V3CUnitType,
+    VideoType,
+)
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class V3CUnit:
+    """One sized unit of the V3C sample stream (``reader.rs:10-15``)."""
+
+    unit_type: V3CUnitType
+    data: bytes  # includes the 4-byte unit header
+
+    @property
+    def size(self) -> int:
+        return len(self.data)
+
+    def decode(self, context: Context) -> V3CUnitType:
+        """Parse header + payload into the context (``reader.rs:23-143``)."""
+        bs = Bitstream(self.data)
+        unit_type = self._decode_header(bs, context)
+        if unit_type != self.unit_type:
+            raise ValueError(f"unit type mismatch: {unit_type} != {self.unit_type}")
+        self._decode_payload(bs, context)
+        return unit_type
+
+    def _decode_header(self, bs: Bitstream, context: Context) -> V3CUnitType:
+        """4-byte V3C unit header (``reader.rs:35-79``)."""
+        unit_type = V3CUnitType(bs.read(5))
+        header = context.get_v3c_unit_header(unit_type) or V3CUnitHeader()
+        if unit_type != V3CUnitType.VPS:
+            header.sequence_parameter_set_id = bs.read(4)
+            header.atlas_id = bs.read(6)
+            if header.atlas_id != 0:
+                raise UnsupportedFeature("V3C only has a single atlas")
+        if unit_type == V3CUnitType.AVD:
+            header.attribute_index = bs.read(7)
+            header.attribute_dimension_index = bs.read(5)
+            header.map_index = bs.read(4)
+            header.auxiliary_video_flag = bs.read(1) != 0
+        elif unit_type == V3CUnitType.GVD:
+            header.map_index = bs.read(4)
+            header.auxiliary_video_flag = bs.read(1) != 0
+            bs.read(12)
+        elif unit_type in (V3CUnitType.OVD, V3CUnitType.AD):
+            bs.read(17)
+        else:
+            bs.read(27)
+        if header.auxiliary_video_flag:
+            raise UnsupportedFeature("auxiliary video not supported")
+        context.set_v3c_unit_header(unit_type, header)
+        return unit_type
+
+    def _decode_payload(self, bs: Bitstream, context: Context) -> None:
+        """``reader.rs:82-143``. The video payload size is unit size minus
+        the 4-byte header."""
+        if self.unit_type == V3CUnitType.VPS:
+            vps = V3CParameterSet.parse(bs)
+            context.add_vps(vps)
+        elif self.unit_type == V3CUnitType.AD:
+            parse_nal_sample_stream(context, bs)
+        elif self.unit_type == V3CUnitType.OVD:
+            context.add_video_bitstream(
+                VideoBitstream(bs.read_slice(self.size - 4), VideoType.OCCUPANCY)
+            )
+        elif self.unit_type == V3CUnitType.GVD:
+            vps = context.get_vps()
+            if vps.map_count_minus1 > 0 and vps.multiple_map_streams_present_flag:
+                raise UnsupportedFeature("multiple map streams for GVD")
+            context.add_video_bitstream(
+                VideoBitstream(bs.read_slice(self.size - 4), VideoType.GEOMETRY)
+            )
+        elif self.unit_type == V3CUnitType.AVD:
+            vps = context.get_vps()
+            if vps.attribute_information.attribute_count == 0:
+                return
+            vuh = context.get_v3c_unit_header(V3CUnitType.AVD)
+            if vps.map_count_minus1 > 0 and vps.multiple_map_streams_present_flag:
+                raise UnsupportedFeature("multiple map streams for AVD")
+            if vuh.attribute_dimension_index != 0:
+                raise UnsupportedFeature("attribute_dimension_index > 0")
+            context.add_video_bitstream(
+                VideoBitstream(bs.read_slice(self.size - 4), VideoType.ATTRIBUTE)
+            )
+
+
+@dataclass
+class SampleStreamV3CUnit:
+    """The whole file split into sized V3C units (``reader.rs:615-713``)."""
+
+    units: List[V3CUnit] = field(default_factory=list)
+    ssvh_unit_size_precision_bytes_minus1: int = 0
+
+    @classmethod
+    def from_bitstream(cls, bs: Bitstream) -> "SampleStreamV3CUnit":
+        precision_minus1 = bs.read(3)
+        bs.read(5)  # reserved
+        ssvu = cls(ssvh_unit_size_precision_bytes_minus1=precision_minus1)
+        precision = precision_minus1 + 1
+        while bs.more_data():
+            size = bs.read(8 * precision)
+            data = bs.read_slice(size)
+            unit_type = V3CUnitType(data[0] >> 3)
+            ssvu.units.append(V3CUnit(unit_type=unit_type, data=data))
+            log.debug("v3c_unit size=%d type=%s", size, unit_type.name)
+        return ssvu
+
+    def decode_gof(self, context: Context) -> None:
+        """Consume units for one GOF — until the *second* VPS is seen
+        (``reader.rs:672-700``)."""
+        num_vps = 0
+        while self.units:
+            unit = self.units[0]
+            if unit.unit_type == V3CUnitType.VPS:
+                num_vps += 1
+                if num_vps > 1:
+                    break
+            unit.decode(context)
+            self.units.pop(0)
+
+    def get_v3c_unit_count(self) -> int:
+        return len(self.units)
+
+
+def parse_nal_sample_stream(context: Context, bs: Bitstream) -> None:
+    """Atlas-data payload: sample-stream NAL header + sized NAL units
+    (``reader.rs:715-820``). Prefix SEI messages are held and attached to
+    the following tile layer, as in the reference."""
+    precision = bs.read(3) + 1
+    bs.read(5)  # reserved
+    prefix_sei: Optional[SeiMessage] = None
+    while bs.more_data():
+        nalu_size = bs.read(8 * precision)
+        end_pos = bs.byte_pos + nalu_size
+        bs.read(1)  # forbidden zero bit
+        unit_type = NalUnitType(bs.read(6))
+        _layer_id = bs.read(6)
+        _temporal_id_plus1 = bs.read(3)
+        if unit_type == NalUnitType.ASPS:
+            context.add_asps(AtlasSequenceParameterSet.parse(bs))
+        elif unit_type == NalUnitType.AFPS:
+            context.add_afps(AtlasFrameParameterSet.parse(bs, context))
+        elif unit_type in TILE_NAL_TYPES:
+            atl = AtlasTileLayer.parse(bs, context, unit_type)
+            atl.sei = prefix_sei
+            context.add_atlas_tile_layer(atl)
+        elif unit_type.is_prefix_sei:
+            prefix_sei = SeiMessage.parse(bs, unit_type)
+        elif unit_type.is_suffix_sei:
+            raise UnsupportedFeature("suffix SEI not supported")
+        else:
+            raise UnsupportedFeature(f"unexpected NAL unit type {unit_type!r}")
+        # Defensive resync: the parsers above should land exactly at the
+        # unit boundary; tolerate trailing padding inside the sized unit.
+        if bs.byte_pos > end_pos:
+            raise ValueError(
+                f"NAL unit over-read: {unit_type.name} ended at {bs.byte_pos}, "
+                f"unit boundary {end_pos}"
+            )
+        bs.seek((end_pos, 0))
+        log.debug("nalu size=%d type=%s", nalu_size, unit_type.name)
+
+
+def parse_sample_stream(data: bytes) -> SampleStreamV3CUnit:
+    """Split a V3C sample-stream file into units (``lib.rs:98-104``)."""
+    return SampleStreamV3CUnit.from_bitstream(Bitstream(data))
+
+
+def decode_gof(ssvu: SampleStreamV3CUnit) -> Context:
+    """Decode the next GOF from the unit queue into a fresh Context."""
+    context = Context()
+    ssvu.decode_gof(context)
+    return context

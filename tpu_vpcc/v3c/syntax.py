@@ -1,0 +1,1001 @@
+"""V3C syntax structures and their bitstream parsers.
+
+Each ``parse`` classmethod consumes bits from a :class:`~tpu_vpcc.bitio.Bitstream`
+in the exact field order of the V3C spec as implemented by the reference
+(``tmc2-rs src/bitstream/reader.rs``); ``file:line`` parity notes are on each
+parser. Structures are plain dataclasses (host-side cold path).
+
+Unsupported-profile features raise :class:`UnsupportedFeature` at the same
+points the reference panics with ``unimplemented!``/``assert!`` — failing
+fast on bitstreams outside the rec0 conformance envelope.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from ..bitio import Bitstream
+
+
+class UnsupportedFeature(Exception):
+    """Bitstream uses a feature outside the supported rec0 envelope."""
+
+
+def ceil_log2(x: int) -> int:
+    """Exact ceil(log2(x)) for x >= 1.
+
+    The reference uses ``fast_math::log2_raw(..).ceil()`` (an *approximate*
+    f32 log2, ``reader.rs:1597,1632,1671,1905``); upstream TMC2 C++ uses the
+    exact value. We implement the exact integer version, which matches TMC2
+    for every fixed-length bit-count derivation in the rec0 streams.
+    """
+    if x <= 0:
+        raise ValueError("ceil_log2 requires x >= 1")
+    return (x - 1).bit_length()
+
+
+def floor_log2(x: int) -> int:
+    if x <= 0:
+        raise ValueError("floor_log2 requires x >= 1")
+    return x.bit_length() - 1
+
+
+# ---------------------------------------------------------------------------
+# enums
+# ---------------------------------------------------------------------------
+
+
+class V3CUnitType(enum.IntEnum):
+    """5-bit V3C unit type (``reader.rs:163-176``)."""
+
+    VPS = 0  # V3C parameter set
+    AD = 1  # Atlas data
+    OVD = 2  # Occupancy video data
+    GVD = 3  # Geometry video data
+    AVD = 4  # Attribute video data
+
+
+class VideoType(enum.IntEnum):
+    """Video sub-bitstream kind (``src/bitstream.rs:295-335``)."""
+
+    OCCUPANCY = 0
+    GEOMETRY = 1
+    GEOMETRY_D0 = 2
+    GEOMETRY_D1 = 3
+    GEOMETRY_RAW = 18
+    ATTRIBUTE = 19
+
+
+class NalUnitType(enum.IntEnum):
+    """Atlas NAL unit types (``reader.rs:823-932``)."""
+
+    TRAIL_N = 0
+    TRAIL_R = 1
+    TSA_N = 2
+    TSA_R = 3
+    STSA_N = 4
+    STSA_R = 5
+    RADL_N = 6
+    RADL_R = 7
+    RASL_N = 8
+    RASL_R = 9
+    SKIP_N = 10
+    SKIP_R = 11
+    BLA_W_LP = 16
+    BLA_W_RADL = 17
+    BLA_N_LP = 18
+    GBLA_W_LP = 19
+    GBLA_W_RADL = 20
+    GBLA_N_LP = 21
+    IDR_W_RADL = 22
+    IDR_N_LP = 23
+    GIDR_W_RADL = 24
+    GIDR_N_LP = 25
+    CRA = 26
+    GCRA = 27
+    ASPS = 36
+    AFPS = 37
+    AUD = 38
+    V3C_AUD = 39
+    EOS = 40
+    EOB = 41
+    FD = 42
+    PREFIX_NSEI = 43
+    SUFFIX_NSEI = 44
+    PREFIX_ESEI = 45
+    SUFFIX_ESEI = 46
+    AAPS = 47
+
+    @property
+    def is_acl(self) -> bool:
+        return self <= NalUnitType.GCRA
+
+    @property
+    def is_prefix_sei(self) -> bool:
+        return self in (NalUnitType.PREFIX_NSEI, NalUnitType.PREFIX_ESEI)
+
+    @property
+    def is_suffix_sei(self) -> bool:
+        return self in (NalUnitType.SUFFIX_NSEI, NalUnitType.SUFFIX_ESEI)
+
+
+# ACL NAL types dispatched to the tile-layer parser (``reader.rs:792-804``).
+TILE_NAL_TYPES = frozenset(
+    {
+        NalUnitType.TRAIL_N,
+        NalUnitType.TRAIL_R,
+        NalUnitType.TSA_N,
+        NalUnitType.TSA_R,
+        NalUnitType.STSA_N,
+        NalUnitType.STSA_R,
+        NalUnitType.RADL_N,
+        NalUnitType.RADL_R,
+        NalUnitType.RASL_N,
+        NalUnitType.RASL_R,
+        NalUnitType.SKIP_N,
+        NalUnitType.SKIP_R,
+        NalUnitType.IDR_N_LP,
+    }
+)
+
+
+class TileType(enum.IntEnum):
+    """``reader.rs:1692-1702``."""
+
+    P = 0
+    I = 1
+    SKIP = 2
+
+
+class PatchOrientation(enum.IntEnum):
+    """The 8 canvas orientations + swap (``src/decoder.rs:694-707``)."""
+
+    DEFAULT = 0
+    SWAP = 1
+    ROT90 = 2
+    ROT180 = 3
+    ROT270 = 4
+    MIRROR = 5
+    MROT90 = 6
+    MROT180 = 7
+    MROT270 = 8
+
+
+class PatchModeITile(enum.IntEnum):
+    INTRA = 0
+    END = 14
+
+
+class PatchModePTile(enum.IntEnum):
+    SKIP = 0
+    MERGE = 1
+    INTER = 2
+    INTRA = 3
+    END = 14
+
+
+class SeiPayloadType(enum.IntEnum):
+    """``reader.rs:1339-1368``."""
+
+    BUFFERING_PERIOD = 0
+    ATLAS_FRAME_TIMING = 1
+    FILLER_PAYLOAD = 2
+    USER_DATA_REGISTERED_ITUTT35 = 3
+    USER_DATA_UNREGISTERED = 4
+    RECOVERY_POINT = 5
+    NO_RECONSTRUCTION = 6
+    TIME_CODE = 7
+    SEI_MANIFEST = 8
+    SEI_PREFIX_INDICATION = 9
+    ACTIVE_SUB_BITSTREAMS = 10
+    COMPONENT_CODEC_MAPPING = 11
+    SCENE_OBJECT_INFORMATION = 12
+    OBJECT_LABEL_INFORMATION = 13
+    PATCH_INFORMATION = 14
+    VOLUMETRIC_RECTANGLE_INFORMATION = 15
+    ATLAS_OBJECT_INFORMATION = 16
+    VIEWPORT_CAMERA_PARAMETERS = 17
+    VIEWPORT_POSITION = 18
+    DECODED_ATLAS_INFORMATION_HASH = 19
+    ATTRIBUTE_TRANSFORMATION_PARAMS = 64
+    OCCUPANCY_SYNTHESIS = 65
+    GEOMETRY_SMOOTHING = 66
+    ATTRIBUTE_SMOOTHING = 67
+    RESERVED_SEI_MESSAGE = 68
+
+
+# ---------------------------------------------------------------------------
+# VPS and sub-structures
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ProfileTierLevel:
+    """8.3.4.2 profile/tier/level (``reader.rs:500-569``)."""
+
+    tier_flag: bool = False
+    profile_codec_group_idc: int = 1  # HEVC Main10
+    profile_toolset_idc: int = 0
+    profile_reconstruction_idc: int = 0  # rec0
+    level_idc: int = 30
+    extended_sub_profile_flag: bool = False
+
+    @classmethod
+    def parse(cls, bs: Bitstream) -> "ProfileTierLevel":
+        ptl = cls(
+            tier_flag=bs.read(1) != 0,
+            profile_codec_group_idc=bs.read(7),
+            profile_toolset_idc=bs.read(8),
+            profile_reconstruction_idc=bs.read(8),
+        )
+        # 32 reserved zero bits, skipped byte-wise (``reader.rs:533-537``)
+        for _ in range(4):
+            bs.move_to_next_byte()
+        ptl.level_idc = bs.read(8)
+        if bs.read(6) != 0:
+            raise UnsupportedFeature("ptl sub-profiles not supported")
+        ptl.extended_sub_profile_flag = bs.read(1) != 0
+        if bs.read(1) != 0:
+            raise UnsupportedFeature("ptl toolset constraints not supported")
+        return ptl
+
+
+@dataclass
+class OccupancyInformation:
+    """8.3.4.3 (``reader.rs:343-372``)."""
+
+    occupancy_codec_id: int = 0
+    occupancy_lossy_compression_threshold: int = 0
+    occupancy_2d_bitdepth_minus1: int = 10
+    occupancy_msb_align_flag: bool = False
+
+    @classmethod
+    def parse(cls, bs: Bitstream) -> "OccupancyInformation":
+        return cls(
+            occupancy_codec_id=bs.read(8),
+            occupancy_lossy_compression_threshold=bs.read(8),
+            occupancy_2d_bitdepth_minus1=bs.read(5),
+            occupancy_msb_align_flag=bs.read(1) != 0,
+        )
+
+
+@dataclass
+class GeometryInformation:
+    """8.3.4.4 (``reader.rs:374-410``)."""
+
+    geometry_codec_id: int = 0
+    auxiliary_geometry_codec_id: int = 0
+    geometry_2d_bitdepth_minus1: int = 10
+    geometry_3d_coordinates_bitdepth_minus1: int = 9
+    geometry_msb_align_flag: bool = False
+
+    @classmethod
+    def parse(cls, bs: Bitstream, aux_video_present: bool) -> "GeometryInformation":
+        gi = cls(
+            geometry_codec_id=bs.read(8),
+            geometry_2d_bitdepth_minus1=bs.read(5),
+            geometry_msb_align_flag=bs.read(1) != 0,
+            geometry_3d_coordinates_bitdepth_minus1=bs.read(5),
+        )
+        if aux_video_present:
+            gi.auxiliary_geometry_codec_id = bs.read(8)
+        return gi
+
+
+@dataclass
+class AttributeInformation:
+    """8.3.4.5 (``reader.rs:412-482``)."""
+
+    attribute_count: int = 0
+    attribute_type_id: List[int] = field(default_factory=list)
+    attribute_codec_id: List[int] = field(default_factory=list)
+    auxiliary_attribute_codec_id: List[int] = field(default_factory=list)
+    attribute_map_absolute_coding_persistence_flag: List[bool] = field(default_factory=list)
+    attribute_dimension_minus1: List[int] = field(default_factory=list)
+    attribute_dimension_partitions_minus1: List[int] = field(default_factory=list)
+    attribute_partition_channels_minus1: List[List[int]] = field(default_factory=list)
+    attribute_2d_bitdepth_minus1: List[int] = field(default_factory=list)
+    attribute_msb_align_flag: List[bool] = field(default_factory=list)
+
+    @classmethod
+    def parse(
+        cls, bs: Bitstream, aux_video_present: bool, map_count_minus1: int
+    ) -> "AttributeInformation":
+        n = bs.read(7)
+        ai = cls(
+            attribute_count=n,
+            attribute_type_id=[0] * n,
+            attribute_codec_id=[0] * n,
+            auxiliary_attribute_codec_id=[0] * n,
+            attribute_map_absolute_coding_persistence_flag=[False] * n,
+            attribute_dimension_minus1=[0] * n,
+            attribute_dimension_partitions_minus1=[0] * n,
+            attribute_partition_channels_minus1=[[] for _ in range(n)],
+            attribute_2d_bitdepth_minus1=[0] * n,
+            attribute_msb_align_flag=[False] * n,
+        )
+        for i in range(n):
+            ai.attribute_type_id[i] = bs.read(4)
+            ai.attribute_codec_id[i] = bs.read(8)
+            if aux_video_present:
+                ai.auxiliary_attribute_codec_id[i] = bs.read(8)
+            ai.attribute_map_absolute_coding_persistence_flag[i] = True
+            if map_count_minus1 > 0:
+                ai.attribute_map_absolute_coding_persistence_flag[i] = bs.read(1) != 0
+            ai.attribute_dimension_minus1[i] = bs.read(6)
+            if ai.attribute_dimension_minus1[i] > 0:
+                ai.attribute_dimension_partitions_minus1[i] = bs.read(6)
+                remaining = ai.attribute_dimension_minus1[i]
+                k = ai.attribute_dimension_partitions_minus1[i]
+                for j in range(k):
+                    channels = 0 if k - j == remaining else bs.read_uvlc()
+                    ai.attribute_partition_channels_minus1[i].append(channels)
+                    remaining -= channels
+                ai.attribute_partition_channels_minus1[i].append(remaining)
+            ai.attribute_2d_bitdepth_minus1[i] = bs.read(5)
+            ai.attribute_msb_align_flag[i] = bs.read(1) != 0
+        return ai
+
+
+@dataclass
+class V3CParameterSet:
+    """8.3.4.1 V3C parameter set (``reader.rs:178-341``).
+
+    Single-atlas only (``atlas_count_minus1 == 0`` asserted, ``reader.rs:266``).
+    """
+
+    profile_tier_level: ProfileTierLevel = field(default_factory=ProfileTierLevel)
+    v3c_parameter_set_id: int = 0
+    atlas_count_minus1: int = 0
+    atlas_id: int = 0
+    frame_width: int = 0
+    frame_height: int = 0
+    map_count_minus1: int = 0
+    multiple_map_streams_present_flag: bool = False
+    map_absolute_coding_enable_flag: List[bool] = field(default_factory=lambda: [True])
+    map_predictor_index_diff: List[bool] = field(default_factory=lambda: [False])
+    auxiliary_video_present_flag: bool = False
+    occupancy_video_present_flag: bool = False
+    geometry_video_present_flag: bool = False
+    attribute_video_present_flag: bool = False
+    occupancy_information: OccupancyInformation = field(default_factory=OccupancyInformation)
+    geometry_information: GeometryInformation = field(default_factory=GeometryInformation)
+    attribute_information: AttributeInformation = field(default_factory=AttributeInformation)
+    extension_present_flag: bool = False
+
+    @classmethod
+    def parse(cls, bs: Bitstream) -> "V3CParameterSet":
+        vps = cls(profile_tier_level=ProfileTierLevel.parse(bs))
+        vps.v3c_parameter_set_id = bs.read(4)
+        bs.read(8)  # reserved
+        vps.atlas_count_minus1 = bs.read(6)
+        if vps.atlas_count_minus1 != 0:
+            raise UnsupportedFeature("V3C has a single atlas (tmc2 v18)")
+        vps.atlas_id = bs.read(6)
+        vps.frame_width = bs.read_uvlc()
+        vps.frame_height = bs.read_uvlc()
+        vps.map_count_minus1 = bs.read(4)
+        n_maps = vps.map_count_minus1 + 1
+        vps.map_absolute_coding_enable_flag = [True] * n_maps
+        vps.map_predictor_index_diff = [False] * n_maps
+        if vps.map_count_minus1 > 0:
+            vps.multiple_map_streams_present_flag = bs.read(1) != 0
+            if vps.multiple_map_streams_present_flag:
+                raise UnsupportedFeature("multiple map streams not supported")
+        for k in range(1, n_maps):
+            if vps.multiple_map_streams_present_flag:
+                vps.map_absolute_coding_enable_flag[k] = bs.read(1) != 0
+            if not vps.map_absolute_coding_enable_flag[k]:
+                vps.map_predictor_index_diff[k] = bs.read_uvlc() != 0
+        vps.auxiliary_video_present_flag = bs.read(1) != 0
+        vps.occupancy_video_present_flag = bs.read(1) != 0
+        vps.geometry_video_present_flag = bs.read(1) != 0
+        vps.attribute_video_present_flag = bs.read(1) != 0
+        if vps.occupancy_video_present_flag:
+            vps.occupancy_information = OccupancyInformation.parse(bs)
+        if vps.geometry_video_present_flag:
+            vps.geometry_information = GeometryInformation.parse(
+                bs, vps.auxiliary_video_present_flag
+            )
+        if vps.attribute_video_present_flag:
+            vps.attribute_information = AttributeInformation.parse(
+                bs, vps.auxiliary_video_present_flag, vps.map_count_minus1
+            )
+        vps.extension_present_flag = bs.read(1) != 0
+        if vps.extension_present_flag:
+            raise UnsupportedFeature("vps extension not supported")
+        bs.byte_align()
+        return vps
+
+
+# ---------------------------------------------------------------------------
+# ASPS / AFPS
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RefListStruct:
+    """8.3.6.1.2 reference list struct (``reader.rs:1119-1167``)."""
+
+    num_ref_entries: int = 0
+    abs_delta_afoc_st: List[int] = field(default_factory=list)
+    afoc_lsb_lt: List[int] = field(default_factory=list)
+    st_ref_atlas_frame_flag: List[bool] = field(default_factory=list)
+    strpf_entry_sign_flag: List[bool] = field(default_factory=list)
+
+    @classmethod
+    def parse(
+        cls, bs: Bitstream, long_term_flag: bool, log2_max_afoc: int
+    ) -> "RefListStruct":
+        rls = cls(num_ref_entries=bs.read_uvlc())
+        for _ in range(rls.num_ref_entries):
+            st = bs.read(1) != 0 if long_term_flag else True
+            rls.st_ref_atlas_frame_flag.append(st)
+            if st:
+                delta = bs.read_uvlc()
+                rls.abs_delta_afoc_st.append(delta)
+                rls.strpf_entry_sign_flag.append(bs.read(1) != 0 if delta > 0 else True)
+            else:
+                rls.afoc_lsb_lt.append(bs.read(log2_max_afoc))
+        return rls
+
+
+@dataclass
+class AspsVpccExtension:
+    remove_duplicate_point_enabled_flag: bool = False
+    surface_thickness_minus1: int = 0
+
+
+@dataclass
+class AtlasSequenceParameterSet:
+    """8.3.6.1 ASPS (``reader.rs:945-1117``), rec0 envelope enforced."""
+
+    atlas_sequence_parameter_set_id: int = 0
+    frame_width: int = 0
+    frame_height: int = 0
+    geometry_2d_bitdepth_minus1: int = 0
+    geometry_3d_bitdepth_minus1: int = 0
+    log2_max_atlas_frame_order_cnt_lsb_minus_4: int = 4
+    max_dec_atlas_frame_buffering_minus1: int = 0
+    long_term_ref_atlas_frames_flag: bool = False
+    num_ref_atlas_frame_lists_in_asps: int = 0
+    ref_list_struct: List[RefListStruct] = field(default_factory=list)
+    use_eight_orientations_flag: bool = False
+    extended_projection_enabled_flag: bool = False
+    max_number_projections_minus1: int = 5
+    normal_axis_limits_quantization_enabled_flag: bool = True
+    normal_axis_max_delta_value_enabled_flag: bool = False
+    patch_precedence_order_flag: bool = False
+    log2_patch_packing_block_size: int = 0
+    patch_size_quantizer_present_flag: bool = False
+    map_count_minus1: int = 0
+    pixel_deinterleaving_flag: bool = False
+    raw_patch_enabled_flag: bool = False
+    eom_patch_enabled_flag: bool = False
+    eom_fix_bit_count_minus1: int = 0
+    auxiliary_video_enabled_flag: bool = False
+    plr_enabled_flag: bool = False
+    vui_parameters_present_flag: bool = False
+    extension_flag: bool = False
+    vpcc_extension_flag: bool = False
+    extension_7bits: int = 0
+    vpcc_extension: AspsVpccExtension = field(default_factory=AspsVpccExtension)
+
+    @classmethod
+    def parse(cls, bs: Bitstream) -> "AtlasSequenceParameterSet":
+        asps = cls()
+        asps.atlas_sequence_parameter_set_id = bs.read_uvlc()
+        asps.frame_width = bs.read_uvlc()
+        asps.frame_height = bs.read_uvlc()
+        asps.geometry_3d_bitdepth_minus1 = bs.read(5)
+        asps.geometry_2d_bitdepth_minus1 = bs.read(5)
+        asps.log2_max_atlas_frame_order_cnt_lsb_minus_4 = bs.read_uvlc()
+        asps.max_dec_atlas_frame_buffering_minus1 = bs.read_uvlc()
+        asps.long_term_ref_atlas_frames_flag = bs.read(1) != 0
+        asps.num_ref_atlas_frame_lists_in_asps = bs.read_uvlc()
+        for _ in range(asps.num_ref_atlas_frame_lists_in_asps):
+            asps.ref_list_struct.append(
+                RefListStruct.parse(
+                    bs,
+                    asps.long_term_ref_atlas_frames_flag,
+                    asps.log2_max_atlas_frame_order_cnt_lsb_minus_4 + 4,
+                )
+            )
+        asps.use_eight_orientations_flag = bs.read(1) != 0
+        asps.extended_projection_enabled_flag = bs.read(1) != 0
+        if asps.extended_projection_enabled_flag:
+            raise UnsupportedFeature("extended projection not supported (rec0)")
+        asps.normal_axis_limits_quantization_enabled_flag = bs.read(1) != 0
+        asps.normal_axis_max_delta_value_enabled_flag = bs.read(1) != 0
+        asps.patch_precedence_order_flag = bs.read(1) != 0
+        asps.log2_patch_packing_block_size = bs.read(3)
+        asps.patch_size_quantizer_present_flag = bs.read(1) != 0
+        if asps.patch_size_quantizer_present_flag:
+            raise UnsupportedFeature("patch size quantizer not supported (rec0)")
+        asps.map_count_minus1 = bs.read(4)
+        asps.pixel_deinterleaving_flag = bs.read(1) != 0
+        if asps.pixel_deinterleaving_flag:
+            raise UnsupportedFeature("pixel deinterleaving not supported (rec0)")
+        asps.raw_patch_enabled_flag = bs.read(1) != 0
+        asps.eom_patch_enabled_flag = bs.read(1) != 0
+        if asps.raw_patch_enabled_flag or asps.eom_patch_enabled_flag:
+            raise UnsupportedFeature("raw/EOM patches not supported (rec0)")
+        # eom_fix_bit_count / auxiliary_video reads are gated on the flags
+        # above (``reader.rs:1071-1076``) and thus never taken here.
+        asps.plr_enabled_flag = bs.read(1) != 0
+        if asps.plr_enabled_flag:
+            raise UnsupportedFeature("PLR not supported (rec0)")
+        asps.vui_parameters_present_flag = bs.read(1) != 0
+        if asps.vui_parameters_present_flag:
+            raise UnsupportedFeature("VUI parameters not supported")
+        asps.extension_flag = bs.read(1) != 0
+        if asps.extension_flag:
+            asps.vpcc_extension_flag = bs.read(1) != 0
+            asps.extension_7bits = bs.read(7)
+        if asps.vpcc_extension_flag:
+            asps.vpcc_extension = AspsVpccExtension(
+                remove_duplicate_point_enabled_flag=bs.read(1) != 0,
+                surface_thickness_minus1=(
+                    bs.read(7)
+                    if asps.pixel_deinterleaving_flag or asps.plr_enabled_flag
+                    else 0
+                ),
+            )
+        if asps.extension_7bits > 0:
+            raise UnsupportedFeature("asps extension_7bits not supported")
+        bs.byte_align()
+        return asps
+
+
+@dataclass
+class AtlasFrameTileInformation:
+    """8.3.6.2.2 AFTI (``reader.rs:1217-1329``). Single-tile only."""
+
+    single_tile_in_atlas_frame_flag: bool = True
+    num_tiles_in_atlas_frame_minus1: int = 0
+    signalled_tile_id_flag: bool = False
+    signalled_tile_id_length_minus1: int = 0
+    auxiliary_video_tile_row_width_minus1: int = 0
+    auxiliary_video_tile_row_height: List[int] = field(default_factory=list)
+    # partition sizes, set later by the patch-frame builder
+    # (``decoder.rs:520-538`` via set_partition_width/height)
+    col_width: int = 0
+    row_height: int = 0
+
+    @classmethod
+    def parse(cls, bs: Bitstream, asps: AtlasSequenceParameterSet) -> "AtlasFrameTileInformation":
+        afti = cls(single_tile_in_atlas_frame_flag=bs.read(1) != 0)
+        if not afti.single_tile_in_atlas_frame_flag:
+            raise UnsupportedFeature("atlas frame partitioning not supported")
+        afti.num_tiles_in_atlas_frame_minus1 = 0
+        if asps.auxiliary_video_enabled_flag:
+            afti.auxiliary_video_tile_row_width_minus1 = bs.read_uvlc()
+            for _ in range(afti.num_tiles_in_atlas_frame_minus1 + 1):
+                afti.auxiliary_video_tile_row_height.append(bs.read_uvlc())
+        afti.signalled_tile_id_flag = bs.read(1) != 0
+        if afti.signalled_tile_id_flag:
+            raise UnsupportedFeature("signalled tile ids not supported")
+        return afti
+
+
+@dataclass
+class AtlasFrameParameterSet:
+    """8.3.6.2 AFPS (``reader.rs:1175-1215``)."""
+
+    atlas_frame_parameter_set_id: int = 0
+    atlas_sequence_parameter_set_id: int = 0
+    atlas_frame_tile_information: AtlasFrameTileInformation = field(
+        default_factory=AtlasFrameTileInformation
+    )
+    output_flag_present_flag: bool = False
+    num_ref_idx_default_active_minus1: int = 0
+    additional_lt_afoc_lsb_len: int = 0
+    lod_mode_enable_flag: bool = False
+    raw_3d_offset_bitcount_explicit_mode_flag: bool = False
+    extension_flag: bool = False
+    extension_8bits: int = 0
+
+    @classmethod
+    def parse(cls, bs: Bitstream, context) -> "AtlasFrameParameterSet":
+        afps = cls()
+        afps.atlas_frame_parameter_set_id = bs.read_uvlc()
+        afps.atlas_sequence_parameter_set_id = bs.read_uvlc()
+        asps = context.get_asps(afps.atlas_sequence_parameter_set_id)
+        afps.atlas_frame_tile_information = AtlasFrameTileInformation.parse(bs, asps)
+        afps.output_flag_present_flag = bs.read(1) != 0
+        afps.num_ref_idx_default_active_minus1 = bs.read_uvlc()
+        afps.additional_lt_afoc_lsb_len = bs.read_uvlc()
+        afps.lod_mode_enable_flag = bs.read(1) != 0
+        afps.raw_3d_offset_bitcount_explicit_mode_flag = bs.read(1) != 0
+        afps.extension_flag = bs.read(1) != 0
+        if afps.extension_flag:
+            afps.extension_8bits = bs.read(8)
+        if afps.extension_8bits > 0:
+            raise UnsupportedFeature("afps extension not supported")
+        bs.byte_align()
+        return afps
+
+
+# ---------------------------------------------------------------------------
+# SEI
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SeiGeometrySmoothing:
+    """H.20.2.19 geometry smoothing SEI (``reader.rs:1452-1505``)."""
+
+    persistence_flag: bool = False
+    reset_flag: bool = False
+    instances_updated: int = 0
+    instance_index: List[int] = field(default_factory=list)
+    instance_cancel_flag: List[bool] = field(default_factory=list)
+    method_type: List[int] = field(default_factory=list)
+    filter_eom_points_flag: List[bool] = field(default_factory=list)
+    grid_size_minus_2: List[int] = field(default_factory=list)
+    threshold: List[int] = field(default_factory=list)
+
+    payload_type = SeiPayloadType.GEOMETRY_SMOOTHING
+
+    @classmethod
+    def parse(cls, bs: Bitstream) -> "SeiGeometrySmoothing":
+        sei = cls(
+            persistence_flag=bs.read(1) != 0,
+            reset_flag=bs.read(1) != 0,
+            instances_updated=bs.read(8),
+        )
+        n = sei.instances_updated
+        sei.instance_index = [0] * n
+        sei.instance_cancel_flag = [False] * n
+        sei.method_type = [0] * n
+        sei.filter_eom_points_flag = [False] * n
+        sei.grid_size_minus_2 = [0] * n
+        sei.threshold = [0] * n
+        for i in range(n):
+            sei.instance_index[i] = bs.read(8)
+            k = sei.instance_index[i]
+            sei.instance_cancel_flag[k] = bs.read(1) != 0
+            if sei.instance_cancel_flag[k]:
+                continue
+            sei.method_type[k] = bs.read_uvlc()
+            if sei.method_type[k] == 1:
+                sei.filter_eom_points_flag[k] = bs.read(1) != 0
+                sei.grid_size_minus_2[k] = bs.read(7)
+                sei.threshold[k] = bs.read(8)
+        return sei
+
+
+@dataclass
+class SeiMessage:
+    """An SEI RBSP holding parsed prefix/suffix payloads (``reader.rs:1331-1435``)."""
+
+    sei_prefix: List[object] = field(default_factory=list)
+    sei_suffix: List[object] = field(default_factory=list)
+
+    @classmethod
+    def parse(cls, bs: Bitstream, nal_unit_type: NalUnitType) -> "SeiMessage":
+        payload_type = 0
+        while True:
+            byte = bs.read(8)
+            payload_type += byte
+            if byte != 0xFF:
+                break
+        payload_type = SeiPayloadType(payload_type)
+        payload_size = 0
+        while True:
+            byte = bs.read(8)
+            payload_size += byte
+            if byte != 0xFF:
+                break
+        msg = cls()
+        if nal_unit_type.is_prefix_sei:
+            if payload_type == SeiPayloadType.GEOMETRY_SMOOTHING:
+                msg.sei_prefix.append(SeiGeometrySmoothing.parse(bs))
+            else:
+                raise UnsupportedFeature(
+                    f"SEI payload {payload_type!r} not supported (only geometry smoothing)"
+                )
+        else:
+            raise UnsupportedFeature("suffix SEI not supported")
+        bs.byte_align()
+        # TMC2 consumes one extra trailing byte after prefix SEI payloads;
+        # replicated from the reference hack (``reader.rs:1414-1417``).
+        bs.read(8)
+        return msg
+
+    def is_sei_present(self, nal_unit_type: NalUnitType, payload_type: SeiPayloadType) -> bool:
+        if not (nal_unit_type.is_prefix_sei or nal_unit_type.is_suffix_sei):
+            return False
+        seis = self.sei_prefix if nal_unit_type.is_prefix_sei else self.sei_suffix
+        return any(s.payload_type == payload_type for s in seis)
+
+
+# ---------------------------------------------------------------------------
+# Atlas tile layer: header + patch data units
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class AtlasTileHeader:
+    """8.3.6.11 atlas tile header (``reader.rs:1544-1690``)."""
+
+    no_output_of_prior_atlas_frames_flag: bool = False
+    frame_index: int = 0
+    atlas_frame_parameter_set_id: int = 0
+    atlas_adaptation_parameter_set_id: int = 0
+    id: int = 0
+    tile_type: TileType = TileType.P
+    atlas_output_flag: bool = False
+    atlas_frame_order_count_lsb: int = 0
+    ref_atlas_frame_list_sps_flag: bool = False
+    ref_atlas_frame_list_idx: int = 0
+    additional_afoc_lsb_present_flag: List[bool] = field(default_factory=list)
+    additional_afoc_lsb_val: List[int] = field(default_factory=list)
+    pos_min_d_quantizer: int = 0
+    pos_delta_max_d_quantizer: int = 0
+    patch_size_info_quantizer: Tuple[int, int] = (0, 0)
+    raw_3d_offset_axis_bitcount_minus1: int = 0
+    num_ref_idx_active_override_flag: bool = False
+    num_ref_idx_active_minus1: int = 0
+    ref_list_struct: RefListStruct = field(default_factory=RefListStruct)
+    tile_nalu_type_info: int = 0
+
+    @classmethod
+    def parse(cls, bs: Bitstream, context, nal_unit_type: NalUnitType) -> "AtlasTileHeader":
+        ath = cls()
+        if NalUnitType.BLA_W_LP <= nal_unit_type <= NalUnitType.GCRA:
+            ath.no_output_of_prior_atlas_frames_flag = bs.read(1) != 0
+        if nal_unit_type == NalUnitType.TRAIL_R:
+            ath.tile_nalu_type_info = 1
+        elif nal_unit_type == NalUnitType.TRAIL_N:
+            ath.tile_nalu_type_info = 2
+        ath.atlas_frame_parameter_set_id = bs.read_uvlc()
+        ath.atlas_adaptation_parameter_set_id = bs.read_uvlc()
+        afps = context.get_afps(ath.atlas_frame_parameter_set_id)
+        asps = context.get_asps(afps.atlas_sequence_parameter_set_id)
+        afti = afps.atlas_frame_tile_information
+        if afti.signalled_tile_id_flag:
+            ath.id = bs.read(afti.signalled_tile_id_length_minus1 + 1)
+        elif afti.num_tiles_in_atlas_frame_minus1 != 0:
+            ath.id = bs.read(ceil_log2(afti.num_tiles_in_atlas_frame_minus1 + 1))
+        else:
+            ath.id = 0
+        ath.tile_type = TileType(bs.read_uvlc())
+        if afps.output_flag_present_flag:
+            ath.atlas_output_flag = bs.read(1) != 0
+        ath.atlas_frame_order_count_lsb = bs.read(
+            asps.log2_max_atlas_frame_order_cnt_lsb_minus_4 + 4
+        )
+        if asps.num_ref_atlas_frame_lists_in_asps > 0:
+            ath.ref_atlas_frame_list_sps_flag = bs.read(1) != 0
+        ath.ref_atlas_frame_list_idx = 0
+        if not ath.ref_atlas_frame_list_sps_flag:
+            ath.ref_list_struct = RefListStruct.parse(
+                bs,
+                asps.long_term_ref_atlas_frames_flag,
+                asps.log2_max_atlas_frame_order_cnt_lsb_minus_4 + 4,
+            )
+        else:
+            ath.ref_list_struct = asps.ref_list_struct[ath.ref_atlas_frame_list_idx]
+        if asps.num_ref_atlas_frame_lists_in_asps > 1:
+            ath.ref_atlas_frame_list_idx = bs.read(
+                ceil_log2(asps.num_ref_atlas_frame_lists_in_asps)
+            )
+        ref_list = (
+            asps.ref_list_struct[ath.ref_atlas_frame_list_idx]
+            if ath.ref_atlas_frame_list_sps_flag
+            else ath.ref_list_struct
+        )
+        num_ltr = sum(1 for st in ref_list.st_ref_atlas_frame_flag if not st)
+        for j in range(num_ltr):
+            ath.additional_afoc_lsb_present_flag.append(bs.read(1) != 0)
+            if ath.additional_afoc_lsb_present_flag[j]:
+                ath.additional_afoc_lsb_val.append(bs.read(afps.additional_lt_afoc_lsb_len))
+        if ath.tile_type != TileType.SKIP:
+            if asps.normal_axis_limits_quantization_enabled_flag:
+                ath.pos_min_d_quantizer = bs.read(5)
+                ath.pos_delta_max_d_quantizer = bs.read(5)
+            if asps.patch_size_quantizer_present_flag:
+                ath.patch_size_info_quantizer = (bs.read(3), bs.read(3))
+            if afps.raw_3d_offset_bitcount_explicit_mode_flag:
+                bit_count = floor_log2(asps.geometry_3d_bitdepth_minus1 + 1)
+                ath.raw_3d_offset_axis_bitcount_minus1 = bs.read(bit_count)
+            else:
+                # The reference computes max(0, g3d_m1 - g2d_m1) - 1 in u8
+                # arithmetic (``reader.rs:1675-1678``), which wraps to 255
+                # when the bitdepths are equal. Only used by raw patches
+                # (unsupported); replicate the wrapping semantics.
+                ath.raw_3d_offset_axis_bitcount_minus1 = (
+                    max(0, asps.geometry_3d_bitdepth_minus1 - asps.geometry_2d_bitdepth_minus1)
+                    - 1
+                ) % 256
+            if ath.tile_type == TileType.P and ref_list.num_ref_entries > 1:
+                ath.num_ref_idx_active_override_flag = bs.read(1) != 0
+                if ath.num_ref_idx_active_override_flag:
+                    ath.num_ref_idx_active_minus1 = bs.read_uvlc()
+        bs.byte_align()
+        return ath
+
+
+@dataclass
+class IntraPatchDataUnit:
+    """8.3.7.3 intra patch data unit (``reader.rs:1852-1923``)."""
+
+    projection_id: int = 0
+    orientation_index: PatchOrientation = PatchOrientation.DEFAULT
+    lod_enabled_flag: bool = False
+    pos_2d: Tuple[int, int] = (0, 0)
+    size_2d_minus1: Tuple[int, int] = (0, 0)
+    pos_3d_offset: Tuple[int, int] = (0, 0)
+    pos_3d_offset_d: int = 0
+    pos_3d_range_d: int = 0
+
+    @classmethod
+    def parse(cls, bs: Bitstream, context, ath: AtlasTileHeader) -> "IntraPatchDataUnit":
+        afps = context.get_afps(ath.atlas_frame_parameter_set_id)
+        asps = context.get_asps(afps.atlas_sequence_parameter_set_id)
+        bitcount_uv = asps.geometry_3d_bitdepth_minus1 + 1
+        bitcount_d = asps.geometry_3d_bitdepth_minus1 - ath.pos_min_d_quantizer + 1
+        pdu = cls()
+        pdu.pos_2d = (bs.read_uvlc(), bs.read_uvlc())
+        pdu.size_2d_minus1 = (bs.read_uvlc(), bs.read_uvlc())
+        pdu.pos_3d_offset = (bs.read(bitcount_uv), bs.read(bitcount_uv))
+        pdu.pos_3d_offset_d = bs.read(bitcount_d)
+        if asps.normal_axis_max_delta_value_enabled_flag:
+            bitcount_max_depth = (
+                min(asps.geometry_2d_bitdepth_minus1, asps.geometry_3d_bitdepth_minus1)
+                + 1
+                - ath.pos_delta_max_d_quantizer
+            )
+            pdu.pos_3d_range_d = bs.read(bitcount_max_depth)
+        pdu.projection_id = bs.read(ceil_log2(asps.max_number_projections_minus1 + 1))
+        if pdu.projection_id > 5:
+            raise UnsupportedFeature("projection_id > 5 (45-degree projections)")
+        pdu.orientation_index = PatchOrientation(
+            bs.read(3 if asps.use_eight_orientations_flag else 1)
+        )
+        if afps.lod_mode_enable_flag:
+            raise UnsupportedFeature("lod mode not supported")
+        if asps.plr_enabled_flag:
+            raise UnsupportedFeature("PLR not supported")
+        return pdu
+
+
+@dataclass
+class InterPatchDataUnit:
+    """8.3.7.6 inter patch data unit (``reader.rs:1925-1972``).
+
+    Parsed for bitstream conformance; reconstruction from inter patches is
+    not implemented by the reference (``decoder.rs:487-489``) and raises in
+    the patch-frame builder here.
+    """
+
+    ref_index: int = 0
+    ref_patch_index: int = 0
+    pos_2d: Tuple[int, int] = (0, 0)
+    delta_2d_size: Tuple[int, int] = (0, 0)
+    pos_3d_offset: Tuple[int, int] = (0, 0)
+    pos_3d_offset_d: int = 0
+    pos_3d_range_d: int = 0
+
+    @classmethod
+    def parse(cls, bs: Bitstream, context, ath: AtlasTileHeader) -> "InterPatchDataUnit":
+        afps = context.get_afps(ath.atlas_frame_parameter_set_id)
+        asps = context.get_asps(afps.atlas_sequence_parameter_set_id)
+        num_ref_idx_active = context.get_num_ref_idx_active(ath)
+        pdu = cls()
+        pdu.ref_index = bs.read_uvlc() if num_ref_idx_active > 1 else 0
+        pdu.ref_patch_index = bs.read_svlc()
+        pdu.pos_2d = (bs.read_svlc(), bs.read_svlc())
+        pdu.delta_2d_size = (bs.read_svlc(), bs.read_svlc())
+        pdu.pos_3d_offset = (bs.read_svlc(), bs.read_svlc())
+        pdu.pos_3d_offset_d = bs.read_svlc()
+        if asps.normal_axis_max_delta_value_enabled_flag:
+            raise UnsupportedFeature("normal_axis_max_delta for inter patches")
+        if asps.plr_enabled_flag:
+            raise UnsupportedFeature("PLR not supported")
+        return pdu
+
+
+@dataclass
+class MergePatchDataUnit:
+    """8.3.7.5 merge patch data unit (``reader.rs:1974-2037``)."""
+
+    override_2d_params_flag: bool = False
+    override_3d_params_flag: bool = False
+    ref_index: int = 0
+    pos_2d: Tuple[int, int] = (0, 0)
+    delta_2d_size: Tuple[int, int] = (0, 0)
+    pos_3d_offset: Tuple[int, int] = (0, 0)
+    pos_3d_offset_d: int = 0
+
+    @classmethod
+    def parse(cls, bs: Bitstream, context, ath: AtlasTileHeader) -> "MergePatchDataUnit":
+        afps = context.get_afps(ath.atlas_frame_parameter_set_id)
+        asps = context.get_asps(afps.atlas_sequence_parameter_set_id)
+        num_ref_idx_active = context.get_num_ref_idx_active(ath)
+        pdu = cls()
+        if num_ref_idx_active > 1:
+            pdu.ref_index = bs.read_uvlc()
+        pdu.override_2d_params_flag = bs.read(1) != 0
+        if pdu.override_2d_params_flag:
+            pdu.pos_2d = (bs.read_svlc(), bs.read_svlc())
+            pdu.delta_2d_size = (bs.read_svlc(), bs.read_svlc())
+        else:
+            pdu.override_3d_params_flag = bs.read(1) != 0
+            pdu.pos_3d_offset = (bs.read_svlc(), bs.read_svlc())
+            pdu.pos_3d_offset_d = bs.read_svlc()
+            if asps.normal_axis_max_delta_value_enabled_flag:
+                raise UnsupportedFeature("normal_axis_max_delta for merge patches")
+        if asps.plr_enabled_flag:
+            raise UnsupportedFeature("PLR not supported")
+        return pdu
+
+
+@dataclass
+class SkipPatchDataUnit:
+    pass
+
+
+@dataclass
+class PatchInformationData:
+    """8.3.7.2 patch information data (``reader.rs:1775-1849``)."""
+
+    patch_mode: int = 0
+    patch_data_unit: object = None
+
+    @classmethod
+    def parse(cls, bs: Bitstream, context, ath: AtlasTileHeader) -> Optional["PatchInformationData"]:
+        """Returns None at the End patch mode."""
+        patch_mode = bs.read_uvlc()
+        if ath.tile_type == TileType.P:
+            mode = PatchModePTile(patch_mode)
+            if mode == PatchModePTile.END:
+                return None
+            unit = {
+                PatchModePTile.MERGE: MergePatchDataUnit,
+                PatchModePTile.INTER: InterPatchDataUnit,
+                PatchModePTile.INTRA: IntraPatchDataUnit,
+                PatchModePTile.SKIP: SkipPatchDataUnit,
+            }[mode]
+            pdu = (
+                SkipPatchDataUnit()
+                if unit is SkipPatchDataUnit
+                else unit.parse(bs, context, ath)
+            )
+            return cls(patch_mode=patch_mode, patch_data_unit=pdu)
+        if ath.tile_type == TileType.I:
+            mode = PatchModeITile(patch_mode)
+            if mode == PatchModeITile.END:
+                return None
+            return cls(
+                patch_mode=patch_mode,
+                patch_data_unit=IntraPatchDataUnit.parse(bs, context, ath),
+            )
+        raise UnsupportedFeature("patch data in SKIP tile")
+
+
+@dataclass
+class AtlasTileLayer:
+    """8.3.6.9 atlas tile layer RBSP (``reader.rs:1507-1542``)."""
+
+    header: AtlasTileHeader = field(default_factory=AtlasTileHeader)
+    patch_information_data: List[PatchInformationData] = field(default_factory=list)
+    atlas_frame_order_count_val: int = 0
+    atlas_frame_order_count_msb: int = 0
+    sei: Optional[SeiMessage] = None
+
+    @classmethod
+    def parse(cls, bs: Bitstream, context, nal_unit_type: NalUnitType) -> "AtlasTileLayer":
+        header = AtlasTileHeader.parse(bs, context, nal_unit_type)
+        atl = cls(header=header)
+        if header.tile_type != TileType.SKIP:
+            while True:
+                pid = PatchInformationData.parse(bs, context, header)
+                if pid is None:
+                    break
+                atl.patch_information_data.append(pid)
+        bs.byte_align()
+        return atl

@@ -1,0 +1,387 @@
+"""V3C bitstream writer — the exact inverse of the parsers in syntax.py.
+
+The reference is decode-only; this module exists (a) to author synthetic
+conformance fixtures for the test suite (the environment carries no MPEG
+CTC streams), and (b) as a standalone mux capability. Every write mirrors
+the corresponding parse field-for-field, including the reference quirks
+(`byte_align` stop-bit, PTL byte-skips, SEI trailing byte).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from ..bitio import BitWriter
+from .syntax import (
+    AtlasFrameParameterSet,
+    AtlasSequenceParameterSet,
+    AtlasTileHeader,
+    AtlasTileLayer,
+    IntraPatchDataUnit,
+    NalUnitType,
+    PatchModeITile,
+    ProfileTierLevel,
+    RefListStruct,
+    TileType,
+    V3CParameterSet,
+    V3CUnitType,
+    ceil_log2,
+)
+
+
+def write_ptl(w: BitWriter, ptl: ProfileTierLevel) -> None:
+    w.write(int(ptl.tier_flag), 1)
+    w.write(ptl.profile_codec_group_idc, 7)
+    w.write(ptl.profile_toolset_idc, 8)
+    w.write(ptl.profile_reconstruction_idc, 8)
+    w.write(0, 32)  # reserved, skipped byte-wise by the reader
+    w.write(ptl.level_idc, 8)
+    w.write(0, 6)  # num_sub_profiles == 0
+    w.write(int(ptl.extended_sub_profile_flag), 1)
+    w.write(0, 1)  # tool_constraints_present_flag == 0
+
+
+def write_vps(vps: V3CParameterSet) -> bytes:
+    """Serialize a VPS payload (inverse of ``V3CParameterSet.parse``)."""
+    w = BitWriter()
+    write_ptl(w, vps.profile_tier_level)
+    w.write(vps.v3c_parameter_set_id, 4)
+    w.write(0, 8)  # reserved
+    w.write(vps.atlas_count_minus1, 6)
+    w.write(vps.atlas_id, 6)
+    w.write_uvlc(vps.frame_width)
+    w.write_uvlc(vps.frame_height)
+    w.write(vps.map_count_minus1, 4)
+    if vps.map_count_minus1 > 0:
+        w.write(int(vps.multiple_map_streams_present_flag), 1)
+    for k in range(1, vps.map_count_minus1 + 1):
+        if vps.multiple_map_streams_present_flag:
+            w.write(int(vps.map_absolute_coding_enable_flag[k]), 1)
+        if not vps.map_absolute_coding_enable_flag[k]:
+            w.write_uvlc(int(vps.map_predictor_index_diff[k]))
+    w.write(int(vps.auxiliary_video_present_flag), 1)
+    w.write(int(vps.occupancy_video_present_flag), 1)
+    w.write(int(vps.geometry_video_present_flag), 1)
+    w.write(int(vps.attribute_video_present_flag), 1)
+    if vps.occupancy_video_present_flag:
+        oi = vps.occupancy_information
+        w.write(oi.occupancy_codec_id, 8)
+        w.write(oi.occupancy_lossy_compression_threshold, 8)
+        w.write(oi.occupancy_2d_bitdepth_minus1, 5)
+        w.write(int(oi.occupancy_msb_align_flag), 1)
+    if vps.geometry_video_present_flag:
+        gi = vps.geometry_information
+        w.write(gi.geometry_codec_id, 8)
+        w.write(gi.geometry_2d_bitdepth_minus1, 5)
+        w.write(int(gi.geometry_msb_align_flag), 1)
+        w.write(gi.geometry_3d_coordinates_bitdepth_minus1, 5)
+        if vps.auxiliary_video_present_flag:
+            w.write(gi.auxiliary_geometry_codec_id, 8)
+    if vps.attribute_video_present_flag:
+        ai = vps.attribute_information
+        w.write(ai.attribute_count, 7)
+        for i in range(ai.attribute_count):
+            w.write(ai.attribute_type_id[i], 4)
+            w.write(ai.attribute_codec_id[i], 8)
+            if vps.auxiliary_video_present_flag:
+                w.write(ai.auxiliary_attribute_codec_id[i], 8)
+            if vps.map_count_minus1 > 0:
+                w.write(int(ai.attribute_map_absolute_coding_persistence_flag[i]), 1)
+            w.write(ai.attribute_dimension_minus1[i], 6)
+            if ai.attribute_dimension_minus1[i] > 0:
+                w.write(ai.attribute_dimension_partitions_minus1[i], 6)
+                remaining = ai.attribute_dimension_minus1[i]
+                k = ai.attribute_dimension_partitions_minus1[i]
+                for j in range(k):
+                    channels = ai.attribute_partition_channels_minus1[i][j]
+                    if k - j != remaining:
+                        w.write_uvlc(channels)
+                    remaining -= channels
+            w.write(ai.attribute_2d_bitdepth_minus1[i], 5)
+            w.write(int(ai.attribute_msb_align_flag[i]), 1)
+    w.write(int(vps.extension_present_flag), 1)
+    w.byte_align()
+    return w.getvalue()
+
+
+def write_ref_list_struct(
+    w: BitWriter, rls: RefListStruct, long_term_flag: bool, log2_max_afoc: int
+) -> None:
+    w.write_uvlc(rls.num_ref_entries)
+    st_i = lt_i = 0
+    for k in range(rls.num_ref_entries):
+        st = rls.st_ref_atlas_frame_flag[k]
+        if long_term_flag:
+            w.write(int(st), 1)
+        if st:
+            delta = rls.abs_delta_afoc_st[st_i]
+            w.write_uvlc(delta)
+            if delta > 0:
+                w.write(int(rls.strpf_entry_sign_flag[st_i]), 1)
+            st_i += 1
+        else:
+            w.write(rls.afoc_lsb_lt[lt_i], log2_max_afoc)
+            lt_i += 1
+
+
+def write_asps(asps: AtlasSequenceParameterSet) -> bytes:
+    w = BitWriter()
+    w.write_uvlc(asps.atlas_sequence_parameter_set_id)
+    w.write_uvlc(asps.frame_width)
+    w.write_uvlc(asps.frame_height)
+    w.write(asps.geometry_3d_bitdepth_minus1, 5)
+    w.write(asps.geometry_2d_bitdepth_minus1, 5)
+    w.write_uvlc(asps.log2_max_atlas_frame_order_cnt_lsb_minus_4)
+    w.write_uvlc(asps.max_dec_atlas_frame_buffering_minus1)
+    w.write(int(asps.long_term_ref_atlas_frames_flag), 1)
+    w.write_uvlc(asps.num_ref_atlas_frame_lists_in_asps)
+    for rls in asps.ref_list_struct:
+        write_ref_list_struct(
+            w,
+            rls,
+            asps.long_term_ref_atlas_frames_flag,
+            asps.log2_max_atlas_frame_order_cnt_lsb_minus_4 + 4,
+        )
+    w.write(int(asps.use_eight_orientations_flag), 1)
+    w.write(int(asps.extended_projection_enabled_flag), 1)
+    w.write(int(asps.normal_axis_limits_quantization_enabled_flag), 1)
+    w.write(int(asps.normal_axis_max_delta_value_enabled_flag), 1)
+    w.write(int(asps.patch_precedence_order_flag), 1)
+    w.write(asps.log2_patch_packing_block_size, 3)
+    w.write(int(asps.patch_size_quantizer_present_flag), 1)
+    w.write(asps.map_count_minus1, 4)
+    w.write(int(asps.pixel_deinterleaving_flag), 1)
+    w.write(int(asps.raw_patch_enabled_flag), 1)
+    w.write(int(asps.eom_patch_enabled_flag), 1)
+    w.write(int(asps.plr_enabled_flag), 1)
+    w.write(int(asps.vui_parameters_present_flag), 1)
+    w.write(int(asps.extension_flag), 1)
+    if asps.extension_flag:
+        w.write(int(asps.vpcc_extension_flag), 1)
+        w.write(asps.extension_7bits, 7)
+    if asps.vpcc_extension_flag:
+        w.write(int(asps.vpcc_extension.remove_duplicate_point_enabled_flag), 1)
+        if asps.pixel_deinterleaving_flag or asps.plr_enabled_flag:
+            w.write(asps.vpcc_extension.surface_thickness_minus1, 7)
+    w.byte_align()
+    return w.getvalue()
+
+
+def write_afps(afps: AtlasFrameParameterSet, asps: AtlasSequenceParameterSet) -> bytes:
+    w = BitWriter()
+    w.write_uvlc(afps.atlas_frame_parameter_set_id)
+    w.write_uvlc(afps.atlas_sequence_parameter_set_id)
+    afti = afps.atlas_frame_tile_information
+    w.write(int(afti.single_tile_in_atlas_frame_flag), 1)
+    if asps.auxiliary_video_enabled_flag:
+        w.write_uvlc(afti.auxiliary_video_tile_row_width_minus1)
+        for h in afti.auxiliary_video_tile_row_height:
+            w.write_uvlc(h)
+    w.write(int(afti.signalled_tile_id_flag), 1)
+    w.write(int(afps.output_flag_present_flag), 1)
+    w.write_uvlc(afps.num_ref_idx_default_active_minus1)
+    w.write_uvlc(afps.additional_lt_afoc_lsb_len)
+    w.write(int(afps.lod_mode_enable_flag), 1)
+    w.write(int(afps.raw_3d_offset_bitcount_explicit_mode_flag), 1)
+    w.write(int(afps.extension_flag), 1)
+    w.byte_align()
+    return w.getvalue()
+
+
+def write_atlas_tile_layer(
+    atl: AtlasTileLayer,
+    asps: AtlasSequenceParameterSet,
+    afps: AtlasFrameParameterSet,
+    nal_unit_type: NalUnitType,
+) -> bytes:
+    """Serialize a tile layer (header + intra patch data units + End)."""
+    ath = atl.header
+    w = BitWriter()
+    if NalUnitType.BLA_W_LP <= nal_unit_type <= NalUnitType.GCRA:
+        w.write(int(ath.no_output_of_prior_atlas_frames_flag), 1)
+    w.write_uvlc(ath.atlas_frame_parameter_set_id)
+    w.write_uvlc(ath.atlas_adaptation_parameter_set_id)
+    afti = afps.atlas_frame_tile_information
+    if afti.signalled_tile_id_flag:
+        w.write(ath.id, afti.signalled_tile_id_length_minus1 + 1)
+    elif afti.num_tiles_in_atlas_frame_minus1 != 0:
+        w.write(ath.id, ceil_log2(afti.num_tiles_in_atlas_frame_minus1 + 1))
+    w.write_uvlc(int(ath.tile_type))
+    if afps.output_flag_present_flag:
+        w.write(int(ath.atlas_output_flag), 1)
+    w.write(
+        ath.atlas_frame_order_count_lsb,
+        asps.log2_max_atlas_frame_order_cnt_lsb_minus_4 + 4,
+    )
+    if asps.num_ref_atlas_frame_lists_in_asps > 0:
+        w.write(int(ath.ref_atlas_frame_list_sps_flag), 1)
+    if not ath.ref_atlas_frame_list_sps_flag:
+        write_ref_list_struct(
+            w,
+            ath.ref_list_struct,
+            asps.long_term_ref_atlas_frames_flag,
+            asps.log2_max_atlas_frame_order_cnt_lsb_minus_4 + 4,
+        )
+    if asps.num_ref_atlas_frame_lists_in_asps > 1:
+        w.write(ath.ref_atlas_frame_list_idx, ceil_log2(asps.num_ref_atlas_frame_lists_in_asps))
+    ref_list = (
+        asps.ref_list_struct[ath.ref_atlas_frame_list_idx]
+        if ath.ref_atlas_frame_list_sps_flag
+        else ath.ref_list_struct
+    )
+    num_ltr = sum(1 for st in ref_list.st_ref_atlas_frame_flag if not st)
+    for j in range(num_ltr):
+        w.write(int(ath.additional_afoc_lsb_present_flag[j]), 1)
+        if ath.additional_afoc_lsb_present_flag[j]:
+            w.write(ath.additional_afoc_lsb_val[j], afps.additional_lt_afoc_lsb_len)
+    if ath.tile_type != TileType.SKIP:
+        if asps.normal_axis_limits_quantization_enabled_flag:
+            w.write(ath.pos_min_d_quantizer, 5)
+            w.write(ath.pos_delta_max_d_quantizer, 5)
+        if asps.patch_size_quantizer_present_flag:
+            w.write(ath.patch_size_info_quantizer[0], 3)
+            w.write(ath.patch_size_info_quantizer[1], 3)
+        if afps.raw_3d_offset_bitcount_explicit_mode_flag:
+            bit_count = (asps.geometry_3d_bitdepth_minus1 + 1).bit_length() - 1
+            w.write(ath.raw_3d_offset_axis_bitcount_minus1, bit_count)
+        if ath.tile_type == TileType.P and ref_list.num_ref_entries > 1:
+            w.write(int(ath.num_ref_idx_active_override_flag), 1)
+            if ath.num_ref_idx_active_override_flag:
+                w.write_uvlc(ath.num_ref_idx_active_minus1)
+    w.byte_align()
+
+    # patch data units (intra only — the envelope this framework emits)
+    bitcount_uv = asps.geometry_3d_bitdepth_minus1 + 1
+    bitcount_d = asps.geometry_3d_bitdepth_minus1 - ath.pos_min_d_quantizer + 1
+    for pid in atl.patch_information_data:
+        pdu = pid.patch_data_unit
+        if not isinstance(pdu, IntraPatchDataUnit):
+            raise NotImplementedError("writer emits intra patches only")
+        w.write_uvlc(pid.patch_mode)
+        w.write_uvlc(pdu.pos_2d[0])
+        w.write_uvlc(pdu.pos_2d[1])
+        w.write_uvlc(pdu.size_2d_minus1[0])
+        w.write_uvlc(pdu.size_2d_minus1[1])
+        w.write(pdu.pos_3d_offset[0], bitcount_uv)
+        w.write(pdu.pos_3d_offset[1], bitcount_uv)
+        w.write(pdu.pos_3d_offset_d, bitcount_d)
+        if asps.normal_axis_max_delta_value_enabled_flag:
+            bitcount_max_depth = (
+                min(asps.geometry_2d_bitdepth_minus1, asps.geometry_3d_bitdepth_minus1)
+                + 1
+                - ath.pos_delta_max_d_quantizer
+            )
+            w.write(pdu.pos_3d_range_d, bitcount_max_depth)
+        w.write(pdu.projection_id, ceil_log2(asps.max_number_projections_minus1 + 1))
+        w.write(int(pdu.orientation_index), 3 if asps.use_eight_orientations_flag else 1)
+    # End patch mode terminates the unit
+    end_mode = int(PatchModeITile.END)
+    w.write_uvlc(end_mode)
+    w.byte_align()
+    return w.getvalue()
+
+
+def wrap_nal_unit(unit_type: NalUnitType, payload: bytes) -> bytes:
+    """2-byte NAL header + payload (``reader.rs:770-778``)."""
+    w = BitWriter()
+    w.write(0, 1)  # forbidden zero bit
+    w.write(int(unit_type), 6)
+    w.write(0, 6)  # layer id
+    w.write(1, 3)  # temporal id plus 1
+    return w.getvalue() + payload
+
+
+def build_nal_sample_stream(nal_units: Sequence[bytes], precision: int = 2) -> bytes:
+    """Sample-stream NAL framing: 1-byte header + sized units."""
+    w = BitWriter()
+    w.write(precision - 1, 3)
+    w.write(0, 5)
+    out = bytearray(w.getvalue())
+    for nalu in nal_units:
+        out += len(nalu).to_bytes(precision, "big")
+        out += nalu
+    return bytes(out)
+
+
+def v3c_unit_header(
+    unit_type: V3CUnitType,
+    *,
+    vps_id: int = 0,
+    atlas_id: int = 0,
+    attribute_index: int = 0,
+    attribute_dimension_index: int = 0,
+    map_index: int = 0,
+    auxiliary_video_flag: bool = False,
+) -> bytes:
+    """4-byte V3C unit header (inverse of ``V3CUnit._decode_header``)."""
+    w = BitWriter()
+    w.write(int(unit_type), 5)
+    if unit_type == V3CUnitType.VPS:
+        w.write(0, 27)
+        return w.getvalue()
+    w.write(vps_id, 4)
+    w.write(atlas_id, 6)
+    if unit_type == V3CUnitType.AVD:
+        w.write(attribute_index, 7)
+        w.write(attribute_dimension_index, 5)
+        w.write(map_index, 4)
+        w.write(int(auxiliary_video_flag), 1)
+    elif unit_type == V3CUnitType.GVD:
+        w.write(map_index, 4)
+        w.write(int(auxiliary_video_flag), 1)
+        w.write(0, 12)
+    else:  # OVD / AD
+        w.write(0, 17)
+    return w.getvalue()
+
+
+def annexb_to_length_prefixed(annexb: bytes, precision: int = 4) -> bytes:
+    """Convert an Annex-B HEVC bytestream (00 00 01 / 00 00 00 01 start
+    codes) into the length-prefixed NALU sample-stream format carried in
+    V3C video units (the inverse of ``sample_stream_to_bytestream``,
+    reference ``src/bitstream.rs:216-289``)."""
+    out = bytearray()
+    n = len(annexb)
+    starts = []
+    i = 0
+    while i + 2 < n:
+        if annexb[i] == 0 and annexb[i + 1] == 0:
+            if annexb[i + 2] == 1:
+                starts.append((i, 3))
+                i += 3
+                continue
+            if i + 3 < n and annexb[i + 2] == 0 and annexb[i + 3] == 1:
+                starts.append((i, 4))
+                i += 4
+                continue
+        i += 1
+    if not starts:
+        raise ValueError("no Annex-B start codes found")
+    for idx, (pos, sc_len) in enumerate(starts):
+        begin = pos + sc_len
+        end = starts[idx + 1][0] if idx + 1 < len(starts) else n
+        nalu = annexb[begin:end]
+        out += len(nalu).to_bytes(precision, "big")
+        out += nalu
+    return bytes(out)
+
+
+class V3CSampleStreamWriter:
+    """Builds a complete V3C sample-stream file from composed units."""
+
+    def __init__(self, precision: int = 4):
+        self.precision = precision
+        self.units: List[bytes] = []
+
+    def add_unit(self, header: bytes, payload: bytes) -> None:
+        self.units.append(header + payload)
+
+    def getvalue(self) -> bytes:
+        w = BitWriter()
+        w.write(self.precision - 1, 3)
+        w.write(0, 5)
+        out = bytearray(w.getvalue())
+        for unit in self.units:
+            out += len(unit).to_bytes(self.precision, "big")
+            out += unit
+        return bytes(out)
