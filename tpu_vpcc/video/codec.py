@@ -1,0 +1,230 @@
+"""Python binding for the native HEVC codec bridge (ctypes, no pybind11).
+
+Decode path parity: reference ``LibavcodecDecoder`` (``src/decoder.rs:
+1087-1157``) — but feeding libavcodec from memory instead of a tempfile.
+Decoded planes are returned as NumPy arrays: ``uint8`` for 8-bit streams
+(occupancy) and native-endian ``uint16`` for 10-bit streams (geometry /
+attribute), matching the reference's ``Image<u8>``/``Image<u16>`` reads
+(``src/decoder.rs:1002-1021``).
+
+The module self-builds the shared library with ``make`` on first use.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_NATIVE_DIR = Path(__file__).resolve().parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libtpu_vpcc_video.so"
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _build_native() -> None:
+    subprocess.run(
+        ["make", "-C", str(_NATIVE_DIR)],
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        src = _NATIVE_DIR / "video_codec.cc"
+        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < src.stat().st_mtime:
+            log.info("building native video codec bridge")
+            _build_native()
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.vdec_open.restype = ctypes.c_void_p
+        lib.vdec_open.argtypes = [ctypes.c_int]
+        lib.vdec_decode.restype = ctypes.c_int
+        lib.vdec_decode.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]
+        lib.vdec_frame_count.restype = ctypes.c_int
+        lib.vdec_frame_count.argtypes = [ctypes.c_void_p]
+        lib.vdec_frame_info.restype = ctypes.c_int
+        lib.vdec_frame_info.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.vdec_copy_plane.restype = ctypes.c_int64
+        lib.vdec_copy_plane.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.vdec_error.restype = ctypes.c_char_p
+        lib.vdec_error.argtypes = [ctypes.c_void_p]
+        lib.vdec_close.restype = None
+        lib.vdec_close.argtypes = [ctypes.c_void_p]
+
+        lib.venc_open.restype = ctypes.c_void_p
+        lib.venc_open.argtypes = [ctypes.c_int] * 6
+        lib.venc_encode_frame.restype = ctypes.c_int
+        lib.venc_encode_frame.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        lib.venc_flush.restype = ctypes.c_int
+        lib.venc_flush.argtypes = [ctypes.c_void_p]
+        lib.venc_output_size.restype = ctypes.c_int64
+        lib.venc_output_size.argtypes = [ctypes.c_void_p]
+        lib.venc_copy_output.restype = ctypes.c_int64
+        lib.venc_copy_output.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.venc_error.restype = ctypes.c_char_p
+        lib.venc_error.argtypes = [ctypes.c_void_p]
+        lib.venc_close.restype = None
+        lib.venc_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return lib
+
+
+@dataclass
+class VideoFrame:
+    """One decoded YUV frame, tightly packed planes.
+
+    ``planes[0]`` is (h, w); chroma planes are (h >> ch_shift, w >> cw_shift).
+    dtype is uint8 for 8-bit, uint16 for >8-bit content.
+    """
+
+    planes: List[np.ndarray]
+    bit_depth: int
+    chroma_w_shift: int
+    chroma_h_shift: int
+
+    @property
+    def width(self) -> int:
+        return self.planes[0].shape[1]
+
+    @property
+    def height(self) -> int:
+        return self.planes[0].shape[0]
+
+
+class VideoDecodeError(Exception):
+    pass
+
+
+def decode_annexb(data: bytes, codec_id: int = 1) -> List[VideoFrame]:
+    """Decode an Annex-B HEVC (codec_id=1) / H.264 (0) bytestream.
+
+    Returns frames in output order. codec_id values follow the reference's
+    ``CodecId`` mapping (``src/decoder.rs:891-910``).
+    """
+    lib = _load()
+    handle = lib.vdec_open(codec_id)
+    if not handle:
+        raise VideoDecodeError("failed to open native decoder")
+    try:
+        rc = lib.vdec_decode(handle, data, len(data))
+        if rc != 0:
+            raise VideoDecodeError(
+                f"decode failed ({rc}): {lib.vdec_error(handle).decode()}"
+            )
+        frames: List[VideoFrame] = []
+        n = lib.vdec_frame_count(handle)
+        info = (ctypes.c_int * 5)()
+        for i in range(n):
+            lib.vdec_frame_info(handle, i, info)
+            w, h, bit_depth, cws, chs = info[0], info[1], info[2], info[3], info[4]
+            dtype = np.uint16 if bit_depth > 8 else np.uint8
+            planes = []
+            for p in range(3):
+                pw = w if p == 0 else w >> cws
+                ph = h if p == 0 else h >> chs
+                buf = np.empty((ph, pw), dtype=dtype)
+                copied = lib.vdec_copy_plane(
+                    handle, i, p, buf.ctypes.data_as(ctypes.c_void_p), buf.nbytes
+                )
+                if copied != buf.nbytes:
+                    raise VideoDecodeError(f"plane copy failed: {copied}")
+                planes.append(buf)
+            frames.append(
+                VideoFrame(
+                    planes=planes,
+                    bit_depth=bit_depth,
+                    chroma_w_shift=cws,
+                    chroma_h_shift=chs,
+                )
+            )
+        return frames
+    finally:
+        lib.vdec_close(handle)
+
+
+class VideoEncodeError(Exception):
+    pass
+
+
+def encode_yuv420(
+    frames: List[List[np.ndarray]],
+    bit_depth: int = 8,
+    lossless: bool = True,
+    gop: int = 32,
+    qp: int = 20,
+) -> bytes:
+    """Encode YUV420 frames to an Annex-B HEVC bytestream via libx265.
+
+    Each frame is [y, u, v] arrays: y is (h, w); u and v are (h//2, w//2).
+    dtype uint8 for 8-bit, uint16 (values < 1024) for 10-bit.
+    """
+    if not frames:
+        raise VideoEncodeError("no frames")
+    lib = _load()
+    h, w = frames[0][0].shape
+    handle = lib.venc_open(w, h, bit_depth, int(lossless), gop, qp)
+    if not handle:
+        raise VideoEncodeError(
+            f"libx265 unavailable for bit_depth={bit_depth} (pixel format unsupported)"
+        )
+    try:
+        dtype = np.uint16 if bit_depth > 8 else np.uint8
+        for planes in frames:
+            y, u, v = (np.ascontiguousarray(p, dtype=dtype) for p in planes)
+            rc = lib.venc_encode_frame(
+                handle,
+                y.ctypes.data_as(ctypes.c_void_p),
+                u.ctypes.data_as(ctypes.c_void_p),
+                v.ctypes.data_as(ctypes.c_void_p),
+            )
+            if rc != 0:
+                raise VideoEncodeError(
+                    f"encode failed ({rc}): {lib.venc_error(handle).decode()}"
+                )
+        if lib.venc_flush(handle) != 0:
+            raise VideoEncodeError("flush failed")
+        size = lib.venc_output_size(handle)
+        out = np.empty(size, dtype=np.uint8)
+        lib.venc_copy_output(handle, out.ctypes.data_as(ctypes.c_void_p), size)
+        return out.tobytes()
+    finally:
+        lib.venc_close(handle)
+
+
+def encoder_supports(bit_depth: int) -> bool:
+    """Whether libx265 in this environment can encode the bit depth."""
+    lib = _load()
+    handle = lib.venc_open(64, 64, bit_depth, 1, 32, 20)
+    if handle:
+        lib.venc_close(handle)
+        return True
+    return False
