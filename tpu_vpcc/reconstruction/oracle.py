@@ -1,0 +1,218 @@
+"""NumPy scalar oracle for point-cloud reconstruction.
+
+A faithful, loop-for-loop port of the reference reconstruction kernels
+(``src/codec.rs:205-658``): block-to-patch map, occupancy upsampling,
+per-pixel point generation from the D0/D1 depth maps, duplicate
+suppression, emission order, and YUV420 attribute transfer. This is the
+bit-exactness baseline every device kernel in ``tpu_vpcc.ops`` is
+diff-tested against. It is intentionally scalar and slow — use the JAX
+pipeline for real decoding.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..atlas.patches import FrameMeta, Patch
+from .pointset import PointSet3
+
+
+@dataclass
+class GeneratePointCloudParams:
+    """Distilled reconstruction parameters (``src/codec.rs:140-170``)."""
+
+    occupancy_resolution: int = 16
+    occupancy_precision: int = 4
+    absolute_d1: bool = True
+    map_count_minus1: int = 1
+    multiple_streams: bool = False
+    geometry_bitdepth_3d: int = 10
+    attribute_count: int = 1
+
+
+def generate_block_to_patch(
+    meta: FrameMeta,
+    occ_plane: np.ndarray,
+    occupancy_resolution: int,
+    occupancy_precision: int,
+) -> np.ndarray:
+    """``generate_block_to_patch_from_occupancy_map_video``
+    (``src/codec.rs:205-250``). Later patches overwrite earlier ones."""
+    bw = meta.width // occupancy_resolution
+    bh = meta.height // occupancy_resolution
+    block_to_patch = np.zeros(bw * bh, dtype=np.int64)
+    lt_x, lt_y = meta.left_top_in_frame
+    for patch_index, patch in enumerate(meta.patches):
+        for v0 in range(patch.size_uv0[1]):
+            for u0 in range(patch.size_uv0[0]):
+                block_index = patch.patch_block_to_canvas_block(u0, v0, bw, bh)
+                non_zero = 0
+                for v1 in range(patch.occupancy_resolution):
+                    v = v0 * patch.occupancy_resolution + v1
+                    for u1 in range(patch.occupancy_resolution):
+                        u = u0 * patch.occupancy_resolution + u1
+                        x, y = patch.patch_to_canvas(u, v, meta.width, meta.height)
+                        x += lt_x
+                        y += lt_y
+                        non_zero += int(
+                            occ_plane[y // occupancy_precision, x // occupancy_precision]
+                        )
+                if non_zero > 0:
+                    block_to_patch[block_index] = patch_index + 1
+    return block_to_patch
+
+
+def upsample_occupancy(
+    meta: FrameMeta, occ_plane: np.ndarray, occupancy_precision: int
+) -> np.ndarray:
+    """Nearest-neighbour occupancy upscale (``src/codec.rs:288-301``)."""
+    h, w = meta.height, meta.width
+    lt_x, lt_y = meta.left_top_in_frame
+    ys = (lt_y + np.arange(h)) // occupancy_precision
+    xs = (lt_x + np.arange(w)) // occupancy_precision
+    return occ_plane[np.ix_(ys, xs)]
+
+
+def _generate_points(
+    params: GeneratePointCloudParams,
+    patch: Patch,
+    geo_frame0: np.ndarray,
+    geo_frame1: Optional[np.ndarray],
+    u: int,
+    v: int,
+    x: int,
+    y: int,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """``generate_points`` (``src/codec.rs:517-565``).
+
+    Depth is the Y sample divided by 4: libavcodec yields 10-bit planes
+    where TMC2's video decode path yields 8-bit (``src/codec.rs:532-534``).
+    """
+    point0 = patch.generate_point(u, v, int(geo_frame0[y, x]) // 4)
+    point1 = None
+    if params.map_count_minus1 > 0:
+        d1 = int(geo_frame1[y, x]) // 4
+        if params.absolute_d1:
+            point1 = patch.generate_point(u, v, d1)
+        else:
+            point1 = point0.copy()
+            normal = patch.axes[0]
+            if patch.projection_mode == 0:
+                point1[normal] = np.uint16((int(point1[normal]) + d1) & 0xFFFF)
+            else:
+                point1[normal] = np.uint16((int(point1[normal]) - d1) & 0xFFFF)
+    return point0, point1
+
+
+def generate_point_cloud(
+    meta: FrameMeta,
+    params: GeneratePointCloudParams,
+    occ_plane: np.ndarray,
+    geo_planes: List[np.ndarray],
+    attr_videos: Optional[List[List[List[np.ndarray]]]] = None,
+) -> Tuple[PointSet3, List[int], List[Tuple[int, int, int]]]:
+    """``generate_point_cloud`` (``src/codec.rs:256-514``).
+
+    geo_planes: the geometry video's Y planes, indexed
+    ``frame_index * map_count + map`` (``src/codec.rs:317``).
+    attr_videos: per attribute, per video frame, [y, u, v] planes.
+
+    Returns (point set, per-point patch partition, point_to_pixel).
+    """
+    occupancy_map = upsample_occupancy(meta, occ_plane, params.occupancy_precision)
+    block_to_patch = generate_block_to_patch(
+        meta, occ_plane, params.occupancy_resolution, params.occupancy_precision
+    )
+    bw = meta.width // params.occupancy_resolution
+    bh = meta.height // params.occupancy_resolution
+    map_count = params.map_count_minus1 + 1
+    video_frame_index = meta.frame_index * map_count
+
+    positions: List[np.ndarray] = []
+    partition: List[int] = []
+    point_to_pixel: List[Tuple[int, int, int]] = []
+
+    for patch_index, patch in enumerate(meta.patches):
+        for v0 in range(patch.size_uv0[1]):
+            for u0 in range(patch.size_uv0[0]):
+                block_index = patch.patch_block_to_canvas_block(u0, v0, bw, bh)
+                if block_to_patch[block_index] != patch_index + 1:
+                    continue
+                for v1 in range(patch.occupancy_resolution):
+                    v = v0 * patch.occupancy_resolution + v1
+                    for u1 in range(patch.occupancy_resolution):
+                        u = u0 * patch.occupancy_resolution + u1
+                        x, y = patch.patch_to_canvas(u, v, meta.width, meta.height)
+                        if occupancy_map[y, x] == 0:
+                            continue
+                        x_vid = x + meta.left_top_in_frame[0]
+                        y_vid = y + meta.left_top_in_frame[1]
+                        point0, point1 = _generate_points(
+                            params,
+                            patch,
+                            geo_planes[video_frame_index],
+                            geo_planes[video_frame_index + 1]
+                            if map_count > 1
+                            else None,
+                            u,
+                            v,
+                            x_vid,
+                            y_vid,
+                        )
+                        created = [point0] + ([point1] if point1 is not None else [])
+                        for i, point in enumerate(created):
+                            # Duplicate suppression: D1 point equal to the
+                            # D0 point is skipped (``src/codec.rs:421-427``).
+                            if i != 0 and np.array_equal(point, created[0]):
+                                continue
+                            if patch.axis_of_additional_plane != 0:
+                                raise NotImplementedError("axis_of_additional_plane")
+                            positions.append(point)
+                            partition.append(patch_index)
+                            point_to_pixel.append((x, y, i))
+
+    ps = PointSet3(
+        positions=(
+            np.stack(positions) if positions else np.empty((0, 3), dtype=np.uint16)
+        ),
+        with_colors=params.attribute_count > 0,
+    )
+    n = ps.point_count
+    ps.colors = np.full((n, 3), 127, dtype=np.uint8)
+    ps.colors16bit = np.zeros((n, 3), dtype=np.uint16)
+
+    if attr_videos is not None:
+        for attr_video in attr_videos[: params.attribute_count]:
+            color_point_cloud(ps, meta, params, attr_video, point_to_pixel)
+
+    return ps, partition, point_to_pixel
+
+
+def color_point_cloud(
+    ps: PointSet3,
+    meta: FrameMeta,
+    params: GeneratePointCloudParams,
+    attr_video: List[List[np.ndarray]],
+    point_to_pixel: List[Tuple[int, int, int]],
+) -> None:
+    """``color_point_cloud`` (``src/codec.rs:568-658``): per point, sample
+    YUV420 at the recorded pixel from the map-selected attribute frame."""
+    if ps.point_count == 0:
+        return
+    map_count = params.map_count_minus1 + 1
+    shift = meta.frame_index * map_count
+    lt_x, lt_y = meta.left_top_in_frame
+    for i, (px, py, z) in enumerate(point_to_pixel):
+        x = px + lt_x
+        y = py + lt_y
+        if z < map_count:
+            planes = attr_video[z + shift]
+            ps.colors16bit[i, 0] = planes[0][y, x]
+            # YUV420 chroma indexing (``src/decoder.rs:973-980``)
+            ps.colors16bit[i, 1] = planes[1][y // 2, x // 2]
+            ps.colors16bit[i, 2] = planes[2][y // 2, x // 2]
+        else:
+            raise NotImplementedError("intermediate layer color transfer")
