@@ -1,0 +1,130 @@
+"""End-to-end tests: synthetic V3C bitstream → streaming Decoder → PLY,
+checked bit-exactly against the NumPy oracle on the source planes
+(the HEVC coding is lossless, so the oracle defines the exact output)."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tpu_vpcc.reconstruction.oracle import (
+    GeneratePointCloudParams,
+    generate_point_cloud,
+)
+from tpu_vpcc.runtime.pipeline import Decoder, Params
+from tpu_vpcc.utils.fixtures import build_fixture_stream
+from tpu_vpcc.utils.ply import format_ply
+from tpu_vpcc.utils.synthetic import make_synthetic_frame
+from tpu_vpcc.video import encoder_supports
+
+
+pytestmark = pytest.mark.skipif(
+    not (encoder_supports(8) and encoder_supports(10)),
+    reason="libx265 lossless 8/10-bit required for fixtures",
+)
+
+
+def make_fixture(tmp_path, n_frames=2, seed=21, **kw):
+    rng = np.random.default_rng(seed)
+    frames = [
+        make_synthetic_frame(
+            rng, width=kw.get("width", 64), height=kw.get("height", 64),
+            occupancy_resolution=kw.get("res", 8),
+            occupancy_precision=kw.get("prec", 4),
+            map_count=kw.get("map_count", 2),
+            n_patches=kw.get("n_patches", 3),
+            frame_index=i,
+        )
+        for i in range(n_frames)
+    ]
+    stream = build_fixture_stream(frames)
+    path = tmp_path / "fixture.bin"
+    path.write_bytes(stream)
+    return frames, path
+
+
+def oracle_frames(frames):
+    out = []
+    for sf in frames:
+        params = GeneratePointCloudParams(
+            occupancy_resolution=sf.occupancy_resolution,
+            occupancy_precision=sf.occupancy_precision,
+            map_count_minus1=sf.map_count - 1,
+        )
+        mc = sf.map_count
+        # oracle indexes geo/attr by frame_index * map_count + map
+        geo = [None] * (sf.meta.frame_index * mc) + sf.geo_planes
+        attr = [None] * (sf.meta.frame_index * mc) + sf.attr_planes
+        ps, _, _ = generate_point_cloud(sf.meta, params, sf.occ_plane, geo, [attr])
+        ps.convert_yuv16_to_rgb8()
+        out.append(ps)
+    return out
+
+
+@pytest.mark.parametrize("use_device", [True, False])
+def test_e2e_decoder_matches_oracle(tmp_path, use_device):
+    frames, path = make_fixture(tmp_path)
+    expected = oracle_frames(frames)
+    decoder = Decoder(Params(path, use_device=use_device))
+    decoder.start()
+    decoded = list(decoder)
+    assert len(decoded) == len(expected)
+    for got, want in zip(decoded, expected):
+        np.testing.assert_array_equal(got.positions, want.positions)
+        np.testing.assert_array_equal(got.colors, want.colors)
+
+
+def test_e2e_device_and_oracle_paths_agree(tmp_path):
+    _, path = make_fixture(tmp_path, n_frames=2, seed=33)
+    d1 = Decoder(Params(path, use_device=True))
+    d1.start()
+    dev = list(d1)
+    d2 = Decoder(Params(path, use_device=False))
+    d2.start()
+    orc = list(d2)
+    assert len(dev) == len(orc) > 0
+    for a, b in zip(dev, orc):
+        assert format_ply(a) == format_ply(b)
+
+
+def test_e2e_streaming_api(tmp_path):
+    _, path = make_fixture(tmp_path, n_frames=3, seed=5)
+    decoder = Decoder(Params(path))
+    decoder.start()
+    f1 = decoder.recv_frame()
+    assert f1 is not None and len(f1) > 0
+    rest = list(decoder)
+    assert len(rest) == 2
+    assert decoder.recv_frame() is None  # exhausted stays None
+
+
+def test_e2e_early_close(tmp_path):
+    _, path = make_fixture(tmp_path, n_frames=3, seed=6)
+    decoder = Decoder(Params(path))
+    decoder.start()
+    assert decoder.recv_frame() is not None
+    decoder.close()  # receiver drop stops the decode thread
+
+
+def test_cli(tmp_path):
+    frames, path = make_fixture(tmp_path, n_frames=2, seed=77)
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "tpu_vpcc.runtime.cli",
+            "-i", str(path), "-o", str(out_dir),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=Path(__file__).resolve().parent.parent,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"},
+    )
+    assert proc.returncode == 0, proc.stderr
+    plys = sorted(out_dir.glob("*.ply"))
+    assert [p.name for p in plys] == ["0000.ply", "0001.ply"]
+    expected = oracle_frames(frames)
+    for ply, want in zip(plys, expected):
+        assert ply.read_bytes() == format_ply(want)

@@ -8,13 +8,24 @@ occupancy precisions.
 import numpy as np
 import pytest
 
-from tpu_vpcc.atlas.soa import build_patch_soa
+from tpu_vpcc.atlas.groups import build_group_table
 from tpu_vpcc.ops.reconstruct import make_config, reconstruct_batch, reconstruct_frame
 from tpu_vpcc.reconstruction.oracle import (
     GeneratePointCloudParams,
+    generate_block_to_patch,
     generate_point_cloud,
 )
 from tpu_vpcc.utils.synthetic import make_synthetic_frame
+
+
+def frame_inputs(sf):
+    gt = build_group_table(sf.meta)
+    geo0 = sf.geo_planes[0]
+    geo1 = sf.geo_planes[1] if sf.map_count > 1 else sf.geo_planes[0]
+    attr_y = np.stack([p[0] for p in sf.attr_planes])
+    attr_u = np.stack([p[1] for p in sf.attr_planes])
+    attr_v = np.stack([p[2] for p in sf.attr_planes])
+    return gt, (gt.fields, sf.occ_plane, geo0, geo1, attr_y, attr_u, attr_v)
 
 
 def run_both(sf, absolute_d1=True):
@@ -27,37 +38,34 @@ def run_both(sf, absolute_d1=True):
     ps, partition, p2p = generate_point_cloud(
         sf.meta, params, sf.occ_plane, sf.geo_planes, [sf.attr_planes]
     )
-
-    soa = build_patch_soa(sf.meta)
+    gt, inputs = frame_inputs(sf)
     cfg = make_config(
         width=sf.meta.width,
         height=sf.meta.height,
         occupancy_resolution=sf.occupancy_resolution,
         occupancy_precision=sf.occupancy_precision,
-        p_max=soa.p_max,
         map_count=sf.map_count,
         absolute_d1=absolute_d1,
     )
-    assert soa.total_slots <= cfg.s_cap
-    geo0 = sf.geo_planes[0]
-    geo1 = sf.geo_planes[1] if sf.map_count > 1 else sf.geo_planes[0]
-    attr_y = np.stack([p[0] for p in sf.attr_planes])
-    attr_u = np.stack([p[1] for p in sf.attr_planes])
-    attr_v = np.stack([p[2] for p in sf.attr_planes])
-    positions, colors16, count = reconstruct_frame(
-        soa.as_stack(),
-        soa.slot_offset,
-        np.int32(soa.total_slots),
-        sf.occ_plane,
-        geo0,
-        geo1,
-        attr_y,
-        attr_u,
-        attr_v,
-        cfg,
-    )
+    positions, colors16, count = reconstruct_frame(*inputs, cfg=cfg)
     count = int(count)
     return ps, np.asarray(positions)[:count], np.asarray(colors16)[:count], count
+
+
+def test_host_owner_matches_oracle_on_emitting_blocks():
+    """Host block-to-patch equals the reference map wherever points emit."""
+    rng = np.random.default_rng(9)
+    sf = make_synthetic_frame(rng, width=64, height=64, occupancy_resolution=8,
+                              occupancy_precision=4, n_patches=4)
+    gt = build_group_table(sf.meta)
+    oracle_btp = generate_block_to_patch(
+        sf.meta, sf.occ_plane, sf.occupancy_resolution, sf.occupancy_precision
+    ).reshape(gt.block_to_patch.shape)
+    # oracle zeroes blocks without occupancy; host keeps the covering patch.
+    emitting = oracle_btp > 0
+    np.testing.assert_array_equal(
+        gt.block_to_patch[emitting], oracle_btp[emitting]
+    )
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
@@ -136,23 +144,13 @@ def test_batched_reconstruction_matches_per_frame():
                              occupancy_precision=4, n_patches=3, frame_index=0)
         for _ in range(3)
     ]
-    soas = [build_patch_soa(f.meta, p_max=8) for f in frames]
     cfg = make_config(
         width=64, height=64, occupancy_resolution=8, occupancy_precision=4,
-        p_max=8, map_count=2,
+        map_count=2,
     )
-    fields = np.stack([s.as_stack() for s in soas])
-    offsets = np.stack([s.slot_offset for s in soas])
-    totals = np.array([s.total_slots for s in soas], dtype=np.int32)
-    occ = np.stack([f.occ_plane for f in frames])
-    geo0 = np.stack([f.geo_planes[0] for f in frames])
-    geo1 = np.stack([f.geo_planes[1] for f in frames])
-    ay = np.stack([np.stack([p[0] for p in f.attr_planes]) for f in frames])
-    au = np.stack([np.stack([p[1] for p in f.attr_planes]) for f in frames])
-    av = np.stack([np.stack([p[2] for p in f.attr_planes]) for f in frames])
-    bpos, bcol, bcnt = reconstruct_batch(
-        fields, offsets, totals, occ, geo0, geo1, ay, au, av, cfg
-    )
+    per_frame = [frame_inputs(f)[1] for f in frames]
+    batch = tuple(np.stack([pf[i] for pf in per_frame]) for i in range(7))
+    bpos, bcol, bcnt = reconstruct_batch(*batch, cfg=cfg)
     for k, sf in enumerate(frames):
         ps, positions, colors16, count = run_both(sf)
         assert int(bcnt[k]) == count

@@ -1,0 +1,86 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tpu_vpcc.atlas.groups import build_group_table
+from tpu_vpcc.ops.reconstruct import make_config, reconstruct_frame
+from tpu_vpcc.parallel.mesh import make_mesh, reconstruct_batch_data_parallel
+from tpu_vpcc.parallel.spatial import reconstruct_gof_spatial, stitch_spatial
+from tpu_vpcc.utils.synthetic import make_synthetic_frame
+
+
+def make_batch(n_frames, seed=0, width=64, height=64, res=8, prec=4):
+    rng = np.random.default_rng(seed)
+    frames = [
+        make_synthetic_frame(
+            rng, width=width, height=height, occupancy_resolution=res,
+            occupancy_precision=prec, n_patches=3, frame_index=0,
+        )
+        for _ in range(n_frames)
+    ]
+    cfg = make_config(
+        width=width, height=height, occupancy_resolution=res,
+        occupancy_precision=prec, map_count=2,
+    )
+    batch = dict(
+        fields=np.stack([build_group_table(f.meta).fields for f in frames]),
+        occ=np.stack([f.occ_plane for f in frames]),
+        geo0=np.stack([f.geo_planes[0] for f in frames]),
+        geo1=np.stack([f.geo_planes[1] for f in frames]),
+        attr_y=np.stack([np.stack([p[0] for p in f.attr_planes]) for f in frames]),
+        attr_u=np.stack([np.stack([p[1] for p in f.attr_planes]) for f in frames]),
+        attr_v=np.stack([np.stack([p[2] for p in f.attr_planes]) for f in frames]),
+    )
+    return frames, cfg, batch
+
+
+ARGS = ("fields", "occ", "geo0", "geo1", "attr_y", "attr_u", "attr_v")
+
+
+def reference_outputs(frames, cfg, batch):
+    outs = []
+    for k in range(len(frames)):
+        pos, col, cnt = reconstruct_frame(
+            *(batch[a][k] for a in ARGS), cfg=cfg
+        )
+        n = int(cnt)
+        outs.append((np.asarray(pos)[:n], np.asarray(col)[:n]))
+    return outs
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_data_parallel_matches_single_device():
+    frames, cfg, batch = make_batch(8, seed=1)
+    mesh = make_mesh(data=8, space=1)
+    pos, col, cnt = reconstruct_batch_data_parallel(
+        mesh, *(batch[a] for a in ARGS), cfg
+    )
+    pos, col, cnt = np.asarray(pos), np.asarray(col), np.asarray(cnt)
+    expected = reference_outputs(frames, cfg, batch)
+    for k, (epos, ecol) in enumerate(expected):
+        n = int(cnt[k])
+        assert n == epos.shape[0]
+        np.testing.assert_array_equal(pos[k, :n], epos)
+        np.testing.assert_array_equal(col[k, :n], ecol)
+
+
+def test_spatial_sharding_matches_single_device():
+    frames, cfg, batch = make_batch(4, seed=2)
+    mesh = make_mesh(data=4, space=2)
+    pos, col, cnt, totals = reconstruct_gof_spatial(
+        mesh, *(batch[a] for a in ARGS), cfg
+    )
+    pos, col, cnt, totals = map(np.asarray, (pos, col, cnt, totals))
+    s_loc = cfg.s_cap // mesh.shape["space"]
+    expected = reference_outputs(frames, cfg, batch)
+    for k, (epos, ecol) in enumerate(expected):
+        gpos, gcol = stitch_spatial(pos[k], col[k], cnt[k], s_loc)
+        np.testing.assert_array_equal(gpos, epos)
+        np.testing.assert_array_equal(gcol, ecol)
+        assert int(totals[k, 0]) == epos.shape[0]

@@ -1,0 +1,129 @@
+"""Host-side group-table construction: owned canvas blocks → flat groups.
+
+The device reconstruction (``tpu_vpcc.ops.reconstruct``) operates on
+*groups*: one group per (patch, owned canvas block) in the reference
+emission order, each owning ``res*res*2`` consecutive slots. This module
+derives the block-to-patch ownership map and the per-group field table on
+the host.
+
+Correctness note (why ownership is host-computable): the reference sets
+``block_to_patch[b] = p+1`` for the *last* patch covering b whose block
+has any occupied pixel (``src/codec.rs:217-247``), and a point is only
+emitted where its own occupancy sample is non-zero (``src/codec.rs:
+393-397``) — which implies the block had occupancy. So computing the
+owner as simply "last covering patch" (occupancy-ignored) changes
+``block_to_patch`` only on blocks that emit nothing, and the emitted
+point set — order included — is bit-identical. This removes the
+occupancy-dependent ownership pass from the device hot path entirely.
+
+For patches whose pixel-level transform stays inside their block-level
+footprint (DEFAULT and SWAP — the only orientations real tmc2-rs streams
+can use, see ``atlas.patches.Patch.orientation_coeffs``), per-pixel
+emission equals per-block ownership + per-pixel occupancy, which the
+device kernel implements.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .patches import FrameMeta
+
+# group-table field indices
+(
+    G_VALID,      # 1 for live groups, 0 for padding
+    G_X00,        # canvas x at patch-space (u1, v1) = (0, 0)
+    G_Y00,
+    G_A, G_B, G_C, G_D,  # x = x00 + a*u1 + b*v1 ; y = y00 + c*u1 + d*v1
+    G_T00,        # tangent at u1 = 0 (u0*res*lod_x + uv1_u)
+    G_LODX,
+    G_B00,        # bitangent at v1 = 0
+    G_LODY,
+    G_D1,
+    G_MODE,
+    G_NORMAL, G_TANGENT, G_BITANGENT,
+) = range(16)
+
+N_GROUP_FIELDS = 16
+
+
+@dataclass
+class GroupTable:
+    """Per-frame group fields, padded to the static canvas-block capacity."""
+
+    fields: np.ndarray  # (g_cap, N_GROUP_FIELDS) int32
+    n_groups: int
+    block_to_patch: np.ndarray  # (bh, bw) int32 — parity/debug
+
+
+def build_group_table(meta: FrameMeta, g_cap: int = 0) -> GroupTable:
+    """Build the owned-block group table in emission order.
+
+    Emission order: patches ascending, blocks in patch-space (v0, u0)
+    raster order (``src/codec.rs:352-480``). Each canvas block is owned by
+    at most one patch, so n_groups <= bh*bw (the static capacity).
+    """
+    if not meta.patches:
+        res = 16
+    else:
+        res = meta.patches[0].occupancy_resolution
+    bw = meta.width // res
+    bh = meta.height // res
+    if g_cap <= 0:
+        g_cap = bh * bw
+
+    owner = np.zeros((bh, bw), dtype=np.int32)
+    per_patch = []
+    for pidx, patch in enumerate(meta.patches):
+        su0, sv0 = patch.size_uv0
+        a, b, cxb, c, d, cyb = patch.orientation_coeffs(1)
+        u0 = np.arange(su0, dtype=np.int64)
+        v0 = np.arange(sv0, dtype=np.int64)
+        u0g, v0g = np.meshgrid(u0, v0)  # (sv0, su0) — v0-major raster
+        bx = a * u0g + b * v0g + cxb
+        by = c * u0g + d * v0g + cyb
+        if (bx < 0).any() or (bx >= bw).any() or (by < 0).any() or (by >= bh).any():
+            raise ValueError(
+                f"patch {pidx} footprint outside canvas "
+                f"(orientation {patch.patch_orientation!r})"
+            )
+        owner[by, bx] = pidx + 1  # later patches overwrite earlier ones
+        per_patch.append((u0g, v0g, bx, by))
+
+    rows = []
+    n_groups = 0
+    fields = np.zeros((g_cap, N_GROUP_FIELDS), dtype=np.int32)
+    for pidx, patch in enumerate(meta.patches):
+        u0g, v0g, bx, by = per_patch[pidx]
+        owned = owner[by, bx] == pidx + 1  # (sv0, su0) mask in raster order
+        u0s = u0g[owned]
+        v0s = v0g[owned]
+        k = u0s.shape[0]
+        if k == 0:
+            continue
+        sl = slice(n_groups, n_groups + k)
+        n_groups += k
+        if n_groups > g_cap:
+            raise ValueError("group capacity exceeded")
+        res_p = patch.occupancy_resolution
+        a, b, cxp, c, d, cyp = patch.orientation_coeffs(res_p)
+        fields[sl, G_VALID] = 1
+        fields[sl, G_X00] = a * (u0s * res_p) + b * (v0s * res_p) + cxp
+        fields[sl, G_Y00] = c * (u0s * res_p) + d * (v0s * res_p) + cyp
+        fields[sl, G_A] = a
+        fields[sl, G_B] = b
+        fields[sl, G_C] = c
+        fields[sl, G_D] = d
+        fields[sl, G_T00] = u0s * res_p * patch.level_of_detail[0] + patch.uv1[0]
+        fields[sl, G_LODX] = patch.level_of_detail[0]
+        fields[sl, G_B00] = v0s * res_p * patch.level_of_detail[1] + patch.uv1[1]
+        fields[sl, G_LODY] = patch.level_of_detail[1]
+        fields[sl, G_D1] = patch.d1
+        fields[sl, G_MODE] = patch.projection_mode
+        fields[sl, G_NORMAL] = patch.axes[0]
+        fields[sl, G_TANGENT] = patch.axes[1]
+        fields[sl, G_BITANGENT] = patch.axes[2]
+
+    return GroupTable(fields=fields, n_groups=n_groups, block_to_patch=owner)

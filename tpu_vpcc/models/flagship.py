@@ -1,0 +1,82 @@
+"""Flagship model: the whole-frame V-PCC reconstruction pipeline.
+
+Bundles a :class:`~tpu_vpcc.ops.reconstruct.FrameConfig` with input
+construction and the jittable apply function — the unit that the graft
+entry, the benchmark, and the multi-chip dry-run all drive. "Model" here
+is the decoder's compute graph (this framework has no trainable
+parameters; the reference is a decoder, SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+
+from ..atlas.groups import build_group_table
+from ..ops.reconstruct import FrameConfig, make_config, _reconstruct_frame_impl
+from ..utils.synthetic import make_synthetic_frame
+
+
+@dataclass
+class FlagshipConfig:
+    """8iVFB-class single-stream configuration (BASELINE.json config 1)."""
+
+    width: int = 1280
+    height: int = 1280
+    occupancy_resolution: int = 16
+    occupancy_precision: int = 4
+    map_count: int = 2
+    batch: int = 4  # frames reconstructed per device step
+
+    def frame_config(self) -> FrameConfig:
+        return make_config(
+            width=self.width,
+            height=self.height,
+            occupancy_resolution=self.occupancy_resolution,
+            occupancy_precision=self.occupancy_precision,
+            map_count=self.map_count,
+        )
+
+
+def example_frame_inputs(
+    cfg: FlagshipConfig,
+    seed: int = 0,
+    n_patches: int = 48,
+    occupancy_fill: float = 0.7,
+) -> Tuple:
+    """Synthetic single-frame inputs shaped like a real 8iVFB frame."""
+    rng = np.random.default_rng(seed)
+    sf = make_synthetic_frame(
+        rng,
+        width=cfg.width,
+        height=cfg.height,
+        occupancy_resolution=cfg.occupancy_resolution,
+        occupancy_precision=cfg.occupancy_precision,
+        map_count=cfg.map_count,
+        n_patches=n_patches,
+        occupancy_fill=occupancy_fill,
+    )
+    gt = build_group_table(sf.meta)
+    return (
+        gt.fields,
+        sf.occ_plane,
+        sf.geo_planes[0],
+        sf.geo_planes[1] if cfg.map_count > 1 else sf.geo_planes[0],
+        np.stack([p[0] for p in sf.attr_planes]),
+        np.stack([p[1] for p in sf.attr_planes]),
+        np.stack([p[2] for p in sf.attr_planes]),
+    )
+
+
+def example_batch_inputs(cfg: FlagshipConfig, seed: int = 0, **kw) -> Tuple:
+    """Batched (GOF-shaped) inputs: leading frame axis on every array."""
+    frames = [example_frame_inputs(cfg, seed=seed + k, **kw) for k in range(cfg.batch)]
+    return tuple(np.stack([f[i] for f in frames]) for i in range(7))
+
+
+def forward_fn(cfg: FlagshipConfig):
+    """The jittable single-frame forward step (positions, colors16, count)."""
+    return functools.partial(_reconstruct_frame_impl, cfg=cfg.frame_config())

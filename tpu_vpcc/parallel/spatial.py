@@ -1,0 +1,92 @@
+"""Spatially sharded reconstruction via ``shard_map`` (frames × slots).
+
+The slot axis of one frame is split across the mesh's ``space`` axis;
+each device reconstructs its slot range with the shared core
+(``tpu_vpcc.ops.reconstruct.reconstruct_slot_range``). Block-to-patch
+ownership is resolved on the host (see ``tpu_vpcc.atlas.groups``), so
+shards are compute-independent; a single ``lax.psum`` over ``space``
+produces the per-frame global point count alongside the per-shard counts.
+
+Outputs stay sharded: each device returns its compacted points + count;
+``stitch_spatial`` assembles the globally ordered point list on host
+(device order == slot order == the reference emission order).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.reconstruct import FrameConfig, reconstruct_slot_range
+
+
+def reconstruct_gof_spatial(
+    mesh: Mesh,
+    fields,   # (F, g_cap, N_GROUP_FIELDS)
+    occ,      # (F, H/prec, W/prec)
+    geo0,     # (F, H, W)
+    geo1,     # (F, H, W)
+    attr_y,   # (F, M, H, W)
+    attr_u,   # (F, M, H/2, W/2)
+    attr_v,   # (F, M, H/2, W/2)
+    cfg: FrameConfig,
+):
+    """2D-sharded GOF reconstruction: frames over 'data', slots over 'space'.
+
+    F must divide by the 'data' axis size; s_cap by
+    (space_size * slots_per_block). Returns (positions (F, s_cap, 3),
+    colors16 (F, s_cap, 3), counts (F, n_space)) where each frame's rows
+    [d*s_loc, d*s_loc + counts[f, d]) hold shard d's compacted points.
+    """
+    n_space = mesh.shape["space"]
+    s_loc = cfg.s_cap // n_space
+    if s_loc * n_space != cfg.s_cap or s_loc % cfg.slots_per_block != 0:
+        raise ValueError("s_cap must split into whole block groups per shard")
+
+    def per_frame(fields_f, occ_f, g0_f, g1_f, ay_f, au_f, av_f):
+        d = jax.lax.axis_index("space").astype(jnp.int32)
+        pos, col, cnt = reconstruct_slot_range(
+            d * s_loc, s_loc, fields_f, occ_f, g0_f, g1_f, ay_f, au_f, av_f, cfg
+        )
+        total = jax.lax.psum(cnt, "space")  # ICI all-reduce: global count
+        return pos, col, cnt, total
+
+    def shard_fn(fields_b, occ_b, g0_b, g1_b, ay_b, au_b, av_b):
+        pos, col, cnt, total = jax.vmap(per_frame)(
+            fields_b, occ_b, g0_b, g1_b, ay_b, au_b, av_b
+        )
+        return pos, col, cnt[:, None], total[:, None]
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("data"),) * 7,
+        out_specs=(
+            P("data", "space"),
+            P("data", "space"),
+            P("data", "space"),
+            P("data", None),
+        ),
+        check_vma=False,
+    )
+    pos, col, cnt, total = jax.jit(fn)(
+        fields, occ, geo0, geo1, attr_y, attr_u, attr_v
+    )
+    return pos, col, cnt, total
+
+
+def stitch_spatial(
+    positions: np.ndarray, colors16: np.ndarray, counts: np.ndarray, s_loc: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host assembly of one frame's sharded output into the global order."""
+    parts_p, parts_c = [], []
+    for d in range(counts.shape[0]):
+        n = int(counts[d])
+        parts_p.append(positions[d * s_loc : d * s_loc + n])
+        parts_c.append(colors16[d * s_loc : d * s_loc + n])
+    return np.concatenate(parts_p), np.concatenate(parts_c)

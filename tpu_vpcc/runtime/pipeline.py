@@ -1,0 +1,364 @@
+"""Streaming decoder pipeline — the public API of the framework.
+
+Mirrors the reference library surface (``src/lib.rs``): ``Params`` +
+``Decoder`` with ``start()`` / ``recv_frame()`` / iteration, one background
+decode thread, and a bounded queue of depth 1 for backpressure.
+
+Per GOF (``src/lib.rs:113-137`` / ``src/decoder.rs:34-317``):
+  1. host: demux V3C units into a fresh Context (C3-C12),
+  2. host: build patch frames (C14) and pack the patch SoA tensors,
+  3. host: decode the three HEVC sub-streams (native libavcodec bridge,
+     all three in parallel threads),
+  4. device: batched whole-GOF reconstruction (``tpu_vpcc.ops``),
+  5. host: exact f64 YUV→RGB conversion, then emit frames in order.
+
+Stage 3 of GOF k+1 overlaps stages 4-5 of GOF k via the pipelined
+executor, keeping the TPU fed while the CPU decodes video.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from ..atlas.patches import FrameMeta, create_patch_frames
+from ..reconstruction.pointset import PointSet3
+from ..v3c.context import Context
+from ..v3c.stream import SampleStreamV3CUnit
+from ..v3c.syntax import UnsupportedFeature, VideoType
+from ..bitio import Bitstream
+from ..video import decompress_video
+from ..video.substream import codec_id_from_v3c
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class Params:
+    """Decoder parameters (parity: ``src/lib.rs:24-68``).
+
+    The nine rec-profile reconstruction toggles of the reference are all
+    default-false (rec0 hard-wired); they are kept for API parity.
+    """
+
+    compressed_stream_path: Path = None
+    video_decoder_path: Optional[Path] = None  # unused (native decode)
+    keep_intermediate_files: bool = False
+    patch_color_subsampling: bool = False
+    color_space_conversion_path: Optional[Path] = None
+    inverse_color_space_conversion_config: Optional[Path] = None
+    # reconstruction options — rec0: all false (``src/lib.rs:39-48``)
+    pixel_deinterleaving_type: bool = False
+    point_local_reconstruction_type: bool = False
+    reconstruction_eom_type: bool = False
+    duplicated_point_removal_type: bool = False
+    reconstruct_raw_type: bool = False
+    apply_geo_smoothing_type: bool = False
+    apply_attr_smoothing_type: bool = False
+    attr_transfer_filter_type: bool = False
+    apply_occupancy_synthesis_type: bool = False
+    # framework extensions
+    use_device: bool = True  # False: NumPy oracle path (debug/CI)
+    queue_depth: int = 1  # reference uses a bounded(1) channel
+
+    def __init__(self, compressed_stream_path=None, **kwargs):
+        self.compressed_stream_path = (
+            Path(compressed_stream_path) if compressed_stream_path else None
+        )
+        for k, v in Params.__dataclass_fields__.items():
+            if k == "compressed_stream_path":
+                continue
+            setattr(self, k, v.default)
+        for k, v in kwargs.items():
+            if not hasattr(self, k):
+                raise TypeError(f"unknown param {k!r}")
+            setattr(self, k, v)
+
+
+class Decoder:
+    """Streaming V-PCC decoder (parity: ``src/lib.rs:70-154``)."""
+
+    def __init__(self, params: Params):
+        self.params = params
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max(1, params.queue_depth))
+        self._thread: Optional[threading.Thread] = None
+        self._started = False
+        self._stop = threading.Event()
+        self._done = False
+        self._error: Optional[BaseException] = None
+
+    # -- public API --------------------------------------------------------
+
+    def start(self) -> None:
+        """Parse the file and spawn the decode thread. One-shot."""
+        if self._started:
+            raise RuntimeError("decoder can only be started once")
+        self._started = True
+        data = Path(self.params.compressed_stream_path).read_bytes()
+        ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(data))
+        self._thread = threading.Thread(
+            target=self._decode_loop, args=(ssvu,), daemon=True
+        )
+        self._thread.start()
+
+    def recv_frame(self) -> Optional[PointSet3]:
+        """Block until the next frame; None once the stream is done (and
+        forever after, like the reference's closed channel,
+        ``src/lib.rs:143-145``)."""
+        if self._done:
+            return None
+        item = self._queue.get()
+        if item is _SENTINEL:
+            self._done = True
+            if self._error is not None:
+                raise self._error
+            return None
+        return item
+
+    def __iter__(self) -> Iterator[PointSet3]:
+        while True:
+            frame = self.recv_frame()
+            if frame is None:
+                return
+            yield frame
+
+    def close(self) -> None:
+        """Drop the receiver: the decode thread stops at its next send."""
+        self._stop.set()
+        # drain to unblock a producer waiting on the bounded queue
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+
+    # -- decode thread -----------------------------------------------------
+
+    def _decode_loop(self, ssvu: SampleStreamV3CUnit) -> None:
+        try:
+            while ssvu.get_v3c_unit_count() > 0 and not self._stop.is_set():
+                context = Context()
+                ssvu.decode_gof(context)
+                for frame in decode_gof_frames(context, self.params):
+                    if self._stop.is_set():
+                        return
+                    self._queue.put(frame)
+        except BaseException as e:  # surfaced on the consumer side
+            log.exception("decode thread failed")
+            self._error = e
+        finally:
+            self._queue.put(_SENTINEL)
+
+
+_SENTINEL = object()
+
+
+# ---------------------------------------------------------------------------
+# GOF decode
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class GofData:
+    """Decoded inputs for one GOF, ready for reconstruction."""
+
+    metas: List[FrameMeta]
+    occ_planes: np.ndarray  # (F, H/prec, W/prec) uint8
+    geo_planes: List[np.ndarray]  # map-interleaved Y planes
+    attr_planes: List[List[np.ndarray]]  # per video frame [y, u, v]
+    map_count: int
+    occupancy_precision: int
+    occupancy_resolution: int
+    absolute_d1: bool
+    geo_shift: int
+    attribute_count: int
+    frame_count: int
+
+
+def prepare_gof(context: Context, num_video_threads: int = 3) -> GofData:
+    """Host stages 2-3: patch frames + video decode (parallel substreams).
+
+    Enforces the same envelope the reference asserts in ``Decoder::decode``
+    (``src/decoder.rs:34-180``).
+    """
+    vps = context.get_vps()
+    oi = vps.occupancy_information
+    gi = vps.geometry_information
+    ai = vps.attribute_information
+    asps = context.get_asps(0)
+
+    if oi.occupancy_2d_bitdepth_minus1 != 7 or oi.occupancy_msb_align_flag:
+        raise UnsupportedFeature("occupancy must be 8-bit, no msb align")
+    if gi.geometry_msb_align_flag:
+        raise UnsupportedFeature("geometry msb align")
+    if vps.multiple_map_streams_present_flag:
+        raise UnsupportedFeature("multiple map streams")
+    if ai.attribute_count != 1:
+        raise UnsupportedFeature("exactly one attribute expected")
+    if ai.attribute_dimension_partitions_minus1[0] + 1 != 1:
+        raise UnsupportedFeature("attribute partitions != 1")
+
+    metas = create_patch_frames(context)
+    frame_count = max((m.frame_index for m in metas), default=-1) + 1
+
+    occ_bs = context.get_video_bitstream(VideoType.OCCUPANCY)
+    geo_bs = context.get_video_bitstream(VideoType.GEOMETRY)
+    attr_bs = context.get_video_bitstream(VideoType.ATTRIBUTE)
+    if occ_bs is None or geo_bs is None or attr_bs is None:
+        raise UnsupportedFeature("missing occupancy/geometry/attribute stream")
+
+    occ_codec = codec_id_from_v3c(oi.occupancy_codec_id)
+    geo_codec = codec_id_from_v3c(gi.geometry_codec_id)
+    attr_codec = codec_id_from_v3c(ai.attribute_codec_id[0])
+
+    with ThreadPoolExecutor(max_workers=num_video_threads) as pool:
+        occ_f = pool.submit(decompress_video, occ_bs.data, occ_codec)
+        geo_f = pool.submit(decompress_video, geo_bs.data, geo_codec)
+        attr_f = pool.submit(decompress_video, attr_bs.data, attr_codec)
+        occ_frames = occ_f.result()
+        geo_frames = geo_f.result()
+        attr_frames = attr_f.result()
+
+    if occ_frames and occ_frames[0].bit_depth != 8:
+        raise UnsupportedFeature(
+            f"occupancy decoded as {occ_frames[0].bit_depth}-bit, want 8"
+        )
+    geo_bit_depth = geo_frames[0].bit_depth if geo_frames else 10
+    # The reference divides geometry samples by 4 unconditionally because
+    # libavcodec yields 10-bit planes (``src/codec.rs:532-534``); generalize
+    # to the decoded bit depth so 8-bit-coded geometry also works.
+    geo_shift = max(0, geo_bit_depth - 8)
+
+    occupancy_precision = vps.frame_width // occ_frames[0].width
+    absolute_d1 = (
+        vps.map_count_minus1 == 0 or vps.map_absolute_coding_enable_flag[1]
+    )
+
+    return GofData(
+        metas=metas,
+        occ_planes=np.stack([f.planes[0] for f in occ_frames]),
+        geo_planes=[f.planes[0].astype(np.uint16, copy=False) for f in geo_frames],
+        attr_planes=[
+            [p.astype(np.uint16, copy=False) for p in f.planes] for f in attr_frames
+        ],
+        map_count=vps.map_count_minus1 + 1,
+        occupancy_precision=occupancy_precision,
+        occupancy_resolution=1 << asps.log2_patch_packing_block_size,
+        absolute_d1=absolute_d1,
+        geo_shift=geo_shift,
+        attribute_count=ai.attribute_count,
+        frame_count=frame_count,
+    )
+
+
+def decode_gof_frames(context: Context, params: Params) -> Iterator[PointSet3]:
+    """Stages 2-5 for one GOF, yielding frames in order."""
+    gof = prepare_gof(context)
+    if params.use_device:
+        yield from _reconstruct_gof_device(gof)
+    else:
+        yield from _reconstruct_gof_oracle(gof)
+
+
+def _reconstruct_gof_oracle(gof: GofData) -> Iterator[PointSet3]:
+    from ..reconstruction.oracle import GeneratePointCloudParams, generate_point_cloud
+
+    for meta in gof.metas:
+        params = GeneratePointCloudParams(
+            occupancy_resolution=gof.occupancy_resolution,
+            occupancy_precision=gof.occupancy_precision,
+            absolute_d1=gof.absolute_d1,
+            map_count_minus1=gof.map_count - 1,
+            attribute_count=gof.attribute_count,
+        )
+        mc = gof.map_count
+        base = meta.frame_index * mc
+        attr_video = gof.attr_planes  # full video; oracle indexes by map+shift
+        ps, _, _ = generate_point_cloud(
+            meta,
+            params,
+            gof.occ_planes[meta.frame_index],
+            gof.geo_planes,
+            [attr_video],
+        )
+        if gof.attribute_count > 0:
+            ps.convert_yuv16_to_rgb8()
+        yield ps
+
+
+def _reconstruct_gof_device(gof: GofData) -> Iterator[PointSet3]:
+    """Device stage: batched reconstruction of the whole GOF + exact host
+    color conversion."""
+    from ..atlas.groups import build_group_table
+    from ..ops.reconstruct import make_config, reconstruct_batch
+
+    if not gof.metas:
+        return
+    metas = gof.metas
+    mc = gof.map_count
+    cfg = make_config(
+        width=metas[0].width,
+        height=metas[0].height,
+        occupancy_resolution=gof.occupancy_resolution,
+        occupancy_precision=gof.occupancy_precision,
+        map_count=mc,
+        absolute_d1=gof.absolute_d1,
+        geo_shift=gof.geo_shift,
+    )
+    fields = np.stack([build_group_table(m).fields for m in metas])
+    F = len(metas)
+    occ = np.stack([gof.occ_planes[m.frame_index] for m in metas])
+    geo0 = np.stack([gof.geo_planes[m.frame_index * mc] for m in metas])
+    geo1 = np.stack(
+        [
+            gof.geo_planes[m.frame_index * mc + (1 if mc > 1 else 0)]
+            for m in metas
+        ]
+    )
+    ay = np.stack(
+        [
+            np.stack([gof.attr_planes[m.frame_index * mc + z][0] for z in range(mc)])
+            for m in metas
+        ]
+    )
+    au = np.stack(
+        [
+            np.stack([gof.attr_planes[m.frame_index * mc + z][1] for z in range(mc)])
+            for m in metas
+        ]
+    )
+    av = np.stack(
+        [
+            np.stack([gof.attr_planes[m.frame_index * mc + z][2] for z in range(mc)])
+            for m in metas
+        ]
+    )
+
+    positions, colors16, counts = reconstruct_batch(
+        fields, occ, geo0, geo1, ay, au, av, cfg
+    )
+    positions = np.asarray(positions)
+    colors16 = np.asarray(colors16)
+    counts = np.asarray(counts)
+
+    for k in range(F):
+        n = int(counts[k])
+        ps = PointSet3(
+            positions=positions[k, :n].copy(),
+            colors16bit=colors16[k, :n].copy(),
+            with_colors=gof.attribute_count > 0,
+        )
+        if gof.attribute_count > 0:
+            # exact f64 BT.709 conversion on host (bit-exactness; TPUs have
+            # no native f64) — ``src/codec.rs:661-687``
+            ps.convert_yuv16_to_rgb8()
+        else:
+            ps.colors = np.empty((n, 3), dtype=np.uint8)
+        yield ps

@@ -1,0 +1,192 @@
+"""End-to-end V3C bitstream fixture generation.
+
+Composes synthetic scenes (``tpu_vpcc.utils.synthetic``) into complete
+V3C sample-stream files: VPS + atlas NAL stream (ASPS/AFPS/one I-tile
+layer per frame) + losslessly HEVC-encoded occupancy/geometry/attribute
+sub-streams. Because the video coding is lossless, the NumPy oracle run
+on the synthetic planes defines the exact expected decoder output.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ..atlas.patches import Patch
+from ..utils.synthetic import SyntheticFrame
+from ..v3c import writer as w3c
+from ..v3c.syntax import (
+    AtlasFrameParameterSet,
+    AtlasSequenceParameterSet,
+    AtlasTileHeader,
+    AtlasTileLayer,
+    AttributeInformation,
+    GeometryInformation,
+    IntraPatchDataUnit,
+    NalUnitType,
+    OccupancyInformation,
+    PatchInformationData,
+    PatchModeITile,
+    TileType,
+    V3CParameterSet,
+    V3CUnitType,
+)
+from ..video import encode_yuv420
+
+# Inverse of Patch.set_view_id for the six rec0 views
+_VIEW_FROM_AXES = {
+    ((0, 2, 1), 0): 0,
+    ((1, 2, 0), 0): 1,
+    ((2, 0, 1), 0): 2,
+    ((0, 2, 1), 1): 3,
+    ((1, 2, 0), 1): 4,
+    ((2, 0, 1), 1): 5,
+}
+
+
+def patch_to_pdu(
+    patch: Patch, geometry_bitdepth_3d: int, min_level: int = 1
+) -> IntraPatchDataUnit:
+    """Invert the patch-frame construction (``src/decoder.rs:421-509``)."""
+    view_id = _VIEW_FROM_AXES[(patch.axes, patch.projection_mode)]
+    if patch.projection_mode == 0:
+        offset_d = patch.d1 // min_level
+    else:
+        offset_d = ((1 << geometry_bitdepth_3d) - patch.d1) // min_level
+    range_d = 0 if patch.size_d == 0 else (patch.size_d + 1) // min_level
+    return IntraPatchDataUnit(
+        projection_id=view_id,
+        orientation_index=patch.patch_orientation,
+        pos_2d=patch.uv0,
+        size_2d_minus1=(patch.size_uv0[0] - 1, patch.size_uv0[1] - 1),
+        pos_3d_offset=patch.uv1,
+        pos_3d_offset_d=offset_d,
+        pos_3d_range_d=range_d,
+    )
+
+
+def build_fixture_stream(
+    frames: List[SyntheticFrame],
+    geometry_bitdepth_3d: int = 10,
+    qp: int = 0,
+    lossless: bool = True,
+) -> bytes:
+    """Build a complete single-GOF V3C sample-stream file."""
+    f0 = frames[0]
+    width, height = f0.meta.width, f0.meta.height
+    res = f0.occupancy_resolution
+    map_count = f0.map_count
+    log2_block = res.bit_length() - 1
+    assert 1 << log2_block == res
+
+    vps = V3CParameterSet()
+    vps.frame_width = width
+    vps.frame_height = height
+    vps.map_count_minus1 = map_count - 1
+    vps.map_absolute_coding_enable_flag = [True] * map_count
+    vps.map_predictor_index_diff = [False] * map_count
+    vps.occupancy_video_present_flag = True
+    vps.geometry_video_present_flag = True
+    vps.attribute_video_present_flag = True
+    vps.occupancy_information = OccupancyInformation(
+        occupancy_codec_id=1, occupancy_2d_bitdepth_minus1=7
+    )
+    vps.geometry_information = GeometryInformation(
+        geometry_codec_id=1,
+        geometry_2d_bitdepth_minus1=9,
+        geometry_3d_coordinates_bitdepth_minus1=geometry_bitdepth_3d - 1,
+    )
+    vps.attribute_information = AttributeInformation(
+        attribute_count=1,
+        attribute_type_id=[0],
+        attribute_codec_id=[1],
+        auxiliary_attribute_codec_id=[0],
+        attribute_map_absolute_coding_persistence_flag=[True],
+        attribute_dimension_minus1=[2],
+        attribute_dimension_partitions_minus1=[0],
+        attribute_partition_channels_minus1=[[2]],
+        attribute_2d_bitdepth_minus1=[9],
+        attribute_msb_align_flag=[False],
+    )
+
+    asps = AtlasSequenceParameterSet()
+    asps.frame_width = width
+    asps.frame_height = height
+    asps.geometry_3d_bitdepth_minus1 = geometry_bitdepth_3d - 1
+    asps.geometry_2d_bitdepth_minus1 = 9
+    asps.log2_patch_packing_block_size = log2_block
+    asps.map_count_minus1 = map_count - 1
+    asps.normal_axis_limits_quantization_enabled_flag = True
+    asps.normal_axis_max_delta_value_enabled_flag = True
+
+    afps = AtlasFrameParameterSet()
+
+    nalus = [
+        w3c.wrap_nal_unit(NalUnitType.ASPS, w3c.write_asps(asps)),
+        w3c.wrap_nal_unit(NalUnitType.AFPS, w3c.write_afps(afps, asps)),
+    ]
+    for sf in frames:
+        ath = AtlasTileHeader()
+        ath.tile_type = TileType.I
+        ath.atlas_frame_order_count_lsb = sf.meta.frame_index
+        ath.pos_min_d_quantizer = 0
+        atl = AtlasTileLayer(header=ath)
+        for patch in sf.meta.patches:
+            atl.patch_information_data.append(
+                PatchInformationData(
+                    patch_mode=int(PatchModeITile.INTRA),
+                    patch_data_unit=patch_to_pdu(patch, geometry_bitdepth_3d),
+                )
+            )
+        nalus.append(
+            w3c.wrap_nal_unit(
+                NalUnitType.IDR_N_LP,
+                w3c.write_atlas_tile_layer(atl, asps, afps, NalUnitType.IDR_N_LP),
+            )
+        )
+
+    # --- video sub-streams (lossless HEVC) -------------------------------
+    occ_h, occ_w = frames[0].occ_plane.shape
+    occ_video = [
+        [
+            sf.occ_plane.astype(np.uint8),
+            np.zeros((occ_h // 2, occ_w // 2), np.uint8),
+            np.zeros((occ_h // 2, occ_w // 2), np.uint8),
+        ]
+        for sf in frames
+    ]
+    geo_video = []
+    attr_video = []
+    ch, cw = height // 2, width // 2
+    for sf in frames:
+        for m in range(map_count):
+            geo_video.append(
+                [
+                    sf.geo_planes[m],
+                    np.zeros((ch, cw), np.uint16),
+                    np.zeros((ch, cw), np.uint16),
+                ]
+            )
+            attr_video.append(sf.attr_planes[m])
+
+    occ_annexb = encode_yuv420(occ_video, bit_depth=8, lossless=lossless, qp=qp)
+    geo_annexb = encode_yuv420(geo_video, bit_depth=10, lossless=lossless, qp=qp)
+    attr_annexb = encode_yuv420(attr_video, bit_depth=10, lossless=lossless, qp=qp)
+
+    sw = w3c.V3CSampleStreamWriter()
+    sw.add_unit(w3c.v3c_unit_header(V3CUnitType.VPS), w3c.write_vps(vps))
+    sw.add_unit(w3c.v3c_unit_header(V3CUnitType.AD), w3c.build_nal_sample_stream(nalus))
+    sw.add_unit(
+        w3c.v3c_unit_header(V3CUnitType.OVD),
+        w3c.annexb_to_length_prefixed(occ_annexb),
+    )
+    sw.add_unit(
+        w3c.v3c_unit_header(V3CUnitType.GVD),
+        w3c.annexb_to_length_prefixed(geo_annexb),
+    )
+    sw.add_unit(
+        w3c.v3c_unit_header(V3CUnitType.AVD),
+        w3c.annexb_to_length_prefixed(attr_annexb),
+    )
+    return sw.getvalue()

@@ -1,0 +1,49 @@
+"""PLY output, byte-compatible with the reference writer
+(``src/writer.rs:32-74``): ASCII format, uint xyz, optional uchar rgb,
+``element face 0`` stanza. Body formatting is NumPy-bulk instead of a
+per-point write loop."""
+
+from __future__ import annotations
+
+import io
+from pathlib import Path
+
+import numpy as np
+
+from ..reconstruction.pointset import PointSet3
+
+
+def write_ply(ps: PointSet3, path) -> None:
+    path = Path(path)
+    with open(path, "wb") as f:
+        f.write(format_ply(ps))
+
+
+def format_ply(ps: PointSet3) -> bytes:
+    buf = io.BytesIO()
+    n = ps.point_count
+    header = ["ply", "format ascii 1.0", f"element vertex {n}",
+              "property uint x", "property uint y", "property uint z"]
+    if ps.with_colors:
+        header += ["property uchar red", "property uchar green", "property uchar blue"]
+    header += ["element face 0", "property list uint8 int32 vertex_index", "end_header"]
+    buf.write(("\n".join(header) + "\n").encode())
+    if n:
+        if ps.with_colors:
+            cols = np.concatenate(
+                [ps.positions.astype(np.int64), ps.colors.astype(np.int64)], axis=1
+            )
+        else:
+            cols = ps.positions.astype(np.int64)
+        # bulk int formatting: one row per line, space separated
+        np.savetxt(buf, cols, fmt="%d", delimiter=" ", newline="\n")
+    return buf.getvalue()
+
+
+def frame_output_path(base, frame_num: int) -> Path:
+    """Reference CLI naming: directory → NNNN.ply, else replace %4d
+    (``src/bin/decoder.rs:101-109``)."""
+    base = Path(base)
+    if base.is_dir():
+        return base / f"{frame_num:04d}.ply"
+    return base.parent / base.name.replace("%4d", f"{frame_num:04d}")
