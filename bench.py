@@ -28,7 +28,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from tpu_vpcc.models.flagship import FlagshipConfig, example_batch_inputs
-    from tpu_vpcc.ops.reconstruct import _flat_batch_impl
+    from tpu_vpcc.ops.tiled import _flat_tiled_impl as _flat_batch_impl
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     loop_n = int(sys.argv[2]) if len(sys.argv) > 2 else 8

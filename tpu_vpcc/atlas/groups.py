@@ -44,9 +44,11 @@ from .patches import FrameMeta
     G_D1,
     G_MODE,
     G_NORMAL, G_TANGENT, G_BITANGENT,
-) = range(16)
+    G_BLOCKID,    # canvas block flat index by*bw + bx (tiled kernel)
+    G_SWAP,       # 1 when the pixel tile is transposed vs canvas (SWAP)
+) = range(18)
 
-N_GROUP_FIELDS = 16
+N_GROUP_FIELDS = 18
 
 
 @dataclass
@@ -56,6 +58,7 @@ class GroupTable:
     fields: np.ndarray  # (g_cap, N_GROUP_FIELDS) int32
     n_groups: int
     block_to_patch: np.ndarray  # (bh, bw) int32 — parity/debug
+    tiled_ok: bool = True  # all orientations have block-aligned pixel tiles
 
 
 def build_group_table(meta: FrameMeta, g_cap: int = 0) -> GroupTable:
@@ -92,8 +95,10 @@ def build_group_table(meta: FrameMeta, g_cap: int = 0) -> GroupTable:
         owner[by, bx] = pidx + 1  # later patches overwrite earlier ones
         per_patch.append((u0g, v0g, bx, by))
 
-    rows = []
+    from .patches import PatchOrientation  # local import to avoid cycle
+
     n_groups = 0
+    tiled_ok = True
     fields = np.zeros((g_cap, N_GROUP_FIELDS), dtype=np.int32)
     for pidx, patch in enumerate(meta.patches):
         u0g, v0g, bx, by = per_patch[pidx]
@@ -125,5 +130,17 @@ def build_group_table(meta: FrameMeta, g_cap: int = 0) -> GroupTable:
         fields[sl, G_NORMAL] = patch.axes[0]
         fields[sl, G_TANGENT] = patch.axes[1]
         fields[sl, G_BITANGENT] = patch.axes[2]
+        fields[sl, G_BLOCKID] = by[owned] * bw + bx[owned]
+        # Orientations whose pixel tile is the canvas block, possibly
+        # transposed: DEFAULT (identity), SWAP/MROT270 (transpose). All
+        # others leave block alignment (the tmc2-rs size quirk, see
+        # patches.orientation_coeffs) and force the gather fallback.
+        o = patch.patch_orientation
+        if o in (PatchOrientation.SWAP, PatchOrientation.MROT270):
+            fields[sl, G_SWAP] = 1
+        elif o != PatchOrientation.DEFAULT:
+            tiled_ok = False
 
-    return GroupTable(fields=fields, n_groups=n_groups, block_to_patch=owner)
+    return GroupTable(
+        fields=fields, n_groups=n_groups, block_to_patch=owner, tiled_ok=tiled_ok
+    )

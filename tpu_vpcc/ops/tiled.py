@@ -1,0 +1,209 @@
+"""Tiled whole-frame reconstruction — the fast path (v3).
+
+Eliminates every per-slot gather of the baseline kernel
+(``tpu_vpcc.ops.reconstruct``): for the orientations real tmc2-rs
+streams can contain (DEFAULT; SWAP/MROT270 = transposed), a patch
+block's pixels are exactly one canvas-aligned tile, so the device pass
+becomes:
+
+  1. dense packing of the geometry D0/D1 and per-map attribute planes
+     into u32 planes (two 16-bit halves),
+  2. one batched 16x16 tile slice per owned block from each packed
+     plane (a handful of tile-gathers of only ``n_groups`` indices,
+     instead of millions of per-slot gathers),
+  3. an orientation-conditional tile transpose (dense),
+  4. dense broadcast expansion to slot grids [G, res, res, 2] — the
+     flattening of which IS the reference emission order,
+  5. compaction by one *stable sort* on the invalidity key with the
+     point payload packed into three u32 words — measured an order of
+     magnitude faster than XLA:TPU's scatter lowering.
+
+Frames whose patches use other orientations fall back to the gather
+kernel (``GroupTable.tiled_ok`` gates this on the host).
+
+Bit-exactness contract: identical output to the oracle and to the
+baseline kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..atlas import groups as G
+from .reconstruct import FrameConfig
+
+
+def tiled_supported(cfg: FrameConfig) -> bool:
+    res = cfg.occupancy_resolution
+    return (
+        res >= 2
+        and res % 2 == 0
+        and res % cfg.occupancy_precision == 0
+    )
+
+
+def _tile_slices(plane, r0, c0, th: int, tw: int):
+    """Batched [n, th, tw] tile extraction at (r0[i], c0[i])."""
+    return jax.vmap(
+        lambda r, c: jax.lax.dynamic_slice(plane, (r, c), (th, tw))
+    )(r0, c0)
+
+
+def _flat_tiled_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
+    """Flat-batch tiled reconstruction. All inputs have a leading frame
+    axis; returns (positions (F, s_cap, 3) u16, colors16, counts (F,))."""
+    res = cfg.occupancy_resolution
+    spb = cfg.slots_per_block
+    Gc = cfg.g_cap
+    F = fields.shape[0]
+    FG = F * Gc
+    S = cfg.s_cap
+    H, W = cfg.height, cfg.width
+    bw = cfg.block_w
+    prec = cfg.occupancy_precision
+    mc = cfg.map_count
+    tb = res // prec  # occupancy tile edge
+    hb = res // 2     # chroma tile edge
+
+    # --- 1. dense packing -------------------------------------------------
+    geo_packed = geo0.astype(jnp.uint32)
+    if mc > 1:
+        geo_packed = geo_packed | (geo1.astype(jnp.uint32) << 16)
+    y_packed = attr_y[:, 0].astype(jnp.uint32)
+    if mc > 1:
+        y_packed = y_packed | (attr_y[:, 1].astype(jnp.uint32) << 16)
+    uv_packed = attr_u.astype(jnp.uint32) | (attr_v.astype(jnp.uint32) << 16)
+    # stack frames vertically so one dynamic_slice domain covers the batch
+    geo_cat = geo_packed.reshape(F * H, W)
+    y_cat = y_packed.reshape(F * H, W)
+    uv0_cat = uv_packed[:, 0].reshape(F * (H // 2), W // 2)
+    uv1_cat = uv_packed[:, min(1, mc - 1)].reshape(F * (H // 2), W // 2)
+    occ_cat = occ.reshape(F * (H // prec), W // prec)
+
+    fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
+    fid = lambda idx: fields_f[:, idx]  # noqa: E731
+
+    f_of_g = (
+        jax.lax.broadcasted_iota(jnp.int32, (F, Gc), 0).reshape(FG)
+    )
+    bid = fid(G.G_BLOCKID)
+    br = bid // bw
+    bc = bid - br * bw
+    r0 = f_of_g * H + br * res
+    c0 = bc * res
+
+    # --- 2. tile gathers --------------------------------------------------
+    t_geo = _tile_slices(geo_cat, r0, c0, res, res)
+    t_y = _tile_slices(y_cat, r0, c0, res, res)
+    r0h = f_of_g * (H // 2) + br * hb
+    c0h = bc * hb
+    t_uv0 = _tile_slices(uv0_cat, r0h, c0h, hb, hb)
+    t_uv1 = _tile_slices(uv1_cat, r0h, c0h, hb, hb) if mc > 1 else t_uv0
+    r0o = f_of_g * (H // prec) + br * tb
+    c0o = bc * tb
+    t_occ = _tile_slices(occ_cat, r0o, c0o, tb, tb)
+
+    # --- 3. orientation fix (transpose for SWAP-family patches) ----------
+    sw = (fid(G.G_SWAP) == 1)[:, None, None]
+    fix = lambda t: jnp.where(sw, t.transpose(0, 2, 1), t)  # noqa: E731
+    t_geo = fix(t_geo)
+    t_y = fix(t_y)
+    t_uv0 = fix(t_uv0)
+    t_uv1 = fix(t_uv1) if mc > 1 else t_uv0
+    t_occ = fix(t_occ)
+
+    # --- 4. expansion to slot grids [FG, res, res] ------------------------
+    occ_up = jnp.repeat(jnp.repeat(t_occ, prec, axis=1), prec, axis=2)
+    up2 = lambda t: jnp.repeat(jnp.repeat(t, 2, axis=1), 2, axis=2)  # noqa: E731
+    cu0 = (up2(t_uv0) & 0xFFFF).astype(jnp.int32)
+    cv0 = (up2(t_uv0) >> 16).astype(jnp.int32)
+    cu1 = (up2(t_uv1) & 0xFFFF).astype(jnp.int32)
+    cv1 = (up2(t_uv1) >> 16).astype(jnp.int32)
+    cy0 = (t_y & 0xFFFF).astype(jnp.int32)
+    cy1 = (t_y >> 16).astype(jnp.int32)
+    d0 = (t_geo & 0xFFFF).astype(jnp.int32) >> cfg.geo_shift
+    d1 = (t_geo >> 16).astype(jnp.int32) >> cfg.geo_shift
+    if mc == 1:
+        d1 = d0
+
+    # --- 5. per-slot compute with group-field broadcasting ----------------
+    bcast = lambda idx: fid(idx)[:, None, None]  # noqa: E731
+    v1 = jax.lax.broadcasted_iota(jnp.int32, (FG, res, res), 1)
+    u1 = jax.lax.broadcasted_iota(jnp.int32, (FG, res, res), 2)
+
+    d1_patch = bcast(G.G_D1)
+    mode = bcast(G.G_MODE)
+    normal_coord = lambda depth: jnp.where(  # noqa: E731
+        mode == 0, depth + d1_patch, jnp.maximum(d1_patch, depth) - depth
+    )
+    tangent = (bcast(G.G_T00) + bcast(G.G_LODX) * u1) & 0xFFFF
+    bitangent = (bcast(G.G_B00) + bcast(G.G_LODY) * v1) & 0xFFFF
+    n0 = normal_coord(d0) & 0xFFFF
+    if cfg.absolute_d1:
+        n1 = normal_coord(d1) & 0xFFFF
+    else:
+        n1 = jnp.where(mode == 0, n0 + d1, n0 - d1) & 0xFFFF
+
+    occ_on = (occ_up.astype(jnp.int32) > 0) & (bcast(G.G_VALID) > 0)
+    dup = n1 == n0
+    valid0 = occ_on
+    valid1 = occ_on & (mc > 1) & ~dup
+
+    # component assembly via one-hot on the axis permutation
+    def assemble(n_val):
+        comps = []
+        for comp in range(3):
+            comps.append(
+                jnp.where(bcast(G.G_NORMAL) == comp, n_val, 0)
+                + jnp.where(bcast(G.G_TANGENT) == comp, tangent, 0)
+                + jnp.where(bcast(G.G_BITANGENT) == comp, bitangent, 0)
+            )
+        return comps  # [x, y, z] each [FG, res, res]
+
+    p0x, p0y, p0z = assemble(n0)
+    p1x, p1y, p1z = assemble(n1)
+
+    # --- 6. pack payload + interleave maps --------------------------------
+    def pack(a, b):
+        return a.astype(jnp.uint32) | (b.astype(jnp.uint32) << 16)
+
+    w0 = jnp.stack([pack(p0x, p0y), pack(p1x, p1y)], axis=-1).reshape(F, S)
+    w1 = jnp.stack([pack(p0z, cy0), pack(p1z, cy1)], axis=-1).reshape(F, S)
+    w2 = jnp.stack([pack(cu0, cv0), pack(cu1, cv1)], axis=-1).reshape(F, S)
+    valid = jnp.stack([valid0, valid1], axis=-1).reshape(F, S)
+
+    # --- 7. compaction: stable sort on the invalidity key -----------------
+    # frame-major key keeps each frame's valid slots at [f*S, f*S+count_f)
+    key = (
+        jax.lax.broadcasted_iota(jnp.int32, (F, S), 0) * 2
+        + (~valid).astype(jnp.int32)
+    ).reshape(F * S)
+    _, s0, s1, s2 = jax.lax.sort(
+        (key, w0.reshape(-1), w1.reshape(-1), w2.reshape(-1)),
+        num_keys=1,
+        is_stable=True,
+    )
+    counts = valid.sum(axis=1, dtype=jnp.int32)
+
+    lo = lambda w: (w & 0xFFFF).astype(jnp.uint16)  # noqa: E731
+    hi = lambda w: (w >> 16).astype(jnp.uint16)  # noqa: E731
+    positions = jnp.stack([lo(s0), hi(s0), lo(s1)], axis=-1).reshape(F, S, 3)
+    colors16 = jnp.stack([hi(s1), lo(s2), hi(s2)], axis=-1).reshape(F, S, 3)
+    return positions, colors16, counts
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def reconstruct_batch_tiled(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
+    return _flat_tiled_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def reconstruct_frame_tiled(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
+    pos, col, cnt = _flat_tiled_impl(
+        fields[None], occ[None], geo0[None], geo1[None],
+        attr_y[None], attr_u[None], attr_v[None], cfg,
+    )
+    return pos[0], col[0], cnt[0]

@@ -298,6 +298,7 @@ def _reconstruct_gof_device(gof: GofData) -> Iterator[PointSet3]:
     color conversion."""
     from ..atlas.groups import build_group_table
     from ..ops.reconstruct import make_config, reconstruct_batch
+    from ..ops.tiled import reconstruct_batch_tiled, tiled_supported
 
     if not gof.metas:
         return
@@ -312,7 +313,10 @@ def _reconstruct_gof_device(gof: GofData) -> Iterator[PointSet3]:
         absolute_d1=gof.absolute_d1,
         geo_shift=gof.geo_shift,
     )
-    fields = np.stack([build_group_table(m).fields for m in metas])
+    tables = [build_group_table(m) for m in metas]
+    fields = np.stack([t.fields for t in tables])
+    use_tiled = tiled_supported(cfg) and all(t.tiled_ok for t in tables)
+    reconstruct = reconstruct_batch_tiled if use_tiled else reconstruct_batch
     F = len(metas)
     occ = np.stack([gof.occ_planes[m.frame_index] for m in metas])
     geo0 = np.stack([gof.geo_planes[m.frame_index * mc] for m in metas])
@@ -341,7 +345,7 @@ def _reconstruct_gof_device(gof: GofData) -> Iterator[PointSet3]:
         ]
     )
 
-    positions, colors16, counts = reconstruct_batch(
+    positions, colors16, counts = reconstruct(
         fields, occ, geo0, geo1, ay, au, av, cfg
     )
     positions = np.asarray(positions)
