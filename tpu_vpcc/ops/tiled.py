@@ -54,7 +54,20 @@ def _tile_slices(plane, r0, c0, th: int, tw: int):
 
 def _flat_tiled_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
     """Flat-batch tiled reconstruction. All inputs have a leading frame
-    axis; returns (positions (F, s_cap, 3) u16, colors16, counts (F,))."""
+    axis; returns (positions (F, s_cap, 3) u16, colors16, counts (F,)).
+
+    All per-pixel data is bit-packed into THREE u32 canvas planes so the
+    tile extraction is exactly three uniform 16x16 slice batches (small
+    chroma/occupancy tiles measured ~10x slower per element than 16x16):
+
+      plane A: d0 | d1 << 10 | occ_bit << 20      (raw 10-bit depths)
+      plane B: y0 | y1 << 10 | u0 << 20           (10-bit attr samples)
+      plane C: v0 | v1 << 10 | u1 << 20
+
+    Chroma and occupancy are densely upsampled to canvas resolution
+    before packing (nearest-neighbour — bit-identical to the reference's
+    index-division sampling).
+    """
     res = cfg.occupancy_resolution
     spb = cfg.slots_per_block
     Gc = cfg.g_cap
@@ -65,23 +78,34 @@ def _flat_tiled_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
     bw = cfg.block_w
     prec = cfg.occupancy_precision
     mc = cfg.map_count
-    tb = res // prec  # occupancy tile edge
-    hb = res // 2     # chroma tile edge
 
-    # --- 1. dense packing -------------------------------------------------
-    geo_packed = geo0.astype(jnp.uint32)
+    # --- 1. dense upsample + bit-pack into 3 u32 planes -------------------
+    def up(plane, factor):
+        if factor == 1:
+            return plane
+        return jnp.repeat(jnp.repeat(plane, factor, axis=-2), factor, axis=-1)
+
+    occ_bit = (up(occ, prec) > 0).astype(jnp.uint32)
+    d0r = geo0.astype(jnp.uint32)
+    d1r = geo1.astype(jnp.uint32) if mc > 1 else d0r
+    plane_a = d0r | (d1r << 10) | (occ_bit << 20)
+
+    y0 = attr_y[:, 0].astype(jnp.uint32)
+    y1 = attr_y[:, 1].astype(jnp.uint32) if mc > 1 else y0
+    u0p = up(attr_u[:, 0], 2).astype(jnp.uint32)
+    v0p = up(attr_v[:, 0], 2).astype(jnp.uint32)
     if mc > 1:
-        geo_packed = geo_packed | (geo1.astype(jnp.uint32) << 16)
-    y_packed = attr_y[:, 0].astype(jnp.uint32)
-    if mc > 1:
-        y_packed = y_packed | (attr_y[:, 1].astype(jnp.uint32) << 16)
-    uv_packed = attr_u.astype(jnp.uint32) | (attr_v.astype(jnp.uint32) << 16)
+        u1p = up(attr_u[:, 1], 2).astype(jnp.uint32)
+        v1p = up(attr_v[:, 1], 2).astype(jnp.uint32)
+    else:
+        u1p, v1p = u0p, v0p
+    plane_b = y0 | (y1 << 10) | (u0p << 20)
+    plane_c = v0p | (v1p << 10) | (u1p << 20)
+
     # stack frames vertically so one dynamic_slice domain covers the batch
-    geo_cat = geo_packed.reshape(F * H, W)
-    y_cat = y_packed.reshape(F * H, W)
-    uv0_cat = uv_packed[:, 0].reshape(F * (H // 2), W // 2)
-    uv1_cat = uv_packed[:, min(1, mc - 1)].reshape(F * (H // 2), W // 2)
-    occ_cat = occ.reshape(F * (H // prec), W // prec)
+    a_cat = plane_a.reshape(F * H, W)
+    b_cat = plane_b.reshape(F * H, W)
+    c_cat = plane_c.reshape(F * H, W)
 
     fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
     fid = lambda idx: fields_f[:, idx]  # noqa: E731
@@ -95,39 +119,29 @@ def _flat_tiled_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
     r0 = f_of_g * H + br * res
     c0 = bc * res
 
-    # --- 2. tile gathers --------------------------------------------------
-    t_geo = _tile_slices(geo_cat, r0, c0, res, res)
-    t_y = _tile_slices(y_cat, r0, c0, res, res)
-    r0h = f_of_g * (H // 2) + br * hb
-    c0h = bc * hb
-    t_uv0 = _tile_slices(uv0_cat, r0h, c0h, hb, hb)
-    t_uv1 = _tile_slices(uv1_cat, r0h, c0h, hb, hb) if mc > 1 else t_uv0
-    r0o = f_of_g * (H // prec) + br * tb
-    c0o = bc * tb
-    t_occ = _tile_slices(occ_cat, r0o, c0o, tb, tb)
+    # --- 2. three uniform tile-slice batches ------------------------------
+    t_a = _tile_slices(a_cat, r0, c0, res, res)
+    t_b = _tile_slices(b_cat, r0, c0, res, res)
+    t_c = _tile_slices(c_cat, r0, c0, res, res)
 
-    # --- 3. orientation fix (transpose for SWAP-family patches) ----------
+    # --- 3. orientation fix (transpose SWAP-family tiles) -----------------
     sw = (fid(G.G_SWAP) == 1)[:, None, None]
     fix = lambda t: jnp.where(sw, t.transpose(0, 2, 1), t)  # noqa: E731
-    t_geo = fix(t_geo)
-    t_y = fix(t_y)
-    t_uv0 = fix(t_uv0)
-    t_uv1 = fix(t_uv1) if mc > 1 else t_uv0
-    t_occ = fix(t_occ)
+    t_a = fix(t_a)
+    t_b = fix(t_b)
+    t_c = fix(t_c)
 
-    # --- 4. expansion to slot grids [FG, res, res] ------------------------
-    occ_up = jnp.repeat(jnp.repeat(t_occ, prec, axis=1), prec, axis=2)
-    up2 = lambda t: jnp.repeat(jnp.repeat(t, 2, axis=1), 2, axis=2)  # noqa: E731
-    cu0 = (up2(t_uv0) & 0xFFFF).astype(jnp.int32)
-    cv0 = (up2(t_uv0) >> 16).astype(jnp.int32)
-    cu1 = (up2(t_uv1) & 0xFFFF).astype(jnp.int32)
-    cv1 = (up2(t_uv1) >> 16).astype(jnp.int32)
-    cy0 = (t_y & 0xFFFF).astype(jnp.int32)
-    cy1 = (t_y >> 16).astype(jnp.int32)
-    d0 = (t_geo & 0xFFFF).astype(jnp.int32) >> cfg.geo_shift
-    d1 = (t_geo >> 16).astype(jnp.int32) >> cfg.geo_shift
-    if mc == 1:
-        d1 = d0
+    # --- 4. unpack to slot grids [FG, res, res] ---------------------------
+    M10 = 0x3FF
+    d0 = (t_a & M10).astype(jnp.int32) >> cfg.geo_shift
+    d1 = ((t_a >> 10) & M10).astype(jnp.int32) >> cfg.geo_shift
+    occ_bit_t = ((t_a >> 20) & 1).astype(jnp.int32)
+    cy0 = (t_b & M10).astype(jnp.int32)
+    cy1 = ((t_b >> 10) & M10).astype(jnp.int32)
+    cu0 = ((t_b >> 20) & M10).astype(jnp.int32)
+    cv0 = (t_c & M10).astype(jnp.int32)
+    cv1 = ((t_c >> 10) & M10).astype(jnp.int32)
+    cu1 = ((t_c >> 20) & M10).astype(jnp.int32)
 
     # --- 5. per-slot compute with group-field broadcasting ----------------
     bcast = lambda idx: fid(idx)[:, None, None]  # noqa: E731
@@ -147,7 +161,7 @@ def _flat_tiled_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
     else:
         n1 = jnp.where(mode == 0, n0 + d1, n0 - d1) & 0xFFFF
 
-    occ_on = (occ_up.astype(jnp.int32) > 0) & (bcast(G.G_VALID) > 0)
+    occ_on = (occ_bit_t > 0) & (bcast(G.G_VALID) > 0)
     dup = n1 == n0
     valid0 = occ_on
     valid1 = occ_on & (mc > 1) & ~dup
@@ -175,8 +189,11 @@ def _flat_tiled_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
     w2 = jnp.stack([pack(cu0, cv0), pack(cu1, cv1)], axis=-1).reshape(F, S)
     valid = jnp.stack([valid0, valid1], axis=-1).reshape(F, S)
 
-    # --- 7. compaction: stable sort on the invalidity key -----------------
-    # frame-major key keeps each frame's valid slots at [f*S, f*S+count_f)
+    # --- 7. compaction: stable sort on the (frame, invalidity) key --------
+    # The slot order is already the emission order (step 3 fixed SWAP
+    # tiles), so a stable sort on a tiny-range key both compacts and keeps
+    # the order; sort cost on TPU scales with key bit-width, so the key is
+    # kept to 2*F values.
     key = (
         jax.lax.broadcasted_iota(jnp.int32, (F, S), 0) * 2
         + (~valid).astype(jnp.int32)

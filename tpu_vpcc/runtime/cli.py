@@ -53,14 +53,34 @@ def main(argv=None) -> int:
             args.compressed_stream_path,
             keep_intermediate_files=args.keep_intermediate_files,
             use_device=not args.oracle,
+            num_threads=args.num_threads,
         )
     )
-    decoder.start()
-    for i, frame in enumerate(decoder):
-        frame_num = i + args.start_frame
-        path = frame_output_path(out, frame_num)
-        write_ply(frame, path)
-        logging.info("Frame %d written to %s (%d points)", frame_num, path, len(frame))
+    try:
+        decoder.start()
+        for i, frame in enumerate(decoder):
+            frame_num = i + args.start_frame
+            path = frame_output_path(out, frame_num)
+            write_ply(frame, path)
+            logging.info(
+                "Frame %d written to %s (%d points)", frame_num, path, len(frame)
+            )
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    except Exception as e:
+        if args.verbose:
+            raise
+        print(f"error: decode failed: {e}", file=sys.stderr)
+        return 1
+    totals = decoder.stats.stage_totals()
+    if totals:
+        logging.info(
+            "decoded %d frames, %d points total; %s",
+            decoder.stats.total_frames,
+            decoder.stats.total_points,
+            " ".join(f"{k}={v:.2f}s" for k, v in sorted(totals.items())),
+        )
     return 0
 
 

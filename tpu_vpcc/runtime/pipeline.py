@@ -30,6 +30,7 @@ import numpy as np
 
 from ..atlas.patches import FrameMeta, create_patch_frames
 from ..reconstruction.pointset import PointSet3
+from ..utils.stats import DecodeStats, GofStats, stage_timer
 from ..v3c.context import Context
 from ..v3c.stream import SampleStreamV3CUnit
 from ..v3c.syntax import UnsupportedFeature, VideoType
@@ -67,6 +68,7 @@ class Params:
     # framework extensions
     use_device: bool = True  # False: NumPy oracle path (debug/CI)
     queue_depth: int = 1  # reference uses a bounded(1) channel
+    num_threads: int = 3  # host video-decode workers per GOF
 
     def __init__(self, compressed_stream_path=None, **kwargs):
         self.compressed_stream_path = (
@@ -93,6 +95,8 @@ class Decoder:
         self._stop = threading.Event()
         self._done = False
         self._error: Optional[BaseException] = None
+        #: per-GOF stage timings & counters, populated by the decode thread
+        self.stats = DecodeStats()
 
     # -- public API --------------------------------------------------------
 
@@ -142,14 +146,52 @@ class Decoder:
     # -- decode thread -----------------------------------------------------
 
     def _decode_loop(self, ssvu: SampleStreamV3CUnit) -> None:
+        """GOF pipeline: host parse+video-decode of GOF k+1 overlaps device
+        reconstruction of GOF k (a prefetch depth of 1)."""
         try:
-            while ssvu.get_v3c_unit_count() > 0 and not self._stop.is_set():
-                context = Context()
-                ssvu.decode_gof(context)
-                for frame in decode_gof_frames(context, self.params):
-                    if self._stop.is_set():
-                        return
-                    self._queue.put(frame)
+            from concurrent.futures import ThreadPoolExecutor
+
+            def prep_next():
+                if ssvu.get_v3c_unit_count() == 0 or self._stop.is_set():
+                    return None
+                gs = self.stats.new_gof()
+                with stage_timer(gs, "parse"):
+                    context = Context()
+                    ssvu.decode_gof(context)
+                with stage_timer(gs, "host_prepare"):
+                    gof = prepare_gof(
+                        context, num_video_threads=max(1, self.params.num_threads)
+                    )
+                for vt, vbs in (
+                    ("occ", context.get_video_bitstream(VideoType.OCCUPANCY)),
+                    ("geo", context.get_video_bitstream(VideoType.GEOMETRY)),
+                    ("attr", context.get_video_bitstream(VideoType.ATTRIBUTE)),
+                ):
+                    if vbs is not None:
+                        gs.video_bytes[vt] = len(vbs.data)
+                return gof, gs
+
+            with ThreadPoolExecutor(max_workers=1) as prefetcher:
+                pending = prefetcher.submit(prep_next)
+                while True:
+                    item = pending.result()
+                    if item is None:
+                        break
+                    gof, gs = item
+                    pending = prefetcher.submit(prep_next)
+                    with stage_timer(gs, "reconstruct"):
+                        frames = list(
+                            _reconstruct_gof_device(gof)
+                            if self.params.use_device
+                            else _reconstruct_gof_oracle(gof)
+                        )
+                    gs.frame_count = len(frames)
+                    gs.total_points = sum(len(f) for f in frames)
+                    log.debug("%s", gs.summary())
+                    for frame in frames:
+                        if self._stop.is_set():
+                            return
+                        self._queue.put(frame)
         except BaseException as e:  # surfaced on the consumer side
             log.exception("decode thread failed")
             self._error = e
