@@ -1,0 +1,63 @@
+"""Pre-tiled fast path: bit-exactness vs the baseline gather kernel."""
+
+import numpy as np
+import pytest
+
+from tpu_vpcc.atlas.groups import build_group_table
+from tpu_vpcc.ops.reconstruct import make_config, reconstruct_frame
+from tpu_vpcc.ops.tiled import reconstruct_batch_pretiled, tile_plane
+from tpu_vpcc.utils.synthetic import make_synthetic_frame
+
+
+def tiled_inputs(sf, res):
+    gt = build_group_table(sf.meta)
+    geo0 = sf.geo_planes[0]
+    geo1 = sf.geo_planes[1] if sf.map_count > 1 else sf.geo_planes[0]
+    ay = np.stack([p[0] for p in sf.attr_planes])
+    au = np.stack([p[1] for p in sf.attr_planes])
+    av = np.stack([p[2] for p in sf.attr_planes])
+    raw = (gt.fields, sf.occ_plane, geo0, geo1, ay, au, av)
+    tiled = (
+        gt.fields[None],
+        tile_plane(sf.occ_plane, res // sf.occupancy_precision)[None],
+        tile_plane(geo0, res)[None],
+        tile_plane(geo1, res)[None],
+        tile_plane(ay, res)[None],
+        tile_plane(au, res // 2)[None],
+        tile_plane(av, res // 2)[None],
+    )
+    return raw, tiled
+
+
+@pytest.mark.parametrize("seed,res,prec,mc", [
+    (0, 8, 4, 2), (1, 8, 4, 2), (2, 8, 2, 1), (3, 16, 4, 2),
+])
+def test_pretiled_matches_baseline(seed, res, prec, mc):
+    rng = np.random.default_rng(seed)
+    width = 128 if res == 16 else 64
+    sf = make_synthetic_frame(
+        rng, width=width, height=width, occupancy_resolution=res,
+        occupancy_precision=prec, map_count=mc, n_patches=4,
+    )
+    cfg = make_config(
+        width=width, height=width, occupancy_resolution=res,
+        occupancy_precision=prec, map_count=mc,
+    )
+    raw, tiled = tiled_inputs(sf, res)
+    p1, c1, n1 = reconstruct_frame(*raw, cfg=cfg)
+    p2, c2, n2 = reconstruct_batch_pretiled(*tiled, cfg=cfg)
+    n1, n2 = int(n1), int(n2[0])
+    assert n1 == n2
+    np.testing.assert_array_equal(np.asarray(p1)[:n1], np.asarray(p2)[0][:n1])
+    np.testing.assert_array_equal(np.asarray(c1)[:n1], np.asarray(c2)[0][:n1])
+
+
+def test_tile_plane_roundtrip():
+    rng = np.random.default_rng(5)
+    plane = rng.integers(0, 1000, (2, 3, 32, 48)).astype(np.uint16)
+    t = tile_plane(plane, 8)
+    assert t.shape == (2, 3, 4 * 6, 8, 8)
+    # spot-check one tile
+    np.testing.assert_array_equal(
+        t[1, 2, 1 * 6 + 2], plane[1, 2, 8:16, 16:24]
+    )

@@ -124,6 +124,15 @@ def _flat_tiled_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
     t_b = _tile_slices(b_cat, r0, c0, res, res)
     t_c = _tile_slices(c_cat, r0, c0, res, res)
 
+    return _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg)
+
+
+def _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg):
+    """Shared tail: orientation fix, unpack, point/color compute, and
+    sort-based compaction, from per-group packed tiles [FG, res, res]."""
+    res = cfg.occupancy_resolution
+    mc = cfg.map_count
+
     # --- 3. orientation fix (transpose SWAP-family tiles) -----------------
     sw = (fid(G.G_SWAP) == 1)[:, None, None]
     fix = lambda t: jnp.where(sw, t.transpose(0, 2, 1), t)  # noqa: E731
@@ -215,6 +224,88 @@ def _flat_tiled_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def reconstruct_batch_tiled(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
     return _flat_tiled_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Pre-tiled fast path: block-tiled plane inputs, contiguous row gathers
+# ---------------------------------------------------------------------------
+
+
+def tile_plane(plane: "object", tile: int):
+    """Host-side block tiling: (..., H, W) -> (..., H//tile * W//tile,
+    tile, tile). In production the native video bridge emits this layout
+    directly during its decode memcpy (strided copy, no extra cost)."""
+    import numpy as np
+
+    *lead, H, W = plane.shape
+    bh, bw = H // tile, W // tile
+    t = plane.reshape(*lead, bh, tile, bw, tile)
+    t = np.moveaxis(t, -3, -2)  # (..., bh, bw, tile, tile)
+    return np.ascontiguousarray(t.reshape(*lead, bh * bw, tile, tile))
+
+
+def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
+    """Flat-batch reconstruction from block-tiled planes.
+
+    Identical math to :func:`_flat_tiled_impl`, but plane data arrives
+    block-tiled ((F, [M,] n_blocks, t, t)), so per-group tile extraction
+    is a gather of CONTIGUOUS rows — measured several times faster than
+    the strided 16x16 dynamic-slice batches (each 2D slice touches 16
+    non-contiguous 64B pieces; a tiled row is one 1KB piece).
+
+      occ_t: (F, nb, res/prec, res/prec) u8
+      geo*_t: (F, nb, res, res) u16
+      ay_t: (F, M, nb, res, res) u16 ; au_t/av_t: (F, M, nb, res/2, res/2)
+    """
+    res = cfg.occupancy_resolution
+    spb = cfg.slots_per_block
+    Gc = cfg.g_cap
+    F = fields.shape[0]
+    FG = F * Gc
+    S = cfg.s_cap
+    nb = cfg.block_h * cfg.block_w
+    prec = cfg.occupancy_precision
+    mc = cfg.map_count
+
+    def up_tile(t, factor):
+        if factor == 1:
+            return t
+        return jnp.repeat(jnp.repeat(t, factor, axis=-2), factor, axis=-1)
+
+    # --- 1. dense tile-local upsample + bit-pack into 3 tiled u32 planes --
+    occ_bit = (up_tile(occ_t, prec) > 0).astype(jnp.uint32)
+    d0r = geo0_t.astype(jnp.uint32)
+    d1r = geo1_t.astype(jnp.uint32) if mc > 1 else d0r
+    plane_a = (d0r | (d1r << 10) | (occ_bit << 20)).reshape(F * nb, res, res)
+
+    y0 = ay_t[:, 0].astype(jnp.uint32)
+    y1 = ay_t[:, 1].astype(jnp.uint32) if mc > 1 else y0
+    u0p = up_tile(au_t[:, 0], 2).astype(jnp.uint32)
+    v0p = up_tile(av_t[:, 0], 2).astype(jnp.uint32)
+    if mc > 1:
+        u1p = up_tile(au_t[:, 1], 2).astype(jnp.uint32)
+        v1p = up_tile(av_t[:, 1], 2).astype(jnp.uint32)
+    else:
+        u1p, v1p = u0p, v0p
+    plane_b = (y0 | (y1 << 10) | (u0p << 20)).reshape(F * nb, res, res)
+    plane_c = (v0p | (v1p << 10) | (u1p << 20)).reshape(F * nb, res, res)
+
+    fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
+    fid = lambda idx: fields_f[:, idx]  # noqa: E731
+    f_of_g = jax.lax.broadcasted_iota(jnp.int32, (F, Gc), 0).reshape(FG)
+    row_idx = f_of_g * nb + fid(G.G_BLOCKID)
+
+    # --- 2. contiguous row gathers ----------------------------------------
+    t_a = plane_a[row_idx]
+    t_b = plane_b[row_idx]
+    t_c = plane_c[row_idx]
+
+    return _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def reconstruct_batch_pretiled(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
+    return _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

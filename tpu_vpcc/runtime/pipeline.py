@@ -340,7 +340,11 @@ def _reconstruct_gof_device(gof: GofData) -> Iterator[PointSet3]:
     color conversion."""
     from ..atlas.groups import build_group_table
     from ..ops.reconstruct import make_config, reconstruct_batch
-    from ..ops.tiled import reconstruct_batch_tiled, tiled_supported
+    from ..ops.tiled import (
+        reconstruct_batch_pretiled,
+        tile_plane,
+        tiled_supported,
+    )
 
     if not gof.metas:
         return
@@ -358,7 +362,6 @@ def _reconstruct_gof_device(gof: GofData) -> Iterator[PointSet3]:
     tables = [build_group_table(m) for m in metas]
     fields = np.stack([t.fields for t in tables])
     use_tiled = tiled_supported(cfg) and all(t.tiled_ok for t in tables)
-    reconstruct = reconstruct_batch_tiled if use_tiled else reconstruct_batch
     F = len(metas)
     occ = np.stack([gof.occ_planes[m.frame_index] for m in metas])
     geo0 = np.stack([gof.geo_planes[m.frame_index * mc] for m in metas])
@@ -387,9 +390,22 @@ def _reconstruct_gof_device(gof: GofData) -> Iterator[PointSet3]:
         ]
     )
 
-    positions, colors16, counts = reconstruct(
-        fields, occ, geo0, geo1, ay, au, av, cfg
-    )
+    if use_tiled:
+        res = cfg.occupancy_resolution
+        positions, colors16, counts = reconstruct_batch_pretiled(
+            fields,
+            tile_plane(occ, res // cfg.occupancy_precision),
+            tile_plane(geo0, res),
+            tile_plane(geo1, res),
+            tile_plane(ay, res),
+            tile_plane(au, res // 2),
+            tile_plane(av, res // 2),
+            cfg,
+        )
+    else:
+        positions, colors16, counts = reconstruct_batch(
+            fields, occ, geo0, geo1, ay, au, av, cfg
+        )
     positions = np.asarray(positions)
     colors16 = np.asarray(colors16)
     counts = np.asarray(counts)
