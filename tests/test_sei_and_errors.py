@@ -1,0 +1,115 @@
+"""SEI parse path, error propagation, and API robustness tests."""
+
+import numpy as np
+import pytest
+
+from tpu_vpcc.bitio import Bitstream
+from tpu_vpcc.runtime.pipeline import Decoder, Params
+from tpu_vpcc.v3c import writer as w3c
+from tpu_vpcc.v3c.context import Context
+from tpu_vpcc.v3c.stream import parse_nal_sample_stream
+from tpu_vpcc.v3c.syntax import (
+    NalUnitType,
+    SeiMessage,
+    SeiPayloadType,
+    UnsupportedFeature,
+)
+
+
+def test_sei_geometry_smoothing_roundtrip():
+    payload = w3c.write_sei_geometry_smoothing(
+        instances=((0, 1, 3, 64),), persistence_flag=True
+    )
+    sei = SeiMessage.parse(Bitstream(payload), NalUnitType.PREFIX_ESEI)
+    gs = sei.sei_prefix[0]
+    assert gs.persistence_flag is True
+    assert gs.instances_updated == 1
+    assert gs.method_type[0] == 1
+    assert gs.grid_size_minus_2[0] == 3
+    assert gs.threshold[0] == 64
+    assert sei.is_sei_present(
+        NalUnitType.PREFIX_ESEI, SeiPayloadType.GEOMETRY_SMOOTHING
+    )
+    assert not sei.is_sei_present(
+        NalUnitType.PREFIX_ESEI, SeiPayloadType.ATTRIBUTE_SMOOTHING
+    )
+
+
+def test_sei_attached_to_following_tile_layer():
+    from tests.test_v3c_roundtrip import make_afps, make_asps, make_atl, make_intra_pdu
+
+    asps = make_asps()
+    afps = make_afps()
+    atl = make_atl(patches=[make_intra_pdu()])
+    nalus = [
+        w3c.wrap_nal_unit(NalUnitType.ASPS, w3c.write_asps(asps)),
+        w3c.wrap_nal_unit(NalUnitType.AFPS, w3c.write_afps(afps, asps)),
+        w3c.wrap_nal_unit(
+            NalUnitType.PREFIX_ESEI, w3c.write_sei_geometry_smoothing()
+        ),
+        w3c.wrap_nal_unit(
+            NalUnitType.IDR_N_LP,
+            w3c.write_atlas_tile_layer(atl, asps, afps, NalUnitType.IDR_N_LP),
+        ),
+    ]
+    ctx = Context()
+    parse_nal_sample_stream(ctx, Bitstream(w3c.build_nal_sample_stream(nalus)))
+    assert ctx.get_atlas_tile_layer(0).sei is not None
+    assert ctx.is_sei_present(
+        NalUnitType.PREFIX_ESEI, SeiPayloadType.GEOMETRY_SMOOTHING, 0
+    )
+
+
+def test_unsupported_sei_payload_raises():
+    # attribute smoothing payload type is outside the rec0 envelope
+    from tpu_vpcc.bitio import BitWriter
+
+    w = BitWriter()
+    w.write(int(SeiPayloadType.ATTRIBUTE_SMOOTHING), 8)
+    w.write(0, 8)
+    with pytest.raises(UnsupportedFeature):
+        SeiMessage.parse(Bitstream(w.getvalue()), NalUnitType.PREFIX_ESEI)
+
+
+def test_decoder_error_propagates_to_consumer(tmp_path):
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(b"\x00" * 64)  # valid sample-stream header, garbage units
+    d = Decoder(Params(bad))
+    with pytest.raises(Exception):
+        # malformed streams fail either at start() (parse on the calling
+        # thread) or on the first recv (decode-thread errors re-raised)
+        d.start()
+        while d.recv_frame() is not None:
+            pass
+
+
+def test_params_rejects_unknown_kwargs():
+    with pytest.raises(TypeError):
+        Params("x.bin", not_a_real_option=True)
+
+
+def test_decoder_stats_populated(tmp_path):
+    pytest.importorskip("numpy")
+    from tpu_vpcc.utils.fixtures import build_fixture_stream
+    from tpu_vpcc.utils.synthetic import make_synthetic_frame
+    from tpu_vpcc.video import encoder_supports
+
+    if not (encoder_supports(8) and encoder_supports(10)):
+        pytest.skip("libx265 required")
+    rng = np.random.default_rng(1)
+    frames = [
+        make_synthetic_frame(rng, width=64, height=64, occupancy_resolution=8,
+                             occupancy_precision=4, n_patches=3, frame_index=i)
+        for i in range(2)
+    ]
+    path = tmp_path / "s.bin"
+    path.write_bytes(build_fixture_stream(frames))
+    d = Decoder(Params(path))
+    d.start()
+    decoded = list(d)
+    assert d.stats.total_frames == len(decoded) == 2
+    assert d.stats.total_points == sum(len(f) for f in decoded)
+    gof = d.stats.gofs[0]
+    assert {"parse", "host_prepare", "reconstruct"} <= set(gof.stage_seconds)
+    assert gof.video_bytes.get("geo", 0) > 0
+    assert "points" in gof.summary()

@@ -12,7 +12,7 @@ import logging
 from dataclasses import dataclass, field
 from typing import List, Optional
 
-from ..bitio import Bitstream
+from ..bitio import Bitstream, BitstreamError
 from .context import Context, V3CUnitHeader, VideoBitstream
 from .syntax import (
     TILE_NAL_TYPES,
@@ -125,6 +125,8 @@ class SampleStreamV3CUnit:
         precision = precision_minus1 + 1
         while bs.more_data():
             size = bs.read(8 * precision)
+            if size == 0:
+                raise BitstreamError("empty V3C unit")
             data = bs.read_slice(size)
             unit_type = V3CUnitType(data[0] >> 3)
             ssvu.units.append(V3CUnit(unit_type=unit_type, data=data))

@@ -281,6 +281,35 @@ def write_atlas_tile_layer(
     return w.getvalue()
 
 
+def write_sei_geometry_smoothing(
+    instances=((0, 1, 2, 3),),  # (instance_index, method_type, grid_size_minus_2, threshold)
+    persistence_flag: bool = False,
+    reset_flag: bool = False,
+) -> bytes:
+    """Serialize a prefix geometry-smoothing SEI payload (inverse of
+    ``SeiGeometrySmoothing.parse`` + the SEI envelope quirks: byte_align
+    followed by one extra trailing byte, ``reader.rs:1414-1417``)."""
+    from .syntax import SeiPayloadType
+
+    w = BitWriter()
+    w.write(int(SeiPayloadType.GEOMETRY_SMOOTHING), 8)
+    w.write(8, 8)  # payload size varint (parsed but unused by the reference)
+    w.write(int(persistence_flag), 1)
+    w.write(int(reset_flag), 1)
+    w.write(len(instances), 8)
+    for (idx, method, grid, threshold) in instances:
+        w.write(idx, 8)
+        w.write(0, 1)  # instance_cancel_flag
+        w.write_uvlc(method)
+        if method == 1:
+            w.write(0, 1)  # filter_eom_points_flag
+            w.write(grid, 7)
+            w.write(threshold, 8)
+    w.byte_align()
+    w.write(0, 8)  # the extra trailing byte the parser consumes
+    return w.getvalue()
+
+
 def wrap_nal_unit(unit_type: NalUnitType, payload: bytes) -> bytes:
     """2-byte NAL header + payload (``reader.rs:770-778``)."""
     w = BitWriter()
