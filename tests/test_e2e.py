@@ -108,6 +108,35 @@ def test_e2e_early_close(tmp_path):
     decoder.close()  # receiver drop stops the decode thread
 
 
+def test_e2e_multi_gof(tmp_path):
+    """Two GOFs in one file decode as independent sequences, in order."""
+    from tpu_vpcc.utils.fixtures import concat_streams
+
+    rng = np.random.default_rng(55)
+    gofs = []
+    per_gof_frames = []
+    for g in range(2):
+        frames = [
+            make_synthetic_frame(rng, width=64, height=64, occupancy_resolution=8,
+                                 occupancy_precision=4, n_patches=3, frame_index=i)
+            for i in range(2)
+        ]
+        per_gof_frames.append(frames)
+        gofs.append(build_fixture_stream(frames))
+    path = tmp_path / "multi.bin"
+    path.write_bytes(concat_streams(gofs))
+
+    decoder = Decoder(Params(path))
+    decoder.start()
+    decoded = list(decoder)
+    expected = oracle_frames(per_gof_frames[0]) + oracle_frames(per_gof_frames[1])
+    assert len(decoded) == 4
+    for got, want in zip(decoded, expected):
+        np.testing.assert_array_equal(got.positions, want.positions)
+        np.testing.assert_array_equal(got.colors, want.colors)
+    assert len(decoder.stats.gofs) == 2
+
+
 def test_cli(tmp_path):
     frames, path = make_fixture(tmp_path, n_frames=2, seed=77)
     out_dir = tmp_path / "out"

@@ -244,6 +244,18 @@ def tile_plane(plane: "object", tile: int):
     return np.ascontiguousarray(t.reshape(*lead, bh * bw, tile, tile))
 
 
+def untile_plane(tiled: "object", bh: int, bw: int):
+    """Host-side inverse of :func:`tile_plane`:
+    (..., bh*bw, t, t) -> (..., bh*t, bw*t)."""
+    import numpy as np
+
+    *lead, nb, t, _ = tiled.shape
+    assert nb == bh * bw
+    x = tiled.reshape(*lead, bh, bw, t, t)
+    x = np.moveaxis(x, -2, -3)  # (..., bh, t, bw, t)
+    return np.ascontiguousarray(x.reshape(*lead, bh * t, bw * t))
+
+
 def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
     """Flat-batch reconstruction from block-tiled planes.
 

@@ -160,7 +160,9 @@ class Decoder:
                     ssvu.decode_gof(context)
                 with stage_timer(gs, "host_prepare"):
                     gof = prepare_gof(
-                        context, num_video_threads=max(1, self.params.num_threads)
+                        context,
+                        num_video_threads=max(1, self.params.num_threads),
+                        tiled=self.params.use_device,
                     )
                 for vt, vbs in (
                     ("occ", context.get_video_bitstream(VideoType.OCCUPANCY)),
@@ -222,9 +224,15 @@ class GofData:
     geo_shift: int
     attribute_count: int
     frame_count: int
+    # When tiled, geo/attr planes are block-tiled (n_blocks, t, t) straight
+    # from the native decoder copy (luma t = occupancy_resolution, chroma
+    # t/2); occupancy stays raw (its size defines occupancy_precision).
+    tiled: bool = False
 
 
-def prepare_gof(context: Context, num_video_threads: int = 3) -> GofData:
+def prepare_gof(
+    context: Context, num_video_threads: int = 3, tiled: bool = True
+) -> GofData:
     """Host stages 2-3: patch frames + video decode (parallel substreams).
 
     Enforces the same envelope the reference asserts in ``Decoder::decode``
@@ -260,10 +268,15 @@ def prepare_gof(context: Context, num_video_threads: int = 3) -> GofData:
     geo_codec = codec_id_from_v3c(gi.geometry_codec_id)
     attr_codec = codec_id_from_v3c(ai.attribute_codec_id[0])
 
+    res = 1 << asps.log2_patch_packing_block_size
+    # the tiled fast path requires even, precision-divisible block tiles
+    tiled = tiled and res >= 2 and res % 2 == 0
+    vtile = res if tiled else 0
+
     with ThreadPoolExecutor(max_workers=num_video_threads) as pool:
         occ_f = pool.submit(decompress_video, occ_bs.data, occ_codec)
-        geo_f = pool.submit(decompress_video, geo_bs.data, geo_codec)
-        attr_f = pool.submit(decompress_video, attr_bs.data, attr_codec)
+        geo_f = pool.submit(decompress_video, geo_bs.data, geo_codec, True, vtile)
+        attr_f = pool.submit(decompress_video, attr_bs.data, attr_codec, True, vtile)
         occ_frames = occ_f.result()
         geo_frames = geo_f.result()
         attr_frames = attr_f.result()
@@ -282,6 +295,8 @@ def prepare_gof(context: Context, num_video_threads: int = 3) -> GofData:
     absolute_d1 = (
         vps.map_count_minus1 == 0 or vps.map_absolute_coding_enable_flag[1]
     )
+    # the native copy falls back to raw layout when dims don't divide
+    tiled = tiled and bool(geo_frames) and geo_frames[0].planes[0].ndim == 3
 
     return GofData(
         metas=metas,
@@ -297,12 +312,13 @@ def prepare_gof(context: Context, num_video_threads: int = 3) -> GofData:
         geo_shift=geo_shift,
         attribute_count=ai.attribute_count,
         frame_count=frame_count,
+        tiled=tiled,
     )
 
 
 def decode_gof_frames(context: Context, params: Params) -> Iterator[PointSet3]:
     """Stages 2-5 for one GOF, yielding frames in order."""
-    gof = prepare_gof(context)
+    gof = prepare_gof(context, tiled=params.use_device)
     if params.use_device:
         yield from _reconstruct_gof_device(gof)
     else:
@@ -359,47 +375,85 @@ def _reconstruct_gof_device(gof: GofData) -> Iterator[PointSet3]:
         absolute_d1=gof.absolute_d1,
         geo_shift=gof.geo_shift,
     )
+    from ..ops.tiled import untile_plane
+
     tables = [build_group_table(m) for m in metas]
     fields = np.stack([t.fields for t in tables])
     use_tiled = tiled_supported(cfg) and all(t.tiled_ok for t in tables)
     F = len(metas)
+    res = cfg.occupancy_resolution
     occ = np.stack([gof.occ_planes[m.frame_index] for m in metas])
-    geo0 = np.stack([gof.geo_planes[m.frame_index * mc] for m in metas])
+
+    def maybe_untile(plane, t):
+        # gof planes may arrive block-tiled straight from the native decoder
+        if gof.tiled and not use_tiled:
+            return untile_plane(plane, cfg.height // res, cfg.width // res)
+        return plane
+
+    geo0 = np.stack(
+        [maybe_untile(gof.geo_planes[m.frame_index * mc], res) for m in metas]
+    )
     geo1 = np.stack(
         [
-            gof.geo_planes[m.frame_index * mc + (1 if mc > 1 else 0)]
+            maybe_untile(
+                gof.geo_planes[m.frame_index * mc + (1 if mc > 1 else 0)], res
+            )
             for m in metas
         ]
     )
     ay = np.stack(
         [
-            np.stack([gof.attr_planes[m.frame_index * mc + z][0] for z in range(mc)])
+            np.stack(
+                [
+                    maybe_untile(gof.attr_planes[m.frame_index * mc + z][0], res)
+                    for z in range(mc)
+                ]
+            )
             for m in metas
         ]
     )
     au = np.stack(
         [
-            np.stack([gof.attr_planes[m.frame_index * mc + z][1] for z in range(mc)])
+            np.stack(
+                [
+                    maybe_untile(
+                        gof.attr_planes[m.frame_index * mc + z][1], res // 2
+                    )
+                    for z in range(mc)
+                ]
+            )
             for m in metas
         ]
     )
     av = np.stack(
         [
-            np.stack([gof.attr_planes[m.frame_index * mc + z][2] for z in range(mc)])
+            np.stack(
+                [
+                    maybe_untile(
+                        gof.attr_planes[m.frame_index * mc + z][2], res // 2
+                    )
+                    for z in range(mc)
+                ]
+            )
             for m in metas
         ]
     )
 
     if use_tiled:
-        res = cfg.occupancy_resolution
+        if not gof.tiled:
+            geo0 = tile_plane(geo0, res)
+            geo1 = tile_plane(geo1, res)
+            ay = tile_plane(ay, res)
+            au = tile_plane(au, res // 2)
+            av = tile_plane(av, res // 2)
         positions, colors16, counts = reconstruct_batch_pretiled(
             fields,
             tile_plane(occ, res // cfg.occupancy_precision),
-            tile_plane(geo0, res),
-            tile_plane(geo1, res),
-            tile_plane(ay, res),
-            tile_plane(au, res // 2),
-            tile_plane(av, res // 2),
+            geo0,
+            geo1,
+            ay,
+            au,
+            av,
             cfg,
         )
     else:

@@ -66,6 +66,23 @@ def patch_to_pdu(
     )
 
 
+def concat_streams(streams: List[bytes]) -> bytes:
+    """Concatenate single-GOF sample streams into one multi-GOF file.
+
+    Re-frames every unit under the first stream's size precision; the
+    decoder splits GOFs at each subsequent VPS (``reader.rs:672-700``).
+    """
+    from ..bitio import Bitstream
+    from ..v3c.stream import SampleStreamV3CUnit
+
+    sw = w3c.V3CSampleStreamWriter()
+    for stream in streams:
+        ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(stream))
+        for unit in ssvu.units:
+            sw.units.append(unit.data)
+    return sw.getvalue()
+
+
 def build_fixture_stream(
     frames: List[SyntheticFrame],
     geometry_bitdepth_3d: int = 10,

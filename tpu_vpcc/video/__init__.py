@@ -18,18 +18,19 @@ from .substream import codec_id_from_v3c, sample_stream_to_bytestream  # noqa: F
 
 
 def decompress_video(
-    data: bytes, codec_id: int, bytestream_video_coder: bool = True
+    data: bytes, codec_id: int, bytestream_video_coder: bool = True, tile: int = 0
 ) -> List[VideoFrame]:
     """Decompress one V3C video sub-bitstream into YUV frames.
 
     ``bytestream_video_coder`` is always true in rec0 streams (the unit
-    payload uses length-prefixed NALU framing)."""
+    payload uses length-prefixed NALU framing). With ``tile > 0`` planes
+    come back block-tiled from the native copy (see ``decode_annexb``)."""
     annexb = (
         sample_stream_to_bytestream(data, codec_id)
         if bytestream_video_coder
         else data
     )
-    return decode_annexb(annexb, codec_id)
+    return decode_annexb(annexb, codec_id, tile=tile)
 
 
 def occupancy_planes(frames: List[VideoFrame]) -> np.ndarray:

@@ -70,6 +70,15 @@ def _load() -> ctypes.CDLL:
             ctypes.c_void_p,
             ctypes.c_int64,
         ]
+        lib.vdec_copy_plane_tiled.restype = ctypes.c_int64
+        lib.vdec_copy_plane_tiled.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
         lib.vdec_error.restype = ctypes.c_char_p
         lib.vdec_error.argtypes = [ctypes.c_void_p]
         lib.vdec_close.restype = None
@@ -124,11 +133,18 @@ class VideoDecodeError(Exception):
     pass
 
 
-def decode_annexb(data: bytes, codec_id: int = 1) -> List[VideoFrame]:
+def decode_annexb(
+    data: bytes, codec_id: int = 1, tile: int = 0
+) -> List[VideoFrame]:
     """Decode an Annex-B HEVC (codec_id=1) / H.264 (0) bytestream.
 
     Returns frames in output order. codec_id values follow the reference's
     ``CodecId`` mapping (``src/decoder.rs:891-910``).
+
+    With ``tile > 0``, luma planes come back block-tiled as
+    ``(n_blocks, tile, tile)`` and chroma planes as
+    ``(n_blocks, tile//2, tile//2)`` — the layout the TPU reconstruction
+    kernels consume; the tiling happens inside the native copy (free).
     """
     lib = _load()
     handle = lib.vdec_open(codec_id)
@@ -151,10 +167,19 @@ def decode_annexb(data: bytes, codec_id: int = 1) -> List[VideoFrame]:
             for p in range(3):
                 pw = w if p == 0 else w >> cws
                 ph = h if p == 0 else h >> chs
-                buf = np.empty((ph, pw), dtype=dtype)
-                copied = lib.vdec_copy_plane(
-                    handle, i, p, buf.ctypes.data_as(ctypes.c_void_p), buf.nbytes
-                )
+                ptile = tile if p == 0 else tile >> cws
+                if tile > 0 and pw % max(ptile, 1) == 0 and ph % max(ptile, 1) == 0:
+                    nb = (ph // ptile) * (pw // ptile)
+                    buf = np.empty((nb, ptile, ptile), dtype=dtype)
+                    copied = lib.vdec_copy_plane_tiled(
+                        handle, i, p, ptile,
+                        buf.ctypes.data_as(ctypes.c_void_p), buf.nbytes,
+                    )
+                else:
+                    buf = np.empty((ph, pw), dtype=dtype)
+                    copied = lib.vdec_copy_plane(
+                        handle, i, p, buf.ctypes.data_as(ctypes.c_void_p), buf.nbytes
+                    )
                 if copied != buf.nbytes:
                     raise VideoDecodeError(f"plane copy failed: {copied}")
                 planes.append(buf)

@@ -105,13 +105,17 @@ void* vdec_open(int codec_id) {
   d->parser = av_parser_init(av_id);
   d->pkt = av_packet_alloc();
   d->frame = av_frame_alloc();
-  if (!d->ctx || !d->parser || !d->pkt || !d->frame ||
-      avcodec_open2(d->ctx, d->codec, nullptr) < 0) {
+  if (!d->ctx || !d->parser || !d->pkt || !d->frame) {
     delete d;
     return nullptr;
   }
-  // Decode all frames in presentation order as fast as possible.
-  d->ctx->thread_count = 0;  // auto
+  // Frame+slice threading must be configured BEFORE avcodec_open2.
+  d->ctx->thread_count = 0;  // auto (one thread per core)
+  d->ctx->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
+  if (avcodec_open2(d->ctx, d->codec, nullptr) < 0) {
+    delete d;
+    return nullptr;
+  }
   return d;
 }
 
@@ -197,6 +201,40 @@ int64_t vdec_copy_plane(void* handle, int index, int plane, uint8_t* dst,
   int64_t n = static_cast<int64_t>(p.data.size());
   if (dst_size < n) return -3;
   std::memcpy(dst, p.data.data(), n);
+  return n;
+}
+
+// Copies the plane in block-tiled layout: dst is [n_blocks, tile, tile]
+// with blocks in row-major order — the layout the TPU reconstruction
+// kernels consume directly (contiguous per-block rows). Width/height must
+// be multiples of tile. Returns bytes copied or <0 on error.
+int64_t vdec_copy_plane_tiled(void* handle, int index, int plane, int tile,
+                              uint8_t* dst, int64_t dst_size) {
+  auto* d = static_cast<DecoderCtx*>(handle);
+  if (index < 0 || index >= static_cast<int>(d->frames.size())) return -1;
+  if (plane < 0 || plane > 2) return -2;
+  const Plane& p = d->frames[index].planes[plane];
+  if (tile <= 0 || p.width % tile != 0 || p.height % tile != 0) return -4;
+  int bps = p.bytes_per_sample;
+  int bw = p.width / tile;
+  int bh = p.height / tile;
+  int64_t n = static_cast<int64_t>(p.data.size());
+  if (dst_size < n) return -3;
+  size_t tile_row = static_cast<size_t>(tile) * bps;
+  size_t tile_bytes = tile_row * tile;
+  for (int by = 0; by < bh; ++by) {
+    for (int bx = 0; bx < bw; ++bx) {
+      uint8_t* out = dst + (static_cast<size_t>(by) * bw + bx) * tile_bytes;
+      const uint8_t* src = p.data.data() +
+                           (static_cast<size_t>(by) * tile * p.width +
+                            static_cast<size_t>(bx) * tile) *
+                               bps;
+      for (int r = 0; r < tile; ++r) {
+        std::memcpy(out + static_cast<size_t>(r) * tile_row,
+                    src + static_cast<size_t>(r) * p.width * bps, tile_row);
+      }
+    }
+  }
   return n;
 }
 
