@@ -11,21 +11,16 @@ count) share one compiled kernel; the batcher groups GOFs by their
 from __future__ import annotations
 
 import logging
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, Iterator, List, Sequence, Tuple
 
-import numpy as np
-
 from ..bitio import Bitstream
 from ..reconstruction.pointset import PointSet3
 from ..v3c.context import Context
 from ..v3c.stream import SampleStreamV3CUnit
-from .. import runtime
-from ..runtime.pipeline import GofData, Params, prepare_gof
+from ..runtime.pipeline import prepare_gof
 
 log = logging.getLogger(__name__)
 

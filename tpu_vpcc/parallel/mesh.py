@@ -12,14 +12,13 @@ no cross-chip collectives are needed on this axis.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.reconstruct import FrameConfig, reconstruct_batch
+from ..ops.reconstruct import FrameConfig
 
 
 def make_mesh(

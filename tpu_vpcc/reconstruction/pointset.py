@@ -7,7 +7,7 @@ positions are a single ``(n, 3) uint16`` array, colors ``(n, 3) uint8``.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

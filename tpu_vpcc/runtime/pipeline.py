@@ -22,7 +22,7 @@ import logging
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Iterator, List, Optional
 
@@ -30,7 +30,7 @@ import numpy as np
 
 from ..atlas.patches import FrameMeta, create_patch_frames
 from ..reconstruction.pointset import PointSet3
-from ..utils.stats import DecodeStats, GofStats, stage_timer
+from ..utils.stats import DecodeStats, stage_timer
 from ..v3c.context import Context
 from ..v3c.stream import SampleStreamV3CUnit
 from ..v3c.syntax import UnsupportedFeature, VideoType

@@ -12,7 +12,7 @@ fixtures: the NumPy oracle defines the expected output.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

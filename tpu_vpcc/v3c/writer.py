@@ -9,7 +9,7 @@ the corresponding parse field-for-field, including the reference quirks
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence
 
 from ..bitio import BitWriter
 from .syntax import (
