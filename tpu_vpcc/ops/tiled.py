@@ -256,25 +256,14 @@ def untile_plane(tiled: "object", bh: int, bw: int):
     return np.ascontiguousarray(x.reshape(*lead, bh * t, bw * t))
 
 
-def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
-    """Flat-batch reconstruction from block-tiled planes.
-
-    Identical math to :func:`_flat_tiled_impl`, but plane data arrives
-    block-tiled ((F, [M,] n_blocks, t, t)), so per-group tile extraction
-    is a gather of CONTIGUOUS rows — measured several times faster than
-    the strided 16x16 dynamic-slice batches (each 2D slice touches 16
-    non-contiguous 64B pieces; a tiled row is one 1KB piece).
-
-      occ_t: (F, nb, res/prec, res/prec) u8
-      geo*_t: (F, nb, res, res) u16
-      ay_t: (F, M, nb, res, res) u16 ; au_t/av_t: (F, M, nb, res/2, res/2)
-    """
+def _pretiled_gather_tiles(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
+    """Pack block-tiled planes into 3 u32 tiled planes and gather each
+    group's tile rows (contiguous). Returns (t_a, t_b, t_c), canvas-order
+    tiles [FG, res, res] u32 (orientation not yet applied)."""
     res = cfg.occupancy_resolution
-    spb = cfg.slots_per_block
     Gc = cfg.g_cap
     F = fields.shape[0]
     FG = F * Gc
-    S = cfg.s_cap
     nb = cfg.block_h * cfg.block_w
     prec = cfg.occupancy_precision
     mc = cfg.map_count
@@ -311,7 +300,30 @@ def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
     t_a = plane_a[row_idx]
     t_b = plane_b[row_idx]
     t_c = plane_c[row_idx]
+    return t_a, t_b, t_c
 
+
+def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
+    """Flat-batch reconstruction from block-tiled planes.
+
+    Identical math to :func:`_flat_tiled_impl`, but plane data arrives
+    block-tiled ((F, [M,] n_blocks, t, t)), so per-group tile extraction
+    is a gather of CONTIGUOUS rows — measured several times faster than
+    the strided 16x16 dynamic-slice batches (each 2D slice touches 16
+    non-contiguous 64B pieces; a tiled row is one 1KB piece).
+
+      occ_t: (F, nb, res/prec, res/prec) u8
+      geo*_t: (F, nb, res, res) u16
+      ay_t: (F, M, nb, res, res) u16 ; au_t/av_t: (F, M, nb, res/2, res/2)
+    """
+    F = fields.shape[0]
+    FG = F * cfg.g_cap
+    S = cfg.s_cap
+    t_a, t_b, t_c = _pretiled_gather_tiles(
+        fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg
+    )
+    fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
+    fid = lambda idx: fields_f[:, idx]  # noqa: E731
     return _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg)
 
 

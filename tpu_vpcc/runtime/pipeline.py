@@ -325,6 +325,12 @@ def decode_gof_frames(context: Context, params: Params) -> Iterator[PointSet3]:
         yield from _reconstruct_gof_oracle(gof)
 
 
+# frames per device dispatch: the compaction sort cost grows with the
+# flattened batch (measured 0.23 ms/frame at B=1 vs 0.67 at B=8 on v5e),
+# so large GOFs are reconstructed in small chunks
+DEVICE_BATCH = 4
+
+
 def _reconstruct_gof_oracle(gof: GofData) -> Iterator[PointSet3]:
     from ..reconstruction.oracle import GeneratePointCloudParams, generate_point_cloud
 
@@ -363,6 +369,13 @@ def _reconstruct_gof_device(gof: GofData) -> Iterator[PointSet3]:
     )
 
     if not gof.metas:
+        return
+    if len(gof.metas) > DEVICE_BATCH:
+        from dataclasses import replace
+
+        for i in range(0, len(gof.metas), DEVICE_BATCH):
+            chunk = replace(gof, metas=gof.metas[i : i + DEVICE_BATCH])
+            yield from _reconstruct_gof_device(chunk)
         return
     metas = gof.metas
     mc = gof.map_count
