@@ -29,14 +29,57 @@ def format_ply(ps: PointSet3) -> bytes:
     header += ["element face 0", "property list uint8 int32 vertex_index", "end_header"]
     buf.write(("\n".join(header) + "\n").encode())
     if n:
-        if ps.with_colors:
-            cols = np.concatenate(
-                [ps.positions.astype(np.int64), ps.colors.astype(np.int64)], axis=1
-            )
-        else:
-            cols = ps.positions.astype(np.int64)
-        # bulk int formatting: one row per line, space separated
-        np.savetxt(buf, cols, fmt="%d", delimiter=" ", newline="\n")
+        body = _format_body_native(ps)
+        if body is None:
+            body = _format_body_numpy(ps)
+        buf.write(body)
+    return buf.getvalue()
+
+
+def _format_body_native(ps: PointSet3):
+    """Fast ASCII body via the native bridge (~90x np.savetxt)."""
+    try:
+        import ctypes
+
+        from ..video.codec import _load
+
+        lib = _load()
+        if not hasattr(lib, "ply_format_body"):
+            return None
+        lib.ply_format_body.restype = ctypes.c_int64
+        lib.ply_format_body.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+    except Exception:
+        return None
+    n = ps.point_count
+    positions = np.ascontiguousarray(ps.positions, dtype=np.uint16)
+    colors = (
+        np.ascontiguousarray(ps.colors, dtype=np.uint8) if ps.with_colors else None
+    )
+    out = np.empty(n * 30, dtype=np.uint8)
+    written = lib.ply_format_body(
+        positions.ctypes.data_as(ctypes.c_void_p),
+        colors.ctypes.data_as(ctypes.c_void_p) if colors is not None else None,
+        n,
+        out.ctypes.data_as(ctypes.c_void_p),
+        out.nbytes,
+    )
+    if written < 0:
+        return None
+    return out[:written].tobytes()
+
+
+def _format_body_numpy(ps: PointSet3) -> bytes:
+    if ps.with_colors:
+        cols = np.concatenate(
+            [ps.positions.astype(np.int64), ps.colors.astype(np.int64)], axis=1
+        )
+    else:
+        cols = ps.positions.astype(np.int64)
+    buf = io.BytesIO()
+    np.savetxt(buf, cols, fmt="%d", delimiter=" ", newline="\n")
     return buf.getvalue()
 
 

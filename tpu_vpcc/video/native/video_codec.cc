@@ -387,4 +387,49 @@ void venc_close(void* handle) {
   delete e;
 }
 
+// ---------------------------------------------------------------------------
+// Fast ASCII PLY body formatting (the Python np.savetxt path is ~2.7s per
+// million points; this is ~30ms). Output lines match the reference writer
+// byte-for-byte: "x y z[ r g b]\n" (src/writer.rs:61-74).
+// ---------------------------------------------------------------------------
+
+namespace {
+inline char* write_uint(char* p, uint32_t v) {
+  char tmp[8];
+  int n = 0;
+  do {
+    tmp[n++] = static_cast<char>('0' + v % 10);
+    v /= 10;
+  } while (v);
+  while (n) *p++ = tmp[--n];
+  return p;
+}
+}  // namespace
+
+// positions: n x 3 u16; colors: n x 3 u8 (may be null). Returns bytes
+// written, or -1 if out_cap is too small.
+int64_t ply_format_body(const uint16_t* positions, const uint8_t* colors,
+                        int64_t n, char* out, int64_t out_cap) {
+  // worst case: 3*5 + 3*3 + 5 separators + newline = 30 bytes per line
+  if (out_cap < n * 30) return -1;
+  char* p = out;
+  for (int64_t i = 0; i < n; ++i) {
+    p = write_uint(p, positions[i * 3 + 0]);
+    *p++ = ' ';
+    p = write_uint(p, positions[i * 3 + 1]);
+    *p++ = ' ';
+    p = write_uint(p, positions[i * 3 + 2]);
+    if (colors) {
+      *p++ = ' ';
+      p = write_uint(p, colors[i * 3 + 0]);
+      *p++ = ' ';
+      p = write_uint(p, colors[i * 3 + 1]);
+      *p++ = ' ';
+      p = write_uint(p, colors[i * 3 + 2]);
+    }
+    *p++ = '\n';
+  }
+  return static_cast<int64_t>(p - out);
+}
+
 }  // extern "C"
