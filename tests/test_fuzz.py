@@ -1,0 +1,63 @@
+"""Parser robustness: malformed inputs must raise cleanly (never hang or
+corrupt state) — mirroring the reference's panic-fast failure model."""
+
+import numpy as np
+import pytest
+
+from tpu_vpcc.bitio import Bitstream, BitstreamError
+from tpu_vpcc.v3c.context import Context
+from tpu_vpcc.v3c.stream import SampleStreamV3CUnit
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_bytes_fail_cleanly(seed):
+    rng = np.random.default_rng(seed)
+    data = rng.integers(0, 256, rng.integers(1, 2048)).astype(np.uint8).tobytes()
+    try:
+        ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(data))
+        while ssvu.get_v3c_unit_count() > 0:
+            ssvu.decode_gof(Context())
+    except Exception:
+        pass  # any *exception* is fine; hangs/crashes are not
+
+
+@pytest.mark.parametrize("cut", [1, 7, 50, 200, 999])
+def test_truncated_valid_stream_fails_cleanly(cut):
+    from tpu_vpcc.utils.fixtures import build_fixture_stream
+    from tpu_vpcc.utils.synthetic import make_synthetic_frame
+    from tpu_vpcc.video import encoder_supports
+
+    if not (encoder_supports(8) and encoder_supports(10)):
+        pytest.skip("libx265 required")
+    rng = np.random.default_rng(0)
+    frames = [make_synthetic_frame(rng, width=64, height=64, occupancy_resolution=8,
+                                   occupancy_precision=4, n_patches=2)]
+    stream = build_fixture_stream(frames)
+    data = stream[: len(stream) - cut]
+    with pytest.raises(Exception):
+        ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(data))
+        while ssvu.get_v3c_unit_count() > 0:
+            ssvu.decode_gof(Context())
+
+
+def test_bit_flips_fail_cleanly_or_parse(subtests=None):
+    from tpu_vpcc.utils.fixtures import build_fixture_stream
+    from tpu_vpcc.utils.synthetic import make_synthetic_frame
+    from tpu_vpcc.video import encoder_supports
+
+    if not (encoder_supports(8) and encoder_supports(10)):
+        pytest.skip("libx265 required")
+    rng = np.random.default_rng(1)
+    frames = [make_synthetic_frame(rng, width=64, height=64, occupancy_resolution=8,
+                                   occupancy_precision=4, n_patches=2)]
+    stream = bytearray(build_fixture_stream(frames))
+    # flip bits in the header region (first 200 bytes: VPS/ASPS/AFPS/ATL)
+    for i in range(0, 200, 7):
+        mutated = bytearray(stream)
+        mutated[i] ^= 0xFF
+        try:
+            ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(bytes(mutated)))
+            while ssvu.get_v3c_unit_count() > 0:
+                ssvu.decode_gof(Context())
+        except Exception:
+            pass  # clean failure (or a still-parseable stream) is acceptable

@@ -331,6 +331,37 @@ def decode_gof_frames(context: Context, params: Params) -> Iterator[PointSet3]:
 DEVICE_BATCH = 4
 
 
+def _fetch_prefix(positions, colors16, k: int, n: int):
+    """Device→host fetch of one frame's compacted points, transferring a
+    power-of-two-bucketed prefix instead of the full padded slot arrays
+    (outputs are compacted to the front; the padding is zeros)."""
+    import functools
+
+    import jax
+
+    S = positions.shape[1]
+    bucket = 1
+    while bucket < n:
+        bucket *= 2
+    bucket = min(bucket, S)
+
+    @functools.partial(jax.jit, static_argnames=("b",))
+    def take(pos, col, kk, b):
+        import jax.numpy as jnp
+
+        p = jax.lax.dynamic_slice(pos, (kk, 0, 0), (1, b, 3))
+        c = jax.lax.dynamic_slice(col, (kk, 0, 0), (1, b, 3))
+        return p[0], c[0]
+
+    if n == 0:
+        return (
+            np.empty((0, 3), dtype=np.uint16),
+            np.empty((0, 3), dtype=np.uint16),
+        )
+    p, c = take(positions, colors16, k, bucket)
+    return np.asarray(p)[:n].copy(), np.asarray(c)[:n].copy()
+
+
 def _reconstruct_gof_oracle(gof: GofData) -> Iterator[PointSet3]:
     from ..reconstruction.oracle import GeneratePointCloudParams, generate_point_cloud
 
@@ -473,15 +504,14 @@ def _reconstruct_gof_device(gof: GofData) -> Iterator[PointSet3]:
         positions, colors16, counts = reconstruct_batch(
             fields, occ, geo0, geo1, ay, au, av, cfg
         )
-    positions = np.asarray(positions)
-    colors16 = np.asarray(colors16)
     counts = np.asarray(counts)
 
     for k in range(F):
         n = int(counts[k])
+        pos_k, col_k = _fetch_prefix(positions, colors16, k, n)
         ps = PointSet3(
-            positions=positions[k, :n].copy(),
-            colors16bit=colors16[k, :n].copy(),
+            positions=pos_k,
+            colors16bit=col_k,
             with_colors=gof.attribute_count > 0,
         )
         if gof.attribute_count > 0:
