@@ -158,6 +158,7 @@ class Decoder:
                 with stage_timer(gs, "parse"):
                     context = Context()
                     ssvu.decode_gof(context)
+                _check_post_processing_gates(context, self.params)
                 with stage_timer(gs, "host_prepare"):
                     gof = prepare_gof(
                         context,
@@ -316,8 +317,30 @@ def prepare_gof(
     )
 
 
+def _check_post_processing_gates(context: Context, params: Params) -> None:
+    """Reconstruction feature gates (parity: ``src/decoder.rs:590-661``):
+    the reference panics when a smoothing/synthesis toggle is enabled AND
+    the matching SEI is present; rec0 defaults leave them all false."""
+    from ..v3c.syntax import NalUnitType, SeiPayloadType
+
+    checks = (
+        (params.apply_geo_smoothing_type, SeiPayloadType.GEOMETRY_SMOOTHING,
+         "geometry smoothing"),
+        (params.apply_occupancy_synthesis_type, SeiPayloadType.OCCUPANCY_SYNTHESIS,
+         "occupancy synthesis"),
+        (params.apply_attr_smoothing_type, SeiPayloadType.ATTRIBUTE_SMOOTHING,
+         "attribute smoothing"),
+    )
+    if context.atlas_tile_layer_len() == 0:
+        return
+    for enabled, payload, name in checks:
+        if enabled and context.is_sei_present(NalUnitType.PREFIX_ESEI, payload, 0):
+            raise UnsupportedFeature(f"{name} reconstruction (rec0 ignores it)")
+
+
 def decode_gof_frames(context: Context, params: Params) -> Iterator[PointSet3]:
     """Stages 2-5 for one GOF, yielding frames in order."""
+    _check_post_processing_gates(context, params)
     gof = prepare_gof(context, tiled=params.use_device)
     if params.use_device:
         yield from _reconstruct_gof_device(gof)
