@@ -78,5 +78,30 @@ def example_batch_inputs(cfg: FlagshipConfig, seed: int = 0, **kw) -> Tuple:
 
 
 def forward_fn(cfg: FlagshipConfig):
-    """The jittable single-frame forward step (positions, colors16, count)."""
+    """The jittable single-frame forward step (positions, colors16, count),
+    using the baseline gather kernel (works for any geometry)."""
     return functools.partial(_reconstruct_frame_impl, cfg=cfg.frame_config())
+
+
+def example_pretiled_batch_inputs(cfg: FlagshipConfig, seed: int = 0, **kw) -> Tuple:
+    """Batched inputs in the block-tiled layout of the fast path."""
+    from ..ops.tiled import tile_plane
+
+    raw = example_batch_inputs(cfg, seed=seed, **kw)
+    res = cfg.occupancy_resolution
+    return (
+        raw[0],
+        tile_plane(raw[1], res // cfg.occupancy_precision),
+        tile_plane(raw[2], res),
+        tile_plane(raw[3], res),
+        tile_plane(raw[4], res),
+        tile_plane(raw[5], res // 2),
+        tile_plane(raw[6], res // 2),
+    )
+
+
+def fast_forward_fn(cfg: FlagshipConfig):
+    """The production fast path: pre-tiled batched forward step."""
+    from ..ops.tiled import _flat_pretiled_impl
+
+    return functools.partial(_flat_pretiled_impl, cfg=cfg.frame_config())
