@@ -1,0 +1,84 @@
+"""Deterministic coverage: every reachable view id and both usable
+orientations, bit-exact across oracle, baseline, tiled, and pretiled."""
+
+import numpy as np
+import pytest
+
+from tpu_vpcc.atlas.groups import build_group_table
+from tpu_vpcc.atlas.patches import FrameMeta, Patch
+from tpu_vpcc.ops.reconstruct import make_config, reconstruct_frame
+from tpu_vpcc.ops.tiled import (
+    reconstruct_batch_pretiled,
+    reconstruct_frame_tiled,
+    tile_plane,
+)
+from tpu_vpcc.reconstruction.oracle import (
+    GeneratePointCloudParams,
+    generate_point_cloud,
+)
+from tpu_vpcc.v3c.syntax import PatchOrientation
+
+
+def make_frame(view_id, orientation):
+    res = 8
+    patch = Patch(
+        uv0=(1, 2),
+        size_uv0=(3, 2),
+        uv1=(40, 80),
+        occupancy_resolution=res,
+        patch_orientation=orientation,
+    )
+    patch.set_view_id(view_id)
+    patch.d1 = 100 if patch.projection_mode == 0 else 900
+    meta = FrameMeta(width=64, height=64, patches=[patch])
+    rng = np.random.default_rng(view_id * 10 + int(orientation))
+    occ = (rng.random((16, 16)) < 0.7).astype(np.uint8)
+    d0 = rng.integers(0, 256, (64, 64)).astype(np.uint16) * 4
+    d1 = np.minimum(d0 // 4 + rng.integers(0, 3, (64, 64)), 255).astype(np.uint16) * 4
+    ay = rng.integers(0, 1024, (2, 64, 64)).astype(np.uint16)
+    au = rng.integers(0, 1024, (2, 32, 32)).astype(np.uint16)
+    av = rng.integers(0, 1024, (2, 32, 32)).astype(np.uint16)
+    return meta, occ, d0, d1, ay, au, av
+
+
+@pytest.mark.parametrize("view_id", range(6))
+@pytest.mark.parametrize(
+    "orientation", [PatchOrientation.DEFAULT, PatchOrientation.SWAP]
+)
+def test_all_views_and_orientations(view_id, orientation):
+    meta, occ, d0, d1, ay, au, av = make_frame(view_id, orientation)
+    params = GeneratePointCloudParams(
+        occupancy_resolution=8, occupancy_precision=4, map_count_minus1=1
+    )
+    ps, _, _ = generate_point_cloud(
+        meta, params, occ, [d0, d1],
+        [[[ay[0], au[0], av[0]], [ay[1], au[1], av[1]]]],
+    )
+    gt = build_group_table(meta)
+    cfg = make_config(width=64, height=64, occupancy_resolution=8,
+                      occupancy_precision=4, map_count=2)
+    raw = (gt.fields, occ, d0, d1, ay, au, av)
+    for name, (pos, col, cnt) in {
+        "baseline": reconstruct_frame(*raw, cfg=cfg),
+        "tiled": reconstruct_frame_tiled(*raw, cfg=cfg),
+    }.items():
+        n = int(cnt)
+        assert n == ps.point_count, (name, n, ps.point_count)
+        np.testing.assert_array_equal(np.asarray(pos)[:n], ps.positions, err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(col)[:n], ps.colors16bit, err_msg=name
+        )
+    tp, tc, tn = reconstruct_batch_pretiled(
+        gt.fields[None],
+        tile_plane(occ, 2)[None],
+        tile_plane(d0, 8)[None],
+        tile_plane(d1, 8)[None],
+        tile_plane(ay, 8)[None],
+        tile_plane(au, 4)[None],
+        tile_plane(av, 4)[None],
+        cfg,
+    )
+    n = int(tn[0])
+    assert n == ps.point_count
+    np.testing.assert_array_equal(np.asarray(tp)[0][:n], ps.positions)
+    np.testing.assert_array_equal(np.asarray(tc)[0][:n], ps.colors16bit)
