@@ -59,13 +59,11 @@ def decode_streams_batched(
         state.ssvu.decode_gof(context)
         return state, prepare_gof(context)
 
+    from concurrent.futures import FIRST_COMPLETED, wait
+
     with ThreadPoolExecutor(max_workers=max_host_workers) as pool:
         pending = {pool.submit(prep, s) for s in states}
         while pending:
-            done = next(iter(pending))
-            # drain in submission order per stream: wait on any completed
-            from concurrent.futures import FIRST_COMPLETED, wait
-
             finished, pending = wait(pending, return_when=FIRST_COMPLETED)
             for fut in finished:
                 state, gof = fut.result()
@@ -75,7 +73,6 @@ def decode_streams_batched(
                 for ps in _reconstruct_gof_device(gof):
                     yield state.index, state.next_frame, ps
                     state.next_frame += 1
-                pending = set(pending)
                 pending.add(pool.submit(prep, state))
 
 

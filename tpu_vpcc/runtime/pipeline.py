@@ -354,34 +354,42 @@ def decode_gof_frames(context: Context, params: Params) -> Iterator[PointSet3]:
 DEVICE_BATCH = 4
 
 
-def _fetch_prefix(positions, colors16, k: int, n: int):
-    """Device→host fetch of one frame's compacted points, transferring a
-    power-of-two-bucketed prefix instead of the full padded slot arrays
-    (outputs are compacted to the front; the padding is zeros)."""
+def _take_prefix_jit():
     import functools
 
     import jax
 
-    S = positions.shape[1]
-    bucket = 1
-    while bucket < n:
-        bucket *= 2
-    bucket = min(bucket, S)
-
     @functools.partial(jax.jit, static_argnames=("b",))
     def take(pos, col, kk, b):
-        import jax.numpy as jnp
-
         p = jax.lax.dynamic_slice(pos, (kk, 0, 0), (1, b, 3))
         c = jax.lax.dynamic_slice(col, (kk, 0, 0), (1, b, 3))
         return p[0], c[0]
 
+    return take
+
+
+_take_prefix = None
+
+
+def _fetch_prefix(positions, colors16, k: int, n: int):
+    """Device→host fetch of one frame's compacted points, transferring a
+    power-of-two-bucketed prefix instead of the full padded slot arrays
+    (outputs are compacted to the front; the padding is zeros). The slice
+    is jitted once per (shape, bucket) combination."""
+    global _take_prefix
     if n == 0:
         return (
             np.empty((0, 3), dtype=np.uint16),
             np.empty((0, 3), dtype=np.uint16),
         )
-    p, c = take(positions, colors16, k, bucket)
+    S = positions.shape[1]
+    bucket = 1
+    while bucket < n:
+        bucket *= 2
+    bucket = min(bucket, S)
+    if _take_prefix is None:
+        _take_prefix = _take_prefix_jit()
+    p, c = _take_prefix(positions, colors16, k, b=bucket)
     return np.asarray(p)[:n].copy(), np.asarray(c)[:n].copy()
 
 
