@@ -360,10 +360,8 @@ def _take_prefix_jit():
     import jax
 
     @functools.partial(jax.jit, static_argnames=("b",))
-    def take(pos, col, kk, b):
-        p = jax.lax.dynamic_slice(pos, (kk, 0, 0), (1, b, 3))
-        c = jax.lax.dynamic_slice(col, (kk, 0, 0), (1, b, 3))
-        return p[0], c[0]
+    def take(pos, col, b):
+        return pos[:, :b], col[:, :b]
 
     return take
 
@@ -371,26 +369,26 @@ def _take_prefix_jit():
 _take_prefix = None
 
 
-def _fetch_prefix(positions, colors16, k: int, n: int):
-    """Device→host fetch of one frame's compacted points, transferring a
-    power-of-two-bucketed prefix instead of the full padded slot arrays
-    (outputs are compacted to the front; the padding is zeros). The slice
-    is jitted once per (shape, bucket) combination."""
+def _fetch_prefixes(positions, colors16, counts):
+    """Device→host fetch of a batch's compacted points: one extra dispatch
+    slicing every frame to the max-count power-of-two bucket, instead of
+    transferring the full padded slot arrays (outputs are compacted to the
+    front). One dispatch total — round-trips dominate on high-latency
+    links; transfer volume dominates on PCIe — this bounds both."""
     global _take_prefix
-    if n == 0:
-        return (
-            np.empty((0, 3), dtype=np.uint16),
-            np.empty((0, 3), dtype=np.uint16),
-        )
+    n_max = int(counts.max()) if counts.size else 0
     S = positions.shape[1]
+    if n_max == 0:
+        z = np.empty((counts.shape[0], 0, 3), dtype=np.uint16)
+        return z, z
     bucket = 1
-    while bucket < n:
+    while bucket < n_max:
         bucket *= 2
     bucket = min(bucket, S)
     if _take_prefix is None:
         _take_prefix = _take_prefix_jit()
-    p, c = _take_prefix(positions, colors16, k, b=bucket)
-    return np.asarray(p)[:n].copy(), np.asarray(c)[:n].copy()
+    p, c = _take_prefix(positions, colors16, b=bucket)
+    return np.asarray(p), np.asarray(c)
 
 
 def _reconstruct_gof_oracle(gof: GofData) -> Iterator[PointSet3]:
@@ -536,13 +534,13 @@ def _reconstruct_gof_device(gof: GofData) -> Iterator[PointSet3]:
             fields, occ, geo0, geo1, ay, au, av, cfg
         )
     counts = np.asarray(counts)
+    pos_all, col_all = _fetch_prefixes(positions, colors16, counts)
 
     for k in range(F):
         n = int(counts[k])
-        pos_k, col_k = _fetch_prefix(positions, colors16, k, n)
         ps = PointSet3(
-            positions=pos_k,
-            colors16bit=col_k,
+            positions=pos_all[k, :n].copy(),
+            colors16bit=col_all[k, :n].copy(),
             with_colors=gof.attribute_count > 0,
         )
         if gof.attribute_count > 0:
