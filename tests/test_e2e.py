@@ -157,3 +157,24 @@ def test_cli(tmp_path):
     expected = oracle_frames(frames)
     for ply, want in zip(plys, expected):
         assert ply.read_bytes() == format_ply(want)
+
+
+def test_decoder_accepts_bytes(tmp_path):
+    frames, path = make_fixture(tmp_path, n_frames=1, seed=88)
+    decoder = Decoder(Params(path.read_bytes()))
+    decoder.start()
+    decoded = list(decoder)
+    expected = oracle_frames(frames)
+    assert len(decoded) == 1
+    np.testing.assert_array_equal(decoded[0].positions, expected[0].positions)
+
+
+def test_inspect_tool(tmp_path, capsys):
+    from tpu_vpcc.runtime.inspect import inspect
+
+    _, path = make_fixture(tmp_path, n_frames=2, seed=89)
+    assert inspect(path, verbose=True) == 0
+    out = capsys.readouterr().out
+    assert "GOF 0:" in out
+    assert "atlas 64x64" in out
+    assert "I-tile" in out

@@ -71,9 +71,12 @@ class Params:
     num_threads: int = 3  # host video-decode workers per GOF
 
     def __init__(self, compressed_stream_path=None, **kwargs):
-        self.compressed_stream_path = (
-            Path(compressed_stream_path) if compressed_stream_path else None
-        )
+        if isinstance(compressed_stream_path, (bytes, bytearray)):
+            self.compressed_stream_path = bytes(compressed_stream_path)
+        else:
+            self.compressed_stream_path = (
+                Path(compressed_stream_path) if compressed_stream_path else None
+            )
         for k, v in Params.__dataclass_fields__.items():
             if k == "compressed_stream_path":
                 continue
@@ -101,11 +104,15 @@ class Decoder:
     # -- public API --------------------------------------------------------
 
     def start(self) -> None:
-        """Parse the file and spawn the decode thread. One-shot."""
+        """Parse the stream and spawn the decode thread. One-shot.
+
+        ``compressed_stream_path`` may also be raw ``bytes`` (in-memory
+        streams — a framework extension; the reference is path-only)."""
         if self._started:
             raise RuntimeError("decoder can only be started once")
         self._started = True
-        data = Path(self.params.compressed_stream_path).read_bytes()
+        src = self.params.compressed_stream_path
+        data = src if isinstance(src, (bytes, bytearray)) else Path(src).read_bytes()
         ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(data))
         self._thread = threading.Thread(
             target=self._decode_loop, args=(ssvu,), daemon=True
