@@ -156,3 +156,27 @@ def test_batched_reconstruction_matches_per_frame():
         assert int(bcnt[k]) == count
         np.testing.assert_array_equal(np.asarray(bpos[k])[:count], positions)
         np.testing.assert_array_equal(np.asarray(bcol[k])[:count], colors16)
+
+
+def test_vmap_batch_crosscheck_matches_flat():
+    """CPU cross-check: the vmapped batch (kept for validation only — its
+    TPU lowering is pathological) equals the flat batch."""
+    from tpu_vpcc.ops.reconstruct import reconstruct_batch_vmap
+
+    rng = np.random.default_rng(16)
+    frames = [
+        make_synthetic_frame(rng, width=64, height=64, occupancy_resolution=8,
+                             occupancy_precision=4, n_patches=3, frame_index=0)
+        for _ in range(2)
+    ]
+    cfg = make_config(width=64, height=64, occupancy_resolution=8,
+                      occupancy_precision=4, map_count=2)
+    per = [frame_inputs(f)[1] for f in frames]
+    batch = tuple(np.stack([p[i] for p in per]) for i in range(7))
+    fpos, fcol, fcnt = reconstruct_batch(*batch, cfg=cfg)
+    vpos, vcol, vcnt = reconstruct_batch_vmap(*batch, cfg=cfg)
+    np.testing.assert_array_equal(np.asarray(fcnt), np.asarray(vcnt))
+    for k in range(2):
+        n = int(fcnt[k])
+        np.testing.assert_array_equal(np.asarray(fpos)[k, :n], np.asarray(vpos)[k, :n])
+        np.testing.assert_array_equal(np.asarray(fcol)[k, :n], np.asarray(vcol)[k, :n])
