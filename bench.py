@@ -56,44 +56,49 @@ def main() -> int:
     def once(fields, occ, geo0, geo1, ay, au, av):
         return _flat_pretiled_impl(fields, occ, geo0, geo1, ay, au, av, fcfg)
 
-    @jax.jit
-    def loop(fields, occ, geo0, geo1, ay, au, av):
-        def body(i, carry):
-            # data-dependent (provably zero) perturbation defeats loop
-            # hoisting so every iteration really runs the kernel
-            bump = jnp.where(carry < 0, 1, 0).astype(occ.dtype)
-            _, _, cnt = _flat_pretiled_impl(
-                fields, occ + bump, geo0, geo1, ay, au, av, fcfg
-            )
-            return carry + cnt.sum()
-        return jax.lax.fori_loop(0, loop_n, body, jnp.int32(0))
+    # K-vs-1 differential: two loops identical except for the number of
+    # serially-chained kernel runs per iteration; their time difference
+    # isolates (K-1)*kernel with the per-iteration overhead cancelling
+    # exactly (the kernel is fast enough that overhead otherwise dominates).
+    K = 9
 
-    @jax.jit
-    def baseline_loop(fields, occ, geo0, geo1, ay, au, av):
-        def body(i, carry):
-            bump = jnp.where(carry < 0, 1, 0).astype(occ.dtype)
-            return carry + (occ + bump).astype(jnp.int32).sum()
-        return jax.lax.fori_loop(0, loop_n, body, jnp.int32(0))
+    def make_loop(k):
+        @jax.jit
+        def loop(fields, occ, geo0, geo1, ay, au, av):
+            def body(i, carry):
+                # data-dependent (provably zero) perturbation defeats loop
+                # hoisting so every chained run really executes
+                c = carry
+                for _ in range(k):
+                    bump = jnp.where(c < 0, 1, 0).astype(occ.dtype)
+                    _, _, cnt = _flat_pretiled_impl(
+                        fields, occ + bump, geo0, geo1, ay, au, av, fcfg
+                    )
+                    c = c + cnt.sum()
+                return c
+            return jax.lax.fori_loop(0, loop_n, body, jnp.int32(0))
+        return loop
+
+    loop_k = make_loop(K)
+    loop_1 = make_loop(1)
 
     # compile + points-per-frame
     pos, col, cnt = once(*inputs)
     counts = np.asarray(cnt)
     mean_points = float(counts.mean())
-    _ = np.asarray(loop(*inputs))  # compile loop
+    _ = np.asarray(loop_k(*inputs))  # compile
+    _ = np.asarray(loop_1(*inputs))
 
-    _ = np.asarray(baseline_loop(*inputs))  # compile baseline
-
-    # --- device-true kernel throughput (chained loop, one sync,
-    # baseline-subtracted to remove fixed per-iteration overhead) ---------
-    dt_loop, dt_base = [], []
-    for _ in range(3):
+    # --- device-true kernel throughput (K-vs-1 differential) -------------
+    dt_k, dt_1 = [], []
+    for _ in range(5):
         t0 = time.perf_counter()
-        _ = np.asarray(loop(*inputs))
-        dt_loop.append((time.perf_counter() - t0) / loop_n)
+        _ = np.asarray(loop_k(*inputs))
+        dt_k.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        _ = np.asarray(baseline_loop(*inputs))
-        dt_base.append((time.perf_counter() - t0) / loop_n)
-    dt_net = max(min(dt_loop) - min(dt_base), 1e-6)
+        _ = np.asarray(loop_1(*inputs))
+        dt_1.append(time.perf_counter() - t0)
+    dt_net = max((min(dt_k) - min(dt_1)) / (loop_n * (K - 1)), 1e-6)
 
     # --- dispatch-path wall time (per-batch dispatch + count fetch) ------
     t0 = time.perf_counter()
@@ -112,7 +117,7 @@ def main() -> int:
             "mean_points_per_frame": int(mean_points),
             "mpoints_per_sec": round(mean_points * fps / 1e6, 1),
             "ms_per_frame_device": round(dt_net / batch * 1000, 3),
-            "ms_per_iter_fixed_overhead": round(min(dt_base) * 1000, 2),
+            "ms_per_iter_fixed_overhead": round(min(dt_1) / loop_n * 1000, 2),
             "ms_per_frame_dispatch_path": round(dt_dispatch / batch * 1000, 2),
             "batch": batch,
             "device": str(jax.devices()[0]),
