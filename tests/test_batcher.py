@@ -16,19 +16,23 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_multi_stream_matches_sequential(tmp_path):
+def make_streams(tmp_path, n_streams=3, n_frames=2):
     paths = []
-    for s in range(3):
+    for s in range(n_streams):
         rng = np.random.default_rng(100 + s)
         frames = [
             make_synthetic_frame(rng, width=64, height=64, occupancy_resolution=8,
                                  occupancy_precision=4, n_patches=3, frame_index=i)
-            for i in range(2)
+            for i in range(n_frames)
         ]
         p = tmp_path / f"s{s}.bin"
         p.write_bytes(build_fixture_stream(frames))
         paths.append(p)
+    return paths
 
+
+def test_multi_stream_matches_sequential(tmp_path):
+    paths = make_streams(tmp_path)
     batched = decode_streams(paths)
 
     for s, path in enumerate(paths):
@@ -37,4 +41,37 @@ def test_multi_stream_matches_sequential(tmp_path):
         seq = list(d)
         assert len(batched[s]) == len(seq) > 0
         for a, b in zip(batched[s], seq):
+            assert format_ply(a) == format_ply(b)
+
+
+def test_streams_share_device_batches(tmp_path, monkeypatch):
+    """Frames from different streams really coalesce into one dispatch."""
+    import tpu_vpcc.parallel.batcher as batcher_mod
+
+    paths = make_streams(tmp_path, n_streams=2, n_frames=2)
+    calls = []
+    real = batcher_mod._dispatch_device
+
+    def spy(di, mesh=None):
+        calls.append(di.n_frames)
+        return real(di, mesh=mesh)
+
+    monkeypatch.setattr(batcher_mod, "_dispatch_device", spy)
+    batched = decode_streams(paths)
+    # initial wave: both streams' first GOFs (2 frames each) in ONE call
+    assert calls[0] == 4, calls
+    assert all(len(b) == 2 for b in batched)
+
+
+def test_multi_stream_on_mesh(tmp_path):
+    """Batched decode with a ('data','space') mesh is bit-identical."""
+    from tpu_vpcc.parallel.mesh import make_mesh
+
+    paths = make_streams(tmp_path, n_streams=2, n_frames=2)
+    mesh = make_mesh(data=4, space=2)
+    batched = decode_streams(paths, mesh=mesh)
+    plain = decode_streams(paths)
+    for s in range(len(paths)):
+        assert len(batched[s]) == len(plain[s]) > 0
+        for a, b in zip(batched[s], plain[s]):
             assert format_ply(a) == format_ply(b)

@@ -89,6 +89,23 @@ def test_e2e_device_and_oracle_paths_agree(tmp_path):
         assert format_ply(a) == format_ply(b)
 
 
+def test_e2e_decoder_on_mesh(tmp_path):
+    """Production Decoder with a ('data','space') mesh: bit-identical
+    output to the single-device path."""
+    from tpu_vpcc.parallel.mesh import make_mesh
+
+    _, path = make_fixture(tmp_path, n_frames=3, seed=34)
+    dm = Decoder(Params(path, mesh=make_mesh(data=4, space=2)))
+    dm.start()
+    sharded = list(dm)
+    d1 = Decoder(Params(path))
+    d1.start()
+    plain = list(d1)
+    assert len(sharded) == len(plain) > 0
+    for a, b in zip(sharded, plain):
+        assert format_ply(a) == format_ply(b)
+
+
 def test_e2e_streaming_api(tmp_path):
     _, path = make_fixture(tmp_path, n_frames=3, seed=5)
     decoder = Decoder(Params(path))

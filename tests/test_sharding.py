@@ -70,6 +70,58 @@ def test_data_parallel_matches_single_device():
         np.testing.assert_array_equal(col[k, :n], ecol)
 
 
+def tile_batch(cfg, batch):
+    from tpu_vpcc.ops.tiled import tile_plane
+
+    res = cfg.occupancy_resolution
+    return (
+        batch["fields"],
+        tile_plane(batch["occ"], res // cfg.occupancy_precision),
+        tile_plane(batch["geo0"], res),
+        tile_plane(batch["geo1"], res),
+        tile_plane(batch["attr_y"], res),
+        tile_plane(batch["attr_u"], res // 2),
+        tile_plane(batch["attr_v"], res // 2),
+    )
+
+
+def test_pretiled_spatial_sharding_matches_single_device():
+    """The production fast path, 2D-sharded (frames x groups), is
+    bit-exact vs the single-device per-frame kernel."""
+    from tpu_vpcc.parallel.spatial import reconstruct_gof_spatial_pretiled
+
+    frames, cfg, batch = make_batch(4, seed=3)
+    mesh = make_mesh(data=4, space=2)
+    pos, col, cnt, totals = reconstruct_gof_spatial_pretiled(
+        mesh, *tile_batch(cfg, batch), cfg
+    )
+    pos, col, cnt, totals = map(np.asarray, (pos, col, cnt, totals))
+    s_loc = cfg.s_cap // mesh.shape["space"]
+    expected = reference_outputs(frames, cfg, batch)
+    for k, (epos, ecol) in enumerate(expected):
+        gpos, gcol = stitch_spatial(pos[k], col[k], cnt[k], s_loc)
+        np.testing.assert_array_equal(gpos, epos)
+        np.testing.assert_array_equal(gcol, ecol)
+        assert int(totals[k, 0]) == epos.shape[0]
+
+
+def test_pretiled_spatial_sharding_space_four():
+    from tpu_vpcc.parallel.spatial import reconstruct_gof_spatial_pretiled
+
+    frames, cfg, batch = make_batch(2, seed=4)
+    mesh = make_mesh(data=2, space=4)
+    pos, col, cnt, _ = reconstruct_gof_spatial_pretiled(
+        mesh, *tile_batch(cfg, batch), cfg
+    )
+    pos, col, cnt = map(np.asarray, (pos, col, cnt))
+    s_loc = cfg.s_cap // 4
+    expected = reference_outputs(frames, cfg, batch)
+    for k, (epos, ecol) in enumerate(expected):
+        gpos, gcol = stitch_spatial(pos[k], col[k], cnt[k], s_loc)
+        np.testing.assert_array_equal(gpos, epos)
+        np.testing.assert_array_equal(gcol, ecol)
+
+
 def test_spatial_sharding_matches_single_device():
     frames, cfg, batch = make_batch(4, seed=2)
     mesh = make_mesh(data=4, space=2)

@@ -152,7 +152,7 @@ class BitWriter:
         self._bit_pos = 0  # bits used in the last byte, 0 => aligned
 
     def write(self, value: int, bits: int) -> None:
-        if bits < 0 or value < 0 or (bits < 64 and value >= (1 << bits)):
+        if bits < 0 or value < 0 or value >= (1 << bits):
             raise BitstreamError(f"value {value} does not fit in {bits} bits")
         while bits > 0:
             if self._bit_pos == 0:

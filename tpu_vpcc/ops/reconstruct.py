@@ -46,6 +46,9 @@ class FrameConfig:
     map_count: int = 2
     absolute_d1: bool = True
     geo_shift: int = 2  # depth = y >> geo_shift (``src/codec.rs:532-534``)
+    # attribute chroma subsampling: 1 for 4:2:0 (chroma at half res), 0 for
+    # 4:4:4/RGB content (``src/decoder.rs:973-980`` indexes by color format)
+    chroma_shift: int = 1
 
     @property
     def slots_per_block(self) -> int:
@@ -76,6 +79,7 @@ def make_config(
     map_count: int = 2,
     absolute_d1: bool = True,
     geo_shift: int = 2,
+    chroma_shift: int = 1,
     **_ignored,
 ) -> FrameConfig:
     return FrameConfig(
@@ -86,6 +90,7 @@ def make_config(
         map_count=map_count,
         absolute_d1=absolute_d1,
         geo_shift=geo_shift,
+        chroma_shift=chroma_shift,
     )
 
 
@@ -156,11 +161,13 @@ def compute_slots(
     for comp in range(3):
         pos = pos.at[comp].set(jnp.sum(jnp.where(axes == comp, vals, 0), axis=0))
 
-    # colors: YUV420 gather at the point's pixel from the map's frame
+    # colors: chroma-subsampled gather at the point's pixel (format-driven
+    # indexing like ``Image::get``, ``src/decoder.rs:973-980``)
     z = jnp.clip(i_map, 0, cfg.map_count - 1)
+    csh = cfg.chroma_shift
     col_y = attr_y[z, ys, xs]
-    col_u = attr_u[z, ys // 2, xs // 2]
-    col_v = attr_v[z, ys // 2, xs // 2]
+    col_u = attr_u[z, ys >> csh, xs >> csh]
+    col_v = attr_v[z, ys >> csh, xs >> csh]
     return pos, col_y, col_u, col_v, valid
 
 
@@ -298,9 +305,10 @@ def _flat_batch_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
         pos = pos.at[comp].set(jnp.sum(jnp.where(axes == comp, vals, 0), axis=0))
 
     z = jnp.clip(i_map, 0, M - 1)
+    csh = cfg.chroma_shift
     col_y = attr_y.reshape(-1)[((f * M + z) * H + ys) * W + xs]
-    col_u = attr_u.reshape(-1)[((f * M + z) * H2 + ys // 2) * W2 + xs // 2]
-    col_v = attr_v.reshape(-1)[((f * M + z) * H2 + ys // 2) * W2 + xs // 2]
+    col_u = attr_u.reshape(-1)[((f * M + z) * H2 + (ys >> csh)) * W2 + (xs >> csh)]
+    col_v = attr_v.reshape(-1)[((f * M + z) * H2 + (ys >> csh)) * W2 + (xs >> csh)]
 
     # per-frame compaction via one global cumsum
     cum = jnp.cumsum(valid.astype(jnp.int32))

@@ -70,10 +70,13 @@ def _flat_tiled_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
     """
     res = cfg.occupancy_resolution
     spb = cfg.slots_per_block
-    Gc = cfg.g_cap
+    # group count from the table shape (not cfg.g_cap): the group axis may
+    # be sharded across a mesh 'space' axis, in which case this runs on a
+    # contiguous group slice with the full canvas planes
+    Gc = fields.shape[1]
     F = fields.shape[0]
     FG = F * Gc
-    S = cfg.s_cap
+    S = Gc * spb
     H, W = cfg.height, cfg.width
     bw = cfg.block_w
     prec = cfg.occupancy_precision
@@ -90,13 +93,14 @@ def _flat_tiled_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
     d1r = geo1.astype(jnp.uint32) if mc > 1 else d0r
     plane_a = d0r | (d1r << 10) | (occ_bit << 20)
 
+    cup = 1 << cfg.chroma_shift  # chroma upsample factor (4:2:0 -> 2)
     y0 = attr_y[:, 0].astype(jnp.uint32)
     y1 = attr_y[:, 1].astype(jnp.uint32) if mc > 1 else y0
-    u0p = up(attr_u[:, 0], 2).astype(jnp.uint32)
-    v0p = up(attr_v[:, 0], 2).astype(jnp.uint32)
+    u0p = up(attr_u[:, 0], cup).astype(jnp.uint32)
+    v0p = up(attr_v[:, 0], cup).astype(jnp.uint32)
     if mc > 1:
-        u1p = up(attr_u[:, 1], 2).astype(jnp.uint32)
-        v1p = up(attr_v[:, 1], 2).astype(jnp.uint32)
+        u1p = up(attr_u[:, 1], cup).astype(jnp.uint32)
+        v1p = up(attr_v[:, 1], cup).astype(jnp.uint32)
     else:
         u1p, v1p = u0p, v0p
     plane_b = y0 | (y1 << 10) | (u0p << 20)
@@ -261,7 +265,7 @@ def _pretiled_gather_tiles(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg)
     group's tile rows (contiguous). Returns (t_a, t_b, t_c), canvas-order
     tiles [FG, res, res] u32 (orientation not yet applied)."""
     res = cfg.occupancy_resolution
-    Gc = cfg.g_cap
+    Gc = fields.shape[1]  # may be a shard of g_cap (see _flat_tiled_impl)
     F = fields.shape[0]
     FG = F * Gc
     nb = cfg.block_h * cfg.block_w
@@ -279,13 +283,14 @@ def _pretiled_gather_tiles(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg)
     d1r = geo1_t.astype(jnp.uint32) if mc > 1 else d0r
     plane_a = (d0r | (d1r << 10) | (occ_bit << 20)).reshape(F * nb, res, res)
 
+    cup = 1 << cfg.chroma_shift  # chroma upsample factor (4:2:0 -> 2)
     y0 = ay_t[:, 0].astype(jnp.uint32)
     y1 = ay_t[:, 1].astype(jnp.uint32) if mc > 1 else y0
-    u0p = up_tile(au_t[:, 0], 2).astype(jnp.uint32)
-    v0p = up_tile(av_t[:, 0], 2).astype(jnp.uint32)
+    u0p = up_tile(au_t[:, 0], cup).astype(jnp.uint32)
+    v0p = up_tile(av_t[:, 0], cup).astype(jnp.uint32)
     if mc > 1:
-        u1p = up_tile(au_t[:, 1], 2).astype(jnp.uint32)
-        v1p = up_tile(av_t[:, 1], 2).astype(jnp.uint32)
+        u1p = up_tile(au_t[:, 1], cup).astype(jnp.uint32)
+        v1p = up_tile(av_t[:, 1], cup).astype(jnp.uint32)
     else:
         u1p, v1p = u0p, v0p
     plane_b = (y0 | (y1 << 10) | (u0p << 20)).reshape(F * nb, res, res)
@@ -317,8 +322,8 @@ def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
       ay_t: (F, M, nb, res, res) u16 ; au_t/av_t: (F, M, nb, res/2, res/2)
     """
     F = fields.shape[0]
-    FG = F * cfg.g_cap
-    S = cfg.s_cap
+    FG = F * fields.shape[1]
+    S = fields.shape[1] * cfg.slots_per_block
     t_a, t_b, t_c = _pretiled_gather_tiles(
         fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg
     )

@@ -1,26 +1,38 @@
 """Multi-stream batched decoding (BASELINE.json config 5).
 
 Decodes several V3C bitstreams concurrently: the host stages (V3C parse +
-HEVC sub-stream decode) run in a thread pool, one worker per stream,
-while frames from all streams are reconstructed in shared device batches.
-Streams with identical geometry (atlas size, block size, precision, map
-count) share one compiled kernel; the batcher groups GOFs by their
-:class:`~tpu_vpcc.ops.reconstruct.FrameConfig`.
+HEVC sub-stream decode) run in a thread pool, one worker per stream, and
+frames from all streams are reconstructed in shared device batches — GOFs
+whose :class:`~tpu_vpcc.runtime.pipeline.DeviceInputs` share a batch key
+(equal ``FrameConfig`` + layout) are concatenated along the frame axis and
+dispatched to the device together, one compiled kernel for all of them.
+With a ``mesh``, each shared batch additionally shards frames over the
+mesh's ``data`` axis and groups over ``space``
+(``tpu_vpcc.parallel.spatial``).
 """
 
 from __future__ import annotations
 
 import logging
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, Iterator, List, Sequence, Tuple
+
+import numpy as np
 
 from ..bitio import Bitstream
 from ..reconstruction.pointset import PointSet3
 from ..v3c.context import Context
 from ..v3c.stream import SampleStreamV3CUnit
-from ..runtime.pipeline import prepare_gof
+from ..runtime.pipeline import (
+    DEVICE_BATCH,
+    DeviceInputs,
+    _dispatch_device,
+    _emit_pointset,
+    _gof_device_inputs,
+    prepare_gof,
+)
 
 log = logging.getLogger(__name__)
 
@@ -33,18 +45,53 @@ class _StreamState:
     done: bool = False
 
 
+def _concat_inputs(dis: List[DeviceInputs]) -> DeviceInputs:
+    """Merge same-key DeviceInputs along the frame axis (one dispatch)."""
+    if len(dis) == 1:
+        return dis[0]
+    arrays = tuple(
+        np.concatenate([di.arrays[i] for di in dis]) for i in range(7)
+    )
+    return DeviceInputs(
+        cfg=dis[0].cfg,
+        use_tiled=dis[0].use_tiled,
+        arrays=arrays,
+        n_frames=sum(di.n_frames for di in dis),
+    )
+
+
+def _dispatch_chunked(di: DeviceInputs, mesh=None):
+    """Dispatch a (possibly merged) batch in DEVICE_BATCH-sized chunks,
+    returning the flat per-frame result list."""
+    chunk = DEVICE_BATCH * (mesh.shape["data"] if mesh is not None else 1)
+    out = []
+    for i in range(0, di.n_frames, chunk):
+        sub = DeviceInputs(
+            cfg=di.cfg,
+            use_tiled=di.use_tiled,
+            arrays=tuple(a[i : i + chunk] for a in di.arrays),
+            n_frames=min(chunk, di.n_frames - i),
+        )
+        out.extend(_dispatch_device(sub, mesh=mesh))
+    return out
+
+
 def decode_streams_batched(
-    paths: Sequence, max_host_workers: int = 8
+    paths: Sequence,
+    max_host_workers: int = 8,
+    mesh=None,
+    coalesce_initial: bool = True,
 ) -> Iterator[Tuple[int, int, PointSet3]]:
     """Decode multiple streams, yielding (stream_index, frame_index, frame).
 
-    GOFs across streams are host-prepared concurrently; reconstruction runs
-    per prepared GOF through the shared device path (frames of one GOF are
-    already batched in a single device call). Yields in completion order
-    per stream; frames within a stream are in order.
+    GOFs across streams are host-prepared concurrently; every wave of
+    prepared GOFs is grouped by device-batch key and each group runs as
+    ONE concatenated device dispatch (chunked at the device batch size).
+    With ``coalesce_initial`` the first wave waits for every stream's
+    first GOF so all streams share the first dispatch (they start
+    together; later waves take whatever has completed). Yields in
+    completion order across streams; frames within a stream are in order.
     """
-    from ..runtime.pipeline import _reconstruct_gof_device
-
     states = []
     for i, path in enumerate(paths):
         data = Path(path).read_bytes()
@@ -59,21 +106,37 @@ def decode_streams_batched(
         state.ssvu.decode_gof(context)
         return state, prepare_gof(context)
 
-    from concurrent.futures import FIRST_COMPLETED, wait
-
     with ThreadPoolExecutor(max_workers=max_host_workers) as pool:
         pending = {pool.submit(prep, s) for s in states}
+        first_wave = coalesce_initial
         while pending:
-            finished, pending = wait(pending, return_when=FIRST_COMPLETED)
+            when = "ALL_COMPLETED" if first_wave else FIRST_COMPLETED
+            finished, pending = wait(pending, return_when=when)
+            first_wave = False
+            # one wave: every GOF whose host prep has completed by now
+            items = []  # (state, gof, DeviceInputs)
             for fut in finished:
                 state, gof = fut.result()
-                if gof is None:
+                if gof is None or not gof.metas:
                     state.done = True
                     continue
-                for ps in _reconstruct_gof_device(gof):
-                    yield state.index, state.next_frame, ps
-                    state.next_frame += 1
+                items.append((state, gof, _gof_device_inputs(gof)))
                 pending.add(pool.submit(prep, state))
+
+            by_key: Dict[object, list] = {}
+            for it in items:
+                by_key.setdefault(it[2].batch_key, []).append(it)
+            for group in by_key.values():
+                merged = _concat_inputs([it[2] for it in group])
+                results = _dispatch_chunked(merged, mesh=mesh)
+                offset = 0
+                for state, gof, di in group:
+                    for pos, col in results[offset : offset + di.n_frames]:
+                        yield state.index, state.next_frame, _emit_pointset(
+                            pos, col, gof
+                        )
+                        state.next_frame += 1
+                    offset += di.n_frames
 
 
 def decode_streams(paths: Sequence, **kw) -> List[List[PointSet3]]:

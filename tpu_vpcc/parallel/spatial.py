@@ -80,6 +80,61 @@ def reconstruct_gof_spatial(
     return pos, col, cnt, total
 
 
+def reconstruct_gof_spatial_pretiled(
+    mesh: Mesh,
+    fields,   # (F, g_cap, N_GROUP_FIELDS)
+    occ_t,    # (F, nb, res/prec, res/prec) block-tiled
+    geo0_t,   # (F, nb, res, res)
+    geo1_t,   # (F, nb, res, res)
+    ay_t,     # (F, M, nb, res, res)
+    au_t,     # (F, M, nb, res/2, res/2)
+    av_t,     # (F, M, nb, res/2, res/2)
+    cfg: FrameConfig,
+):
+    """Production 2D-sharded reconstruction on the PRE-TILED fast path.
+
+    Frames shard over ``data``; the *group* axis of the field table shards
+    over ``space`` (contiguous chunks, so shard order == emission order).
+    The block-tiled planes replicate over ``space`` — each shard row-gathers
+    only its own groups' tiles, so the extra HBM is read-only input reuse;
+    all compute and compaction (the expensive part) divides by the mesh
+    size. A ``psum`` over ``space`` carries the per-frame global count.
+
+    Returns (positions (F, s_cap, 3) u16, colors16, counts (F, n_space),
+    totals (F, 1)): frame f's shard d rows are
+    ``[d*s_loc, d*s_loc + counts[f, d])`` with ``s_loc = s_cap // n_space``;
+    concatenating them (``stitch_spatial``) yields the reference emission
+    order exactly.
+    """
+    from ..ops.tiled import _flat_pretiled_impl
+
+    n_space = mesh.shape["space"]
+    g_loc = cfg.g_cap // n_space
+    if g_loc * n_space != cfg.g_cap:
+        raise ValueError("g_cap must divide by the space axis")
+
+    def shard_fn(fields_b, occ_b, g0_b, g1_b, ay_b, au_b, av_b):
+        pos, col, cnt = _flat_pretiled_impl(
+            fields_b, occ_b, g0_b, g1_b, ay_b, au_b, av_b, cfg
+        )
+        total = jax.lax.psum(cnt, "space")
+        return pos, col, cnt[:, None], total[:, None]
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("data", "space"),) + (P("data"),) * 6,
+        out_specs=(
+            P("data", "space"),
+            P("data", "space"),
+            P("data", "space"),
+            P("data", None),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(fn)(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t)
+
+
 def stitch_spatial(
     positions: np.ndarray, colors16: np.ndarray, counts: np.ndarray, s_loc: int
 ) -> Tuple[np.ndarray, np.ndarray]:

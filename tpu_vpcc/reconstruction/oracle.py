@@ -211,8 +211,10 @@ def color_point_cloud(
         if z < map_count:
             planes = attr_video[z + shift]
             ps.colors16bit[i, 0] = planes[0][y, x]
-            # YUV420 chroma indexing (``src/decoder.rs:973-980``)
-            ps.colors16bit[i, 1] = planes[1][y // 2, x // 2]
-            ps.colors16bit[i, 2] = planes[2][y // 2, x // 2]
+            # format-driven chroma indexing (``src/decoder.rs:973-980``):
+            # half-res planes are 4:2:0, full-res are 4:4:4
+            csh = 0 if planes[1].shape == planes[0].shape else 1
+            ps.colors16bit[i, 1] = planes[1][y >> csh, x >> csh]
+            ps.colors16bit[i, 2] = planes[2][y >> csh, x >> csh]
         else:
             raise NotImplementedError("intermediate layer color transfer")

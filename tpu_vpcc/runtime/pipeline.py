@@ -69,22 +69,17 @@ class Params:
     use_device: bool = True  # False: NumPy oracle path (debug/CI)
     queue_depth: int = 1  # reference uses a bounded(1) channel
     num_threads: int = 3  # host video-decode workers per GOF
+    #: optional jax.sharding.Mesh with ('data', 'space') axes: GOF frames
+    #: shard over 'data' and each frame's group table over 'space'
+    #: (see tpu_vpcc.parallel.spatial)
+    mesh: Optional[object] = None
 
-    def __init__(self, compressed_stream_path=None, **kwargs):
-        if isinstance(compressed_stream_path, (bytes, bytearray)):
-            self.compressed_stream_path = bytes(compressed_stream_path)
-        else:
-            self.compressed_stream_path = (
-                Path(compressed_stream_path) if compressed_stream_path else None
-            )
-        for k, v in Params.__dataclass_fields__.items():
-            if k == "compressed_stream_path":
-                continue
-            setattr(self, k, v.default)
-        for k, v in kwargs.items():
-            if not hasattr(self, k):
-                raise TypeError(f"unknown param {k!r}")
-            setattr(self, k, v)
+    def __post_init__(self):
+        src = self.compressed_stream_path
+        if isinstance(src, (bytes, bytearray)):
+            self.compressed_stream_path = bytes(src)
+        elif src is not None and not isinstance(src, Path):
+            self.compressed_stream_path = Path(src)
 
 
 class Decoder:
@@ -191,7 +186,7 @@ class Decoder:
                     pending = prefetcher.submit(prep_next)
                     with stage_timer(gs, "reconstruct"):
                         frames = list(
-                            _reconstruct_gof_device(gof)
+                            _reconstruct_gof_device(gof, mesh=self.params.mesh)
                             if self.params.use_device
                             else _reconstruct_gof_oracle(gof)
                         )
@@ -232,6 +227,11 @@ class GofData:
     geo_shift: int
     attribute_count: int
     frame_count: int
+    # decoded attribute color format: chroma subsampling shift (1 = 4:2:0,
+    # 0 = 4:4:4) and whether the samples are RGB (GBR 4:4:4 content) — the
+    # reference branches on ``color_format()`` (``src/decoder.rs:300-305``)
+    attr_chroma_shift: int = 1
+    attr_is_rgb444: bool = False
     # When tiled, geo/attr planes are block-tiled (n_blocks, t, t) straight
     # from the native decoder copy (luma t = occupancy_resolution, chroma
     # t/2); occupancy stays raw (its size defines occupancy_precision).
@@ -303,6 +303,10 @@ def prepare_gof(
     absolute_d1 = (
         vps.map_count_minus1 == 0 or vps.map_absolute_coding_enable_flag[1]
     )
+    # decoded attribute color format (``src/decoder.rs:300-305`` branches
+    # on it; ``Image::get`` indexes chroma by it, ``:973-980``)
+    attr_chroma_shift = attr_frames[0].chroma_w_shift if attr_frames else 1
+    attr_is_rgb444 = bool(attr_frames and attr_frames[0].is_rgb)
     # the native copy falls back to raw layout when dims don't divide
     tiled = tiled and bool(geo_frames) and geo_frames[0].planes[0].ndim == 3
 
@@ -320,6 +324,8 @@ def prepare_gof(
         geo_shift=geo_shift,
         attribute_count=ai.attribute_count,
         frame_count=frame_count,
+        attr_chroma_shift=attr_chroma_shift,
+        attr_is_rgb444=attr_is_rgb444,
         tiled=tiled,
     )
 
@@ -350,7 +356,7 @@ def decode_gof_frames(context: Context, params: Params) -> Iterator[PointSet3]:
     _check_post_processing_gates(context, params)
     gof = prepare_gof(context, tiled=params.use_device)
     if params.use_device:
-        yield from _reconstruct_gof_device(gof)
+        yield from _reconstruct_gof_device(gof, mesh=params.mesh)
     else:
         yield from _reconstruct_gof_oracle(gof)
 
@@ -420,31 +426,40 @@ def _reconstruct_gof_oracle(gof: GofData) -> Iterator[PointSet3]:
             [attr_video],
         )
         if gof.attribute_count > 0:
-            ps.convert_yuv16_to_rgb8()
+            if gof.attr_is_rgb444:
+                ps.copy_rgb16_to_rgb8()
+            else:
+                ps.convert_yuv16_to_rgb8()
         yield ps
 
 
-def _reconstruct_gof_device(gof: GofData) -> Iterator[PointSet3]:
-    """Device stage: batched reconstruction of the whole GOF + exact host
-    color conversion."""
+@dataclass
+class DeviceInputs:
+    """Host-staged arrays for one device reconstruction dispatch.
+
+    ``arrays`` = (fields, occ, geo0, geo1, attr_y, attr_u, attr_v), each
+    with a leading frame axis; planes are block-tiled when ``use_tiled``.
+    Inputs from different GOFs/streams with equal ``cfg``/``use_tiled``
+    can be concatenated along the frame axis and dispatched together
+    (the multi-stream batcher does exactly that)."""
+
+    cfg: object  # FrameConfig (hashable, static)
+    use_tiled: bool
+    arrays: tuple
+    n_frames: int
+
+    @property
+    def batch_key(self):
+        return (self.cfg, self.use_tiled)
+
+
+def _gof_device_inputs(gof: GofData, metas=None) -> DeviceInputs:
+    """Build the device input arrays for (a chunk of) a GOF's frames."""
     from ..atlas.groups import build_group_table
-    from ..ops.reconstruct import make_config, reconstruct_batch
-    from ..ops.tiled import (
-        reconstruct_batch_pretiled,
-        tile_plane,
-        tiled_supported,
-    )
+    from ..ops.reconstruct import make_config
+    from ..ops.tiled import tile_plane, tiled_supported, untile_plane
 
-    if not gof.metas:
-        return
-    if len(gof.metas) > DEVICE_BATCH:
-        from dataclasses import replace
-
-        for i in range(0, len(gof.metas), DEVICE_BATCH):
-            chunk = replace(gof, metas=gof.metas[i : i + DEVICE_BATCH])
-            yield from _reconstruct_gof_device(chunk)
-        return
-    metas = gof.metas
+    metas = gof.metas if metas is None else metas
     mc = gof.map_count
     cfg = make_config(
         width=metas[0].width,
@@ -454,13 +469,11 @@ def _reconstruct_gof_device(gof: GofData) -> Iterator[PointSet3]:
         map_count=mc,
         absolute_d1=gof.absolute_d1,
         geo_shift=gof.geo_shift,
+        chroma_shift=gof.attr_chroma_shift,
     )
-    from ..ops.tiled import untile_plane
-
     tables = [build_group_table(m) for m in metas]
     fields = np.stack([t.fields for t in tables])
     use_tiled = tiled_supported(cfg) and all(t.tiled_ok for t in tables)
-    F = len(metas)
     res = cfg.occupancy_resolution
     occ = np.stack([gof.occ_planes[m.frame_index] for m in metas])
 
@@ -481,79 +494,146 @@ def _reconstruct_gof_device(gof: GofData) -> Iterator[PointSet3]:
             for m in metas
         ]
     )
-    ay = np.stack(
-        [
-            np.stack(
-                [
-                    maybe_untile(gof.attr_planes[m.frame_index * mc + z][0], res)
-                    for z in range(mc)
-                ]
-            )
-            for m in metas
-        ]
-    )
-    au = np.stack(
-        [
-            np.stack(
-                [
-                    maybe_untile(
-                        gof.attr_planes[m.frame_index * mc + z][1], res // 2
-                    )
-                    for z in range(mc)
-                ]
-            )
-            for m in metas
-        ]
-    )
-    av = np.stack(
-        [
-            np.stack(
-                [
-                    maybe_untile(
-                        gof.attr_planes[m.frame_index * mc + z][2], res // 2
-                    )
-                    for z in range(mc)
-                ]
-            )
-            for m in metas
-        ]
-    )
+
+    def attr_stack(plane_idx, t):
+        return np.stack(
+            [
+                np.stack(
+                    [
+                        maybe_untile(
+                            gof.attr_planes[m.frame_index * mc + z][plane_idx], t
+                        )
+                        for z in range(mc)
+                    ]
+                )
+                for m in metas
+            ]
+        )
+
+    ctile = res >> cfg.chroma_shift
+    ay = attr_stack(0, res)
+    au = attr_stack(1, ctile)
+    av = attr_stack(2, ctile)
 
     if use_tiled:
         if not gof.tiled:
             geo0 = tile_plane(geo0, res)
             geo1 = tile_plane(geo1, res)
             ay = tile_plane(ay, res)
-            au = tile_plane(au, res // 2)
-            av = tile_plane(av, res // 2)
+            au = tile_plane(au, ctile)
+            av = tile_plane(av, ctile)
+        occ = tile_plane(occ, res // cfg.occupancy_precision)
+
+    return DeviceInputs(
+        cfg=cfg,
+        use_tiled=use_tiled,
+        arrays=(fields, occ, geo0, geo1, ay, au, av),
+        n_frames=len(metas),
+    )
+
+
+_take_shard_prefix = None
+
+
+def _fetch_sharded(positions, colors16, counts, n_space: int, s_loc: int):
+    """Prefix fetch + host stitch of the mesh-sharded output layout:
+    each frame's shard d rows are [d*s_loc, d*s_loc + counts[f, d])."""
+    import functools
+
+    import jax
+
+    global _take_shard_prefix
+    counts = np.asarray(counts)  # (F, n_space)
+    n_max = int(counts.max()) if counts.size else 0
+    per_frame = []
+    if n_max == 0:
+        z = np.empty((0, 3), dtype=np.uint16)
+        return [(z, z) for _ in range(counts.shape[0])]
+    bucket = 1
+    while bucket < n_max:
+        bucket *= 2
+    bucket = min(bucket, s_loc)
+    if _take_shard_prefix is None:
+
+        @functools.partial(jax.jit, static_argnames=("ns", "b"))
+        def take(pos, col, ns, b):
+            F, S, _ = pos.shape
+            p = pos.reshape(F, ns, S // ns, 3)[:, :, :b]
+            c = col.reshape(F, ns, S // ns, 3)[:, :, :b]
+            return p, c
+
+        _take_shard_prefix = take
+    p, c = _take_shard_prefix(positions, colors16, ns=n_space, b=bucket)
+    p, c = np.asarray(p), np.asarray(c)  # (F, n_space, bucket, 3)
+    for f in range(counts.shape[0]):
+        parts_p = [p[f, d, : counts[f, d]] for d in range(n_space)]
+        parts_c = [c[f, d, : counts[f, d]] for d in range(n_space)]
+        per_frame.append((np.concatenate(parts_p), np.concatenate(parts_c)))
+    return per_frame
+
+
+def _dispatch_device(di: DeviceInputs, mesh=None):
+    """Run one device dispatch; returns a per-frame list of host
+    (positions (n,3) u16, colors16 (n,3) u16) in emission order."""
+    from ..ops.reconstruct import reconstruct_batch
+    from ..ops.tiled import reconstruct_batch_pretiled
+
+    if mesh is not None and di.use_tiled:
+        from ..parallel.mesh import pad_batch
+        from ..parallel.spatial import reconstruct_gof_spatial_pretiled
+
+        data = mesh.shape["data"]
+        n_space = mesh.shape["space"]
+        if di.cfg.g_cap % n_space == 0:
+            arrays = [pad_batch(a, data) for a in di.arrays]
+            pos, col, cnt, _ = reconstruct_gof_spatial_pretiled(
+                mesh, *arrays, di.cfg
+            )
+            s_loc = di.cfg.s_cap // n_space
+            return _fetch_sharded(pos, col, cnt, n_space, s_loc)[: di.n_frames]
+        # g_cap not divisible by the mesh's space axis: single-device path
+
+    if di.use_tiled:
         positions, colors16, counts = reconstruct_batch_pretiled(
-            fields,
-            tile_plane(occ, res // cfg.occupancy_precision),
-            geo0,
-            geo1,
-            ay,
-            au,
-            av,
-            cfg,
+            *di.arrays, di.cfg
         )
     else:
-        positions, colors16, counts = reconstruct_batch(
-            fields, occ, geo0, geo1, ay, au, av, cfg
-        )
+        positions, colors16, counts = reconstruct_batch(*di.arrays, di.cfg)
     counts = np.asarray(counts)
     pos_all, col_all = _fetch_prefixes(positions, colors16, counts)
+    return [
+        (pos_all[k, : counts[k]], col_all[k, : counts[k]])
+        for k in range(di.n_frames)
+    ]
 
-    for k in range(F):
-        n = int(counts[k])
-        ps = PointSet3(
-            positions=pos_all[k, :n].copy(),
-            colors16bit=col_all[k, :n].copy(),
-            with_colors=gof.attribute_count > 0,
-        )
-        if gof.attribute_count > 0:
+
+def _emit_pointset(pos: np.ndarray, col: np.ndarray, gof: GofData) -> PointSet3:
+    ps = PointSet3(
+        positions=pos.copy(),
+        colors16bit=col.copy(),
+        with_colors=gof.attribute_count > 0,
+    )
+    if gof.attribute_count > 0:
+        if gof.attr_is_rgb444:
+            # decoded attribute is already RGB (GBR 4:4:4 content): plain
+            # 16->8 bit copy, no matrix (``src/decoder.rs:300-305``)
+            ps.copy_rgb16_to_rgb8()
+        else:
             # exact f64 BT.709 conversion on host (bit-exactness; TPUs have
             # no native f64) — ``src/codec.rs:661-687``
             ps.convert_yuv16_to_rgb8()
-        else:
-            ps.colors = np.empty((n, 3), dtype=np.uint8)
-        yield ps
+    else:
+        ps.colors = np.empty((len(ps), 3), dtype=np.uint8)
+    return ps
+
+
+def _reconstruct_gof_device(gof: GofData, mesh=None) -> Iterator[PointSet3]:
+    """Device stage: batched reconstruction of the whole GOF + exact host
+    color conversion."""
+    if not gof.metas:
+        return
+    chunk = DEVICE_BATCH * (mesh.shape["data"] if mesh is not None else 1)
+    for i in range(0, len(gof.metas), chunk):
+        di = _gof_device_inputs(gof, gof.metas[i : i + chunk])
+        for pos, col in _dispatch_device(di, mesh=mesh):
+            yield _emit_pointset(pos, col, gof)

@@ -161,7 +161,13 @@ def parse_nal_sample_stream(context: Context, bs: Bitstream) -> None:
         nalu_size = bs.read(8 * precision)
         end_pos = bs.byte_pos + nalu_size
         bs.read(1)  # forbidden zero bit
-        unit_type = NalUnitType(bs.read(6))
+        raw_type = bs.read(6)
+        try:
+            unit_type = NalUnitType(raw_type)
+        except ValueError:
+            # 48-63: unspecified non-ACL NAL types — degrade gracefully
+            # (the reference's FromPrimitive cast panics here)
+            raise UnsupportedFeature(f"unspecified NAL unit type {raw_type}")
         _layer_id = bs.read(6)
         _temporal_id_plus1 = bs.read(3)
         if unit_type == NalUnitType.ASPS:

@@ -83,6 +83,13 @@ class NalUnitType(enum.IntEnum):
     RASL_R = 9
     SKIP_N = 10
     SKIP_R = 11
+    # 12-15: reserved non-IRAP sub-layer ACL types (spec-reserved; the
+    # reference leaves them out of its enum and panics on FromPrimitive —
+    # we map them and raise UnsupportedFeature at dispatch instead)
+    RSV_ACL_N12 = 12
+    RSV_ACL_R13 = 13
+    RSV_ACL_N14 = 14
+    RSV_ACL_R15 = 15
     BLA_W_LP = 16
     BLA_W_RADL = 17
     BLA_N_LP = 18
@@ -95,6 +102,15 @@ class NalUnitType(enum.IntEnum):
     GIDR_N_LP = 25
     CRA = 26
     GCRA = 27
+    # 28-29: reserved IRAP ACL; 30-35: reserved non-IRAP ACL
+    RSV_IRAP_ACL_28 = 28
+    RSV_IRAP_ACL_29 = 29
+    RSV_ACL_30 = 30
+    RSV_ACL_31 = 31
+    RSV_ACL_32 = 32
+    RSV_ACL_33 = 33
+    RSV_ACL_34 = 34
+    RSV_ACL_35 = 35
     ASPS = 36
     AFPS = 37
     AUD = 38
@@ -110,7 +126,7 @@ class NalUnitType(enum.IntEnum):
 
     @property
     def is_acl(self) -> bool:
-        return self <= NalUnitType.GCRA
+        return self <= NalUnitType.RSV_ACL_35
 
     @property
     def is_prefix_sei(self) -> bool:

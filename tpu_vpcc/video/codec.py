@@ -118,6 +118,7 @@ class VideoFrame:
     bit_depth: int
     chroma_w_shift: int
     chroma_h_shift: int
+    is_rgb: bool = False  # GBR-family format (plane order G,B,R as decoded)
 
     @property
     def width(self) -> int:
@@ -157,10 +158,11 @@ def decode_annexb(
             )
         frames: List[VideoFrame] = []
         n = lib.vdec_frame_count(handle)
-        info = (ctypes.c_int * 5)()
+        info = (ctypes.c_int * 6)()
         for i in range(n):
             lib.vdec_frame_info(handle, i, info)
             w, h, bit_depth, cws, chs = info[0], info[1], info[2], info[3], info[4]
+            is_rgb = bool(info[5])
             dtype = np.uint16 if bit_depth > 8 else np.uint8
             planes = []
             for p in range(3):
@@ -188,6 +190,7 @@ def decode_annexb(
                     bit_depth=bit_depth,
                     chroma_w_shift=cws,
                     chroma_h_shift=chs,
+                    is_rgb=is_rgb,
                 )
             )
         return frames

@@ -36,6 +36,7 @@ struct Frame {
   int bit_depth = 8;
   int chroma_w_shift = 1;  // 4:2:0
   int chroma_h_shift = 1;
+  int is_rgb = 0;  // GBR-family pixel format (AV_PIX_FMT_FLAG_RGB)
 };
 
 struct DecoderCtx {
@@ -57,6 +58,7 @@ void copy_frame(DecoderCtx* d, const AVFrame* src) {
   out.bit_depth = desc->comp[0].depth;
   out.chroma_w_shift = desc->log2_chroma_w;
   out.chroma_h_shift = desc->log2_chroma_h;
+  out.is_rgb = (desc->flags & AV_PIX_FMT_FLAG_RGB) ? 1 : 0;
   int bps = out.bit_depth > 8 ? 2 : 1;
   for (int p = 0; p < 3; ++p) {
     int w = p == 0 ? src->width : (src->width >> out.chroma_w_shift);
@@ -176,7 +178,7 @@ int vdec_frame_count(void* handle) {
 }
 
 // info[0]=width, info[1]=height, info[2]=bit_depth,
-// info[3]=chroma_w_shift, info[4]=chroma_h_shift
+// info[3]=chroma_w_shift, info[4]=chroma_h_shift, info[5]=is_rgb
 int vdec_frame_info(void* handle, int index, int* info) {
   auto* d = static_cast<DecoderCtx*>(handle);
   if (index < 0 || index >= static_cast<int>(d->frames.size())) return -1;
@@ -186,6 +188,7 @@ int vdec_frame_info(void* handle, int index, int* info) {
   info[2] = f.bit_depth;
   info[3] = f.chroma_w_shift;
   info[4] = f.chroma_h_shift;
+  info[5] = f.is_rgb;
   return 0;
 }
 
