@@ -1,0 +1,154 @@
+"""Inter/merge/skip patch reconstruction (random-access P-tiles).
+
+The reference panics on non-I tiles (``decoder.rs:403-407,487-501``);
+this framework implements the TMC2 v18 derivation. Fixtures code frame 0
+as an IDR I-tile and subsequent frames as P-tiles referencing the
+previous frame; the synthetic patch metadata is the ground truth the
+derivation must reproduce, and the NumPy oracle on the lossless planes
+defines the exact point output.
+"""
+
+from dataclasses import replace
+
+import numpy as np
+import pytest
+
+from tpu_vpcc.atlas.patches import create_patch_frames
+from tpu_vpcc.bitio import Bitstream
+from tpu_vpcc.runtime.pipeline import Decoder, Params
+from tpu_vpcc.utils.fixtures import build_fixture_stream
+from tpu_vpcc.utils.ply import format_ply
+from tpu_vpcc.utils.synthetic import make_synthetic_frame
+from tpu_vpcc.v3c.context import Context
+from tpu_vpcc.v3c.stream import SampleStreamV3CUnit
+from tpu_vpcc.video import encoder_supports
+
+pytestmark = pytest.mark.skipif(
+    not (encoder_supports(8) and encoder_supports(10)),
+    reason="libx265 lossless 8/10-bit required for fixtures",
+)
+
+W = H = 64
+RES = 8
+PREC = 4
+
+
+def shift_d1(patch, delta):
+    """d1 += delta along the patch's projection direction (mode-aware)."""
+    return replace(patch, d1=patch.d1 + delta)
+
+
+def make_p_sequence(seed=7):
+    """frame0: I. frame1: P with [inter, merge3d, merge2d, skip].
+    frame2: SKIP tile (replicates frame1's patch list)."""
+    rng = np.random.default_rng(seed)
+    f0 = make_synthetic_frame(
+        rng, width=W, height=H, occupancy_resolution=RES,
+        occupancy_precision=PREC, n_patches=4, frame_index=0,
+    )
+    p0 = f0.meta.patches
+    assert len(p0) == 4
+    # footprints unchanged (uv0/size kept) so the canvas stays valid;
+    # 3D params move, which is what inter/merge3d actually code
+    p1 = [
+        replace(shift_d1(p0[0], +3), uv1=(p0[0].uv1[0] + 5, p0[0].uv1[1] - 2)),
+        replace(shift_d1(p0[1], -1), uv1=(p0[1].uv1[0] + 1, p0[1].uv1[1] + 1)),
+        replace(p0[2]),  # merge2d with zero deltas (2d group coded, 3d copied)
+        replace(p0[3]),  # skip: identity
+    ]
+    modes1 = [("inter", 0), "merge3d", "merge2d", "skip"]
+    f1 = make_synthetic_frame(
+        rng, width=W, height=H, occupancy_resolution=RES,
+        occupancy_precision=PREC, frame_index=1, patches=p1,
+    )
+    f2 = make_synthetic_frame(
+        rng, width=W, height=H, occupancy_resolution=RES,
+        occupancy_precision=PREC, frame_index=2, patches=[replace(p) for p in p1],
+    )
+    frames = [f0, f1, f2]
+    stream = build_fixture_stream(frames, p_modes={1: modes1, 2: "skip_tile"})
+    return frames, stream
+
+
+GEOM_FIELDS = (
+    "uv0", "size_uv0", "uv1", "d1", "level_of_detail", "projection_mode",
+    "axes", "axis_of_additional_plane", "patch_orientation",
+    "occupancy_resolution",
+)
+
+
+def test_p_tile_patch_derivation_matches_source():
+    frames, stream = make_p_sequence()
+    ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(stream))
+    ctx = Context()
+    ssvu.decode_gof(ctx)
+    metas = create_patch_frames(ctx)
+    assert len(metas) == 3
+    for meta, sf in zip(metas, frames):
+        assert len(meta.patches) == len(sf.meta.patches)
+        for got, want in zip(meta.patches, sf.meta.patches):
+            for f in GEOM_FIELDS:
+                assert getattr(got, f) == getattr(want, f), (
+                    f"frame {meta.frame_index}: field {f}: "
+                    f"{getattr(got, f)} != {getattr(want, f)}"
+                )
+
+
+def test_p_tile_e2e_device_matches_oracle():
+    _, stream = make_p_sequence(seed=11)
+    d1 = Decoder(Params(stream, use_device=True))
+    d1.start()
+    dev = list(d1)
+    d2 = Decoder(Params(stream, use_device=False))
+    d2.start()
+    orc = list(d2)
+    assert len(dev) == len(orc) == 3
+    assert all(len(f) > 0 for f in dev)
+    for a, b in zip(dev, orc):
+        assert format_ply(a) == format_ply(b)
+
+
+def test_p_tile_inter_with_2d_motion():
+    """An inter patch that also moves on the canvas (2d deltas != 0)."""
+    rng = np.random.default_rng(3)
+    # one patch with guaranteed slack to move one block right/down
+    f0 = make_synthetic_frame(
+        rng, width=W, height=H, occupancy_resolution=RES,
+        occupancy_precision=PREC, n_patches=1, frame_index=0,
+        allow_swap=False,
+    )
+    p = f0.meta.patches[0]
+    bw, bh = W // RES, H // RES
+    if p.uv0[0] + p.size_uv0[0] >= bw or p.uv0[1] + p.size_uv0[1] >= bh:
+        p = replace(p, uv0=(0, 0), size_uv0=(1, 1))
+        f0 = make_synthetic_frame(
+            rng, width=W, height=H, occupancy_resolution=RES,
+            occupancy_precision=PREC, frame_index=0, patches=[p],
+        )
+    moved = replace(p, uv0=(p.uv0[0] + 1, p.uv0[1] + 1))
+    f1 = make_synthetic_frame(
+        rng, width=W, height=H, occupancy_resolution=RES,
+        occupancy_precision=PREC, frame_index=1, patches=[moved],
+    )
+    stream = build_fixture_stream([f0, f1], p_modes={1: [("inter", 0)]})
+    ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(stream))
+    ctx = Context()
+    ssvu.decode_gof(ctx)
+    metas = create_patch_frames(ctx)
+    got = metas[1].patches[0]
+    assert got.uv0 == moved.uv0
+    assert got.size_uv0 == moved.size_uv0
+    d = Decoder(Params(stream))
+    d.start()
+    out = list(d)
+    assert len(out) == 2 and all(len(f) > 0 for f in out)
+
+
+def test_skip_tile_replicates_previous_frame_patches():
+    frames, stream = make_p_sequence(seed=19)
+    ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(stream))
+    ctx = Context()
+    ssvu.decode_gof(ctx)
+    metas = create_patch_frames(ctx)
+    for got, want in zip(metas[2].patches, metas[1].patches):
+        assert got == want

@@ -6,11 +6,16 @@ Host-side port of the reference's ``create_patch_frame`` orchestration
 canvas transform, and depth → 3D point generation. The per-pixel versions
 of these transforms live in ``tpu_vpcc.ops`` as whole-frame device kernels;
 this module is the scalar/metadata source of truth.
+
+Beyond reference parity: inter/merge/skip patch derivation for P- and
+SKIP-tiles (random-access streams) is implemented per TMC2 v18 /
+ISO 23090-5 §9.2.6 — the reference panics at those sites
+(``decoder.rs:403-407,487-501``).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import List, Tuple
 
 import numpy as np
@@ -193,6 +198,115 @@ def _patch_type(tile_type: TileType, patch_mode: int) -> str:
     return "error"
 
 
+def ref_afoc_list(context: Context, ath, cur_afoc: int) -> List[int]:
+    """Active reference-AFOC list for a tile (23090-5 §8.4.3.2).
+
+    Short-term entry j: RefAfoc = CurrAfoc - DeltaAfocSt where
+    DeltaAfocSt = abs_delta_afoc_st * (+1 if sign flag else -1) — sign
+    flag 1 means the delta is non-negative, so the common (delta=1,
+    sign=1) entry references the previous frame. Long-term entries carry
+    the target AFOC lsb directly. The active list is re-resolved from
+    the FINAL ref_atlas_frame_list_idx (the header parser stores the
+    index-0 struct before reading the index, mirroring the reference's
+    read order, ``reader.rs:1608-1631``).
+    """
+    afps = context.get_afps(ath.atlas_frame_parameter_set_id)
+    asps = context.get_asps(afps.atlas_sequence_parameter_set_id)
+    rls = (
+        asps.ref_list_struct[ath.ref_atlas_frame_list_idx]
+        if ath.ref_atlas_frame_list_sps_flag
+        else ath.ref_list_struct
+    )
+    cur = cur_afoc
+    out: List[int] = []
+    st_i = lt_i = 0
+    for j in range(rls.num_ref_entries):
+        if rls.st_ref_atlas_frame_flag[j]:
+            delta = rls.abs_delta_afoc_st[st_i]
+            if not rls.strpf_entry_sign_flag[st_i]:
+                delta = -delta
+            st_i += 1
+            out.append(cur - delta)
+        else:
+            out.append(rls.afoc_lsb_lt[lt_i])
+            lt_i += 1
+    return out
+
+
+def _derive_inter_patch(
+    pdu, ref: Patch, min_level: int, geometry_bitdepth_3d: int,
+    packing_block_size: int,
+) -> Patch:
+    """Inter patch derivation (TMC2 v18 ``PCCDecoder`` PATCH_MODE_P_INTER;
+    the reference panics here, ``decoder.rs:487-489`` — this framework
+    implements the derivation, exceeding reference parity).
+
+    All 2D/3D position fields are signed deltas against the reference
+    patch; orientation, axes, projection mode and LoD are inherited.
+    """
+    patch = Patch(
+        occupancy_resolution=packing_block_size,
+        uv0=(ref.uv0[0] + pdu.pos_2d[0], ref.uv0[1] + pdu.pos_2d[1]),
+        size_uv0=(
+            ref.size_uv0[0] + pdu.delta_2d_size[0],
+            ref.size_uv0[1] + pdu.delta_2d_size[1],
+        ),
+        uv1=(
+            ref.uv1[0] + pdu.pos_3d_offset[0],
+            ref.uv1[1] + pdu.pos_3d_offset[1],
+        ),
+        level_of_detail=ref.level_of_detail,
+        projection_mode=ref.projection_mode,
+        axes=ref.axes,
+        axis_of_additional_plane=ref.axis_of_additional_plane,
+        patch_orientation=ref.patch_orientation,
+    )
+    max3d = 1 << geometry_bitdepth_3d
+    if ref.projection_mode == 0:
+        patch.d1 = (pdu.pos_3d_offset_d + ref.d1 // min_level) * min_level
+    else:
+        patch.d1 = max3d - (
+            pdu.pos_3d_offset_d + (max3d - ref.d1) // min_level
+        ) * min_level
+    # sizeD per TMC2 (not consumed by the rec0 reconstruction math):
+    # quantized previous range + coded delta, clamped at 255
+    prev_dd = -(-ref.size_d // min_level)  # ceil
+    patch.size_d = min((pdu.pos_3d_range_d + prev_dd) * min_level, 255)
+    return patch
+
+
+def _derive_merge_patch(
+    pdu, ref: Patch, min_level: int, geometry_bitdepth_3d: int,
+    packing_block_size: int,
+) -> Patch:
+    """Merge patch derivation (TMC2 v18 PATCH_MODE_P_MERGE): start from
+    the same-index patch of the reference tile and override the 2D or 3D
+    parameter group. Note the bitstream layout carries the 3D fields even
+    when override_3d_params_flag is 0 (mirroring the reference parser,
+    ``reader.rs:2019-2024``); they are applied only when the flag is set,
+    per 23090-5 §9.2.6."""
+    patch = replace(ref, occupancy_resolution=packing_block_size)
+    if pdu.override_2d_params_flag:
+        patch.uv0 = (ref.uv0[0] + pdu.pos_2d[0], ref.uv0[1] + pdu.pos_2d[1])
+        patch.size_uv0 = (
+            ref.size_uv0[0] + pdu.delta_2d_size[0],
+            ref.size_uv0[1] + pdu.delta_2d_size[1],
+        )
+    elif pdu.override_3d_params_flag:
+        patch.uv1 = (
+            ref.uv1[0] + pdu.pos_3d_offset[0],
+            ref.uv1[1] + pdu.pos_3d_offset[1],
+        )
+        max3d = 1 << geometry_bitdepth_3d
+        if ref.projection_mode == 0:
+            patch.d1 = (pdu.pos_3d_offset_d + ref.d1 // min_level) * min_level
+        else:
+            patch.d1 = max3d - (
+                pdu.pos_3d_offset_d + (max3d - ref.d1) // min_level
+            ) * min_level
+    return patch
+
+
 def create_patch_frames(context: Context) -> List[FrameMeta]:
     """Build per-frame patch metadata from all tile layers in the context.
 
@@ -212,6 +326,8 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
         atl.header.frame_index = val & 0xFF  # u8 cast in the reference
         frame_count = max(frame_count, val + 1)
 
+    by_afoc = {}  # decoded frames by AFOC val, for inter/merge/skip refs
+
     for atgl_idx in range(context.atlas_tile_layer_len()):
         atl = context.get_atlas_tile_layer(atgl_idx)
         ath = atl.header
@@ -219,11 +335,6 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
         asps = context.get_asps(afps.atlas_sequence_parameter_set_id)
         geometry_bitdepth_3d = asps.geometry_3d_bitdepth_minus1 + 1
         frame_index = ath.frame_index
-
-        if frame_index > 0 and ath.tile_type != TileType.I:
-            raise UnsupportedFeature(
-                "non-I tiles at frame_index > 0 (inter patch reconstruction)"
-            )
 
         meta = FrameMeta(
             frame_index=frame_index,
@@ -237,7 +348,32 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
         min_level = 1 << ath.pos_min_d_quantizer
         packing_block_size = 1 << asps.log2_patch_packing_block_size
 
-        for pid in atl.patch_information_data:
+        def ref_frame(ref_index: int) -> FrameMeta:
+            afocs = ref_afoc_list(context, ath, atl.atlas_frame_order_count_val)
+            if ref_index >= len(afocs):
+                raise UnsupportedFeature(
+                    f"ref index {ref_index} beyond the active ref list"
+                )
+            afoc = afocs[ref_index]
+            if afoc not in by_afoc:
+                raise UnsupportedFeature(
+                    f"reference frame afoc={afoc} not decoded (GOFs are "
+                    f"independent; refs cannot cross a GOF boundary)"
+                )
+            return by_afoc[afoc]
+
+        if ath.tile_type == TileType.SKIP:
+            # SKIP tile: the whole patch list replicates the first
+            # reference frame's (TMC2 v18; the reference decoder panics
+            # on non-I tiles, ``decoder.rs:403-407``)
+            ref = ref_frame(0)
+            meta.patches = [replace(p) for p in ref.patches]
+            by_afoc[atl.atlas_frame_order_count_val] = meta
+            frames.append(meta)
+            continue
+
+        pred_index = 0  # inter-patch index predictor (TMC2 predIndex)
+        for cur_idx, pid in enumerate(atl.patch_information_data):
             ptype = _patch_type(ath.tile_type, pid.patch_mode)
             if ptype == "intra":
                 pdu: IntraPatchDataUnit = pid.patch_data_unit
@@ -261,12 +397,50 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                 if patch.axes not in ((0, 2, 1), (1, 2, 0), (2, 0, 1)):
                     raise UnsupportedFeature(f"unexpected axes {patch.axes}")
                 meta.patches.append(patch)
-            elif ptype in ("inter", "merge"):
-                raise UnsupportedFeature(f"{ptype} patch reconstruction")
+            elif ptype == "inter":
+                pdu = pid.patch_data_unit
+                ref = ref_frame(pdu.ref_index)
+                ref_patch_idx = pred_index + pdu.ref_patch_index
+                if not 0 <= ref_patch_idx < len(ref.patches):
+                    raise UnsupportedFeature(
+                        f"inter ref patch index {ref_patch_idx} out of range"
+                    )
+                pred_index = ref_patch_idx + 1
+                meta.patches.append(
+                    _derive_inter_patch(
+                        pdu, ref.patches[ref_patch_idx], min_level,
+                        geometry_bitdepth_3d, packing_block_size,
+                    )
+                )
+            elif ptype == "merge":
+                pdu = pid.patch_data_unit
+                ref = ref_frame(pdu.ref_index)
+                if cur_idx >= len(ref.patches):
+                    raise UnsupportedFeature(
+                        f"merge patch index {cur_idx} beyond reference list"
+                    )
+                meta.patches.append(
+                    _derive_merge_patch(
+                        pdu, ref.patches[cur_idx], min_level,
+                        geometry_bitdepth_3d, packing_block_size,
+                    )
+                )
             elif ptype == "skip":
-                raise UnsupportedFeature("skip patch in bitstream")
+                # P_SKIP: verbatim copy of the same-index reference patch
+                ref = ref_frame(0)
+                if cur_idx >= len(ref.patches):
+                    raise UnsupportedFeature(
+                        f"skip patch index {cur_idx} beyond reference list"
+                    )
+                meta.patches.append(
+                    replace(
+                        ref.patches[cur_idx],
+                        occupancy_resolution=packing_block_size,
+                    )
+                )
             else:
                 raise UnsupportedFeature(f"unknown patch mode {pid.patch_mode}")
+        by_afoc[atl.atlas_frame_order_count_val] = meta
         frames.append(meta)
 
     return frames

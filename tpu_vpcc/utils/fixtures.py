@@ -23,11 +23,16 @@ from ..v3c.syntax import (
     AtlasTileLayer,
     AttributeInformation,
     GeometryInformation,
+    InterPatchDataUnit,
     IntraPatchDataUnit,
+    MergePatchDataUnit,
     NalUnitType,
     OccupancyInformation,
     PatchInformationData,
     PatchModeITile,
+    PatchModePTile,
+    RefListStruct,
+    SkipPatchDataUnit,
     TileType,
     V3CParameterSet,
     V3CUnitType,
@@ -66,6 +71,71 @@ def patch_to_pdu(
     )
 
 
+def patch_to_inter_pdu(
+    patch: Patch,
+    ref: Patch,
+    ref_patch_idx: int,
+    pred_index: int,
+    geometry_bitdepth_3d: int,
+    min_level: int = 1,
+) -> InterPatchDataUnit:
+    """Invert the inter-patch derivation (`atlas.patches._derive_inter_patch`):
+    encode ``patch`` as signed deltas against ``ref``. Orientation, axes,
+    projection mode and LoD must already match (they are inherited)."""
+    assert patch.patch_orientation == ref.patch_orientation
+    assert patch.axes == ref.axes and patch.projection_mode == ref.projection_mode
+    max3d = 1 << geometry_bitdepth_3d
+    if ref.projection_mode == 0:
+        dd = patch.d1 // min_level - ref.d1 // min_level
+    else:
+        dd = (max3d - patch.d1) // min_level - (max3d - ref.d1) // min_level
+    return InterPatchDataUnit(
+        ref_index=0,
+        ref_patch_index=ref_patch_idx - pred_index,
+        pos_2d=(patch.uv0[0] - ref.uv0[0], patch.uv0[1] - ref.uv0[1]),
+        delta_2d_size=(
+            patch.size_uv0[0] - ref.size_uv0[0],
+            patch.size_uv0[1] - ref.size_uv0[1],
+        ),
+        pos_3d_offset=(patch.uv1[0] - ref.uv1[0], patch.uv1[1] - ref.uv1[1]),
+        pos_3d_offset_d=dd,
+        pos_3d_range_d=0,
+    )
+
+
+def patch_to_merge_pdu(
+    patch: Patch,
+    ref: Patch,
+    override_2d: bool,
+    geometry_bitdepth_3d: int,
+    min_level: int = 1,
+) -> MergePatchDataUnit:
+    """Invert the merge-patch derivation: either the 2D or the 3D group
+    is coded as deltas against the same-index reference patch."""
+    max3d = 1 << geometry_bitdepth_3d
+    if override_2d:
+        assert patch.uv1 == ref.uv1 and patch.d1 == ref.d1
+        return MergePatchDataUnit(
+            override_2d_params_flag=True,
+            pos_2d=(patch.uv0[0] - ref.uv0[0], patch.uv0[1] - ref.uv0[1]),
+            delta_2d_size=(
+                patch.size_uv0[0] - ref.size_uv0[0],
+                patch.size_uv0[1] - ref.size_uv0[1],
+            ),
+        )
+    assert patch.uv0 == ref.uv0 and patch.size_uv0 == ref.size_uv0
+    if ref.projection_mode == 0:
+        dd = patch.d1 // min_level - ref.d1 // min_level
+    else:
+        dd = (max3d - patch.d1) // min_level - (max3d - ref.d1) // min_level
+    return MergePatchDataUnit(
+        override_2d_params_flag=False,
+        override_3d_params_flag=True,
+        pos_3d_offset=(patch.uv1[0] - ref.uv1[0], patch.uv1[1] - ref.uv1[1]),
+        pos_3d_offset_d=dd,
+    )
+
+
 def concat_streams(streams: List[bytes]) -> bytes:
     """Concatenate single-GOF sample streams into one multi-GOF file.
 
@@ -88,8 +158,18 @@ def build_fixture_stream(
     geometry_bitdepth_3d: int = 10,
     qp: int = 0,
     lossless: bool = True,
+    p_modes=None,
 ) -> bytes:
-    """Build a complete single-GOF V3C sample-stream file."""
+    """Build a complete single-GOF V3C sample-stream file.
+
+    ``p_modes`` (optional) maps a frame index to either the string
+    ``"skip_tile"`` (the whole tile replicates the previous frame's patch
+    list) or a per-patch mode list for a P-tile referencing the previous
+    frame: ``"intra"``, ``("inter", ref_patch_idx)``, ``"merge2d"``,
+    ``"merge3d"``, or ``"skip"``. Frames not in the map are coded as
+    I-tiles. P-coded streams disable normal_axis_max_delta (the parser
+    rejects inter patches with it, matching the reference).
+    """
     f0 = frames[0]
     width, height = f0.meta.width, f0.meta.height
     res = f0.occupancy_resolution
@@ -135,7 +215,19 @@ def build_fixture_stream(
     asps.log2_patch_packing_block_size = log2_block
     asps.map_count_minus1 = map_count - 1
     asps.normal_axis_limits_quantization_enabled_flag = True
-    asps.normal_axis_max_delta_value_enabled_flag = True
+    asps.normal_axis_max_delta_value_enabled_flag = p_modes is None
+    if p_modes is not None:
+        # one sps ref list: "previous frame" (delta 1, non-negative sign)
+        asps.num_ref_atlas_frame_lists_in_asps = 1
+        asps.ref_list_struct = [
+            RefListStruct(
+                num_ref_entries=1,
+                abs_delta_afoc_st=[1],
+                afoc_lsb_lt=[],
+                st_ref_atlas_frame_flag=[True],
+                strpf_entry_sign_flag=[True],
+            )
+        ]
 
     afps = AtlasFrameParameterSet()
 
@@ -143,23 +235,69 @@ def build_fixture_stream(
         w3c.wrap_nal_unit(NalUnitType.ASPS, w3c.write_asps(asps)),
         w3c.wrap_nal_unit(NalUnitType.AFPS, w3c.write_afps(afps, asps)),
     ]
-    for sf in frames:
+    for fi, sf in enumerate(frames):
+        spec = (p_modes or {}).get(sf.meta.frame_index)
         ath = AtlasTileHeader()
-        ath.tile_type = TileType.I
         ath.atlas_frame_order_count_lsb = sf.meta.frame_index
         ath.pos_min_d_quantizer = 0
+        ath.ref_atlas_frame_list_sps_flag = p_modes is not None
         atl = AtlasTileLayer(header=ath)
-        for patch in sf.meta.patches:
-            atl.patch_information_data.append(
-                PatchInformationData(
-                    patch_mode=int(PatchModeITile.INTRA),
-                    patch_data_unit=patch_to_pdu(patch, geometry_bitdepth_3d),
+        if spec is None:
+            ath.tile_type = TileType.I
+            nal_type = NalUnitType.IDR_N_LP
+            for patch in sf.meta.patches:
+                atl.patch_information_data.append(
+                    PatchInformationData(
+                        patch_mode=int(PatchModeITile.INTRA),
+                        patch_data_unit=patch_to_pdu(patch, geometry_bitdepth_3d),
+                    )
                 )
-            )
+        elif spec == "skip_tile":
+            ath.tile_type = TileType.SKIP
+            nal_type = NalUnitType.TRAIL_R
+        else:
+            ath.tile_type = TileType.P
+            nal_type = NalUnitType.TRAIL_R
+            ref_meta = frames[fi - 1].meta
+            pred_index = 0
+            assert len(spec) == len(sf.meta.patches)
+            for i, (patch, mode) in enumerate(zip(sf.meta.patches, spec)):
+                if mode == "intra":
+                    pid = PatchInformationData(
+                        patch_mode=int(PatchModePTile.INTRA),
+                        patch_data_unit=patch_to_pdu(patch, geometry_bitdepth_3d),
+                    )
+                elif isinstance(mode, tuple) and mode[0] == "inter":
+                    rpi = mode[1]
+                    pid = PatchInformationData(
+                        patch_mode=int(PatchModePTile.INTER),
+                        patch_data_unit=patch_to_inter_pdu(
+                            patch, ref_meta.patches[rpi], rpi, pred_index,
+                            geometry_bitdepth_3d,
+                        ),
+                    )
+                    pred_index = rpi + 1
+                elif mode in ("merge2d", "merge3d"):
+                    pid = PatchInformationData(
+                        patch_mode=int(PatchModePTile.MERGE),
+                        patch_data_unit=patch_to_merge_pdu(
+                            patch, ref_meta.patches[i], mode == "merge2d",
+                            geometry_bitdepth_3d,
+                        ),
+                    )
+                elif mode == "skip":
+                    assert patch == ref_meta.patches[i], "skip needs identity"
+                    pid = PatchInformationData(
+                        patch_mode=int(PatchModePTile.SKIP),
+                        patch_data_unit=SkipPatchDataUnit(),
+                    )
+                else:
+                    raise ValueError(f"unknown p-mode {mode!r}")
+                atl.patch_information_data.append(pid)
         nalus.append(
             w3c.wrap_nal_unit(
-                NalUnitType.IDR_N_LP,
-                w3c.write_atlas_tile_layer(atl, asps, afps, NalUnitType.IDR_N_LP),
+                nal_type,
+                w3c.write_atlas_tile_layer(atl, asps, afps, nal_type),
             )
         )
 

@@ -11,8 +11,8 @@ fixtures: the NumPy oracle defines the expected output.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import List
+from dataclasses import dataclass, replace
+from typing import List, Optional
 
 import numpy as np
 
@@ -43,6 +43,7 @@ def make_synthetic_frame(
     occupancy_fill: float = 0.8,
     allow_swap: bool = True,
     geometry_bitdepth_3d: int = 10,
+    patches: Optional[List[Patch]] = None,
 ) -> SyntheticFrame:
     """Generate one consistent frame.
 
@@ -59,7 +60,19 @@ def make_synthetic_frame(
     assert res % occupancy_precision == 0
 
     # --- place patches on the block grid (greedy shelves) ---------------
-    patches: List[Patch] = []
+    if patches is not None:
+        # caller-specified patch metadata (e.g. P-frame fixtures whose
+        # patches are derived from a reference frame's); only the planes
+        # are generated here
+        patches = [replace(p) for p in patches]
+        meta = FrameMeta(
+            frame_index=frame_index, width=width, height=height, patches=patches
+        )
+        return _fill_planes(
+            rng, meta, width, height, occupancy_precision, res, map_count,
+            occupancy_fill,
+        )
+    patches = []
     occupied = np.zeros((bh, bw), dtype=bool)
     attempts = 0
     while len(patches) < n_patches and attempts < 200:
@@ -104,7 +117,25 @@ def make_synthetic_frame(
         height=height,
         patches=patches,
     )
+    return _fill_planes(
+        rng, meta, width, height, occupancy_precision, res, map_count,
+        occupancy_fill,
+    )
 
+
+def _fill_planes(
+    rng: np.random.Generator,
+    meta: FrameMeta,
+    width: int,
+    height: int,
+    occupancy_precision: int,
+    res: int,
+    map_count: int,
+    occupancy_fill: float,
+) -> SyntheticFrame:
+    """Generate consistent occupancy/geometry/attribute planes for a
+    given patch layout."""
+    patches = meta.patches
     # --- occupancy at video resolution ----------------------------------
     occ_h, occ_w = height // occupancy_precision, width // occupancy_precision
     occ_plane = np.zeros((occ_h, occ_w), dtype=np.uint8)

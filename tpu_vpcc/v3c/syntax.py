@@ -883,9 +883,10 @@ class IntraPatchDataUnit:
 class InterPatchDataUnit:
     """8.3.7.6 inter patch data unit (``reader.rs:1925-1972``).
 
-    Parsed for bitstream conformance; reconstruction from inter patches is
-    not implemented by the reference (``decoder.rs:487-489``) and raises in
-    the patch-frame builder here.
+    The reference parses this but panics on reconstruction
+    (``decoder.rs:487-489``); this framework implements the TMC2 v18
+    derivation (``atlas.patches._derive_inter_patch``), exceeding
+    reference parity.
     """
 
     ref_index: int = 0

@@ -17,11 +17,14 @@ from .syntax import (
     AtlasSequenceParameterSet,
     AtlasTileHeader,
     AtlasTileLayer,
+    InterPatchDataUnit,
     IntraPatchDataUnit,
+    MergePatchDataUnit,
     NalUnitType,
     PatchModeITile,
     ProfileTierLevel,
     RefListStruct,
+    SkipPatchDataUnit,
     TileType,
     V3CParameterSet,
     V3CUnitType,
@@ -250,31 +253,87 @@ def write_atlas_tile_layer(
                 w.write_uvlc(ath.num_ref_idx_active_minus1)
     w.byte_align()
 
-    # patch data units (intra only — the envelope this framework emits)
+    if ath.tile_type == TileType.SKIP:
+        # SKIP tiles carry no patch data, but the rbsp-level byte_align
+        # still runs in the parser (reader.rs:1526-1542) and — per the
+        # TMC2 quirk — consumes a whole stop byte on an aligned cursor
+        w.byte_align()
+        return w.getvalue()
+
+    # num_ref_idx_active (context.rs:234-259), for the inter/merge
+    # ref_index conditional
+    if ath.tile_type == TileType.I:
+        num_ref_idx_active = 0
+    elif ath.num_ref_idx_active_override_flag:
+        num_ref_idx_active = ath.num_ref_idx_active_minus1 + 1
+    else:
+        num_ref_idx_active = min(
+            ref_list.num_ref_entries, afps.num_ref_idx_default_active_minus1 + 1
+        )
+
+    # patch data units
     bitcount_uv = asps.geometry_3d_bitdepth_minus1 + 1
     bitcount_d = asps.geometry_3d_bitdepth_minus1 - ath.pos_min_d_quantizer + 1
     for pid in atl.patch_information_data:
         pdu = pid.patch_data_unit
-        if not isinstance(pdu, IntraPatchDataUnit):
-            raise NotImplementedError("writer emits intra patches only")
         w.write_uvlc(pid.patch_mode)
-        w.write_uvlc(pdu.pos_2d[0])
-        w.write_uvlc(pdu.pos_2d[1])
-        w.write_uvlc(pdu.size_2d_minus1[0])
-        w.write_uvlc(pdu.size_2d_minus1[1])
-        w.write(pdu.pos_3d_offset[0], bitcount_uv)
-        w.write(pdu.pos_3d_offset[1], bitcount_uv)
-        w.write(pdu.pos_3d_offset_d, bitcount_d)
-        if asps.normal_axis_max_delta_value_enabled_flag:
-            bitcount_max_depth = (
-                min(asps.geometry_2d_bitdepth_minus1, asps.geometry_3d_bitdepth_minus1)
-                + 1
-                - ath.pos_delta_max_d_quantizer
-            )
-            w.write(pdu.pos_3d_range_d, bitcount_max_depth)
-        w.write(pdu.projection_id, ceil_log2(asps.max_number_projections_minus1 + 1))
-        w.write(int(pdu.orientation_index), 3 if asps.use_eight_orientations_flag else 1)
-    # End patch mode terminates the unit
+        if isinstance(pdu, IntraPatchDataUnit):
+            w.write_uvlc(pdu.pos_2d[0])
+            w.write_uvlc(pdu.pos_2d[1])
+            w.write_uvlc(pdu.size_2d_minus1[0])
+            w.write_uvlc(pdu.size_2d_minus1[1])
+            w.write(pdu.pos_3d_offset[0], bitcount_uv)
+            w.write(pdu.pos_3d_offset[1], bitcount_uv)
+            w.write(pdu.pos_3d_offset_d, bitcount_d)
+            if asps.normal_axis_max_delta_value_enabled_flag:
+                bitcount_max_depth = (
+                    min(asps.geometry_2d_bitdepth_minus1, asps.geometry_3d_bitdepth_minus1)
+                    + 1
+                    - ath.pos_delta_max_d_quantizer
+                )
+                w.write(pdu.pos_3d_range_d, bitcount_max_depth)
+            w.write(pdu.projection_id, ceil_log2(asps.max_number_projections_minus1 + 1))
+            w.write(int(pdu.orientation_index), 3 if asps.use_eight_orientations_flag else 1)
+        elif isinstance(pdu, InterPatchDataUnit):
+            if asps.normal_axis_max_delta_value_enabled_flag:
+                raise NotImplementedError(
+                    "inter patches with normal_axis_max_delta (parser rejects them)"
+                )
+            if num_ref_idx_active > 1:
+                w.write_uvlc(pdu.ref_index)
+            w.write_svlc(pdu.ref_patch_index)
+            w.write_svlc(pdu.pos_2d[0])
+            w.write_svlc(pdu.pos_2d[1])
+            w.write_svlc(pdu.delta_2d_size[0])
+            w.write_svlc(pdu.delta_2d_size[1])
+            w.write_svlc(pdu.pos_3d_offset[0])
+            w.write_svlc(pdu.pos_3d_offset[1])
+            w.write_svlc(pdu.pos_3d_offset_d)
+        elif isinstance(pdu, MergePatchDataUnit):
+            if num_ref_idx_active > 1:
+                w.write_uvlc(pdu.ref_index)
+            w.write(int(pdu.override_2d_params_flag), 1)
+            if pdu.override_2d_params_flag:
+                w.write_svlc(pdu.pos_2d[0])
+                w.write_svlc(pdu.pos_2d[1])
+                w.write_svlc(pdu.delta_2d_size[0])
+                w.write_svlc(pdu.delta_2d_size[1])
+            else:
+                # the 3d fields are carried even when override_3d is 0,
+                # mirroring the reference parser (reader.rs:2019-2024)
+                w.write(int(pdu.override_3d_params_flag), 1)
+                w.write_svlc(pdu.pos_3d_offset[0])
+                w.write_svlc(pdu.pos_3d_offset[1])
+                w.write_svlc(pdu.pos_3d_offset_d)
+                if asps.normal_axis_max_delta_value_enabled_flag:
+                    raise NotImplementedError(
+                        "merge patches with normal_axis_max_delta"
+                    )
+        elif isinstance(pdu, SkipPatchDataUnit):
+            pass  # P_SKIP carries no fields
+        else:
+            raise NotImplementedError(f"unsupported patch data unit {type(pdu)}")
+    # End patch mode terminates the unit (value 14 for both I and P tiles)
     end_mode = int(PatchModeITile.END)
     w.write_uvlc(end_mode)
     w.byte_align()
