@@ -46,9 +46,10 @@ from .patches import FrameMeta
     G_NORMAL, G_TANGENT, G_BITANGENT,
     G_BLOCKID,    # canvas block flat index by*bw + bx (tiled kernel)
     G_SWAP,       # 1 when the pixel tile is transposed vs canvas (SWAP)
-) = range(18)
+    G_PATCH,      # patch index (grid-smoothing cluster id)
+) = range(19)
 
-N_GROUP_FIELDS = 18
+N_GROUP_FIELDS = 19
 
 
 @dataclass
@@ -131,6 +132,7 @@ def build_group_table(meta: FrameMeta, g_cap: int = 0) -> GroupTable:
         fields[sl, G_TANGENT] = patch.axes[1]
         fields[sl, G_BITANGENT] = patch.axes[2]
         fields[sl, G_BLOCKID] = by[owned] * bw + bx[owned]
+        fields[sl, G_PATCH] = pidx
         # Orientations whose pixel tile is the canvas block, possibly
         # transposed: DEFAULT (identity), SWAP/MROT270 (transpose). All
         # others leave block alignment (the tmc2-rs size quirk, see

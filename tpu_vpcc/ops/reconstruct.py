@@ -49,6 +49,9 @@ class FrameConfig:
     # attribute chroma subsampling: 1 for 4:2:0 (chroma at half res), 0 for
     # 4:4:4/RGB content (``src/decoder.rs:973-980`` indexes by color format)
     chroma_shift: int = 1
+    # grid-based geometry smoothing (None = off; a SmoothingConfig from
+    # tpu_vpcc.ops.smoothing when the SEI is present and the toggle set)
+    smoothing: object = None
 
     @property
     def slots_per_block(self) -> int:
@@ -80,6 +83,7 @@ def make_config(
     absolute_d1: bool = True,
     geo_shift: int = 2,
     chroma_shift: int = 1,
+    smoothing=None,
     **_ignored,
 ) -> FrameConfig:
     return FrameConfig(
@@ -91,6 +95,7 @@ def make_config(
         absolute_d1=absolute_d1,
         geo_shift=geo_shift,
         chroma_shift=chroma_shift,
+        smoothing=smoothing,
     )
 
 
@@ -303,6 +308,14 @@ def _flat_batch_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
     pos = jnp.zeros((3, ST), dtype=jnp.int32)
     for comp in range(3):
         pos = pos.at[comp].set(jnp.sum(jnp.where(axes == comp, vals, 0), axis=0))
+
+    if cfg.smoothing is not None:
+        from .smoothing import smooth_flat
+
+        sm_x, sm_y, sm_z = smooth_flat(
+            pos[0], pos[1], pos[2], valid, fr(G.G_PATCH), f, F, cfg.smoothing
+        )
+        pos = jnp.stack([sm_x, sm_y, sm_z])
 
     z = jnp.clip(i_map, 0, M - 1)
     csh = cfg.chroma_shift

@@ -193,14 +193,31 @@ def _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg):
     p0x, p0y, p0z = assemble(n0)
     p1x, p1y, p1z = assemble(n1)
 
-    # --- 6. pack payload + interleave maps --------------------------------
+    # --- 6. interleave maps into slot order, optional smoothing, pack ----
+    def interleave(a, b):
+        return jnp.stack([a, b], axis=-1).reshape(F, S)
+
+    xs = interleave(p0x, p1x)
+    ys = interleave(p0y, p1y)
+    zs = interleave(p0z, p1z)
+    cys = interleave(cy0, cy1)
+    cus = interleave(cu0, cu1)
+    cvs = interleave(cv0, cv1)
+    valid = jnp.stack([valid0, valid1], axis=-1).reshape(F, S)
+
+    if cfg.smoothing is not None:
+        from .smoothing import smooth_batch
+
+        pid_grid = jnp.broadcast_to(bcast(G.G_PATCH), (FG, res, res))
+        pid = interleave(pid_grid, pid_grid)
+        xs, ys, zs = smooth_batch(xs, ys, zs, valid, pid, cfg.smoothing)
+
     def pack(a, b):
         return a.astype(jnp.uint32) | (b.astype(jnp.uint32) << 16)
 
-    w0 = jnp.stack([pack(p0x, p0y), pack(p1x, p1y)], axis=-1).reshape(F, S)
-    w1 = jnp.stack([pack(p0z, cy0), pack(p1z, cy1)], axis=-1).reshape(F, S)
-    w2 = jnp.stack([pack(cu0, cv0), pack(cu1, cv1)], axis=-1).reshape(F, S)
-    valid = jnp.stack([valid0, valid1], axis=-1).reshape(F, S)
+    w0 = pack(xs, ys)
+    w1 = pack(zs, cys)
+    w2 = pack(cus, cvs)
 
     # --- 7. compaction: stable sort on the (frame, invalidity) key --------
     # The slot order is already the emission order (step 3 fixed SWAP

@@ -33,6 +33,9 @@ def main(argv=None) -> int:
                         help="Unused: decoding is in-process (native libavcodec)")
     parser.add_argument("--oracle", action="store_true",
                         help="Use the NumPy oracle path instead of the device")
+    parser.add_argument("--apply-geo-smoothing", action="store_true",
+                        help="Apply grid geometry smoothing when the SEI "
+                             "is present (the reference panics here)")
     parser.add_argument("-v", "--verbose", action="count", default=0)
     args = parser.parse_args(argv)
 
@@ -54,6 +57,7 @@ def main(argv=None) -> int:
             keep_intermediate_files=args.keep_intermediate_files,
             use_device=not args.oracle,
             num_threads=args.num_threads,
+            apply_geo_smoothing_type=args.apply_geo_smoothing,
         )
     )
     try:

@@ -166,6 +166,7 @@ class Decoder:
                         context,
                         num_video_threads=max(1, self.params.num_threads),
                         tiled=self.params.use_device,
+                        apply_geo_smoothing=self.params.apply_geo_smoothing_type,
                     )
                 for vt, vbs in (
                     ("occ", context.get_video_bitstream(VideoType.OCCUPANCY)),
@@ -232,14 +233,44 @@ class GofData:
     # reference branches on ``color_format()`` (``src/decoder.rs:300-305``)
     attr_chroma_shift: int = 1
     attr_is_rgb444: bool = False
+    # grid geometry smoothing (SmoothingConfig) when the SEI is present
+    # AND apply_geo_smoothing_type is set; None otherwise
+    geo_smoothing: Optional[object] = None
     # When tiled, geo/attr planes are block-tiled (n_blocks, t, t) straight
     # from the native decoder copy (luma t = occupancy_resolution, chroma
     # t/2); occupancy stays raw (its size defines occupancy_precision).
     tiled: bool = False
 
 
+def extract_geo_smoothing(context: Context, asps) -> Optional[object]:
+    """Grid geometry-smoothing parameters from the first applicable
+    prefix SEI (method_type 1), or None."""
+    from ..ops.smoothing import SmoothingConfig
+    from ..v3c.syntax import SeiPayloadType
+
+    for i in range(context.atlas_tile_layer_len()):
+        sei = context.get_atlas_tile_layer(i).sei
+        if sei is None:
+            continue
+        for s in sei.sei_prefix:
+            if s.payload_type != SeiPayloadType.GEOMETRY_SMOOTHING:
+                continue
+            for k in range(len(s.method_type)):
+                if not s.instance_cancel_flag[k] and s.method_type[k] == 1:
+                    return SmoothingConfig(
+                        grid_size=s.grid_size_minus_2[k] + 2,
+                        threshold=s.threshold[k],
+                        geometry_bitdepth_3d=asps.geometry_3d_bitdepth_minus1
+                        + 1,
+                    )
+    return None
+
+
 def prepare_gof(
-    context: Context, num_video_threads: int = 3, tiled: bool = True
+    context: Context,
+    num_video_threads: int = 3,
+    tiled: bool = True,
+    apply_geo_smoothing: bool = False,
 ) -> GofData:
     """Host stages 2-3: patch frames + video decode (parallel substreams).
 
@@ -326,6 +357,9 @@ def prepare_gof(
         frame_count=frame_count,
         attr_chroma_shift=attr_chroma_shift,
         attr_is_rgb444=attr_is_rgb444,
+        geo_smoothing=(
+            extract_geo_smoothing(context, asps) if apply_geo_smoothing else None
+        ),
         tiled=tiled,
     )
 
@@ -333,12 +367,12 @@ def prepare_gof(
 def _check_post_processing_gates(context: Context, params: Params) -> None:
     """Reconstruction feature gates (parity: ``src/decoder.rs:590-661``):
     the reference panics when a smoothing/synthesis toggle is enabled AND
-    the matching SEI is present; rec0 defaults leave them all false."""
+    the matching SEI is present; rec0 defaults leave them all false.
+    Geometry smoothing is IMPLEMENTED here (exceeding the reference's
+    panic, ``decoder.rs:291-293``) so it is not gated."""
     from ..v3c.syntax import NalUnitType, SeiPayloadType
 
     checks = (
-        (params.apply_geo_smoothing_type, SeiPayloadType.GEOMETRY_SMOOTHING,
-         "geometry smoothing"),
         (params.apply_occupancy_synthesis_type, SeiPayloadType.OCCUPANCY_SYNTHESIS,
          "occupancy synthesis"),
         (params.apply_attr_smoothing_type, SeiPayloadType.ATTRIBUTE_SMOOTHING,
@@ -354,7 +388,11 @@ def _check_post_processing_gates(context: Context, params: Params) -> None:
 def decode_gof_frames(context: Context, params: Params) -> Iterator[PointSet3]:
     """Stages 2-5 for one GOF, yielding frames in order."""
     _check_post_processing_gates(context, params)
-    gof = prepare_gof(context, tiled=params.use_device)
+    gof = prepare_gof(
+        context,
+        tiled=params.use_device,
+        apply_geo_smoothing=params.apply_geo_smoothing_type,
+    )
     if params.use_device:
         yield from _reconstruct_gof_device(gof, mesh=params.mesh)
     else:
@@ -418,13 +456,24 @@ def _reconstruct_gof_oracle(gof: GofData) -> Iterator[PointSet3]:
         mc = gof.map_count
         base = meta.frame_index * mc
         attr_video = gof.attr_planes  # full video; oracle indexes by map+shift
-        ps, _, _ = generate_point_cloud(
+        ps, partition, _ = generate_point_cloud(
             meta,
             params,
             gof.occ_planes[meta.frame_index],
             gof.geo_planes,
             [attr_video],
         )
+        if gof.geo_smoothing is not None and len(ps) > 0:
+            from ..ops.smoothing import smooth_slots_np
+
+            pos = ps.positions.astype(np.int32)
+            sx, sy, sz = smooth_slots_np(
+                pos[:, 0], pos[:, 1], pos[:, 2],
+                np.ones(len(ps), np.int32),
+                np.asarray(partition, np.int32),
+                gof.geo_smoothing,
+            )
+            ps.positions = np.stack([sx, sy, sz], axis=1).astype(np.uint16)
         if gof.attribute_count > 0:
             if gof.attr_is_rgb444:
                 ps.copy_rgb16_to_rgb8()
@@ -470,6 +519,7 @@ def _gof_device_inputs(gof: GofData, metas=None) -> DeviceInputs:
         absolute_d1=gof.absolute_d1,
         geo_shift=gof.geo_shift,
         chroma_shift=gof.attr_chroma_shift,
+        smoothing=gof.geo_smoothing,
     )
     tables = [build_group_table(m) for m in metas]
     fields = np.stack([t.fields for t in tables])
@@ -578,7 +628,9 @@ def _dispatch_device(di: DeviceInputs, mesh=None):
     from ..ops.reconstruct import reconstruct_batch
     from ..ops.tiled import reconstruct_batch_pretiled
 
-    if mesh is not None and di.use_tiled:
+    # smoothing needs whole-frame grid stats: use the single-device path
+    # (a psum'd sharded grid is future work)
+    if mesh is not None and di.use_tiled and di.cfg.smoothing is None:
         from ..parallel.mesh import pad_batch
         from ..parallel.spatial import reconstruct_gof_spatial_pretiled
 

@@ -159,6 +159,7 @@ def build_fixture_stream(
     qp: int = 0,
     lossless: bool = True,
     p_modes=None,
+    geo_smoothing_sei=None,
 ) -> bytes:
     """Build a complete single-GOF V3C sample-stream file.
 
@@ -169,6 +170,10 @@ def build_fixture_stream(
     ``"merge3d"``, or ``"skip"``. Frames not in the map are coded as
     I-tiles. P-coded streams disable normal_axis_max_delta (the parser
     rejects inter patches with it, matching the reference).
+
+    ``geo_smoothing_sei`` (optional) is a ``(grid_size, threshold)`` pair:
+    a prefix GeometrySmoothing SEI (method 1) is attached before the first
+    tile layer.
     """
     f0 = frames[0]
     width, height = f0.meta.width, f0.meta.height
@@ -235,6 +240,16 @@ def build_fixture_stream(
         w3c.wrap_nal_unit(NalUnitType.ASPS, w3c.write_asps(asps)),
         w3c.wrap_nal_unit(NalUnitType.AFPS, w3c.write_afps(afps, asps)),
     ]
+    if geo_smoothing_sei is not None:
+        grid_size, threshold = geo_smoothing_sei
+        nalus.append(
+            w3c.wrap_nal_unit(
+                NalUnitType.PREFIX_ESEI,
+                w3c.write_sei_geometry_smoothing(
+                    instances=((0, 1, grid_size - 2, threshold),)
+                ),
+            )
+        )
     for fi, sf in enumerate(frames):
         spec = (p_modes or {}).get(sf.meta.frame_index)
         ath = AtlasTileHeader()
