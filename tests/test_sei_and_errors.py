@@ -61,14 +61,33 @@ def test_sei_attached_to_following_tile_layer():
 
 
 def test_unsupported_sei_payload_raises():
-    # attribute smoothing payload type is outside the rec0 envelope
+    # time-code SEI has no parser (attribute smoothing gained one —
+    # a framework extension beyond the reference)
     from tpu_vpcc.bitio import BitWriter
 
     w = BitWriter()
-    w.write(int(SeiPayloadType.ATTRIBUTE_SMOOTHING), 8)
+    w.write(int(SeiPayloadType.TIME_CODE), 8)
     w.write(0, 8)
     with pytest.raises(UnsupportedFeature):
         SeiMessage.parse(Bitstream(w.getvalue()), NalUnitType.PREFIX_ESEI)
+
+
+def test_sei_attribute_smoothing_roundtrip():
+    payload = w3c.write_sei_attribute_smoothing(
+        instances=((0, 0, 1, 6, 0, 20, 10),), persistence_flag=True
+    )
+    sei = SeiMessage.parse(Bitstream(payload), NalUnitType.PREFIX_ESEI)
+    asm = sei.sei_prefix[0]
+    assert asm.persistence_flag is True
+    assert asm.num_attributes_updated == 1
+    assert asm.attribute_idx == [0]
+    assert asm.method_type[0][0] == 1
+    assert asm.grid_size_minus_2[0][0] == 6
+    assert asm.threshold_variation[0][0] == 20
+    assert asm.threshold_difference[0][0] == 10
+    assert sei.is_sei_present(
+        NalUnitType.PREFIX_ESEI, SeiPayloadType.ATTRIBUTE_SMOOTHING
+    )
 
 
 def test_decoder_error_propagates_to_consumer(tmp_path):

@@ -89,6 +89,68 @@ def test_smoothing_identity_when_single_patch():
 
 
 # ---------------------------------------------------------------------------
+# attribute (color) smoothing
+# ---------------------------------------------------------------------------
+
+from tpu_vpcc.ops.smoothing import (  # noqa: E402
+    AttrSmoothingConfig,
+    smooth_colors_batch,
+    smooth_colors_np,
+)
+
+ACFG = AttrSmoothingConfig(
+    grid_size=8, threshold_variation=300, threshold_difference=1,
+    geometry_bitdepth_3d=10,
+)
+
+
+def test_color_device_matches_oracle_random():
+    rng = np.random.default_rng(3)
+    n = 4096
+    pts, pid, valid = random_points(rng, n)
+    cols = rng.integers(0, 1024, (n, 3)).astype(np.int32)
+    exp = smooth_colors_np(
+        pts[:, 0], pts[:, 1], pts[:, 2],
+        cols[:, 0], cols[:, 1], cols[:, 2], valid, pid, ACFG,
+    )
+    got = smooth_colors_batch(
+        pts[:, 0][None], pts[:, 1][None], pts[:, 2][None],
+        cols[:, 0][None], cols[:, 1][None], cols[:, 2][None],
+        valid[None], pid[None], ACFG,
+    )
+    for g, e in zip(got, exp):
+        np.testing.assert_array_equal(np.asarray(g)[0], e)
+
+
+def test_color_smoothing_replaces_outlier_in_homogeneous_region():
+    # two patches interleaved in one neighborhood with near-equal luma;
+    # one point's color deviates -> replaced by the blend
+    rng = np.random.default_rng(4)
+    a = np.array([[100 + dx, 100 + dy, 100] for dx in range(4) for dy in range(4)])
+    b = np.array([[100, 100, 104]])
+    pts = np.concatenate([a, b]).astype(np.int32)
+    pid = np.array([0] * len(a) + [1], np.int32)
+    valid = np.ones(len(pts), np.int32)
+    cols = np.full((len(pts), 3), 500, np.int32)
+    cols[len(a)] = (900, 500, 500)  # luma outlier
+    # hand-derived: outlier hood cells have centroid lumas 500 (cluster,
+    # weight 1575) and 900 (own, weight 2025) -> spread 400, blend
+    # (1575*500 + 2025*900 + 1800)//3600 = 725, deviation 175
+    cfg = AttrSmoothingConfig(
+        grid_size=8, threshold_variation=400, threshold_difference=50,
+        geometry_bitdepth_3d=10,
+    )
+    cy, cu, cv = smooth_colors_np(
+        pts[:, 0], pts[:, 1], pts[:, 2],
+        cols[:, 0], cols[:, 1], cols[:, 2], valid, pid, cfg,
+    )
+    assert cy[len(a)] == 725, "outlier luma should be replaced by the blend"
+    # homogeneous points keep their color (deviation below the gate)
+    assert (cy[: len(a)] == 500).all()
+    assert (cu == 500).all() and (cv == 500).all()
+
+
+# ---------------------------------------------------------------------------
 # end to end through the SEI + Decoder
 # ---------------------------------------------------------------------------
 
@@ -131,6 +193,39 @@ def test_e2e_geo_smoothing_device_matches_oracle():
     assert all(len(f) > 0 for f in dev)
     for a, b in zip(dev, orc):
         assert format_ply(a) == format_ply(b)
+
+
+@needs_encoder
+def test_e2e_attr_smoothing_device_matches_oracle():
+    rng = np.random.default_rng(8)
+    frames = [
+        make_synthetic_frame(
+            rng, width=64, height=64, occupancy_resolution=8,
+            occupancy_precision=4, n_patches=4, frame_index=i,
+        )
+        for i in range(2)
+    ]
+    stream = build_fixture_stream(
+        frames,
+        geo_smoothing_sei=(8, 16),
+        attr_smoothing_sei=(8, 255, 1),
+    )
+    kw = dict(apply_geo_smoothing_type=True, apply_attr_smoothing_type=True)
+    d1 = Decoder(Params(stream, use_device=True, **kw))
+    d1.start()
+    dev = list(d1)
+    d2 = Decoder(Params(stream, use_device=False, **kw))
+    d2.start()
+    orc = list(d2)
+    assert len(dev) == len(orc) == 2 and all(len(f) > 0 for f in dev)
+    for a, b in zip(dev, orc):
+        assert format_ply(a) == format_ply(b)
+    # with maximal variation tolerance and minimal difference gate, at
+    # least one color should differ from the unsmoothed decode
+    d3 = Decoder(Params(stream, apply_geo_smoothing_type=True))
+    d3.start()
+    plain = list(d3)
+    assert any(format_ply(a) != format_ply(b) for a, b in zip(dev, plain))
 
 
 @needs_encoder

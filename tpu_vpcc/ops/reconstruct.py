@@ -52,6 +52,8 @@ class FrameConfig:
     # grid-based geometry smoothing (None = off; a SmoothingConfig from
     # tpu_vpcc.ops.smoothing when the SEI is present and the toggle set)
     smoothing: object = None
+    # grid-based attribute smoothing (None = off; an AttrSmoothingConfig)
+    attr_smoothing: object = None
 
     @property
     def slots_per_block(self) -> int:
@@ -84,6 +86,7 @@ def make_config(
     geo_shift: int = 2,
     chroma_shift: int = 1,
     smoothing=None,
+    attr_smoothing=None,
     **_ignored,
 ) -> FrameConfig:
     return FrameConfig(
@@ -96,6 +99,7 @@ def make_config(
         geo_shift=geo_shift,
         chroma_shift=chroma_shift,
         smoothing=smoothing,
+        attr_smoothing=attr_smoothing,
     )
 
 
@@ -322,6 +326,14 @@ def _flat_batch_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
     col_y = attr_y.reshape(-1)[((f * M + z) * H + ys) * W + xs]
     col_u = attr_u.reshape(-1)[((f * M + z) * H2 + (ys >> csh)) * W2 + (xs >> csh)]
     col_v = attr_v.reshape(-1)[((f * M + z) * H2 + (ys >> csh)) * W2 + (xs >> csh)]
+
+    if cfg.attr_smoothing is not None:
+        from .smoothing import smooth_colors_flat
+
+        col_y, col_u, col_v = smooth_colors_flat(
+            pos[0], pos[1], pos[2], col_y, col_u, col_v, valid,
+            fr(G.G_PATCH), f, F, cfg.attr_smoothing,
+        )
 
     # per-frame compaction via one global cumsum
     cum = jnp.cumsum(valid.astype(jnp.int32))

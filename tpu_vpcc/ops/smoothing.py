@@ -205,3 +205,183 @@ def smooth_batch(xs, ys, zs, valid, pid, cfg: SmoothingConfig):
         flat(xs), flat(ys), flat(zs), flat(valid), flat(pid), frame, F, cfg
     )
     return out_x.reshape(F, S), out_y.reshape(F, S), out_z.reshape(F, S)
+
+
+# ---------------------------------------------------------------------------
+# attribute (color) smoothing
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AttrSmoothingConfig:
+    """Static attribute-smoothing parameters (from the AttributeSmoothing
+    SEI, method 1): cells of ``grid_size``³, and two gates — replace a
+    candidate's color with the neighborhood blend only when the local
+    luma spread is at most ``threshold_variation`` (the region is
+    homogeneous) AND the point's luma deviates from the blend by at least
+    ``threshold_difference`` (the point is an outlier there)."""
+
+    grid_size: int = 8
+    threshold_variation: int = 10
+    threshold_difference: int = 10
+    geometry_bitdepth_3d: int = 10
+
+    @property
+    def grid_width(self) -> int:
+        return -(-(1 << self.geometry_bitdepth_3d) // self.grid_size)
+
+
+def _smooth_color_core(np_, xs, ys, zs, cy, cu, cv, valid, pid, frame,
+                       n_frames, cfg: AttrSmoothingConfig, make_scatter):
+    """Shared integer color-smoothing algorithm (geometry cells, color
+    payload). Same rounding/weight spec as :func:`_smooth_core`."""
+    gs, gw = cfg.grid_size, cfg.grid_width
+    n_cells = gw * gw * gw
+
+    xs = xs.astype(np_.int32)
+    ys = ys.astype(np_.int32)
+    zs = zs.astype(np_.int32)
+    cy = cy.astype(np_.int32)
+    cu = cu.astype(np_.int32)
+    cv = cv.astype(np_.int32)
+    pid = pid.astype(np_.int32)
+    v = valid.astype(np_.int32)
+
+    base = frame * n_cells
+    cid = base + (zs // gs) * (gw * gw) + (ys // gs) * gw + (xs // gs)
+    cid = np_.clip(cid, 0, n_frames * n_cells - 1)
+
+    counts, sum_y, sum_u, sum_v, min_p, max_p = make_scatter(
+        cid, v, cy, cu, cv, pid, n_frames * n_cells
+    )
+    cnt_safe = np_.maximum(counts, 1)
+    cen_y = (sum_y + cnt_safe // 2) // cnt_safe
+    cen_u = (sum_u + cnt_safe // 2) // cnt_safe
+    cen_v = (sum_v + cnt_safe // 2) // cnt_safe
+
+    sx, wx_hi, okx = _axis_neighborhood(np_, xs, gs, gw)
+    sy, wy_hi, oky = _axis_neighborhood(np_, ys, gs, gw)
+    sz, wz_hi, okz = _axis_neighborhood(np_, zs, gs, gw)
+    in_range = okx & oky & okz
+    sx = np_.clip(sx, 0, gw - 2)
+    sy = np_.clip(sy, 0, gw - 2)
+    sz = np_.clip(sz, 0, gw - 2)
+
+    V_y = np_.zeros_like(xs)
+    V_u = np_.zeros_like(xs)
+    V_v = np_.zeros_like(xs)
+    W = np_.zeros_like(xs)
+    other = np_.zeros_like(xs, dtype=bool)
+    y_min = np_.full_like(xs, _BIG)
+    y_max = np_.full_like(xs, -_BIG)
+    for dz in (0, 1):
+        wz = wz_hi if dz else 2 * gs - wz_hi
+        for dy in (0, 1):
+            wy = wy_hi if dy else 2 * gs - wy_hi
+            for dx in (0, 1):
+                wx = wx_hi if dx else 2 * gs - wx_hi
+                nid = base + (sz + dz) * (gw * gw) + (sy + dy) * gw + (sx + dx)
+                has = counts[nid] > 0
+                w = wx * wy * wz * has.astype(np_.int32)
+                V_y = V_y + w * cen_y[nid]
+                V_u = V_u + w * cen_u[nid]
+                V_v = V_v + w * cen_v[nid]
+                W = W + w
+                other = other | (
+                    has & ((min_p[nid] != pid) | (max_p[nid] != pid))
+                )
+                y_min = np_.minimum(y_min, np_.where(has, cen_y[nid], _BIG))
+                y_max = np_.maximum(y_max, np_.where(has, cen_y[nid], -_BIG))
+
+    W_safe = np_.maximum(W, 1)
+    b_y = (V_y + W_safe // 2) // W_safe
+    b_u = (V_u + W_safe // 2) // W_safe
+    b_v = (V_v + W_safe // 2) // W_safe
+
+    spread = y_max - y_min
+    dev = np_.abs(cy - b_y)
+    move = (
+        (v > 0)
+        & in_range
+        & other
+        & (W > 0)
+        & (spread <= cfg.threshold_variation)
+        & (dev >= cfg.threshold_difference)
+    )
+    out_y = np_.where(move, b_y, cy)
+    out_u = np_.where(move, b_u, cu)
+    out_v = np_.where(move, b_v, cv)
+    return out_y, out_u, out_v
+
+
+def smooth_colors_np(xs, ys, zs, cy, cu, cv, valid, pid,
+                     cfg: AttrSmoothingConfig):
+    """NumPy twin (single frame, flat arrays) — the oracle."""
+
+    def scatter(cid, v, a, b, c, p, n_total):
+        counts = np.zeros(n_total, np.int32)
+        np.add.at(counts, cid, v)
+        sums = []
+        for arr in (a, b, c):
+            s = np.zeros(n_total, np.int32)
+            np.add.at(s, cid, arr.astype(np.int32) * v)
+            sums.append(s)
+        min_p = np.full(n_total, _BIG, np.int32)
+        np.minimum.at(min_p, cid, np.where(v > 0, p, _BIG))
+        max_p = np.full(n_total, -_BIG, np.int32)
+        np.maximum.at(max_p, cid, np.where(v > 0, p, -_BIG))
+        return counts, sums[0], sums[1], sums[2], min_p, max_p
+
+    z = np.zeros_like(np.asarray(xs, np.int32))
+    return _smooth_color_core(
+        np, np.asarray(xs, np.int32), np.asarray(ys, np.int32),
+        np.asarray(zs, np.int32), np.asarray(cy, np.int32),
+        np.asarray(cu, np.int32), np.asarray(cv, np.int32),
+        np.asarray(valid), np.asarray(pid, np.int32), z, 1, cfg, scatter,
+    )
+
+
+def smooth_colors_flat(xs, ys, zs, cy, cu, cv, valid, pid, frame,
+                       n_frames: int, cfg: AttrSmoothingConfig):
+    """JAX color smoothing over flat slot arrays with a frame map."""
+    import jax.numpy as jnp
+
+    def scatter(cid, v, a, b, c, p, n_total):
+        counts = jnp.zeros(n_total, jnp.int32).at[cid].add(v)
+        sum_a = jnp.zeros(n_total, jnp.int32).at[cid].add(a * v)
+        sum_b = jnp.zeros(n_total, jnp.int32).at[cid].add(b * v)
+        sum_c = jnp.zeros(n_total, jnp.int32).at[cid].add(c * v)
+        min_p = (
+            jnp.full(n_total, _BIG, jnp.int32)
+            .at[cid]
+            .min(jnp.where(v > 0, p, _BIG))
+        )
+        max_p = (
+            jnp.full(n_total, -_BIG, jnp.int32)
+            .at[cid]
+            .max(jnp.where(v > 0, p, -_BIG))
+        )
+        return counts, sum_a, sum_b, sum_c, min_p, max_p
+
+    return _smooth_color_core(
+        jnp,
+        xs.astype(jnp.int32), ys.astype(jnp.int32), zs.astype(jnp.int32),
+        cy.astype(jnp.int32), cu.astype(jnp.int32), cv.astype(jnp.int32),
+        valid, pid.astype(jnp.int32), frame, n_frames, cfg, scatter,
+    )
+
+
+def smooth_colors_batch(xs, ys, zs, cy, cu, cv, valid, pid,
+                        cfg: AttrSmoothingConfig):
+    """Batched JAX color smoothing over (F, S) slot arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    F, S = xs.shape
+    frame = jax.lax.broadcasted_iota(jnp.int32, (F, S), 0).reshape(-1)
+    flat = lambda a: a.reshape(-1)  # noqa: E731
+    out = smooth_colors_flat(
+        flat(xs), flat(ys), flat(zs), flat(cy), flat(cu), flat(cv),
+        flat(valid), flat(pid), frame, F, cfg,
+    )
+    return tuple(a.reshape(F, S) for a in out)

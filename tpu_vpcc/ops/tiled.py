@@ -205,12 +205,20 @@ def _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg):
     cvs = interleave(cv0, cv1)
     valid = jnp.stack([valid0, valid1], axis=-1).reshape(F, S)
 
+    if cfg.smoothing is not None or cfg.attr_smoothing is not None:
+        pid_grid = jnp.broadcast_to(bcast(G.G_PATCH), (FG, res, res))
+        pid = interleave(pid_grid, pid_grid)
     if cfg.smoothing is not None:
         from .smoothing import smooth_batch
 
-        pid_grid = jnp.broadcast_to(bcast(G.G_PATCH), (FG, res, res))
-        pid = interleave(pid_grid, pid_grid)
         xs, ys, zs = smooth_batch(xs, ys, zs, valid, pid, cfg.smoothing)
+    if cfg.attr_smoothing is not None:
+        from .smoothing import smooth_colors_batch
+
+        # colors smooth on the (geometry-smoothed) 3D positions' grid
+        cys, cus, cvs = smooth_colors_batch(
+            xs, ys, zs, cys, cus, cvs, valid, pid, cfg.attr_smoothing
+        )
 
     def pack(a, b):
         return a.astype(jnp.uint32) | (b.astype(jnp.uint32) << 16)

@@ -36,6 +36,9 @@ def main(argv=None) -> int:
     parser.add_argument("--apply-geo-smoothing", action="store_true",
                         help="Apply grid geometry smoothing when the SEI "
                              "is present (the reference panics here)")
+    parser.add_argument("--apply-attr-smoothing", action="store_true",
+                        help="Apply grid attribute smoothing when the SEI "
+                             "is present (the reference cannot parse it)")
     parser.add_argument("-v", "--verbose", action="count", default=0)
     args = parser.parse_args(argv)
 
@@ -58,6 +61,7 @@ def main(argv=None) -> int:
             use_device=not args.oracle,
             num_threads=args.num_threads,
             apply_geo_smoothing_type=args.apply_geo_smoothing,
+            apply_attr_smoothing_type=args.apply_attr_smoothing,
         )
     )
     try:

@@ -167,6 +167,7 @@ class Decoder:
                         num_video_threads=max(1, self.params.num_threads),
                         tiled=self.params.use_device,
                         apply_geo_smoothing=self.params.apply_geo_smoothing_type,
+                        apply_attr_smoothing=self.params.apply_attr_smoothing_type,
                     )
                 for vt, vbs in (
                     ("occ", context.get_video_bitstream(VideoType.OCCUPANCY)),
@@ -236,6 +237,8 @@ class GofData:
     # grid geometry smoothing (SmoothingConfig) when the SEI is present
     # AND apply_geo_smoothing_type is set; None otherwise
     geo_smoothing: Optional[object] = None
+    # grid attribute smoothing (AttrSmoothingConfig), same contract
+    attr_smoothing: Optional[object] = None
     # When tiled, geo/attr planes are block-tiled (n_blocks, t, t) straight
     # from the native decoder copy (luma t = occupancy_resolution, chroma
     # t/2); occupancy stays raw (its size defines occupancy_precision).
@@ -266,11 +269,43 @@ def extract_geo_smoothing(context: Context, asps) -> Optional[object]:
     return None
 
 
+def extract_attr_smoothing(context: Context, asps) -> Optional[object]:
+    """Grid attribute-smoothing parameters from the first applicable
+    prefix SEI (attribute 0, method_type 1), or None."""
+    from ..ops.smoothing import AttrSmoothingConfig
+    from ..v3c.syntax import SeiPayloadType
+
+    for i in range(context.atlas_tile_layer_len()):
+        sei = context.get_atlas_tile_layer(i).sei
+        if sei is None:
+            continue
+        for s in sei.sei_prefix:
+            if s.payload_type != SeiPayloadType.ATTRIBUTE_SMOOTHING:
+                continue
+            for j in range(s.num_attributes_updated):
+                if s.attribute_smoothing_cancel_flag[j] or s.attribute_idx[j] != 0:
+                    continue
+                for k in range(len(s.method_type[j])):
+                    if (
+                        not s.instance_cancel_flag[j][k]
+                        and s.method_type[j][k] == 1
+                    ):
+                        return AttrSmoothingConfig(
+                            grid_size=s.grid_size_minus_2[j][k] + 2,
+                            threshold_variation=s.threshold_variation[j][k],
+                            threshold_difference=s.threshold_difference[j][k],
+                            geometry_bitdepth_3d=asps.geometry_3d_bitdepth_minus1
+                            + 1,
+                        )
+    return None
+
+
 def prepare_gof(
     context: Context,
     num_video_threads: int = 3,
     tiled: bool = True,
     apply_geo_smoothing: bool = False,
+    apply_attr_smoothing: bool = False,
 ) -> GofData:
     """Host stages 2-3: patch frames + video decode (parallel substreams).
 
@@ -360,6 +395,9 @@ def prepare_gof(
         geo_smoothing=(
             extract_geo_smoothing(context, asps) if apply_geo_smoothing else None
         ),
+        attr_smoothing=(
+            extract_attr_smoothing(context, asps) if apply_attr_smoothing else None
+        ),
         tiled=tiled,
     )
 
@@ -368,15 +406,13 @@ def _check_post_processing_gates(context: Context, params: Params) -> None:
     """Reconstruction feature gates (parity: ``src/decoder.rs:590-661``):
     the reference panics when a smoothing/synthesis toggle is enabled AND
     the matching SEI is present; rec0 defaults leave them all false.
-    Geometry smoothing is IMPLEMENTED here (exceeding the reference's
-    panic, ``decoder.rs:291-293``) so it is not gated."""
+    Geometry AND attribute smoothing are IMPLEMENTED here (exceeding the
+    reference's panics, ``decoder.rs:291-298``) so they are not gated."""
     from ..v3c.syntax import NalUnitType, SeiPayloadType
 
     checks = (
         (params.apply_occupancy_synthesis_type, SeiPayloadType.OCCUPANCY_SYNTHESIS,
          "occupancy synthesis"),
-        (params.apply_attr_smoothing_type, SeiPayloadType.ATTRIBUTE_SMOOTHING,
-         "attribute smoothing"),
     )
     if context.atlas_tile_layer_len() == 0:
         return
@@ -392,6 +428,7 @@ def decode_gof_frames(context: Context, params: Params) -> Iterator[PointSet3]:
         context,
         tiled=params.use_device,
         apply_geo_smoothing=params.apply_geo_smoothing_type,
+        apply_attr_smoothing=params.apply_attr_smoothing_type,
     )
     if params.use_device:
         yield from _reconstruct_gof_device(gof, mesh=params.mesh)
@@ -474,6 +511,24 @@ def _reconstruct_gof_oracle(gof: GofData) -> Iterator[PointSet3]:
                 gof.geo_smoothing,
             )
             ps.positions = np.stack([sx, sy, sz], axis=1).astype(np.uint16)
+        if (
+            gof.attr_smoothing is not None
+            and len(ps) > 0
+            and gof.attribute_count > 0
+            and not gof.attr_is_rgb444
+        ):
+            from ..ops.smoothing import smooth_colors_np
+
+            pos = ps.positions.astype(np.int32)
+            col = ps.colors16bit.astype(np.int32)
+            cy2, cu2, cv2 = smooth_colors_np(
+                pos[:, 0], pos[:, 1], pos[:, 2],
+                col[:, 0], col[:, 1], col[:, 2],
+                np.ones(len(ps), np.int32),
+                np.asarray(partition, np.int32),
+                gof.attr_smoothing,
+            )
+            ps.colors16bit = np.stack([cy2, cu2, cv2], axis=1).astype(np.uint16)
         if gof.attribute_count > 0:
             if gof.attr_is_rgb444:
                 ps.copy_rgb16_to_rgb8()
@@ -520,6 +575,8 @@ def _gof_device_inputs(gof: GofData, metas=None) -> DeviceInputs:
         geo_shift=gof.geo_shift,
         chroma_shift=gof.attr_chroma_shift,
         smoothing=gof.geo_smoothing,
+        # color smoothing operates on YUV samples; skip for RGB content
+        attr_smoothing=None if gof.attr_is_rgb444 else gof.attr_smoothing,
     )
     tables = [build_group_table(m) for m in metas]
     fields = np.stack([t.fields for t in tables])
@@ -630,7 +687,12 @@ def _dispatch_device(di: DeviceInputs, mesh=None):
 
     # smoothing needs whole-frame grid stats: use the single-device path
     # (a psum'd sharded grid is future work)
-    if mesh is not None and di.use_tiled and di.cfg.smoothing is None:
+    if (
+        mesh is not None
+        and di.use_tiled
+        and di.cfg.smoothing is None
+        and di.cfg.attr_smoothing is None
+    ):
         from ..parallel.mesh import pad_batch
         from ..parallel.spatial import reconstruct_gof_spatial_pretiled
 

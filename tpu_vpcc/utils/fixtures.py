@@ -160,6 +160,7 @@ def build_fixture_stream(
     lossless: bool = True,
     p_modes=None,
     geo_smoothing_sei=None,
+    attr_smoothing_sei=None,
 ) -> bytes:
     """Build a complete single-GOF V3C sample-stream file.
 
@@ -173,7 +174,9 @@ def build_fixture_stream(
 
     ``geo_smoothing_sei`` (optional) is a ``(grid_size, threshold)`` pair:
     a prefix GeometrySmoothing SEI (method 1) is attached before the first
-    tile layer.
+    tile layer. ``attr_smoothing_sei`` (optional) is
+    ``(grid_size, threshold_variation, threshold_difference)`` for a
+    prefix AttributeSmoothing SEI on attribute 0.
     """
     f0 = frames[0]
     width, height = f0.meta.width, f0.meta.height
@@ -240,17 +243,31 @@ def build_fixture_stream(
         w3c.wrap_nal_unit(NalUnitType.ASPS, w3c.write_asps(asps)),
         w3c.wrap_nal_unit(NalUnitType.AFPS, w3c.write_afps(afps, asps)),
     ]
+    # A prefix SEI attaches to the FOLLOWING tile layer and a later
+    # prefix SEI overwrites a pending one (reader.rs:810-811), so when
+    # both SEIs are requested they go before different tile layers.
+    sei_by_frame = {}
     if geo_smoothing_sei is not None:
         grid_size, threshold = geo_smoothing_sei
-        nalus.append(
-            w3c.wrap_nal_unit(
-                NalUnitType.PREFIX_ESEI,
-                w3c.write_sei_geometry_smoothing(
-                    instances=((0, 1, grid_size - 2, threshold),)
-                ),
-            )
+        sei_by_frame[0] = w3c.wrap_nal_unit(
+            NalUnitType.PREFIX_ESEI,
+            w3c.write_sei_geometry_smoothing(
+                instances=((0, 1, grid_size - 2, threshold),)
+            ),
+        )
+    if attr_smoothing_sei is not None:
+        grid_size, thr_var, thr_diff = attr_smoothing_sei
+        fi_attr = 0 if geo_smoothing_sei is None else 1
+        assert fi_attr < len(frames), "both SEIs need >= 2 frames"
+        sei_by_frame[fi_attr] = w3c.wrap_nal_unit(
+            NalUnitType.PREFIX_ESEI,
+            w3c.write_sei_attribute_smoothing(
+                instances=((0, 0, 1, grid_size - 2, 0, thr_var, thr_diff),)
+            ),
         )
     for fi, sf in enumerate(frames):
+        if fi in sei_by_frame:
+            nalus.append(sei_by_frame[fi])
         spec = (p_modes or {}).get(sf.meta.frame_index)
         ath = AtlasTileHeader()
         ath.atlas_frame_order_count_lsb = sf.meta.frame_index

@@ -684,6 +684,70 @@ class SeiGeometrySmoothing:
 
 
 @dataclass
+class SeiAttributeSmoothing:
+    """H.20.2.20 attribute smoothing SEI.
+
+    The reference cannot parse this payload at all (its SEI dispatch
+    panics on anything but geometry smoothing, ``reader.rs:1402-1412``);
+    implemented here per the 23090-5 syntax shape so attribute smoothing
+    reconstruction is reachable — exceeding reference parity.
+    """
+
+    persistence_flag: bool = False
+    reset_flag: bool = False
+    num_attributes_updated: int = 0
+    attribute_idx: List[int] = field(default_factory=list)
+    attribute_smoothing_cancel_flag: List[bool] = field(default_factory=list)
+    instances_updated: List[int] = field(default_factory=list)
+    # per (attribute, instance): keyed dicts indexed [j][k]
+    instance_index: List[List[int]] = field(default_factory=list)
+    instance_cancel_flag: List[List[bool]] = field(default_factory=list)
+    method_type: List[List[int]] = field(default_factory=list)
+    grid_size_minus_2: List[List[int]] = field(default_factory=list)
+    threshold: List[List[int]] = field(default_factory=list)
+    threshold_variation: List[List[int]] = field(default_factory=list)
+    threshold_difference: List[List[int]] = field(default_factory=list)
+
+    payload_type = SeiPayloadType.ATTRIBUTE_SMOOTHING
+
+    @classmethod
+    def parse(cls, bs: Bitstream) -> "SeiAttributeSmoothing":
+        sei = cls(
+            persistence_flag=bs.read(1) != 0,
+            reset_flag=bs.read(1) != 0,
+            num_attributes_updated=bs.read_uvlc(),
+        )
+        for _j in range(sei.num_attributes_updated):
+            sei.attribute_idx.append(bs.read(7))
+            cancel = bs.read(1) != 0
+            sei.attribute_smoothing_cancel_flag.append(cancel)
+            n = bs.read(8)
+            sei.instances_updated.append(n)
+            idxs, cancels, methods = [0] * n, [False] * n, [0] * n
+            grids, thrs, thr_vars, thr_diffs = [0] * n, [0] * n, [0] * n, [0] * n
+            for _i in range(n):
+                k = bs.read(8)
+                idxs[_i] = k
+                cancels[_i] = bs.read(1) != 0
+                if cancels[_i]:
+                    continue
+                methods[_i] = bs.read_uvlc()
+                if methods[_i] == 1:
+                    grids[_i] = bs.read(8)
+                    thrs[_i] = bs.read(8)
+                    thr_vars[_i] = bs.read(8)
+                    thr_diffs[_i] = bs.read(8)
+            sei.instance_index.append(idxs)
+            sei.instance_cancel_flag.append(cancels)
+            sei.method_type.append(methods)
+            sei.grid_size_minus_2.append(grids)
+            sei.threshold.append(thrs)
+            sei.threshold_variation.append(thr_vars)
+            sei.threshold_difference.append(thr_diffs)
+        return sei
+
+
+@dataclass
 class SeiMessage:
     """An SEI RBSP holding parsed prefix/suffix payloads (``reader.rs:1331-1435``)."""
 
@@ -709,9 +773,13 @@ class SeiMessage:
         if nal_unit_type.is_prefix_sei:
             if payload_type == SeiPayloadType.GEOMETRY_SMOOTHING:
                 msg.sei_prefix.append(SeiGeometrySmoothing.parse(bs))
+            elif payload_type == SeiPayloadType.ATTRIBUTE_SMOOTHING:
+                # beyond reference parity: the reference panics on any
+                # SEI payload but geometry smoothing
+                msg.sei_prefix.append(SeiAttributeSmoothing.parse(bs))
             else:
                 raise UnsupportedFeature(
-                    f"SEI payload {payload_type!r} not supported (only geometry smoothing)"
+                    f"SEI payload {payload_type!r} not supported"
                 )
         else:
             raise UnsupportedFeature("suffix SEI not supported")

@@ -369,6 +369,41 @@ def write_sei_geometry_smoothing(
     return w.getvalue()
 
 
+def write_sei_attribute_smoothing(
+    instances=((0, 0, 1, 2, 0, 10, 10),),
+    # (attribute_idx, instance_index, method_type, grid_size_minus_2,
+    #  threshold, threshold_variation, threshold_difference)
+    persistence_flag: bool = False,
+    reset_flag: bool = False,
+) -> bytes:
+    """Serialize a prefix attribute-smoothing SEI payload (inverse of
+    ``SeiAttributeSmoothing.parse``) — the reference cannot parse this
+    payload; framework extension."""
+    from .syntax import SeiPayloadType
+
+    w = BitWriter()
+    w.write(int(SeiPayloadType.ATTRIBUTE_SMOOTHING), 8)
+    w.write(8, 8)  # payload size varint (unused by the parser)
+    w.write(int(persistence_flag), 1)
+    w.write(int(reset_flag), 1)
+    w.write_uvlc(len(instances))
+    for (aidx, iidx, method, grid, thr, thr_var, thr_diff) in instances:
+        w.write(aidx, 7)
+        w.write(0, 1)  # attribute_smoothing_cancel_flag
+        w.write(1, 8)  # instances_updated
+        w.write(iidx, 8)
+        w.write(0, 1)  # instance_cancel_flag
+        w.write_uvlc(method)
+        if method == 1:
+            w.write(grid, 8)
+            w.write(thr, 8)
+            w.write(thr_var, 8)
+            w.write(thr_diff, 8)
+    w.byte_align()
+    w.write(0, 8)  # the extra trailing byte the parser consumes
+    return w.getvalue()
+
+
 def wrap_nal_unit(unit_type: NalUnitType, payload: bytes) -> bytes:
     """2-byte NAL header + payload (``reader.rs:770-778``)."""
     w = BitWriter()
