@@ -23,6 +23,69 @@ import time
 import numpy as np
 
 
+def e2e_decoder_metric(
+    n_gofs: int = 2, frames_per_gof: int = 4, width: int = 640, height: int = 640
+):
+    """Frames/sec through the full streaming Decoder on a synthetic
+    multi-GOF stream: V3C parse + host HEVC decode + H2D + device
+    reconstruction + D2H + exact color conversion. This container has
+    ONE CPU core, so host video decode dominates (the stage breakdown
+    quantifies it); the kernel metric above is the device-side number.
+    """
+    import time
+
+    try:
+        from tpu_vpcc.runtime.pipeline import Decoder, Params
+        from tpu_vpcc.utils.fixtures import build_fixture_stream, concat_streams
+        from tpu_vpcc.utils.synthetic import make_synthetic_frame
+        from tpu_vpcc.video import encoder_supports
+
+        if not (encoder_supports(8) and encoder_supports(10)):
+            return {"skipped": "libx265 unavailable"}
+
+        rng = np.random.default_rng(0)
+        gofs = []
+        for g in range(n_gofs):
+            frames = [
+                make_synthetic_frame(
+                    rng, width=width, height=height, occupancy_resolution=16,
+                    occupancy_precision=4, n_patches=24, frame_index=i,
+                )
+                for i in range(frames_per_gof)
+            ]
+            gofs.append(build_fixture_stream(frames))
+        stream = concat_streams(gofs)
+
+        # warm-up decode: first dispatch bears XLA compilation (30s-5min
+        # on this tunneled backend); the metric is the steady state
+        warm = Decoder(Params(stream))
+        warm.start()
+        for _ in warm:
+            pass
+
+        t0 = time.perf_counter()
+        decoder = Decoder(Params(stream))
+        decoder.start()
+        n_frames = 0
+        n_points = 0
+        for frame in decoder:
+            n_frames += 1
+            n_points += len(frame)
+        wall = time.perf_counter() - t0
+        stages = {k: round(v, 3) for k, v in decoder.stats.stage_totals().items()}
+        return {
+            "fps": round(n_frames / wall, 2),
+            "frames": n_frames,
+            "mean_points": int(n_points / max(n_frames, 1)),
+            "wall_seconds": round(wall, 3),
+            "stage_seconds": stages,
+            "atlas": f"{width}x{height}",
+            "host_cores": __import__("os").cpu_count(),
+        }
+    except Exception as e:  # the headline metric must never be lost
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -108,6 +171,7 @@ def main() -> int:
     dt_dispatch = (time.perf_counter() - t0) / loop_n
 
     fps = batch / dt_net
+    e2e = e2e_decoder_metric()
     result = {
         "metric": "fps_1Mpt_frame_reconstruction",
         "value": round(fps, 2),
@@ -123,6 +187,7 @@ def main() -> int:
             "device": str(jax.devices()[0]),
             "atlas": f"{cfg.width}x{cfg.height}",
             "s_cap": fcfg.s_cap,
+            "e2e": e2e,
         },
     }
     print(json.dumps(result))

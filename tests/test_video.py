@@ -73,3 +73,58 @@ def test_decompress_video_end_to_end():
     assert len(dec) == 2
     for f_in, f_out in zip(frames, dec):
         assert np.array_equal(f_in[0], f_out.planes[0])
+
+
+def test_decoder_threading_configuration():
+    """The native bridge requests frame+slice threading with auto thread
+    count; assert the configuration the decoder actually resolved. On a
+    multi-core host libavcodec engages frame threading (active type bit
+    1); this container has 1 core, where 1 thread / no threading is the
+    correct resolution — the assert adapts so the test is meaningful on
+    both."""
+    import os
+
+    from tpu_vpcc.video.codec import decoder_thread_info
+
+    count, active = decoder_thread_info(1)
+    assert count >= 1
+    if (os.cpu_count() or 1) > 1:
+        # FF_THREAD_FRAME = 1: frame threads scale across cores
+        assert count > 1, "auto thread count should resolve to > 1 core"
+        assert active & 1, "frame threading should be active for HEVC"
+    else:
+        assert count == 1
+
+
+def test_concurrent_substream_decode_matches_serial():
+    """The pipeline decodes the three sub-streams in parallel threads;
+    concurrent decode must produce identical planes (and on multi-core
+    hosts, lower wall time — recorded in PERFORMANCE.md)."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not encoder_supports(10):
+        pytest.skip("libx265 10-bit required")
+    rng = np.random.default_rng(9)
+    streams = [
+        encode_yuv420(_random_frames(rng, 4, 128, 128, 10), bit_depth=10)
+        for _ in range(3)
+    ]
+
+    t0 = time.perf_counter()
+    serial = [decode_annexb(s) for s in streams]
+    dt_serial = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        concurrent = list(pool.map(decode_annexb, streams))
+    dt_concurrent = time.perf_counter() - t0
+
+    for a, b in zip(serial, concurrent):
+        assert len(a) == len(b)
+        for fa, fb in zip(a, b):
+            for pa, pb in zip(fa.planes, fb.planes):
+                np.testing.assert_array_equal(pa, pb)
+    # wall-time evidence, not asserted (flat on this 1-core container)
+    print(f"substream decode serial={dt_serial:.3f}s "
+          f"concurrent={dt_concurrent:.3f}s")

@@ -78,6 +78,11 @@ def _load() -> ctypes.CDLL:
             ctypes.c_void_p,
             ctypes.c_int64,
         ]
+        lib.vdec_thread_info.restype = ctypes.c_int
+        lib.vdec_thread_info.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int),
+        ]
         lib.vdec_error.restype = ctypes.c_char_p
         lib.vdec_error.argtypes = [ctypes.c_void_p]
         lib.vdec_close.restype = None
@@ -194,6 +199,24 @@ def decode_annexb(
                 )
             )
         return frames
+    finally:
+        lib.vdec_close(handle)
+
+
+def decoder_thread_info(codec_id: int = 1):
+    """(resolved thread_count, active_thread_type bits) of a freshly
+    opened decoder — 1 = frame threading, 2 = slice threading. Evidence
+    that the host decode parallelizes on multi-core machines (this
+    container has 1 core, so the resolved count is 1 here)."""
+    lib = _load()
+    handle = lib.vdec_open(codec_id)
+    if not handle:
+        raise VideoDecodeError("failed to open native decoder")
+    try:
+        info = (ctypes.c_int * 2)()
+        if lib.vdec_thread_info(handle, info) != 0:
+            raise VideoDecodeError("thread info query failed")
+        return int(info[0]), int(info[1])
     finally:
         lib.vdec_close(handle)
 

@@ -121,6 +121,17 @@ void* vdec_open(int codec_id) {
   return d;
 }
 
+// Post-open threading configuration actually in effect:
+// info[0] = resolved thread_count, info[1] = active_thread_type bits
+// (1 = frame threading, 2 = slice threading).
+int vdec_thread_info(void* handle, int* info) {
+  auto* d = static_cast<DecoderCtx*>(handle);
+  if (!d->ctx) return -1;
+  info[0] = d->ctx->thread_count;
+  info[1] = d->ctx->active_thread_type;
+  return 0;
+}
+
 // Feed a whole Annex-B bytestream; parses NALUs into packets and decodes.
 // Returns 0 on success.
 int vdec_decode(void* handle, const uint8_t* data, int64_t size) {
