@@ -152,3 +152,66 @@ def test_skip_tile_replicates_previous_frame_patches():
     metas = create_patch_frames(ctx)
     for got, want in zip(metas[2].patches, metas[1].patches):
         assert got == want
+
+
+def test_p_tile_ref_index_two_entry_list():
+    """A two-entry ref list: the inter patch of frame 2 references frame
+    0 via ref_index=1 (delta 2); ref_index is actually coded because
+    num_ref_idx_active = 2."""
+    rng = np.random.default_rng(23)
+    f0 = make_synthetic_frame(
+        rng, width=W, height=H, occupancy_resolution=RES,
+        occupancy_precision=PREC, n_patches=2, frame_index=0,
+    )
+    p0 = f0.meta.patches
+    # frame1: unrelated I frame (different patches)
+    f1 = make_synthetic_frame(
+        rng, width=W, height=H, occupancy_resolution=RES,
+        occupancy_precision=PREC, n_patches=2, frame_index=1,
+    )
+    # frame2: P, patches derived from FRAME 0 (two frames back)
+    p2 = [
+        replace(shift_d1(p0[0], +2), uv1=(p0[0].uv1[0] + 1, p0[0].uv1[1])),
+        replace(p0[1]),
+    ]
+    f2 = make_synthetic_frame(
+        rng, width=W, height=H, occupancy_resolution=RES,
+        occupancy_precision=PREC, frame_index=2, patches=p2,
+    )
+    stream = build_fixture_stream(
+        [f0, f1, f2],
+        p_modes={2: [("inter", 0, 1), ("inter", 1, 1)]},
+        ref_deltas=(1, 2),
+    )
+    ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(stream))
+    ctx = Context()
+    ssvu.decode_gof(ctx)
+    metas = create_patch_frames(ctx)
+    for got, want in zip(metas[2].patches, p2):
+        for f in GEOM_FIELDS:
+            assert getattr(got, f) == getattr(want, f), f
+    d = Decoder(Params(stream))
+    d.start()
+    out = list(d)
+    assert len(out) == 3 and all(len(fr) > 0 for fr in out)
+
+
+def test_p_tiles_across_multiple_gofs():
+    """Two GOFs each with their own IDR + P chain decode independently
+    (fresh Context per GOF; refs cannot cross the boundary)."""
+    from tpu_vpcc.utils.fixtures import concat_streams
+
+    streams = []
+    for seed in (31, 37):
+        frames, stream = make_p_sequence(seed=seed)
+        streams.append(stream)
+    multi = concat_streams(streams)
+    d1 = Decoder(Params(multi, use_device=True))
+    d1.start()
+    dev = list(d1)
+    d2 = Decoder(Params(multi, use_device=False))
+    d2.start()
+    orc = list(d2)
+    assert len(dev) == len(orc) == 6
+    for a, b in zip(dev, orc):
+        assert format_ply(a) == format_ply(b)

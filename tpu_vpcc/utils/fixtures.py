@@ -78,6 +78,7 @@ def patch_to_inter_pdu(
     pred_index: int,
     geometry_bitdepth_3d: int,
     min_level: int = 1,
+    ref_index: int = 0,
 ) -> InterPatchDataUnit:
     """Invert the inter-patch derivation (`atlas.patches._derive_inter_patch`):
     encode ``patch`` as signed deltas against ``ref``. Orientation, axes,
@@ -90,7 +91,7 @@ def patch_to_inter_pdu(
     else:
         dd = (max3d - patch.d1) // min_level - (max3d - ref.d1) // min_level
     return InterPatchDataUnit(
-        ref_index=0,
+        ref_index=ref_index,
         ref_patch_index=ref_patch_idx - pred_index,
         pos_2d=(patch.uv0[0] - ref.uv0[0], patch.uv0[1] - ref.uv0[1]),
         delta_2d_size=(
@@ -159,6 +160,7 @@ def build_fixture_stream(
     qp: int = 0,
     lossless: bool = True,
     p_modes=None,
+    ref_deltas=(1,),
     geo_smoothing_sei=None,
     attr_smoothing_sei=None,
 ) -> bytes:
@@ -167,10 +169,14 @@ def build_fixture_stream(
     ``p_modes`` (optional) maps a frame index to either the string
     ``"skip_tile"`` (the whole tile replicates the previous frame's patch
     list) or a per-patch mode list for a P-tile referencing the previous
-    frame: ``"intra"``, ``("inter", ref_patch_idx)``, ``"merge2d"``,
-    ``"merge3d"``, or ``"skip"``. Frames not in the map are coded as
-    I-tiles. P-coded streams disable normal_axis_max_delta (the parser
-    rejects inter patches with it, matching the reference).
+    frame: ``"intra"``, ``("inter", ref_patch_idx)`` or
+    ``("inter", ref_patch_idx, ref_index)``, ``"merge2d"``, ``"merge3d"``,
+    or ``"skip"``. Frames not in the map are coded as I-tiles. P-coded
+    streams disable normal_axis_max_delta (the parser rejects inter
+    patches with it, matching the reference). ``ref_deltas`` gives the
+    sps reference list's short-term AFOC deltas (entry j references the
+    frame ``delta`` frames back); with more than one entry the default
+    active ref count covers them all, so ``ref_index`` is coded.
 
     ``geo_smoothing_sei`` (optional) is a ``(grid_size, threshold)`` pair:
     a prefix GeometrySmoothing SEI (method 1) is attached before the first
@@ -225,19 +231,24 @@ def build_fixture_stream(
     asps.normal_axis_limits_quantization_enabled_flag = True
     asps.normal_axis_max_delta_value_enabled_flag = p_modes is None
     if p_modes is not None:
-        # one sps ref list: "previous frame" (delta 1, non-negative sign)
+        # one sps ref list: entry j references the frame ref_deltas[j]
+        # back (short-term, non-negative sign)
         asps.num_ref_atlas_frame_lists_in_asps = 1
         asps.ref_list_struct = [
             RefListStruct(
-                num_ref_entries=1,
-                abs_delta_afoc_st=[1],
+                num_ref_entries=len(ref_deltas),
+                abs_delta_afoc_st=list(ref_deltas),
                 afoc_lsb_lt=[],
-                st_ref_atlas_frame_flag=[True],
-                strpf_entry_sign_flag=[True],
+                st_ref_atlas_frame_flag=[True] * len(ref_deltas),
+                strpf_entry_sign_flag=[True] * len(ref_deltas),
             )
         ]
 
     afps = AtlasFrameParameterSet()
+    if p_modes is not None:
+        # default active ref count covers the whole list, so multi-entry
+        # lists code ref_index on inter/merge units
+        afps.num_ref_idx_default_active_minus1 = len(ref_deltas) - 1
 
     nalus = [
         w3c.wrap_nal_unit(NalUnitType.ASPS, w3c.write_asps(asps)),
@@ -290,7 +301,11 @@ def build_fixture_stream(
         else:
             ath.tile_type = TileType.P
             nal_type = NalUnitType.TRAIL_R
-            ref_meta = frames[fi - 1].meta
+
+            def ref_meta_for(ridx):
+                return frames[fi - ref_deltas[ridx]].meta
+
+            ref_meta = ref_meta_for(0)
             pred_index = 0
             assert len(spec) == len(sf.meta.patches)
             for i, (patch, mode) in enumerate(zip(sf.meta.patches, spec)):
@@ -301,11 +316,13 @@ def build_fixture_stream(
                     )
                 elif isinstance(mode, tuple) and mode[0] == "inter":
                     rpi = mode[1]
+                    ridx = mode[2] if len(mode) > 2 else 0
                     pid = PatchInformationData(
                         patch_mode=int(PatchModePTile.INTER),
                         patch_data_unit=patch_to_inter_pdu(
-                            patch, ref_meta.patches[rpi], rpi, pred_index,
-                            geometry_bitdepth_3d,
+                            patch, ref_meta_for(ridx).patches[rpi], rpi,
+                            pred_index, geometry_bitdepth_3d,
+                            ref_index=ridx,
                         ),
                     )
                     pred_index = rpi + 1
