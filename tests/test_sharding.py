@@ -136,3 +136,38 @@ def test_spatial_sharding_matches_single_device():
         np.testing.assert_array_equal(gpos, epos)
         np.testing.assert_array_equal(gcol, ecol)
         assert int(totals[k, 0]) == epos.shape[0]
+
+
+def test_pretiled_sharded_smoothing_matches_single_device():
+    """Smoothing grids psum across 'space' shards: sharded output is
+    bit-identical to the single-device smoothed kernel."""
+    from dataclasses import replace
+
+    from tpu_vpcc.ops.smoothing import AttrSmoothingConfig, SmoothingConfig
+    from tpu_vpcc.ops.tiled import reconstruct_batch_pretiled
+    from tpu_vpcc.parallel.spatial import (
+        reconstruct_gof_spatial_pretiled,
+        stitch_spatial,
+    )
+
+    frames, cfg, batch = make_batch(4, seed=7)
+    cfg = replace(
+        cfg,
+        smoothing=SmoothingConfig(8, 4, 10),
+        attr_smoothing=AttrSmoothingConfig(8, 255, 1, 10),
+    )
+    tiled = tile_batch(cfg, batch)
+    # single-device reference on the same tiled inputs
+    rpos, rcol, rcnt = reconstruct_batch_pretiled(*tiled, cfg)
+    rpos, rcol, rcnt = map(np.asarray, (rpos, rcol, rcnt))
+
+    mesh = make_mesh(data=4, space=2)
+    pos, col, cnt, _ = reconstruct_gof_spatial_pretiled(mesh, *tiled, cfg)
+    pos, col, cnt = map(np.asarray, (pos, col, cnt))
+    s_loc = cfg.s_cap // 2
+    for k in range(4):
+        gpos, gcol = stitch_spatial(pos[k], col[k], cnt[k], s_loc)
+        n = int(rcnt[k])
+        assert gpos.shape[0] == n
+        np.testing.assert_array_equal(gpos, rpos[k, :n])
+        np.testing.assert_array_equal(gcol, rcol[k, :n])

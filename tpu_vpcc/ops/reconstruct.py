@@ -54,6 +54,9 @@ class FrameConfig:
     smoothing: object = None
     # grid-based attribute smoothing (None = off; an AttrSmoothingConfig)
     attr_smoothing: object = None
+    # mesh axis name when the kernel runs inside shard_map with the slot
+    # axis sharded: smoothing grids combine across shards via psum/pmin
+    shard_axis: object = None
 
     @property
     def slots_per_block(self) -> int:
@@ -317,7 +320,8 @@ def _flat_batch_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
         from .smoothing import smooth_flat
 
         sm_x, sm_y, sm_z = smooth_flat(
-            pos[0], pos[1], pos[2], valid, fr(G.G_PATCH), f, F, cfg.smoothing
+            pos[0], pos[1], pos[2], valid, fr(G.G_PATCH), f, F,
+            cfg.smoothing, shard_axis=cfg.shard_axis,
         )
         pos = jnp.stack([sm_x, sm_y, sm_z])
 
@@ -333,6 +337,7 @@ def _flat_batch_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
         col_y, col_u, col_v = smooth_colors_flat(
             pos[0], pos[1], pos[2], col_y, col_u, col_v, valid,
             fr(G.G_PATCH), f, F, cfg.attr_smoothing,
+            shard_axis=cfg.shard_axis,
         )
 
     # per-frame compaction via one global cumsum

@@ -159,13 +159,19 @@ def smooth_slots_np(xs, ys, zs, valid, pid, cfg: SmoothingConfig):
 
 
 def smooth_flat(xs, ys, zs, valid, pid, frame, n_frames: int,
-                cfg: SmoothingConfig):
+                cfg: SmoothingConfig, shard_axis=None):
     """JAX smoothing over flat slot arrays with an explicit frame map.
 
     Frames fold into the cell axis (cell id += frame * n_cells) so the
     scatter/gathers stay rank-1 — the same flat-batch rule as the
     reconstruction kernels (batched scatters lower catastrophically on
-    TPU). Integer-identical to :func:`smooth_slots_np` per frame."""
+    TPU). Integer-identical to :func:`smooth_slots_np` per frame.
+
+    ``shard_axis``: inside shard_map with each device holding a slot
+    subset of the same frames, pass the mesh axis name — the cell grids
+    are combined across shards with psum/pmin/pmax (ICI collectives) so
+    every shard smooths against whole-frame statistics."""
+    import jax
     import jax.numpy as jnp
 
     def scatter(cid, v, x, y, z, p, n_total):
@@ -183,6 +189,13 @@ def smooth_flat(xs, ys, zs, valid, pid, frame, n_frames: int,
             .at[cid]
             .max(jnp.where(v > 0, p, -_BIG))
         )
+        if shard_axis is not None:
+            counts = jax.lax.psum(counts, shard_axis)
+            sum_x = jax.lax.psum(sum_x, shard_axis)
+            sum_y = jax.lax.psum(sum_y, shard_axis)
+            sum_z = jax.lax.psum(sum_z, shard_axis)
+            min_p = jax.lax.pmin(min_p, shard_axis)
+            max_p = jax.lax.pmax(max_p, shard_axis)
         return counts, sum_x, sum_y, sum_z, min_p, max_p
 
     return _smooth_core(
@@ -192,7 +205,8 @@ def smooth_flat(xs, ys, zs, valid, pid, frame, n_frames: int,
     )
 
 
-def smooth_batch(xs, ys, zs, valid, pid, cfg: SmoothingConfig):
+def smooth_batch(xs, ys, zs, valid, pid, cfg: SmoothingConfig,
+                 shard_axis=None):
     """Batched JAX smoothing over (F, S) slot arrays, one grid per frame
     (see :func:`smooth_flat`)."""
     import jax
@@ -202,7 +216,8 @@ def smooth_batch(xs, ys, zs, valid, pid, cfg: SmoothingConfig):
     frame = jax.lax.broadcasted_iota(jnp.int32, (F, S), 0).reshape(-1)
     flat = lambda a: a.reshape(-1)  # noqa: E731
     out_x, out_y, out_z = smooth_flat(
-        flat(xs), flat(ys), flat(zs), flat(valid), flat(pid), frame, F, cfg
+        flat(xs), flat(ys), flat(zs), flat(valid), flat(pid), frame, F, cfg,
+        shard_axis=shard_axis,
     )
     return out_x.reshape(F, S), out_y.reshape(F, S), out_z.reshape(F, S)
 
@@ -342,8 +357,11 @@ def smooth_colors_np(xs, ys, zs, cy, cu, cv, valid, pid,
 
 
 def smooth_colors_flat(xs, ys, zs, cy, cu, cv, valid, pid, frame,
-                       n_frames: int, cfg: AttrSmoothingConfig):
-    """JAX color smoothing over flat slot arrays with a frame map."""
+                       n_frames: int, cfg: AttrSmoothingConfig,
+                       shard_axis=None):
+    """JAX color smoothing over flat slot arrays with a frame map.
+    ``shard_axis``: see :func:`smooth_flat`."""
+    import jax
     import jax.numpy as jnp
 
     def scatter(cid, v, a, b, c, p, n_total):
@@ -361,6 +379,13 @@ def smooth_colors_flat(xs, ys, zs, cy, cu, cv, valid, pid, frame,
             .at[cid]
             .max(jnp.where(v > 0, p, -_BIG))
         )
+        if shard_axis is not None:
+            counts = jax.lax.psum(counts, shard_axis)
+            sum_a = jax.lax.psum(sum_a, shard_axis)
+            sum_b = jax.lax.psum(sum_b, shard_axis)
+            sum_c = jax.lax.psum(sum_c, shard_axis)
+            min_p = jax.lax.pmin(min_p, shard_axis)
+            max_p = jax.lax.pmax(max_p, shard_axis)
         return counts, sum_a, sum_b, sum_c, min_p, max_p
 
     return _smooth_color_core(
@@ -372,7 +397,7 @@ def smooth_colors_flat(xs, ys, zs, cy, cu, cv, valid, pid, frame,
 
 
 def smooth_colors_batch(xs, ys, zs, cy, cu, cv, valid, pid,
-                        cfg: AttrSmoothingConfig):
+                        cfg: AttrSmoothingConfig, shard_axis=None):
     """Batched JAX color smoothing over (F, S) slot arrays."""
     import jax
     import jax.numpy as jnp
@@ -382,6 +407,6 @@ def smooth_colors_batch(xs, ys, zs, cy, cu, cv, valid, pid,
     flat = lambda a: a.reshape(-1)  # noqa: E731
     out = smooth_colors_flat(
         flat(xs), flat(ys), flat(zs), flat(cy), flat(cu), flat(cv),
-        flat(valid), flat(pid), frame, F, cfg,
+        flat(valid), flat(pid), frame, F, cfg, shard_axis=shard_axis,
     )
     return tuple(a.reshape(F, S) for a in out)

@@ -211,13 +211,16 @@ def _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg):
     if cfg.smoothing is not None:
         from .smoothing import smooth_batch
 
-        xs, ys, zs = smooth_batch(xs, ys, zs, valid, pid, cfg.smoothing)
+        xs, ys, zs = smooth_batch(
+            xs, ys, zs, valid, pid, cfg.smoothing, shard_axis=cfg.shard_axis
+        )
     if cfg.attr_smoothing is not None:
         from .smoothing import smooth_colors_batch
 
         # colors smooth on the (geometry-smoothed) 3D positions' grid
         cys, cus, cvs = smooth_colors_batch(
-            xs, ys, zs, cys, cus, cvs, valid, pid, cfg.attr_smoothing
+            xs, ys, zs, cys, cus, cvs, valid, pid, cfg.attr_smoothing,
+            shard_axis=cfg.shard_axis,
         )
 
     def pack(a, b):

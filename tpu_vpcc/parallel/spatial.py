@@ -106,12 +106,18 @@ def reconstruct_gof_spatial_pretiled(
     concatenating them (``stitch_spatial``) yields the reference emission
     order exactly.
     """
+    from dataclasses import replace as _replace
+
     from ..ops.tiled import _flat_pretiled_impl
 
     n_space = mesh.shape["space"]
     g_loc = cfg.g_cap // n_space
     if g_loc * n_space != cfg.g_cap:
         raise ValueError("g_cap must divide by the space axis")
+    if cfg.smoothing is not None or cfg.attr_smoothing is not None:
+        # smoothing grids must cover whole frames: the in-kernel passes
+        # psum/pmin their cell stats across the 'space' shards
+        cfg = _replace(cfg, shard_axis="space")
 
     def shard_fn(fields_b, occ_b, g0_b, g1_b, ay_b, au_b, av_b):
         pos, col, cnt = _flat_pretiled_impl(

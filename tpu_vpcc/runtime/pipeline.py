@@ -685,14 +685,9 @@ def _dispatch_device(di: DeviceInputs, mesh=None):
     from ..ops.reconstruct import reconstruct_batch
     from ..ops.tiled import reconstruct_batch_pretiled
 
-    # smoothing needs whole-frame grid stats: use the single-device path
-    # (a psum'd sharded grid is future work)
-    if (
-        mesh is not None
-        and di.use_tiled
-        and di.cfg.smoothing is None
-        and di.cfg.attr_smoothing is None
-    ):
+    # (smoothing works sharded too: the grid passes psum their cell
+    # stats across the 'space' axis inside shard_map)
+    if mesh is not None and di.use_tiled:
         from ..parallel.mesh import pad_batch
         from ..parallel.spatial import reconstruct_gof_spatial_pretiled
 
