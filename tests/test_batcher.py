@@ -75,3 +75,21 @@ def test_multi_stream_on_mesh(tmp_path):
         assert len(batched[s]) == len(plain[s]) > 0
         for a, b in zip(batched[s], plain[s]):
             assert format_ply(a) == format_ply(b)
+
+
+def test_eight_concurrent_streams_on_device_mesh(tmp_path):
+    """BASELINE config 5 shape: 8 concurrent bitstreams, frames from all
+    of them coalesced into shared device batches sharded over the full
+    8-device mesh; outputs bit-identical per stream."""
+    from tpu_vpcc.parallel.mesh import make_mesh
+
+    paths = make_streams(tmp_path, n_streams=8, n_frames=2)
+    mesh = make_mesh(data=8, space=1)
+    batched = decode_streams(paths, mesh=mesh)
+    for s, path in enumerate(paths):
+        d = Decoder(Params(path))
+        d.start()
+        seq = list(d)
+        assert len(batched[s]) == len(seq) == 2
+        for a, b in zip(batched[s], seq):
+            assert format_ply(a) == format_ply(b)

@@ -215,3 +215,40 @@ def test_p_tiles_across_multiple_gofs():
     assert len(dev) == len(orc) == 6
     for a, b in zip(dev, orc):
         assert format_ply(a) == format_ply(b)
+
+
+def test_p_tile_long_term_reference():
+    """A long-term reference entry: frame 2's inter patch references
+    frame 0 by absolute AFOC through a long-term ref-list entry
+    (st_ref_atlas_frame_flag = 0; the ATH additional-afoc loop runs)."""
+    rng = np.random.default_rng(41)
+    f0 = make_synthetic_frame(
+        rng, width=W, height=H, occupancy_resolution=RES,
+        occupancy_precision=PREC, n_patches=2, frame_index=0,
+    )
+    p0 = f0.meta.patches
+    f1 = make_synthetic_frame(
+        rng, width=W, height=H, occupancy_resolution=RES,
+        occupancy_precision=PREC, n_patches=2, frame_index=1,
+    )
+    p2 = [replace(shift_d1(p0[0], +1)), replace(p0[1])]
+    f2 = make_synthetic_frame(
+        rng, width=W, height=H, occupancy_resolution=RES,
+        occupancy_precision=PREC, frame_index=2, patches=p2,
+    )
+    stream = build_fixture_stream(
+        [f0, f1, f2],
+        p_modes={2: [("inter", 0, 1), ("inter", 1, 1)]},
+        ref_deltas=(1, ("lt", 0)),
+    )
+    ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(stream))
+    ctx = Context()
+    ssvu.decode_gof(ctx)
+    metas = create_patch_frames(ctx)
+    for got, want in zip(metas[2].patches, p2):
+        for f in GEOM_FIELDS:
+            assert getattr(got, f) == getattr(want, f), f
+    d = Decoder(Params(stream))
+    d.start()
+    out = list(d)
+    assert len(out) == 3 and all(len(fr) > 0 for fr in out)

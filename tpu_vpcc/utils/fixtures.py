@@ -230,17 +230,29 @@ def build_fixture_stream(
     asps.map_count_minus1 = map_count - 1
     asps.normal_axis_limits_quantization_enabled_flag = True
     asps.normal_axis_max_delta_value_enabled_flag = p_modes is None
+    n_ltr = 0
     if p_modes is not None:
-        # one sps ref list: entry j references the frame ref_deltas[j]
-        # back (short-term, non-negative sign)
+        # one sps ref list: entry j is either short-term (int delta:
+        # references the frame `delta` back) or long-term (("lt", afoc):
+        # references the frame with that absolute AFOC lsb)
+        st_flags, st_deltas, lt_afocs = [], [], []
+        for d in ref_deltas:
+            if isinstance(d, tuple) and d[0] == "lt":
+                st_flags.append(False)
+                lt_afocs.append(d[1])
+            else:
+                st_flags.append(True)
+                st_deltas.append(d)
+        n_ltr = len(lt_afocs)
+        asps.long_term_ref_atlas_frames_flag = n_ltr > 0
         asps.num_ref_atlas_frame_lists_in_asps = 1
         asps.ref_list_struct = [
             RefListStruct(
                 num_ref_entries=len(ref_deltas),
-                abs_delta_afoc_st=list(ref_deltas),
-                afoc_lsb_lt=[],
-                st_ref_atlas_frame_flag=[True] * len(ref_deltas),
-                strpf_entry_sign_flag=[True] * len(ref_deltas),
+                abs_delta_afoc_st=st_deltas,
+                afoc_lsb_lt=lt_afocs,
+                st_ref_atlas_frame_flag=st_flags,
+                strpf_entry_sign_flag=[True] * len(st_deltas),
             )
         ]
 
@@ -284,6 +296,8 @@ def build_fixture_stream(
         ath.atlas_frame_order_count_lsb = sf.meta.frame_index
         ath.pos_min_d_quantizer = 0
         ath.ref_atlas_frame_list_sps_flag = p_modes is not None
+        # one flag per long-term entry (parsed for every tile type)
+        ath.additional_afoc_lsb_present_flag = [False] * n_ltr
         atl = AtlasTileLayer(header=ath)
         if spec is None:
             ath.tile_type = TileType.I
@@ -303,7 +317,10 @@ def build_fixture_stream(
             nal_type = NalUnitType.TRAIL_R
 
             def ref_meta_for(ridx):
-                return frames[fi - ref_deltas[ridx]].meta
+                d = ref_deltas[ridx]
+                if isinstance(d, tuple) and d[0] == "lt":
+                    return frames[d[1]].meta  # fixture AFOC == frame index
+                return frames[fi - d].meta
 
             ref_meta = ref_meta_for(0)
             pred_index = 0
