@@ -17,10 +17,16 @@ vs_baseline is fps / 300 (the BASELINE.json north-star: >=300 fps of
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compilation cache: the extras subprocesses (and repeat bench
+# runs) reuse compiled executables instead of re-paying the 30s-5min
+# tunneled compile
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_vpcc_jax_cache")
 
 
 def e2e_decoder_metric(
@@ -139,7 +145,35 @@ def multistream_metric(n_streams: int = 8, frames_per_gof: int = 2,
         return {"error": f"{type(e).__name__}: {e}"}
 
 
+def _run_extra_subprocess(name: str, timeout: float = 150.0):
+    """Run an extras metric in a child process with a hard timeout so a
+    hang or crash can never cost the headline metric."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--extra", name],
+            capture_output=True, text=True, timeout=timeout,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        return {"error": f"no output (rc={proc.returncode})"}
+    except subprocess.TimeoutExpired:
+        return {"skipped": f"timeout after {timeout}s"}
+    except Exception as e:
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
 def main() -> int:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--extra":
+        fn = {"e2e": e2e_decoder_metric, "multistream": multistream_metric}[
+            sys.argv[2]
+        ]
+        print(json.dumps(fn()))
+        return 0
+
     import jax
     import jax.numpy as jnp
 
@@ -224,8 +258,8 @@ def main() -> int:
     dt_dispatch = (time.perf_counter() - t0) / loop_n
 
     fps = batch / dt_net
-    e2e = e2e_decoder_metric()
-    multistream = multistream_metric()
+    e2e = _run_extra_subprocess("e2e", timeout=270.0)
+    multistream = _run_extra_subprocess("multistream", timeout=270.0)
     result = {
         "metric": "fps_1Mpt_frame_reconstruction",
         "value": round(fps, 2),

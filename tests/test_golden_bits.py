@@ -434,3 +434,37 @@ def test_ceil_log2_matches_fast_math_reference():
     counts bounded by the atlas partition grid)."""
     for n in range(1, 1 << 16):
         assert ceil_log2(n) == fastmath_ceil_log2(n), n
+
+
+# ---------------------------------------------------------------------------
+# AFOC derivation wraparound (context.rs:142-172 / spec 8.4.3.1)
+# ---------------------------------------------------------------------------
+
+
+def test_afoc_lsb_wraparound():
+    """lsb sequence 14,15,0,1 under max_lsb=16 wraps msb to 16; a
+    backwards jump >half range steps msb down again."""
+    from tpu_vpcc.v3c.syntax import AtlasTileLayer
+
+    ctx = make_context()
+    ctx.get_asps(0).log2_max_atlas_frame_order_cnt_lsb_minus_4 = 0  # max 16
+    expected_vals = [14, 15, 16, 17]
+    for lsb in (14, 15, 0, 1):
+        atl = AtlasTileLayer()
+        atl.header.atlas_frame_parameter_set_id = 0
+        atl.header.atlas_frame_order_count_lsb = lsb
+        ctx.add_atlas_tile_layer(atl)
+    for i, want in enumerate(expected_vals):
+        msb, val = ctx.derive_afoc_val(i)
+        atl = ctx.get_atlas_tile_layer(i)
+        atl.atlas_frame_order_count_msb = msb
+        atl.atlas_frame_order_count_val = val
+        assert val == want, (i, val, want)
+    # a jump from lsb 1 back to lsb 15 (> half range backwards) keeps
+    # the msb at 0 per the derivation's second branch: 15-1=14 > 8
+    atl = AtlasTileLayer()
+    atl.header.atlas_frame_parameter_set_id = 0
+    atl.header.atlas_frame_order_count_lsb = 15
+    ctx.add_atlas_tile_layer(atl)
+    msb, val = ctx.derive_afoc_val(4)
+    assert (msb, val) == (0, 15)
