@@ -48,7 +48,7 @@ def test_streams_share_device_batches(tmp_path, monkeypatch):
     """Frames from different streams really coalesce into one dispatch."""
     import tpu_vpcc.parallel.batcher as batcher_mod
 
-    paths = make_streams(tmp_path, n_streams=2, n_frames=2)
+    paths = make_streams(tmp_path, n_streams=2, n_frames=1)
     calls = []
     real = batcher_mod._dispatch_device
 
@@ -58,9 +58,10 @@ def test_streams_share_device_batches(tmp_path, monkeypatch):
 
     monkeypatch.setattr(batcher_mod, "_dispatch_device", spy)
     batched = decode_streams(paths)
-    # initial wave: both streams' first GOFs (2 frames each) in ONE call
-    assert calls[0] == 4, calls
-    assert all(len(b) == 2 for b in batched)
+    # initial wave: both streams' single-frame GOFs in ONE device call
+    # (a DEVICE_BATCH-sized chunk of the concatenated frame axis)
+    assert calls[0] == 2, calls
+    assert all(len(b) == 1 for b in batched)
 
 
 def test_multi_stream_on_mesh(tmp_path):

@@ -436,10 +436,12 @@ def decode_gof_frames(context: Context, params: Params) -> Iterator[PointSet3]:
         yield from _reconstruct_gof_oracle(gof)
 
 
-# frames per device dispatch: the compaction sort cost grows with the
-# flattened batch (measured 0.23 ms/frame at B=1 vs 0.67 at B=8 on v5e),
-# so large GOFs are reconstructed in small chunks
-DEVICE_BATCH = 4
+# frames per device dispatch: the compaction sort cost cliffs once the
+# flattened batch passes ~6.6M slots (round-2 measurement on v5e at
+# 1280², single process: 0.298 ms/frame at B=1, 0.256 at B=2, 0.671 at
+# B=4, 0.700 at B=8), so GOFs are reconstructed in 2-frame chunks — the
+# best per-frame compute with half the dispatches of B=1
+DEVICE_BATCH = 2
 
 
 def _take_prefix_jit():
