@@ -60,16 +60,41 @@ def test_sei_attached_to_following_tile_layer():
     )
 
 
-def test_unsupported_sei_payload_raises():
-    # time-code SEI has no parser (attribute smoothing gained one —
-    # a framework extension beyond the reference)
+def test_unknown_sei_payload_skipped_and_recorded():
+    """Unknown prefix SEI payloads are skipped by their coded size and
+    recorded for presence queries (the reference panics here — a
+    framework robustness extension; suffix SEI still raises)."""
     from tpu_vpcc.bitio import BitWriter
 
     w = BitWriter()
     w.write(int(SeiPayloadType.TIME_CODE), 8)
-    w.write(0, 8)
+    w.write(3, 8)  # payload size
+    w.write(0xABCDEF, 24)  # opaque payload bytes
+    sei = SeiMessage.parse(Bitstream(w.getvalue()), NalUnitType.PREFIX_ESEI)
+    assert sei.is_sei_present(NalUnitType.PREFIX_ESEI, SeiPayloadType.TIME_CODE)
+    assert sei.sei_prefix[0].payload_size == 3
+
+    w2 = BitWriter()
+    w2.write(int(SeiPayloadType.TIME_CODE), 8)
+    w2.write(0, 8)
     with pytest.raises(UnsupportedFeature):
-        SeiMessage.parse(Bitstream(w.getvalue()), NalUnitType.PREFIX_ESEI)
+        SeiMessage.parse(Bitstream(w2.getvalue()), NalUnitType.SUFFIX_ESEI)
+
+
+def test_sei_occupancy_synthesis_roundtrip():
+    payload = w3c.write_sei_occupancy_synthesis(
+        instances=((0, 1, 2, 1, 5),), persistence_flag=True
+    )
+    sei = SeiMessage.parse(Bitstream(payload), NalUnitType.PREFIX_ESEI)
+    osm = sei.sei_prefix[0]
+    assert osm.persistence_flag is True
+    assert osm.method_type[0] == 1
+    assert osm.pbf_log2_threshold_minus1[0] == 2
+    assert osm.pbf_passes_count_minus1[0] == 1
+    assert osm.pbf_filter_size_minus1[0] == 5
+    assert sei.is_sei_present(
+        NalUnitType.PREFIX_ESEI, SeiPayloadType.OCCUPANCY_SYNTHESIS
+    )
 
 
 def test_sei_attribute_smoothing_roundtrip():
@@ -132,3 +157,32 @@ def test_decoder_stats_populated(tmp_path):
     assert {"parse", "host_prepare", "reconstruct"} <= set(gof.stage_seconds)
     assert gof.video_bytes.get("geo", 0) > 0
     assert "points" in gof.summary()
+
+
+def test_occupancy_synthesis_gate(tmp_path):
+    """A stream carrying the occupancy-synthesis SEI decodes normally by
+    default (SEI ignored, rec0) and raises at the post-processing gate
+    when the toggle is set — the point the reference would panic."""
+    from tpu_vpcc.utils.fixtures import build_fixture_stream
+    from tpu_vpcc.utils.synthetic import make_synthetic_frame
+    from tpu_vpcc.video import encoder_supports
+
+    if not (encoder_supports(8) and encoder_supports(10)):
+        pytest.skip("libx265 required")
+    rng = np.random.default_rng(2)
+    frames = [
+        make_synthetic_frame(rng, width=64, height=64, occupancy_resolution=8,
+                             occupancy_precision=4, n_patches=2, frame_index=i)
+        for i in range(2)
+    ]
+    stream = build_fixture_stream(frames, occ_synthesis_sei=(1, 0, 2))
+
+    d = Decoder(Params(stream))
+    d.start()
+    assert len(list(d)) == 2  # default: SEI present but ignored
+
+    d2 = Decoder(Params(stream, apply_occupancy_synthesis_type=True))
+    d2.start()
+    with pytest.raises(UnsupportedFeature):
+        while d2.recv_frame() is not None:
+            pass

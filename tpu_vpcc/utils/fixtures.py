@@ -163,6 +163,7 @@ def build_fixture_stream(
     ref_deltas=(1,),
     geo_smoothing_sei=None,
     attr_smoothing_sei=None,
+    occ_synthesis_sei=None,
 ) -> bytes:
     """Build a complete single-GOF V3C sample-stream file.
 
@@ -267,27 +268,41 @@ def build_fixture_stream(
         w3c.wrap_nal_unit(NalUnitType.AFPS, w3c.write_afps(afps, asps)),
     ]
     # A prefix SEI attaches to the FOLLOWING tile layer and a later
-    # prefix SEI overwrites a pending one (reader.rs:810-811), so when
-    # both SEIs are requested they go before different tile layers.
-    sei_by_frame = {}
+    # prefix SEI overwrites a pending one (reader.rs:810-811), so
+    # multiple requested SEIs go before successive tile layers.
+    sei_nalus = []
     if geo_smoothing_sei is not None:
         grid_size, threshold = geo_smoothing_sei
-        sei_by_frame[0] = w3c.wrap_nal_unit(
-            NalUnitType.PREFIX_ESEI,
-            w3c.write_sei_geometry_smoothing(
-                instances=((0, 1, grid_size - 2, threshold),)
-            ),
+        sei_nalus.append(
+            w3c.wrap_nal_unit(
+                NalUnitType.PREFIX_ESEI,
+                w3c.write_sei_geometry_smoothing(
+                    instances=((0, 1, grid_size - 2, threshold),)
+                ),
+            )
         )
     if attr_smoothing_sei is not None:
         grid_size, thr_var, thr_diff = attr_smoothing_sei
-        fi_attr = 0 if geo_smoothing_sei is None else 1
-        assert fi_attr < len(frames), "both SEIs need >= 2 frames"
-        sei_by_frame[fi_attr] = w3c.wrap_nal_unit(
-            NalUnitType.PREFIX_ESEI,
-            w3c.write_sei_attribute_smoothing(
-                instances=((0, 0, 1, grid_size - 2, 0, thr_var, thr_diff),)
-            ),
+        sei_nalus.append(
+            w3c.wrap_nal_unit(
+                NalUnitType.PREFIX_ESEI,
+                w3c.write_sei_attribute_smoothing(
+                    instances=((0, 0, 1, grid_size - 2, 0, thr_var, thr_diff),)
+                ),
+            )
         )
+    if occ_synthesis_sei is not None:
+        thr, passes, fsize = occ_synthesis_sei
+        sei_nalus.append(
+            w3c.wrap_nal_unit(
+                NalUnitType.PREFIX_ESEI,
+                w3c.write_sei_occupancy_synthesis(
+                    instances=((0, 1, thr, passes, fsize),)
+                ),
+            )
+        )
+    assert len(sei_nalus) <= len(frames), "more SEIs than tile layers"
+    sei_by_frame = dict(enumerate(sei_nalus))
     for fi, sf in enumerate(frames):
         if fi in sei_by_frame:
             nalus.append(sei_by_frame[fi])

@@ -748,6 +748,69 @@ class SeiAttributeSmoothing:
 
 
 @dataclass
+class SeiOccupancySynthesis:
+    """H.20.2.18 occupancy synthesis (PBF) SEI.
+
+    The reference cannot parse this payload (``reader.rs:1402-1412``
+    panics); parsed here per the 23090-5 syntax shape. Reconstruction
+    with occupancy synthesis enabled raises at the post-processing gate
+    — the same point the reference would panic (``decoder.rs``
+    pbf handling is absent there too)."""
+
+    persistence_flag: bool = False
+    reset_flag: bool = False
+    instances_updated: int = 0
+    instance_index: List[int] = field(default_factory=list)
+    instance_cancel_flag: List[bool] = field(default_factory=list)
+    method_type: List[int] = field(default_factory=list)
+    pbf_log2_threshold_minus1: List[int] = field(default_factory=list)
+    pbf_passes_count_minus1: List[int] = field(default_factory=list)
+    pbf_filter_size_minus1: List[int] = field(default_factory=list)
+
+    payload_type = SeiPayloadType.OCCUPANCY_SYNTHESIS
+
+    @classmethod
+    def parse(cls, bs: Bitstream) -> "SeiOccupancySynthesis":
+        sei = cls(
+            persistence_flag=bs.read(1) != 0,
+            reset_flag=bs.read(1) != 0,
+            instances_updated=bs.read(8),
+        )
+        n = sei.instances_updated
+        sei.instance_index = [0] * n
+        sei.instance_cancel_flag = [False] * n
+        sei.method_type = [0] * n
+        sei.pbf_log2_threshold_minus1 = [0] * n
+        sei.pbf_passes_count_minus1 = [0] * n
+        sei.pbf_filter_size_minus1 = [0] * n
+        for i in range(n):
+            k = bs.read(8)
+            sei.instance_index[i] = k
+            sei.instance_cancel_flag[k] = bs.read(1) != 0
+            if sei.instance_cancel_flag[k]:
+                continue
+            sei.method_type[k] = bs.read_uvlc()
+            if sei.method_type[k] == 1:
+                sei.pbf_log2_threshold_minus1[k] = bs.read(2)
+                sei.pbf_passes_count_minus1[k] = bs.read(2)
+                sei.pbf_filter_size_minus1[k] = bs.read(3)
+        return sei
+
+
+@dataclass
+class SeiUnknown:
+    """An unrecognized prefix SEI payload, recorded but not interpreted.
+
+    Framework extension: the reference panics on any payload it does not
+    implement (``reader.rs:1402-1412``), which would abort the whole
+    stream; NAL units are sized, so skipping is always safe (the demuxer
+    reseeks to the unit boundary) and presence queries keep working."""
+
+    payload_type: int = int(SeiPayloadType.RESERVED_SEI_MESSAGE)
+    payload_size: int = 0
+
+
+@dataclass
 class SeiMessage:
     """An SEI RBSP holding parsed prefix/suffix payloads (``reader.rs:1331-1435``)."""
 
@@ -762,7 +825,6 @@ class SeiMessage:
             payload_type += byte
             if byte != 0xFF:
                 break
-        payload_type = SeiPayloadType(payload_type)
         payload_size = 0
         while True:
             byte = bs.read(8)
@@ -770,19 +832,29 @@ class SeiMessage:
             if byte != 0xFF:
                 break
         msg = cls()
-        if nal_unit_type.is_prefix_sei:
-            if payload_type == SeiPayloadType.GEOMETRY_SMOOTHING:
-                msg.sei_prefix.append(SeiGeometrySmoothing.parse(bs))
-            elif payload_type == SeiPayloadType.ATTRIBUTE_SMOOTHING:
-                # beyond reference parity: the reference panics on any
-                # SEI payload but geometry smoothing
-                msg.sei_prefix.append(SeiAttributeSmoothing.parse(bs))
-            else:
-                raise UnsupportedFeature(
-                    f"SEI payload {payload_type!r} not supported"
-                )
-        else:
+        if not nal_unit_type.is_prefix_sei:
             raise UnsupportedFeature("suffix SEI not supported")
+        # the reference panics on any payload but geometry smoothing
+        # (``reader.rs:1402-1412``); attribute smoothing and occupancy
+        # synthesis are parsed here, and anything else is recorded and
+        # skipped by its coded size (NAL units are sized, so the demuxer
+        # reseeks to the unit boundary regardless) — framework extension
+        if payload_type == SeiPayloadType.GEOMETRY_SMOOTHING:
+            msg.sei_prefix.append(SeiGeometrySmoothing.parse(bs))
+        elif payload_type == SeiPayloadType.ATTRIBUTE_SMOOTHING:
+            msg.sei_prefix.append(SeiAttributeSmoothing.parse(bs))
+        elif payload_type == SeiPayloadType.OCCUPANCY_SYNTHESIS:
+            msg.sei_prefix.append(SeiOccupancySynthesis.parse(bs))
+        else:
+            for _ in range(payload_size):
+                bs.read(8)
+            msg.sei_prefix.append(
+                SeiUnknown(payload_type=payload_type, payload_size=payload_size)
+            )
+            # no byte_align/trailing-byte here: that framing is a TMC2
+            # convention for payloads it writes; the sized-NAL reseek in
+            # the demuxer makes any remainder harmless
+            return msg
         bs.byte_align()
         # TMC2 consumes one extra trailing byte after prefix SEI payloads;
         # replicated from the reference hack (``reader.rs:1414-1417``).

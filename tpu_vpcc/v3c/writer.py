@@ -404,6 +404,36 @@ def write_sei_attribute_smoothing(
     return w.getvalue()
 
 
+def write_sei_occupancy_synthesis(
+    instances=((0, 1, 1, 0, 2),),
+    # (instance_index, method_type, pbf_log2_threshold_minus1,
+    #  pbf_passes_count_minus1, pbf_filter_size_minus1)
+    persistence_flag: bool = False,
+    reset_flag: bool = False,
+) -> bytes:
+    """Serialize a prefix occupancy-synthesis SEI payload (inverse of
+    ``SeiOccupancySynthesis.parse``)."""
+    from .syntax import SeiPayloadType
+
+    w = BitWriter()
+    w.write(int(SeiPayloadType.OCCUPANCY_SYNTHESIS), 8)
+    w.write(4, 8)  # payload size varint (unused by the parser)
+    w.write(int(persistence_flag), 1)
+    w.write(int(reset_flag), 1)
+    w.write(len(instances), 8)
+    for (idx, method, thr, passes, fsize) in instances:
+        w.write(idx, 8)
+        w.write(0, 1)  # instance_cancel_flag
+        w.write_uvlc(method)
+        if method == 1:
+            w.write(thr, 2)
+            w.write(passes, 2)
+            w.write(fsize, 3)
+    w.byte_align()
+    w.write(0, 8)  # the extra trailing byte the parser consumes
+    return w.getvalue()
+
+
 def wrap_nal_unit(unit_type: NalUnitType, payload: bytes) -> bytes:
     """2-byte NAL header + payload (``reader.rs:770-778``)."""
     w = BitWriter()
