@@ -61,3 +61,43 @@ def test_bit_flips_fail_cleanly_or_parse(subtests=None):
                 ssvu.decode_gof(Context())
         except Exception:
             pass  # clean failure (or a still-parseable stream) is acceptable
+
+
+def _p_sei_stream():
+    from dataclasses import replace
+
+    from tpu_vpcc.utils.fixtures import build_fixture_stream
+    from tpu_vpcc.utils.synthetic import make_synthetic_frame
+
+    rng = np.random.default_rng(3)
+    f0 = make_synthetic_frame(rng, width=64, height=64, occupancy_resolution=8,
+                              occupancy_precision=4, n_patches=2, frame_index=0)
+    p1 = [replace(p) for p in f0.meta.patches]
+    f1 = make_synthetic_frame(rng, width=64, height=64, occupancy_resolution=8,
+                              occupancy_precision=4, frame_index=1, patches=p1)
+    return build_fixture_stream(
+        [f0, f1], p_modes={1: ["skip", "skip"]}, geo_smoothing_sei=(8, 16)
+    )
+
+
+def test_bit_flips_in_p_tile_and_sei_regions_fail_cleanly():
+    """Round-2 parse paths (P-tile PDUs, SEIs, ref lists) under
+    corruption: parse either succeeds or raises a clean exception; the
+    patch derivation must never crash the interpreter or hang."""
+    from tpu_vpcc.atlas.patches import create_patch_frames
+    from tpu_vpcc.video import encoder_supports
+
+    if not (encoder_supports(8) and encoder_supports(10)):
+        pytest.skip("libx265 required")
+    stream = bytearray(_p_sei_stream())
+    for i in range(0, min(400, len(stream)), 5):
+        mutated = bytearray(stream)
+        mutated[i] ^= 0xFF
+        try:
+            ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(bytes(mutated)))
+            while ssvu.get_v3c_unit_count() > 0:
+                ctx = Context()
+                ssvu.decode_gof(ctx)
+                create_patch_frames(ctx)
+        except Exception:
+            pass  # clean failure (or a still-decodable stream) is fine
