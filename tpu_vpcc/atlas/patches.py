@@ -205,10 +205,13 @@ def ref_afoc_list(context: Context, ath, cur_afoc: int) -> List[int]:
     DeltaAfocSt = abs_delta_afoc_st * (+1 if sign flag else -1) — sign
     flag 1 means the delta is non-negative, so the common (delta=1,
     sign=1) entry references the previous frame. Long-term entries carry
-    the target AFOC lsb directly. The active list is re-resolved from
-    the FINAL ref_atlas_frame_list_idx (the header parser stores the
-    index-0 struct before reading the index, mirroring the reference's
-    read order, ``reader.rs:1608-1631``).
+    the target AFOC lsb; when the tile header signals
+    additional_afoc_lsb_val (afps.additional_lt_afoc_lsb_len bits) the
+    full AFOC is ``(additional << lsb_bits) + lsb`` — without it, lsb
+    values are only unambiguous below MaxAtlasFrmOrderCntLsb. The active
+    list is re-resolved from the FINAL ref_atlas_frame_list_idx (the
+    header parser stores the index-0 struct before reading the index,
+    mirroring the reference's read order, ``reader.rs:1608-1631``).
     """
     afps = context.get_afps(ath.atlas_frame_parameter_set_id)
     asps = context.get_asps(afps.atlas_sequence_parameter_set_id)
@@ -217,9 +220,11 @@ def ref_afoc_list(context: Context, ath, cur_afoc: int) -> List[int]:
         if ath.ref_atlas_frame_list_sps_flag
         else ath.ref_list_struct
     )
+    lsb_bits = asps.log2_max_atlas_frame_order_cnt_lsb_minus_4 + 4
     cur = cur_afoc
     out: List[int] = []
     st_i = lt_i = 0
+    add_i = 0  # additional-afoc VALUES are stored compactly (present only)
     for j in range(rls.num_ref_entries):
         if rls.st_ref_atlas_frame_flag[j]:
             delta = rls.abs_delta_afoc_st[st_i]
@@ -228,8 +233,15 @@ def ref_afoc_list(context: Context, ath, cur_afoc: int) -> List[int]:
             st_i += 1
             out.append(cur - delta)
         else:
-            out.append(rls.afoc_lsb_lt[lt_i])
+            afoc = rls.afoc_lsb_lt[lt_i]
+            if (
+                lt_i < len(ath.additional_afoc_lsb_present_flag)
+                and ath.additional_afoc_lsb_present_flag[lt_i]
+            ):
+                afoc += ath.additional_afoc_lsb_val[add_i] << lsb_bits
+                add_i += 1
             lt_i += 1
+            out.append(afoc)
     return out
 
 

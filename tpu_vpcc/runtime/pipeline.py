@@ -260,13 +260,29 @@ def extract_geo_smoothing(context: Context, asps) -> Optional[object]:
                 continue
             for k in range(len(s.method_type)):
                 if not s.instance_cancel_flag[k] and s.method_type[k] == 1:
-                    return SmoothingConfig(
+                    cfg = SmoothingConfig(
                         grid_size=s.grid_size_minus_2[k] + 2,
                         threshold=s.threshold[k],
                         geometry_bitdepth_3d=asps.geometry_3d_bitdepth_minus1
                         + 1,
                     )
+                    _check_grid_bound(cfg.grid_width)
+                    return cfg
     return None
+
+
+# finest smoothing grid accepted: grid_width^3 cells x 6 int32 arrays per
+# frame; 2^24 cells = ~400 MB at DEVICE_BATCH=2 — beyond that a (spec-
+# legal) tiny grid_size would OOM the decode, so fail cleanly instead
+_MAX_GRID_CELLS = 1 << 24
+
+
+def _check_grid_bound(grid_width: int) -> None:
+    if grid_width ** 3 > _MAX_GRID_CELLS:
+        raise UnsupportedFeature(
+            f"smoothing grid too fine: {grid_width}^3 cells exceeds the "
+            f"supported bound ({_MAX_GRID_CELLS})"
+        )
 
 
 def extract_attr_smoothing(context: Context, asps) -> Optional[object]:
@@ -290,13 +306,15 @@ def extract_attr_smoothing(context: Context, asps) -> Optional[object]:
                         not s.instance_cancel_flag[j][k]
                         and s.method_type[j][k] == 1
                     ):
-                        return AttrSmoothingConfig(
+                        cfg = AttrSmoothingConfig(
                             grid_size=s.grid_size_minus_2[j][k] + 2,
                             threshold_variation=s.threshold_variation[j][k],
                             threshold_difference=s.threshold_difference[j][k],
                             geometry_bitdepth_3d=asps.geometry_3d_bitdepth_minus1
                             + 1,
                         )
+                        _check_grid_bound(cfg.grid_width)
+                        return cfg
     return None
 
 
@@ -370,8 +388,19 @@ def prepare_gof(
         vps.map_count_minus1 == 0 or vps.map_absolute_coding_enable_flag[1]
     )
     # decoded attribute color format (``src/decoder.rs:300-305`` branches
-    # on it; ``Image::get`` indexes chroma by it, ``:973-980``)
-    attr_chroma_shift = attr_frames[0].chroma_w_shift if attr_frames else 1
+    # on it; ``Image::get`` indexes chroma by it, ``:973-980``). Only
+    # 4:2:0 and 4:4:4 have well-defined sampling here; 4:2:2 (half-width,
+    # full-height chroma) matches neither the reference's indexing nor
+    # the kernels' single shift, so it fails cleanly.
+    if attr_frames:
+        shifts = (attr_frames[0].chroma_w_shift, attr_frames[0].chroma_h_shift)
+        if shifts not in ((1, 1), (0, 0)):
+            raise UnsupportedFeature(
+                f"attribute chroma subsampling {shifts} (only 4:2:0 / 4:4:4)"
+            )
+        attr_chroma_shift = shifts[0]
+    else:
+        attr_chroma_shift = 1
     attr_is_rgb444 = bool(attr_frames and attr_frames[0].is_rgb)
     # the native copy falls back to raw layout when dims don't divide
     tiled = tiled and bool(geo_frames) and geo_frames[0].planes[0].ndim == 3
@@ -703,6 +732,22 @@ def _dispatch_device(di: DeviceInputs, mesh=None):
             s_loc = di.cfg.s_cap // n_space
             return _fetch_sharded(pos, col, cnt, n_space, s_loc)[: di.n_frames]
         # g_cap not divisible by the mesh's space axis: single-device path
+
+    # single-device path: when a mesh-sized chunk (DEVICE_BATCH * data)
+    # falls through here (non-tileable tables, indivisible g_cap), split
+    # it back to DEVICE_BATCH — the flattened compaction sort degrades
+    # sharply past ~2 frames (see DEVICE_BATCH measurements)
+    if di.n_frames > DEVICE_BATCH:
+        out = []
+        for i in range(0, di.n_frames, DEVICE_BATCH):
+            sub = DeviceInputs(
+                cfg=di.cfg,
+                use_tiled=di.use_tiled,
+                arrays=tuple(a[i : i + DEVICE_BATCH] for a in di.arrays),
+                n_frames=min(DEVICE_BATCH, di.n_frames - i),
+            )
+            out.extend(_dispatch_device(sub, mesh=None))
+        return out
 
     # host arrays stage implicitly on dispatch; an explicit batched
     # device_put was measured NO faster on the tunneled link (and the

@@ -150,6 +150,32 @@ class SampleStreamV3CUnit:
         return len(self.units)
 
 
+# NAL types carrying nothing the rec0 reconstruction consumes; skipped
+# with a debug log (the reference panics on every one of them)
+_SKIPPABLE_NAL_TYPES = frozenset(
+    {
+        NalUnitType.RSV_ACL_N12,
+        NalUnitType.RSV_ACL_R13,
+        NalUnitType.RSV_ACL_N14,
+        NalUnitType.RSV_ACL_R15,
+        NalUnitType.RSV_IRAP_ACL_28,
+        NalUnitType.RSV_IRAP_ACL_29,
+        NalUnitType.RSV_ACL_30,
+        NalUnitType.RSV_ACL_31,
+        NalUnitType.RSV_ACL_32,
+        NalUnitType.RSV_ACL_33,
+        NalUnitType.RSV_ACL_34,
+        NalUnitType.RSV_ACL_35,
+        NalUnitType.AUD,
+        NalUnitType.V3C_AUD,
+        NalUnitType.EOS,
+        NalUnitType.EOB,
+        NalUnitType.FD,
+        NalUnitType.AAPS,
+    }
+)
+
+
 def parse_nal_sample_stream(context: Context, bs: Bitstream) -> None:
     """Atlas-data payload: sample-stream NAL header + sized NAL units
     (``reader.rs:715-820``). Prefix SEI messages are held and attached to
@@ -165,9 +191,12 @@ def parse_nal_sample_stream(context: Context, bs: Bitstream) -> None:
         try:
             unit_type = NalUnitType(raw_type)
         except ValueError:
-            # 48-63: unspecified non-ACL NAL types — degrade gracefully
-            # (the reference's FromPrimitive cast panics here)
-            raise UnsupportedFeature(f"unspecified NAL unit type {raw_type}")
+            # 48-63: unspecified non-ACL NAL types — a conforming decoder
+            # ignores them; the unit is sized so skipping is safe (the
+            # reference's FromPrimitive cast panics here instead)
+            log.debug("skipping unspecified NAL unit type %d", raw_type)
+            bs.seek((end_pos, 0))
+            continue
         _layer_id = bs.read(6)
         _temporal_id_plus1 = bs.read(3)
         if unit_type == NalUnitType.ASPS:
@@ -182,6 +211,13 @@ def parse_nal_sample_stream(context: Context, bs: Bitstream) -> None:
             prefix_sei = SeiMessage.parse(bs, unit_type)
         elif unit_type.is_suffix_sei:
             raise UnsupportedFeature("suffix SEI not supported")
+        elif unit_type in _SKIPPABLE_NAL_TYPES:
+            # reserved ACL types, access-unit delimiters, end-of-seq/
+            # bitstream, filler, and AAPS (adaptation params — unused in
+            # rec0 reconstruction) carry nothing this decoder consumes;
+            # the sized-unit reseek below skips them safely (the
+            # reference panics on all of these, reader.rs:816-818)
+            log.debug("skipping NAL unit type %s", unit_type.name)
         else:
             raise UnsupportedFeature(f"unexpected NAL unit type {unit_type!r}")
         # Defensive resync: the parsers above should land exactly at the

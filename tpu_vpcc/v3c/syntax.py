@@ -783,17 +783,21 @@ class SeiOccupancySynthesis:
         sei.pbf_log2_threshold_minus1 = [0] * n
         sei.pbf_passes_count_minus1 = [0] * n
         sei.pbf_filter_size_minus1 = [0] * n
+        # fields stored by LOOP index (like SeiAttributeSmoothing): this
+        # payload is a framework extension with no reference parity
+        # constraint, and instance_index is a free u8 that may exceed
+        # instances_updated (the geometry-smoothing parser's k-indexing
+        # is deliberate parity with reader.rs:1452-1505 instead)
         for i in range(n):
-            k = bs.read(8)
-            sei.instance_index[i] = k
-            sei.instance_cancel_flag[k] = bs.read(1) != 0
-            if sei.instance_cancel_flag[k]:
+            sei.instance_index[i] = bs.read(8)
+            sei.instance_cancel_flag[i] = bs.read(1) != 0
+            if sei.instance_cancel_flag[i]:
                 continue
-            sei.method_type[k] = bs.read_uvlc()
-            if sei.method_type[k] == 1:
-                sei.pbf_log2_threshold_minus1[k] = bs.read(2)
-                sei.pbf_passes_count_minus1[k] = bs.read(2)
-                sei.pbf_filter_size_minus1[k] = bs.read(3)
+            sei.method_type[i] = bs.read_uvlc()
+            if sei.method_type[i] == 1:
+                sei.pbf_log2_threshold_minus1[i] = bs.read(2)
+                sei.pbf_passes_count_minus1[i] = bs.read(2)
+                sei.pbf_filter_size_minus1[i] = bs.read(3)
         return sei
 
 
