@@ -252,3 +252,48 @@ def test_p_tile_long_term_reference():
     d.start()
     out = list(d)
     assert len(out) == 3 and all(len(fr) > 0 for fr in out)
+
+
+def test_ref_afoc_list_additional_lsb_extension():
+    """Long-term entries extend their AFOC lsb with the tile header's
+    additional value: full = (additional << lsb_bits) + lsb."""
+    from tpu_vpcc.atlas.patches import ref_afoc_list
+    from tpu_vpcc.v3c.context import Context
+    from tpu_vpcc.v3c.syntax import (
+        AtlasFrameParameterSet,
+        AtlasSequenceParameterSet,
+        AtlasTileHeader,
+        RefListStruct,
+    )
+
+    ctx = Context()
+    asps = AtlasSequenceParameterSet()
+    asps.log2_max_atlas_frame_order_cnt_lsb_minus_4 = 0  # lsb_bits = 4
+    asps.num_ref_atlas_frame_lists_in_asps = 1
+    asps.ref_list_struct = [
+        RefListStruct(
+            num_ref_entries=2,
+            abs_delta_afoc_st=[1],
+            afoc_lsb_lt=[3],
+            st_ref_atlas_frame_flag=[True, False],
+            strpf_entry_sign_flag=[True],
+        )
+    ]
+    ctx.add_asps(asps)
+    ctx.add_afps(AtlasFrameParameterSet(additional_lt_afoc_lsb_len=4))
+    ath = AtlasTileHeader(
+        atlas_frame_parameter_set_id=0,
+        ref_atlas_frame_list_sps_flag=True,
+        additional_afoc_lsb_present_flag=[True],
+        additional_afoc_lsb_val=[2],
+    )
+    # entry 0: short-term, cur - 1; entry 1: long-term lsb 3 with
+    # additional 2 -> (2 << 4) + 3 = 35
+    assert ref_afoc_list(ctx, ath, 40) == [39, 35]
+    # without the additional flag the lsb stands alone
+    ath2 = AtlasTileHeader(
+        atlas_frame_parameter_set_id=0,
+        ref_atlas_frame_list_sps_flag=True,
+        additional_afoc_lsb_present_flag=[False],
+    )
+    assert ref_afoc_list(ctx, ath2, 40) == [39, 3]
