@@ -297,3 +297,49 @@ def test_ref_afoc_list_additional_lsb_extension():
         additional_afoc_lsb_present_flag=[False],
     )
     assert ref_afoc_list(ctx, ath2, 40) == [39, 3]
+
+
+def test_pos_min_d_quantizer_roundtrip():
+    """min_level > 1 (pos_min_d_quantizer=2): intra d1 codes in units of
+    4 and inter offsets divide by min_level (decoder.rs:410,437-441 and
+    the TMC2 inter d1 reconstruction)."""
+    rng = np.random.default_rng(55)
+    min_level = 4
+    f0 = make_synthetic_frame(
+        rng, width=W, height=H, occupancy_resolution=RES,
+        occupancy_precision=PREC, n_patches=3, frame_index=0,
+    )
+    # snap d1 to min_level multiples (mode 1 stores max3d - offset*min,
+    # and max3d is a multiple of 4, so snapping d1 works for both modes)
+    p0 = [replace(p, d1=(p.d1 // min_level) * min_level) for p in f0.meta.patches]
+    f0 = make_synthetic_frame(
+        rng, width=W, height=H, occupancy_resolution=RES,
+        occupancy_precision=PREC, frame_index=0, patches=p0,
+    )
+    p1 = [replace(shift_d1(p0[0], +2 * min_level)), replace(p0[1]), replace(p0[2])]
+    f1 = make_synthetic_frame(
+        rng, width=W, height=H, occupancy_resolution=RES,
+        occupancy_precision=PREC, frame_index=1, patches=p1,
+    )
+    stream = build_fixture_stream(
+        [f0, f1],
+        p_modes={1: [("inter", 0), "merge3d", "skip"]},
+        pos_min_d_quantizer=2,
+    )
+    ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(stream))
+    ctx = Context()
+    ssvu.decode_gof(ctx)
+    metas = create_patch_frames(ctx)
+    for meta, want_patches in zip(metas, (p0, p1)):
+        for got, want in zip(meta.patches, want_patches):
+            for f in GEOM_FIELDS:
+                assert getattr(got, f) == getattr(want, f), (meta.frame_index, f)
+    d1 = Decoder(Params(stream, use_device=True))
+    d1.start()
+    dev = list(d1)
+    d2 = Decoder(Params(stream, use_device=False))
+    d2.start()
+    orc = list(d2)
+    assert len(dev) == len(orc) == 2 and all(len(fr) > 0 for fr in dev)
+    for a, b in zip(dev, orc):
+        assert format_ply(a) == format_ply(b)

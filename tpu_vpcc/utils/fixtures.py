@@ -164,6 +164,7 @@ def build_fixture_stream(
     geo_smoothing_sei=None,
     attr_smoothing_sei=None,
     occ_synthesis_sei=None,
+    pos_min_d_quantizer: int = 0,
 ) -> bytes:
     """Build a complete single-GOF V3C sample-stream file.
 
@@ -184,6 +185,10 @@ def build_fixture_stream(
     tile layer. ``attr_smoothing_sei`` (optional) is
     ``(grid_size, threshold_variation, threshold_difference)`` for a
     prefix AttributeSmoothing SEI on attribute 0.
+
+    ``pos_min_d_quantizer`` codes depth offsets in units of
+    ``min_level = 1 << q`` (patch d1 values must be exact multiples for
+    the roundtrip to be lossless).
     """
     f0 = frames[0]
     width, height = f0.meta.width, f0.meta.height
@@ -309,7 +314,7 @@ def build_fixture_stream(
         spec = (p_modes or {}).get(sf.meta.frame_index)
         ath = AtlasTileHeader()
         ath.atlas_frame_order_count_lsb = sf.meta.frame_index
-        ath.pos_min_d_quantizer = 0
+        ath.pos_min_d_quantizer = pos_min_d_quantizer
         ath.ref_atlas_frame_list_sps_flag = p_modes is not None
         # one flag per long-term entry (parsed for every tile type)
         ath.additional_afoc_lsb_present_flag = [False] * n_ltr
@@ -321,7 +326,10 @@ def build_fixture_stream(
                 atl.patch_information_data.append(
                     PatchInformationData(
                         patch_mode=int(PatchModeITile.INTRA),
-                        patch_data_unit=patch_to_pdu(patch, geometry_bitdepth_3d),
+                        patch_data_unit=patch_to_pdu(
+                            patch, geometry_bitdepth_3d,
+                            min_level=1 << pos_min_d_quantizer,
+                        ),
                     )
                 )
         elif spec == "skip_tile":
@@ -344,7 +352,10 @@ def build_fixture_stream(
                 if mode == "intra":
                     pid = PatchInformationData(
                         patch_mode=int(PatchModePTile.INTRA),
-                        patch_data_unit=patch_to_pdu(patch, geometry_bitdepth_3d),
+                        patch_data_unit=patch_to_pdu(
+                            patch, geometry_bitdepth_3d,
+                            min_level=1 << pos_min_d_quantizer,
+                        ),
                     )
                 elif isinstance(mode, tuple) and mode[0] == "inter":
                     rpi = mode[1]
@@ -354,6 +365,7 @@ def build_fixture_stream(
                         patch_data_unit=patch_to_inter_pdu(
                             patch, ref_meta_for(ridx).patches[rpi], rpi,
                             pred_index, geometry_bitdepth_3d,
+                            min_level=1 << pos_min_d_quantizer,
                             ref_index=ridx,
                         ),
                     )
@@ -364,6 +376,7 @@ def build_fixture_stream(
                         patch_data_unit=patch_to_merge_pdu(
                             patch, ref_meta.patches[i], mode == "merge2d",
                             geometry_bitdepth_3d,
+                            min_level=1 << pos_min_d_quantizer,
                         ),
                     )
                 elif mode == "skip":
