@@ -28,6 +28,8 @@ import numpy as np
 # tunneled compile
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_vpcc_jax_cache")
 
+_T_START = time.perf_counter()
+
 
 def e2e_decoder_metric(
     n_gofs: int = 2, frames_per_gof: int = 4, width: int = 640, height: int = 640
@@ -258,8 +260,16 @@ def main() -> int:
     dt_dispatch = (time.perf_counter() - t0) / loop_n
 
     fps = batch / dt_net
-    e2e = _run_extra_subprocess("e2e", timeout=270.0)
-    multistream = _run_extra_subprocess("multistream", timeout=270.0)
+    # guard the headline metric: on a cold/congested tunnel (kernel stage
+    # alone took minutes) skip the extras rather than risk the driver's
+    # bench budget
+    elapsed = time.perf_counter() - _T_START
+    if elapsed > 240.0:
+        e2e = {"skipped": f"slow startup ({elapsed:.0f}s before extras)"}
+        multistream = dict(e2e)
+    else:
+        e2e = _run_extra_subprocess("e2e", timeout=210.0)
+        multistream = _run_extra_subprocess("multistream", timeout=210.0)
     result = {
         "metric": "fps_1Mpt_frame_reconstruction",
         "value": round(fps, 2),
