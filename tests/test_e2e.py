@@ -195,3 +195,19 @@ def test_inspect_tool(tmp_path, capsys):
     assert "GOF 0:" in out
     assert "atlas 64x64" in out
     assert "I-tile" in out
+
+
+def test_e2e_close_terminates_decode_thread(tmp_path):
+    """close() while the producer is blocked on the bounded queue must
+    let the decode thread exit (no leaked thread pinning GOF buffers)."""
+    import time
+
+    _, path = make_fixture(tmp_path, n_frames=3, seed=7)
+    decoder = Decoder(Params(path))
+    decoder.start()
+    assert decoder.recv_frame() is not None
+    # give the producer time to fill the queue and block on the next put
+    time.sleep(0.3)
+    decoder.close()
+    decoder._thread.join(timeout=30)
+    assert not decoder._thread.is_alive(), "decode thread leaked after close()"

@@ -343,3 +343,20 @@ def test_pos_min_d_quantizer_roundtrip():
     assert len(dev) == len(orc) == 2 and all(len(fr) > 0 for fr in dev)
     for a, b in zip(dev, orc):
         assert format_ply(a) == format_ply(b)
+
+
+def test_exotic_orientation_rejected():
+    """ROT/MIRROR orientations panic in the reference (its unscaled
+    orientation helper underflows for any multi-pixel patch); the
+    builder raises UnsupportedFeature at the same point."""
+    from tpu_vpcc.atlas.patches import Patch, _check_orientation_supported
+    from tpu_vpcc.v3c.syntax import PatchOrientation, UnsupportedFeature
+
+    for o in (PatchOrientation.ROT90, PatchOrientation.ROT180,
+              PatchOrientation.ROT270, PatchOrientation.MIRROR,
+              PatchOrientation.MROT90, PatchOrientation.MROT180):
+        with pytest.raises(UnsupportedFeature):
+            _check_orientation_supported(Patch(patch_orientation=o))
+    for o in (PatchOrientation.DEFAULT, PatchOrientation.SWAP,
+              PatchOrientation.MROT270):
+        _check_orientation_supported(Patch(patch_orientation=o))

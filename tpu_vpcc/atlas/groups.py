@@ -62,17 +62,25 @@ class GroupTable:
     tiled_ok: bool = True  # all orientations have block-aligned pixel tiles
 
 
-def build_group_table(meta: FrameMeta, g_cap: int = 0) -> GroupTable:
+def build_group_table(
+    meta: FrameMeta, g_cap: int = 0, occupancy_resolution: int = 0
+) -> GroupTable:
     """Build the owned-block group table in emission order.
 
     Emission order: patches ascending, blocks in patch-space (v0, u0)
     raster order (``src/codec.rs:352-480``). Each canvas block is owned by
     at most one patch, so n_groups <= bh*bw (the static capacity).
+
+    ``occupancy_resolution`` fixes the block size explicitly — required
+    for legal empty tile layers, whose capacity must still match the
+    GOF's other frames (no patches to derive it from).
     """
-    if not meta.patches:
-        res = 16
-    else:
+    if occupancy_resolution > 0:
+        res = occupancy_resolution
+    elif meta.patches:
         res = meta.patches[0].occupancy_resolution
+    else:
+        res = 16
     bw = meta.width // res
     bh = meta.height // res
     if g_cap <= 0:

@@ -198,6 +198,27 @@ def _patch_type(tile_type: TileType, patch_mode: int) -> str:
     return "error"
 
 
+# Orientations whose pixel transform keeps the reference's unscaled
+# size terms in-canvas. For every other orientation the tmc2-rs helper
+# (``src/decoder.rs:853-867``) subtracts pixel indices from BLOCK-unit
+# sizes, driving coordinates negative for any patch larger than one
+# pixel — a usize-underflow panic in the Rust. Parity is a clean raise.
+_SUPPORTED_ORIENTATIONS = (
+    PatchOrientation.DEFAULT,
+    PatchOrientation.SWAP,
+    PatchOrientation.MROT270,
+)
+
+
+def _check_orientation_supported(patch: Patch) -> None:
+    if patch.patch_orientation not in _SUPPORTED_ORIENTATIONS:
+        raise UnsupportedFeature(
+            f"patch orientation {patch.patch_orientation!r}: the reference's "
+            f"unscaled orientation helper panics on these (tmc2-rs size "
+            f"quirk, src/decoder.rs:853-867)"
+        )
+
+
 def ref_afoc_list(context: Context, ath, cur_afoc: int) -> List[int]:
     """Active reference-AFOC list for a tile (23090-5 §8.4.3.2).
 
@@ -408,6 +429,7 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                     patch.d1 = (1 << geometry_bitdepth_3d) - pdu.pos_3d_offset_d * min_level
                 if patch.axes not in ((0, 2, 1), (1, 2, 0), (2, 0, 1)):
                     raise UnsupportedFeature(f"unexpected axes {patch.axes}")
+                _check_orientation_supported(patch)
                 meta.patches.append(patch)
             elif ptype == "inter":
                 pdu = pid.patch_data_unit

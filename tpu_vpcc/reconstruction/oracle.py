@@ -31,6 +31,10 @@ class GeneratePointCloudParams:
     multiple_streams: bool = False
     geometry_bitdepth_3d: int = 10
     attribute_count: int = 1
+    # depth = sample >> geo_shift: the reference divides by 4 because
+    # libavcodec yields 10-bit planes (``src/codec.rs:532-534``);
+    # generalized to the decoded bit depth like the device kernels
+    geo_shift: int = 2
 
 
 def generate_block_to_patch(
@@ -91,10 +95,10 @@ def _generate_points(
     Depth is the Y sample divided by 4: libavcodec yields 10-bit planes
     where TMC2's video decode path yields 8-bit (``src/codec.rs:532-534``).
     """
-    point0 = patch.generate_point(u, v, int(geo_frame0[y, x]) // 4)
+    point0 = patch.generate_point(u, v, int(geo_frame0[y, x]) >> params.geo_shift)
     point1 = None
     if params.map_count_minus1 > 0:
-        d1 = int(geo_frame1[y, x]) // 4
+        d1 = int(geo_frame1[y, x]) >> params.geo_shift
         if params.absolute_d1:
             point1 = patch.generate_point(u, v, d1)
         else:

@@ -203,7 +203,25 @@ class Decoder:
             log.exception("decode thread failed")
             self._error = e
         finally:
-            self._queue.put(_SENTINEL)
+            if self._stop.is_set():
+                # receiver dropped: nobody will drain the queue, and a
+                # blocked daemon thread would pin the GOF buffers for the
+                # process lifetime — discard pending frames for the
+                # sentinel slot (sole producer, so this converges; a
+                # concurrent close() drain only helps)
+                while True:
+                    try:
+                        self._queue.put_nowait(_SENTINEL)
+                        break
+                    except queue.Full:
+                        try:
+                            self._queue.get_nowait()
+                        except queue.Empty:
+                            pass
+            else:
+                # normal completion: block until the consumer takes the
+                # remaining frames (close() unblocks this by draining)
+                self._queue.put(_SENTINEL)
 
 
 _SENTINEL = object()
@@ -243,6 +261,9 @@ class GofData:
     # from the native decoder copy (luma t = occupancy_resolution, chroma
     # t/2); occupancy stays raw (its size defines occupancy_precision).
     tiled: bool = False
+    # the tiled kernels bit-pack samples into 10-bit u32 fields; wider
+    # decoded samples must use the gather kernel (i32 end to end)
+    packed10_ok: bool = True
 
 
 def extract_geo_smoothing(context: Context, asps) -> Optional[object]:
@@ -373,11 +394,17 @@ def prepare_gof(
         geo_frames = geo_f.result()
         attr_frames = attr_f.result()
 
-    if occ_frames and occ_frames[0].bit_depth != 8:
+    if not (occ_frames and geo_frames and attr_frames):
+        raise UnsupportedFeature(
+            "a video sub-stream decoded to zero frames "
+            f"(occ={len(occ_frames)}, geo={len(geo_frames)}, "
+            f"attr={len(attr_frames)})"
+        )
+    if occ_frames[0].bit_depth != 8:
         raise UnsupportedFeature(
             f"occupancy decoded as {occ_frames[0].bit_depth}-bit, want 8"
         )
-    geo_bit_depth = geo_frames[0].bit_depth if geo_frames else 10
+    geo_bit_depth = geo_frames[0].bit_depth
     # The reference divides geometry samples by 4 unconditionally because
     # libavcodec yields 10-bit planes (``src/codec.rs:532-534``); generalize
     # to the decoded bit depth so 8-bit-coded geometry also works.
@@ -428,6 +455,9 @@ def prepare_gof(
             extract_attr_smoothing(context, asps) if apply_attr_smoothing else None
         ),
         tiled=tiled,
+        packed10_ok=(
+            geo_bit_depth <= 10 and attr_frames[0].bit_depth <= 10
+        ),
     )
 
 
@@ -443,10 +473,14 @@ def _check_post_processing_gates(context: Context, params: Params) -> None:
         (params.apply_occupancy_synthesis_type, SeiPayloadType.OCCUPANCY_SYNTHESIS,
          "occupancy synthesis"),
     )
-    if context.atlas_tile_layer_len() == 0:
+    n_layers = context.atlas_tile_layer_len()
+    if n_layers == 0:
         return
     for enabled, payload, name in checks:
-        if enabled and context.is_sei_present(NalUnitType.PREFIX_ESEI, payload, 0):
+        # scan every tile layer (the SEI may attach to any of them)
+        if enabled and context.is_sei_present(
+            NalUnitType.PREFIX_ESEI, payload, n_layers - 1
+        ):
             raise UnsupportedFeature(f"{name} reconstruction (rec0 ignores it)")
 
 
@@ -520,6 +554,7 @@ def _reconstruct_gof_oracle(gof: GofData) -> Iterator[PointSet3]:
             absolute_d1=gof.absolute_d1,
             map_count_minus1=gof.map_count - 1,
             attribute_count=gof.attribute_count,
+            geo_shift=gof.geo_shift,
         )
         mc = gof.map_count
         base = meta.frame_index * mc
@@ -609,37 +644,46 @@ def _gof_device_inputs(gof: GofData, metas=None) -> DeviceInputs:
         # color smoothing operates on YUV samples; skip for RGB content
         attr_smoothing=None if gof.attr_is_rgb444 else gof.attr_smoothing,
     )
-    tables = [build_group_table(m) for m in metas]
+    tables = [
+        build_group_table(m, occupancy_resolution=cfg.occupancy_resolution)
+        for m in metas
+    ]
     fields = np.stack([t.fields for t in tables])
-    use_tiled = tiled_supported(cfg) and all(t.tiled_ok for t in tables)
+    use_tiled = (
+        tiled_supported(cfg)
+        and gof.packed10_ok  # the tiled kernels pack samples into 10 bits
+        and all(t.tiled_ok for t in tables)
+    )
     res = cfg.occupancy_resolution
     occ = np.stack([gof.occ_planes[m.frame_index] for m in metas])
 
-    def maybe_untile(plane, t):
-        # gof planes may arrive block-tiled straight from the native decoder
+    def maybe_untile(plane):
+        # gof planes may arrive block-tiled straight from the native
+        # decoder; block counts are resolution-independent, so the untile
+        # geometry is the same for luma and chroma planes
         if gof.tiled and not use_tiled:
             return untile_plane(plane, cfg.height // res, cfg.width // res)
         return plane
 
     geo0 = np.stack(
-        [maybe_untile(gof.geo_planes[m.frame_index * mc], res) for m in metas]
+        [maybe_untile(gof.geo_planes[m.frame_index * mc]) for m in metas]
     )
     geo1 = np.stack(
         [
             maybe_untile(
-                gof.geo_planes[m.frame_index * mc + (1 if mc > 1 else 0)], res
+                gof.geo_planes[m.frame_index * mc + (1 if mc > 1 else 0)]
             )
             for m in metas
         ]
     )
 
-    def attr_stack(plane_idx, t):
+    def attr_stack(plane_idx):
         return np.stack(
             [
                 np.stack(
                     [
                         maybe_untile(
-                            gof.attr_planes[m.frame_index * mc + z][plane_idx], t
+                            gof.attr_planes[m.frame_index * mc + z][plane_idx]
                         )
                         for z in range(mc)
                     ]
@@ -649,9 +693,9 @@ def _gof_device_inputs(gof: GofData, metas=None) -> DeviceInputs:
         )
 
     ctile = res >> cfg.chroma_shift
-    ay = attr_stack(0, res)
-    au = attr_stack(1, ctile)
-    av = attr_stack(2, ctile)
+    ay = attr_stack(0)
+    au = attr_stack(1)
+    av = attr_stack(2)
 
     if use_tiled:
         if not gof.tiled:

@@ -47,6 +47,13 @@ struct DecoderCtx {
   AVFrame* frame = nullptr;
   std::vector<Frame> frames;
   std::string error;
+  // frees partially-constructed contexts too (open-failure paths)
+  ~DecoderCtx() {
+    if (parser) av_parser_close(parser);
+    if (ctx) avcodec_free_context(&ctx);
+    if (pkt) av_packet_free(&pkt);
+    if (frame) av_frame_free(&frame);
+  }
 };
 
 void copy_frame(DecoderCtx* d, const AVFrame* src) {
@@ -257,12 +264,7 @@ const char* vdec_error(void* handle) {
 }
 
 void vdec_close(void* handle) {
-  auto* d = static_cast<DecoderCtx*>(handle);
-  if (d->parser) av_parser_close(d->parser);
-  if (d->ctx) avcodec_free_context(&d->ctx);
-  if (d->pkt) av_packet_free(&d->pkt);
-  if (d->frame) av_frame_free(&d->frame);
-  delete d;
+  delete static_cast<DecoderCtx*>(handle);  // dtor frees libav members
 }
 
 // ---------------------------------------------------------------------------
@@ -277,6 +279,11 @@ struct EncoderCtx {
   std::vector<uint8_t> out;  // Annex-B bytestream
   int64_t pts = 0;
   std::string error;
+  ~EncoderCtx() {
+    if (ctx) avcodec_free_context(&ctx);
+    if (pkt) av_packet_free(&pkt);
+    if (frame) av_frame_free(&frame);
+  }
 };
 
 // bit_depth: 8 or 10. lossless: x265 lossless mode (needed for the
@@ -394,11 +401,7 @@ const char* venc_error(void* handle) {
 }
 
 void venc_close(void* handle) {
-  auto* e = static_cast<EncoderCtx*>(handle);
-  if (e->ctx) avcodec_free_context(&e->ctx);
-  if (e->pkt) av_packet_free(&e->pkt);
-  if (e->frame) av_frame_free(&e->frame);
-  delete e;
+  delete static_cast<EncoderCtx*>(handle);  // dtor frees libav members
 }
 
 // ---------------------------------------------------------------------------

@@ -16,17 +16,11 @@ CODEC_H266 = 2
 def codec_id_from_v3c(codec_id: int) -> int:
     """Map a V3C codec id octet to a codec family.
 
-    The reference asserts the id is 1 (HEVC Main10 profile group,
-    ``src/decoder.rs:899-910``); the mapping below mirrors its match arms.
+    The reference asserts the id is 1 (HEVC Main10 profile group) and
+    panics otherwise (``src/decoder.rs:899-910``); same envelope here.
     """
     if codec_id != 1:
         raise ValueError(f"only HEVC (codec id 1) is expected, got {codec_id}")
-    if codec_id in (0, 3):
-        return CODEC_H264
-    if codec_id in (1, 2, 4):
-        return CODEC_H265
-    if codec_id == 5:
-        return CODEC_H266
     return CODEC_H265
 
 
