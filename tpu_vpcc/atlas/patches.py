@@ -15,6 +15,7 @@ ISO 23090-5 §9.2.6 — the reference panics at those sites
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field, replace
 from typing import List, Tuple
 
@@ -29,6 +30,8 @@ from ..v3c.syntax import (
     TileType,
     UnsupportedFeature,
 )
+
+log = logging.getLogger(__name__)
 
 
 @dataclass
@@ -474,6 +477,16 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                 )
             else:
                 raise UnsupportedFeature(f"unknown patch mode {pid.patch_mode}")
+            if log.isEnabledFor(logging.DEBUG):
+                # patch dump mirroring the reference's trace
+                # (``src/decoder.rs:480``), for cross-decoder diffing
+                p = meta.patches[-1]
+                log.debug(
+                    "frame %d patch %d/%s: u0v0=%s size_uv0=%s uv1=%s d1=%d "
+                    "axes=%s mode=%d orient=%s",
+                    frame_index, cur_idx, ptype, p.uv0, p.size_uv0, p.uv1,
+                    p.d1, p.axes, p.projection_mode, p.patch_orientation.name,
+                )
         by_afoc[atl.atlas_frame_order_count_val] = meta
         frames.append(meta)
 
