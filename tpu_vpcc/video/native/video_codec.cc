@@ -316,7 +316,12 @@ void* venc_open(int width, int height, int bit_depth, int lossless, int gop,
   e->ctx->pix_fmt = fmt;
   e->ctx->gop_size = gop;
   e->ctx->max_b_frames = 0;
-  std::string params = "log-level=none:annexb=1";
+  // frame-threads=1 makes the emitted bitstream deterministic: with
+  // multiple frame threads x265's rate/CABAC bookkeeping varies with
+  // thread timing and can occasionally append trailing cabac_zero_words
+  // to a NALU, which an Annex-B start-code scan then splits differently
+  // run-to-run (observed as a rare fixture-roundtrip flake)
+  std::string params = "log-level=none:annexb=1:frame-threads=1";
   if (lossless) params += ":lossless=1";
   else params += ":qp=" + std::to_string(qp);
   av_opt_set(e->ctx->priv_data, "x265-params", params.c_str(), 0);
