@@ -88,7 +88,7 @@ def e2e_decoder_metric(
             "wall_seconds": round(wall, 3),
             "stage_seconds": stages,
             "atlas": f"{width}x{height}",
-            "host_cores": __import__("os").cpu_count(),
+            "host_cores": os.cpu_count(),
         }
     except Exception as e:  # the headline metric must never be lost
         return {"error": f"{type(e).__name__}: {e}"}
@@ -184,6 +184,13 @@ def main() -> int:
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     loop_n = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    # int32 carry overflow guard: each chained run adds ~1M/frame to the
+    # carry (any extra op on the carry chain — mod, min — measured
+    # +0.19 ms/run by breaking fusion, so the add stays bare and the
+    # chain length is bounded instead)
+    K = 9
+    max_loop = max(1, (2**31 - 1) // (batch * K * 3_000_000))
+    loop_n = min(loop_n, max_loop)
 
     cfg = FlagshipConfig(batch=batch)
     fcfg = cfg.frame_config()
@@ -212,14 +219,16 @@ def main() -> int:
     # serially-chained kernel runs per iteration; their time difference
     # isolates (K-1)*kernel with the per-iteration overhead cancelling
     # exactly (the kernel is fast enough that overhead otherwise dominates).
-    K = 9
 
     def make_loop(k):
         @jax.jit
         def loop(fields, occ, geo0, geo1, ay, au, av):
             def body(i, carry):
                 # data-dependent (provably zero) perturbation defeats loop
-                # hoisting so every chained run really executes
+                # hoisting so every chained run really executes; the carry
+                # must stay a BARE add — any extra op on the chain (mod,
+                # min) measured +0.19 ms/run by breaking fusion, so
+                # overflow is prevented by bounding loop_n above instead
                 c = carry
                 for _ in range(k):
                     bump = jnp.where(c < 0, 1, 0).astype(occ.dtype)
@@ -242,15 +251,27 @@ def main() -> int:
     _ = np.asarray(loop_1(*inputs))
 
     # --- device-true kernel throughput (K-vs-1 differential) -------------
-    dt_k, dt_1 = [], []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        _ = np.asarray(loop_k(*inputs))
-        dt_k.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        _ = np.asarray(loop_1(*inputs))
-        dt_1.append(time.perf_counter() - t0)
-    dt_net = max((min(dt_k) - min(dt_1)) / (loop_n * (K - 1)), 1e-6)
+    def measure(reps):
+        dt_k, dt_1 = [], []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = np.asarray(loop_k(*inputs))
+            dt_k.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _ = np.asarray(loop_1(*inputs))
+            dt_1.append(time.perf_counter() - t0)
+        net = (min(dt_k) - min(dt_1)) / (loop_n * (K - 1))
+        return net, min(dt_1)
+
+    dt_net, dt_1_min = measure(5)
+    differential_invalid = False
+    if dt_net <= 0:
+        # noise-inverted differential (congested tunnel): retry harder
+        # rather than record an absurd clamped number
+        dt_net, dt_1_min = measure(10)
+    if dt_net <= 0:
+        differential_invalid = True
+        dt_net = 1e-6  # placeholder; flagged below and vs_baseline zeroed
 
     # --- dispatch-path wall time (per-batch dispatch + count fetch) ------
     t0 = time.perf_counter()
@@ -272,14 +293,14 @@ def main() -> int:
         multistream = _run_extra_subprocess("multistream", timeout=210.0)
     result = {
         "metric": "fps_1Mpt_frame_reconstruction",
-        "value": round(fps, 2),
+        "value": 0.0 if differential_invalid else round(fps, 2),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / 300.0, 3),
+        "vs_baseline": 0.0 if differential_invalid else round(fps / 300.0, 3),
         "extras": {
             "mean_points_per_frame": int(mean_points),
             "mpoints_per_sec": round(mean_points * fps / 1e6, 1),
             "ms_per_frame_device": round(dt_net / batch * 1000, 3),
-            "ms_per_iter_fixed_overhead": round(min(dt_1) / loop_n * 1000, 2),
+            "ms_per_iter_fixed_overhead": round(dt_1_min / loop_n * 1000, 2),
             "ms_per_frame_dispatch_path": round(dt_dispatch / batch * 1000, 2),
             "batch": batch,
             "device": str(jax.devices()[0]),
@@ -287,6 +308,7 @@ def main() -> int:
             "s_cap": fcfg.s_cap,
             "e2e": e2e,
             "multistream": multistream,
+            "differential_invalid": differential_invalid,
         },
     }
     print(json.dumps(result))

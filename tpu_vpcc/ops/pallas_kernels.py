@@ -113,7 +113,12 @@ def tiles_to_payload_pallas(fields_f, t_a, t_b, t_c, cfg: FrameConfig,
     FG = fields_f.shape[0]
     res = cfg.occupancy_resolution
     spb = cfg.slots_per_block
-    assert FG % CHUNK == 0, "group count must divide the chunk size"
+    if FG % CHUNK != 0:
+        raise NotImplementedError(
+            f"pallas backend needs the group count ({FG}) to be a multiple "
+            f"of the chunk size ({CHUNK}); use the XLA path "
+            f"(reconstruct_batch_pretiled) for other shapes"
+        )
     grid = (FG // CHUNK,)
 
     tile_spec = pl.BlockSpec((CHUNK, res, res), lambda i: (i, 0, 0))
@@ -151,13 +156,21 @@ def reconstruct_batch_pallas(
 ):
     """Pre-tiled reconstruction with the compute stage in Pallas.
 
-    Same contract as ``tpu_vpcc.ops.tiled.reconstruct_batch_pretiled``.
+    Same contract as ``tpu_vpcc.ops.tiled.reconstruct_batch_pretiled``,
+    EXCEPT: smoothing is not implemented in this backend (raises), and
+    the group count must divide the Pallas chunk size.
     """
     from .tiled import _pretiled_gather_tiles
 
+    if cfg.smoothing is not None or cfg.attr_smoothing is not None:
+        raise NotImplementedError(
+            "smoothing is not implemented in the pallas backend; use the "
+            "XLA path (reconstruct_batch_pretiled)"
+        )
     F = fields.shape[0]
-    S = cfg.s_cap
-    fields_f = fields.reshape(F * cfg.g_cap, G.N_GROUP_FIELDS)
+    Gc = fields.shape[1]  # may be a shard of g_cap, like the XLA path
+    S = Gc * cfg.slots_per_block
+    fields_f = fields.reshape(F * Gc, G.N_GROUP_FIELDS)
     t_a, t_b, t_c = _pretiled_gather_tiles(
         fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg
     )

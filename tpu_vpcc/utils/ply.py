@@ -36,23 +36,30 @@ def format_ply(ps: PointSet3) -> bytes:
     return buf.getvalue()
 
 
+_ply_lib = None  # bound once; per-frame writes skip the ctypes setup
+
+
 def _format_body_native(ps: PointSet3):
     """Fast ASCII body via the native bridge (~90x np.savetxt)."""
-    try:
-        import ctypes
+    global _ply_lib
+    import ctypes
 
-        from ..video.codec import _load
+    if _ply_lib is None:
+        try:
+            from ..video.codec import _load
 
-        lib = _load()
-        if not hasattr(lib, "ply_format_body"):
+            lib = _load()
+            if not hasattr(lib, "ply_format_body"):
+                return None
+            lib.ply_format_body.restype = ctypes.c_int64
+            lib.ply_format_body.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+            ]
+            _ply_lib = lib
+        except Exception:
             return None
-        lib.ply_format_body.restype = ctypes.c_int64
-        lib.ply_format_body.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_int64,
-        ]
-    except Exception:
-        return None
+    lib = _ply_lib
     n = ps.point_count
     positions = np.ascontiguousarray(ps.positions, dtype=np.uint16)
     colors = (

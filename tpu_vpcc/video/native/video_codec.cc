@@ -75,6 +75,12 @@ void copy_frame(DecoderCtx* d, const AVFrame* src) {
     plane.height = h;
     plane.bytes_per_sample = bps;
     plane.data.resize(static_cast<size_t>(w) * h * bps);
+    if (!src->data[p]) {
+      // monochrome (4:0:0) output has no chroma planes; emit zeros so
+      // the Python side always sees three planes
+      std::fill(plane.data.begin(), plane.data.end(), 0);
+      continue;
+    }
     for (int y = 0; y < h; ++y) {
       std::memcpy(plane.data.data() + static_cast<size_t>(y) * w * bps,
                   src->data[p] + static_cast<size_t>(y) * src->linesize[p],
@@ -148,8 +154,12 @@ int vdec_decode(void* handle, const uint8_t* data, int64_t size) {
   while (remaining > 0) {
     uint8_t* out_data = nullptr;
     int out_size = 0;
+    // feed bounded chunks: av_parser_parse2 takes an int size, so a
+    // > 2 GiB stream must not be passed in one call
+    int chunk = static_cast<int>(
+        remaining < (int64_t{1} << 20) ? remaining : (int64_t{1} << 20));
     int used = av_parser_parse2(d->parser, d->ctx, &out_data, &out_size, cur,
-                                static_cast<int>(remaining), AV_NOPTS_VALUE,
+                                chunk, AV_NOPTS_VALUE,
                                 AV_NOPTS_VALUE, 0);
     if (used < 0) {
       d->error = "av_parser_parse2 failed";
@@ -309,6 +319,10 @@ void* venc_open(int width, int height, int bit_depth, int lossless, int gop,
     return nullptr;
   }
   e->ctx = avcodec_alloc_context3(e->codec);
+  if (!e->ctx) {
+    delete e;
+    return nullptr;
+  }
   e->ctx->width = width;
   e->ctx->height = height;
   e->ctx->time_base = {1, 30};
@@ -332,6 +346,10 @@ void* venc_open(int width, int height, int bit_depth, int lossless, int gop,
   }
   e->pkt = av_packet_alloc();
   e->frame = av_frame_alloc();
+  if (!e->pkt || !e->frame) {
+    delete e;
+    return nullptr;
+  }
   e->frame->format = fmt;
   e->frame->width = width;
   e->frame->height = height;
