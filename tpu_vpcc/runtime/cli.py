@@ -39,6 +39,11 @@ def main(argv=None) -> int:
     parser.add_argument("--apply-attr-smoothing", action="store_true",
                         help="Apply grid attribute smoothing when the SEI "
                              "is present (the reference cannot parse it)")
+    parser.add_argument("--ply-format", choices=["ascii", "binary_little_endian"],
+                        default="ascii",
+                        help="PLY output format (binary is a framework "
+                             "extension: ~5x smaller, near-memcpy writes; "
+                             "the reference stubs binary out)")
     parser.add_argument("-v", "--verbose", action="count", default=0)
     args = parser.parse_args(argv)
 
@@ -69,7 +74,7 @@ def main(argv=None) -> int:
         for i, frame in enumerate(decoder):
             frame_num = i + args.start_frame
             path = frame_output_path(out, frame_num)
-            write_ply(frame, path)
+            write_ply(frame, path, fmt=args.ply_format)
             logging.info(
                 "Frame %d written to %s (%d points)", frame_num, path, len(frame)
             )

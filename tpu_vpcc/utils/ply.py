@@ -1,7 +1,13 @@
 """PLY output, byte-compatible with the reference writer
 (``src/writer.rs:32-74``): ASCII format, uint xyz, optional uchar rgb,
 ``element face 0`` stanza. Body formatting is NumPy-bulk instead of a
-per-point write loop."""
+per-point write loop.
+
+Framework extension: ``binary_little_endian`` output (the reference
+stubs binary formats out, ``src/writer.rs:10-11``) — ~5x smaller files
+and near-memcpy write speed; positions are declared ``ushort`` there
+(they are u16 values; the ASCII header keeps ``uint`` for reference
+byte-parity)."""
 
 from __future__ import annotations
 
@@ -12,14 +18,21 @@ import numpy as np
 
 from ..reconstruction.pointset import PointSet3
 
+FORMAT_ASCII = "ascii"
+FORMAT_BINARY = "binary_little_endian"
 
-def write_ply(ps: PointSet3, path) -> None:
+
+def write_ply(ps: PointSet3, path, fmt: str = FORMAT_ASCII) -> None:
     path = Path(path)
     with open(path, "wb") as f:
-        f.write(format_ply(ps))
+        f.write(format_ply(ps, fmt))
 
 
-def format_ply(ps: PointSet3) -> bytes:
+def format_ply(ps: PointSet3, fmt: str = FORMAT_ASCII) -> bytes:
+    if fmt == FORMAT_BINARY:
+        return _format_ply_binary(ps)
+    if fmt != FORMAT_ASCII:
+        raise ValueError(f"unknown PLY format {fmt!r}")
     buf = io.BytesIO()
     n = ps.point_count
     header = ["ply", "format ascii 1.0", f"element vertex {n}",
@@ -34,6 +47,72 @@ def format_ply(ps: PointSet3) -> bytes:
             body = _format_body_numpy(ps)
         buf.write(body)
     return buf.getvalue()
+
+
+def _format_ply_binary(ps: PointSet3) -> bytes:
+    n = ps.point_count
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {n}",
+              "property ushort x", "property ushort y", "property ushort z"]
+    if ps.with_colors:
+        header += ["property uchar red", "property uchar green",
+                   "property uchar blue"]
+    header += ["element face 0", "property list uint8 int32 vertex_index",
+               "end_header"]
+    buf = io.BytesIO()
+    buf.write(("\n".join(header) + "\n").encode())
+    if n:
+        pos = np.ascontiguousarray(ps.positions, dtype="<u2")
+        if ps.with_colors:
+            rec = np.empty(n, dtype=[("xyz", "<u2", 3), ("rgb", "u1", 3)])
+            rec["xyz"] = pos
+            rec["rgb"] = ps.colors
+            buf.write(rec.tobytes())
+        else:
+            buf.write(pos.tobytes())
+    return buf.getvalue()
+
+
+def read_ply(data: bytes) -> PointSet3:
+    """Parse both formats this module writes (testing / tooling aid)."""
+    end = data.index(b"end_header\n") + len(b"end_header\n")
+    header = data[:end].decode().splitlines()
+    body = data[end:]
+    n = 0
+    binary = False
+    has_colors = False
+    pos_dtype = "<u4"
+    for line in header:
+        if line.startswith("format binary_little_endian"):
+            binary = True
+        elif line.startswith("element vertex"):
+            n = int(line.split()[-1])
+        elif line == "property uchar red":
+            has_colors = True
+        elif line.startswith("property ushort x"):
+            pos_dtype = "<u2"
+    ps = PointSet3(with_colors=has_colors)
+    if n == 0:
+        return ps
+    if binary:
+        if has_colors:
+            rec = np.frombuffer(
+                body, dtype=[("xyz", pos_dtype, 3), ("rgb", "u1", 3)], count=n
+            )
+            ps.positions = rec["xyz"].astype(np.uint16)
+            ps.colors = rec["rgb"].copy()
+        else:
+            ps.positions = (
+                np.frombuffer(body, dtype=pos_dtype, count=n * 3)
+                .reshape(n, 3)
+                .astype(np.uint16)
+            )
+    else:
+        vals = np.loadtxt(io.BytesIO(body), dtype=np.int64, max_rows=n, ndmin=2)
+        ps.positions = vals[:, :3].astype(np.uint16)
+        if has_colors:
+            ps.colors = vals[:, 3:6].astype(np.uint8)
+    return ps
 
 
 _ply_lib = None  # bound once; per-frame writes skip the ctypes setup
