@@ -468,3 +468,28 @@ def test_afoc_lsb_wraparound():
     ctx.add_atlas_tile_layer(atl)
     msb, val = ctx.derive_afoc_val(4)
     assert (msb, val) == (0, 15)
+
+
+def test_golden_ath_p_tile_num_ref_override():
+    """P-tile header with num_ref_idx_active override (read only when the
+    active ref list has more than one entry, reader.rs:1684-1689)."""
+    ctx = make_context()  # golden ASPS: one rls with TWO short-term entries
+    b = Bits()
+    b.uvlc(0)        # atlas_frame_parameter_set_id
+    b.uvlc(0)        # atlas_adaptation_parameter_set_id
+    b.uvlc(0)        # tile_type = P
+    b.u(7, 10)       # atlas_frame_order_count_lsb
+    b.u(1, 1)        # ref_atlas_frame_list_sps_flag
+    b.u(2, 5)        # pos_min_d_quantizer
+    b.u(0, 5)        # pos_delta_max_d_quantizer
+    b.u(1, 1)        # num_ref_idx_active_override_flag
+    b.uvlc(1)        # num_ref_idx_active_minus1
+    b.stop_align()
+    data = b.data()
+    bs = Bitstream(data)
+    ath = AtlasTileHeader.parse(bs, ctx, NalUnitType.TRAIL_R)
+    assert ath.tile_type == TileType.P
+    assert ath.num_ref_idx_active_override_flag is True
+    assert ath.num_ref_idx_active_minus1 == 1
+    assert ctx.get_num_ref_idx_active(ath) == 2
+    assert bs.byte_pos == len(data)
