@@ -168,3 +168,47 @@ def test_422_attribute_rejected_cleanly(monkeypatch, tmp_path):
     with pytest.raises(UnsupportedFeature):
         while d.recv_frame() is not None:
             pass
+
+
+def test_e2e_444_stream_device_matches_oracle():
+    """A real 4:4:4-coded attribute sub-stream through the full pipeline:
+    libx265 i444 encode -> V3C mux -> Decoder, device vs oracle PLYs."""
+    import ctypes
+
+    from tpu_vpcc.runtime.pipeline import Decoder, Params
+    from tpu_vpcc.utils.fixtures import build_fixture_stream
+    from tpu_vpcc.utils.ply import format_ply
+    from tpu_vpcc.video import encoder_supports
+    from tpu_vpcc.video.codec import _load
+
+    if not (encoder_supports(8) and encoder_supports(10)):
+        pytest.skip("libx265 required")
+    # probe 10-bit 4:4:4 support
+    lib = _load()
+    h = lib.venc_open(64, 64, 10, 1, 32, 20, 1)
+    if not h:
+        pytest.skip("libx265 lacks 4:4:4 10-bit")
+    lib.venc_close(ctypes.c_void_p(h))
+
+    rng = np.random.default_rng(9)
+    frames = []
+    for i in range(2):
+        sf = make_synthetic_frame(
+            rng, width=W, height=H, occupancy_resolution=RES,
+            occupancy_precision=PREC, n_patches=3, frame_index=i,
+        )
+        for planes in sf.attr_planes:  # full-res chroma => 4:4:4 coding
+            planes[1] = rng.integers(0, 1024, (H, W)).astype(np.uint16)
+            planes[2] = rng.integers(0, 1024, (H, W)).astype(np.uint16)
+        frames.append(sf)
+    stream = build_fixture_stream(frames)
+
+    d1 = Decoder(Params(stream, use_device=True))
+    d1.start()
+    dev = list(d1)
+    d2 = Decoder(Params(stream, use_device=False))
+    d2.start()
+    orc = list(d2)
+    assert len(dev) == len(orc) == 2 and all(len(f) > 0 for f in dev)
+    for a, b in zip(dev, orc):
+        assert format_ply(a) == format_ply(b)

@@ -421,7 +421,12 @@ def build_fixture_stream(
 
     occ_annexb = encode_yuv420(occ_video, bit_depth=8, lossless=lossless, qp=qp)
     geo_annexb = encode_yuv420(geo_video, bit_depth=10, lossless=lossless, qp=qp)
-    attr_annexb = encode_yuv420(attr_video, bit_depth=10, lossless=lossless, qp=qp)
+    # chroma format auto-detects from the plane shapes: full-res chroma in
+    # the synthetic frames -> a 4:4:4-coded attribute sub-stream
+    attr_444 = attr_video[0][1].shape == attr_video[0][0].shape
+    attr_annexb = encode_yuv420(
+        attr_video, bit_depth=10, lossless=lossless, qp=qp, chroma444=attr_444
+    )
 
     sw = w3c.V3CSampleStreamWriter()
     sw.add_unit(w3c.v3c_unit_header(V3CUnitType.VPS), w3c.write_vps(vps))

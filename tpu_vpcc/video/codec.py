@@ -89,7 +89,7 @@ def _load() -> ctypes.CDLL:
         lib.vdec_close.argtypes = [ctypes.c_void_p]
 
         lib.venc_open.restype = ctypes.c_void_p
-        lib.venc_open.argtypes = [ctypes.c_int] * 6
+        lib.venc_open.argtypes = [ctypes.c_int] * 7
         lib.venc_encode_frame.restype = ctypes.c_int
         lib.venc_encode_frame.argtypes = [
             ctypes.c_void_p,
@@ -231,20 +231,23 @@ def encode_yuv420(
     lossless: bool = True,
     gop: int = 32,
     qp: int = 20,
+    chroma444: bool = False,
 ) -> bytes:
-    """Encode YUV420 frames to an Annex-B HEVC bytestream via libx265.
+    """Encode YUV frames to an Annex-B HEVC bytestream via libx265.
 
-    Each frame is [y, u, v] arrays: y is (h, w); u and v are (h//2, w//2).
+    Each frame is [y, u, v] arrays: y is (h, w); u and v are (h//2, w//2)
+    for 4:2:0 (the default) or (h, w) with ``chroma444=True``.
     dtype uint8 for 8-bit, uint16 (values < 1024) for 10-bit.
     """
     if not frames:
         raise VideoEncodeError("no frames")
     lib = _load()
     h, w = frames[0][0].shape
-    handle = lib.venc_open(w, h, bit_depth, int(lossless), gop, qp)
+    handle = lib.venc_open(w, h, bit_depth, int(lossless), gop, qp, int(chroma444))
     if not handle:
         raise VideoEncodeError(
-            f"libx265 unavailable for bit_depth={bit_depth} (pixel format unsupported)"
+            f"libx265 unavailable for bit_depth={bit_depth} "
+            f"chroma444={chroma444} (pixel format unsupported)"
         )
     try:
         dtype = np.uint16 if bit_depth > 8 else np.uint8
@@ -273,7 +276,7 @@ def encode_yuv420(
 def encoder_supports(bit_depth: int) -> bool:
     """Whether libx265 in this environment can encode the bit depth."""
     lib = _load()
-    handle = lib.venc_open(64, 64, bit_depth, 1, 32, 20)
+    handle = lib.venc_open(64, 64, bit_depth, 1, 32, 20, 0)
     if handle:
         lib.venc_close(handle)
         return True

@@ -299,8 +299,9 @@ struct EncoderCtx {
 // bit_depth: 8 or 10. lossless: x265 lossless mode (needed for the
 // occupancy/geometry fixtures where decoded planes must equal the input).
 // Returns nullptr if the encoder or the pixel format is unavailable.
+// chroma444: 0 = 4:2:0 (the rec0 default), 1 = 4:4:4 full-res chroma.
 void* venc_open(int width, int height, int bit_depth, int lossless, int gop,
-                int qp) {
+                int qp, int chroma444) {
   auto* e = new EncoderCtx();
   e->codec = avcodec_find_encoder_by_name("libx265");
   if (!e->codec) {
@@ -308,7 +309,9 @@ void* venc_open(int width, int height, int bit_depth, int lossless, int gop,
     return nullptr;
   }
   AVPixelFormat fmt =
-      bit_depth > 8 ? AV_PIX_FMT_YUV420P10LE : AV_PIX_FMT_YUV420P;
+      chroma444
+          ? (bit_depth > 8 ? AV_PIX_FMT_YUV444P10LE : AV_PIX_FMT_YUV444P)
+          : (bit_depth > 8 ? AV_PIX_FMT_YUV420P10LE : AV_PIX_FMT_YUV420P);
   bool supported = false;
   for (const AVPixelFormat* p = e->codec->pix_fmts;
        p && *p != AV_PIX_FMT_NONE; ++p) {
@@ -380,12 +383,13 @@ int venc_encode_frame(void* handle, const uint8_t* y, const uint8_t* u,
                       const uint8_t* v) {
   auto* e = static_cast<EncoderCtx*>(handle);
   if (av_frame_make_writable(e->frame) < 0) return -1;
-  int bps = e->ctx->pix_fmt == AV_PIX_FMT_YUV420P ? 1 : 2;
+  const AVPixFmtDescriptor* desc = av_pix_fmt_desc_get(e->ctx->pix_fmt);
+  int bps = desc->comp[0].depth > 8 ? 2 : 1;
   int w = e->ctx->width, h = e->ctx->height;
   const uint8_t* srcs[3] = {y, u, v};
   for (int p = 0; p < 3; ++p) {
-    int pw = p == 0 ? w : w / 2;
-    int ph = p == 0 ? h : h / 2;
+    int pw = p == 0 ? w : (w >> desc->log2_chroma_w);
+    int ph = p == 0 ? h : (h >> desc->log2_chroma_h);
     for (int row = 0; row < ph; ++row) {
       std::memcpy(e->frame->data[p] +
                       static_cast<size_t>(row) * e->frame->linesize[p],
