@@ -211,3 +211,20 @@ def test_e2e_close_terminates_decode_thread(tmp_path):
     decoder.close()
     decoder._thread.join(timeout=30)
     assert not decoder._thread.is_alive(), "decode thread leaked after close()"
+
+
+def test_e2e_full_32_frame_gof(tmp_path):
+    """BASELINE config 1 shape: one 32-frame GOF through the streaming
+    Decoder (16 DEVICE_BATCH chunks, AFOC 0..31), device vs oracle."""
+    frames, path = make_fixture(tmp_path, n_frames=32, seed=99, n_patches=2)
+    d1 = Decoder(Params(path, use_device=True))
+    d1.start()
+    dev = list(d1)
+    d2 = Decoder(Params(path, use_device=False))
+    d2.start()
+    orc = list(d2)
+    assert len(dev) == len(orc) == 32
+    assert all(len(f) > 0 for f in dev)
+    for a, b in zip(dev, orc):
+        assert format_ply(a) == format_ply(b)
+    assert len(d1.stats.gofs) == 1 and d1.stats.gofs[0].frame_count == 32
