@@ -13,12 +13,17 @@ from tpu_vpcc.v3c.stream import SampleStreamV3CUnit
 def test_random_bytes_fail_cleanly(seed):
     rng = np.random.default_rng(seed)
     data = rng.integers(0, 256, rng.integers(1, 2048)).astype(np.uint8).tobytes()
+    import time
+
+    t0 = time.monotonic()
     try:
         ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(data))
         while ssvu.get_v3c_unit_count() > 0:
             ssvu.decode_gof(Context())
     except Exception:
         pass  # any *exception* is fine; hangs/crashes are not
+    # enforce the "no hang" property the docstring promises
+    assert time.monotonic() - t0 < 30
 
 
 @pytest.mark.parametrize("cut", [1, 7, 50, 200, 999])
@@ -40,7 +45,14 @@ def test_truncated_valid_stream_fails_cleanly(cut):
             ssvu.decode_gof(Context())
 
 
-def test_bit_flips_fail_cleanly_or_parse(subtests=None):
+def _decodes(data: bytes) -> bool:
+    ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(data))
+    while ssvu.get_v3c_unit_count() > 0:
+        ssvu.decode_gof(Context())
+    return True
+
+
+def test_bit_flips_fail_cleanly_or_parse():
     from tpu_vpcc.utils.fixtures import build_fixture_stream
     from tpu_vpcc.utils.synthetic import make_synthetic_frame
     from tpu_vpcc.video import encoder_supports
@@ -51,16 +63,24 @@ def test_bit_flips_fail_cleanly_or_parse(subtests=None):
     frames = [make_synthetic_frame(rng, width=64, height=64, occupancy_resolution=8,
                                    occupancy_precision=4, n_patches=2)]
     stream = bytearray(build_fixture_stream(frames))
+    # baseline: the unmutated fixture must decode, so the loop below is
+    # demonstrably exercising a real parse path
+    assert _decodes(bytes(stream))
     # flip bits in the header region (first 200 bytes: VPS/ASPS/AFPS/ATL)
+    outcomes = {"ok": 0, "raised": 0}
     for i in range(0, 200, 7):
         mutated = bytearray(stream)
         mutated[i] ^= 0xFF
         try:
-            ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(bytes(mutated)))
-            while ssvu.get_v3c_unit_count() > 0:
-                ssvu.decode_gof(Context())
+            _decodes(bytes(mutated))
+            outcomes["ok"] += 1
         except Exception:
-            pass  # clean failure (or a still-parseable stream) is acceptable
+            outcomes["raised"] += 1  # clean failure is acceptable
+    # every mutation was processed one way or the other, and at least
+    # one header flip must actually be rejected (a suite where every
+    # corruption "parses" means the loop is not hitting the parsers)
+    assert sum(outcomes.values()) == len(range(0, 200, 7))
+    assert outcomes["raised"] > 0
 
 
 def _p_sei_stream():
@@ -90,14 +110,21 @@ def test_bit_flips_in_p_tile_and_sei_regions_fail_cleanly():
     if not (encoder_supports(8) and encoder_supports(10)):
         pytest.skip("libx265 required")
     stream = bytearray(_p_sei_stream())
+
+    def run(data):
+        ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(data))
+        while ssvu.get_v3c_unit_count() > 0:
+            ctx = Context()
+            ssvu.decode_gof(ctx)
+            create_patch_frames(ctx)
+
+    run(bytes(stream))  # baseline: the unmutated stream must derive
+    raised = 0
     for i in range(0, min(400, len(stream)), 5):
         mutated = bytearray(stream)
         mutated[i] ^= 0xFF
         try:
-            ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(bytes(mutated)))
-            while ssvu.get_v3c_unit_count() > 0:
-                ctx = Context()
-                ssvu.decode_gof(ctx)
-                create_patch_frames(ctx)
+            run(bytes(mutated))
         except Exception:
-            pass  # clean failure (or a still-decodable stream) is fine
+            raised += 1  # clean failure (or a still-decodable stream) is fine
+    assert raised > 0, "no header corruption was rejected: loop not effective"

@@ -493,3 +493,246 @@ def test_golden_ath_p_tile_num_ref_override():
     assert ath.num_ref_idx_active_minus1 == 1
     assert ctx.get_num_ref_idx_active(ath) == 2
     assert bs.byte_pos == len(data)
+
+
+# ---------------------------------------------------------------------------
+# AFPS (reader.rs:1175-1329)
+# ---------------------------------------------------------------------------
+
+
+def test_golden_afps():
+    ctx = Context()
+    ctx.add_asps(AtlasSequenceParameterSet.parse(Bitstream(golden_asps_bits().data())))
+    b = Bits()
+    b.uvlc(0)        # atlas_frame_parameter_set_id
+    b.uvlc(0)        # atlas_sequence_parameter_set_id
+    # atlas_frame_tile_information (single tile, unsignalled ids)
+    b.u(1, 1)        # single_tile_in_atlas_frame_flag (asserted 1)
+    b.u(0, 1)        # signalled_tile_id_flag (asserted 0)
+    # back in afps
+    b.u(1, 1)        # output_flag_present_flag
+    b.uvlc(1)        # num_ref_idx_default_active_minus1
+    b.uvlc(4)        # additional_lt_afoc_lsb_len
+    b.u(0, 1)        # lod_mode_enable_flag
+    b.u(1, 1)        # raw_3d_offset_bitcount_explicit_mode_flag
+    b.u(0, 1)        # extension_flag
+    b.stop_align()
+    data = b.data()
+    bs = Bitstream(data)
+    afps = AtlasFrameParameterSet.parse(bs, ctx)
+    assert afps.atlas_frame_parameter_set_id == 0
+    assert afps.atlas_sequence_parameter_set_id == 0
+    assert afps.atlas_frame_tile_information.single_tile_in_atlas_frame_flag
+    assert afps.output_flag_present_flag is True
+    assert afps.num_ref_idx_default_active_minus1 == 1
+    assert afps.additional_lt_afoc_lsb_len == 4
+    assert afps.lod_mode_enable_flag is False
+    assert afps.raw_3d_offset_bitcount_explicit_mode_flag is True
+    assert bs.byte_pos == len(data)
+
+
+# ---------------------------------------------------------------------------
+# Inter / Merge patch data units (reader.rs:1925-2037)
+# ---------------------------------------------------------------------------
+
+
+def make_p_context_and_ath():
+    """Context + P-tile header with num_ref_idx_active = 2 and
+    normal_axis_max_delta disabled (the inter/merge parsers reject it,
+    mirroring the reference's unimplemented!)."""
+    from tpu_vpcc.v3c.syntax import InterPatchDataUnit, MergePatchDataUnit
+
+    ctx = make_context()
+    ctx.get_asps(0).normal_axis_max_delta_value_enabled_flag = False
+    b = Bits()
+    b.uvlc(0)        # afps id
+    b.uvlc(0)        # aaps id
+    b.uvlc(0)        # tile_type = P
+    b.u(3, 10)       # afoc lsb
+    b.u(1, 1)        # ref list sps flag
+    b.u(0, 5)        # pos_min_d_quantizer
+    b.u(0, 5)        # pos_delta_max_d_quantizer
+    b.u(1, 1)        # num_ref_idx_active_override_flag
+    b.uvlc(1)        # num_ref_idx_active_minus1 -> active = 2
+    b.stop_align()
+    ath = AtlasTileHeader.parse(Bitstream(b.data()), ctx, NalUnitType.TRAIL_R)
+    assert ctx.get_num_ref_idx_active(ath) == 2
+    return ctx, ath
+
+
+def test_golden_inter_pdu():
+    from tpu_vpcc.v3c.syntax import InterPatchDataUnit
+
+    ctx, ath = make_p_context_and_ath()
+    b = Bits()
+    b.uvlc(1)        # ipdu_ref_index (coded: num_ref_idx_active > 1)
+    b.svlc(-1)       # ipdu_ref_patch_index
+    b.svlc(2)        # ipdu_2d_pos_x delta
+    b.svlc(-3)       # ipdu_2d_pos_y delta
+    b.svlc(0)        # ipdu_2d_delta_size_x
+    b.svlc(1)        # ipdu_2d_delta_size_y
+    b.svlc(-4)       # ipdu_3d_offset_u
+    b.svlc(5)        # ipdu_3d_offset_v
+    b.svlc(-2)       # ipdu_3d_offset_d
+    b.s += "0" * (-len(b.s) % 8)
+    pdu = InterPatchDataUnit.parse(Bitstream(b.data()), ctx, ath)
+    assert pdu.ref_index == 1
+    assert pdu.ref_patch_index == -1
+    assert pdu.pos_2d == (2, -3)
+    assert pdu.delta_2d_size == (0, 1)
+    assert pdu.pos_3d_offset == (-4, 5)
+    assert pdu.pos_3d_offset_d == -2
+
+
+def test_golden_merge_pdu_2d_and_3d_branches():
+    from tpu_vpcc.v3c.syntax import MergePatchDataUnit
+
+    ctx, ath = make_p_context_and_ath()
+    # override_2d branch
+    b = Bits()
+    b.uvlc(0)        # mpdu_ref_index
+    b.u(1, 1)        # override_2d_params_flag
+    b.svlc(3)
+    b.svlc(-1)
+    b.svlc(2)
+    b.svlc(0)
+    b.s += "0" * (-len(b.s) % 8)
+    pdu = MergePatchDataUnit.parse(Bitstream(b.data()), ctx, ath)
+    assert pdu.override_2d_params_flag is True
+    assert pdu.pos_2d == (3, -1)
+    assert pdu.delta_2d_size == (2, 0)
+    # 3d branch: flag read, then the 3d fields are carried REGARDLESS of
+    # the flag value (mirroring the reference parser, reader.rs:2019-2024)
+    b = Bits()
+    b.uvlc(1)        # mpdu_ref_index
+    b.u(0, 1)        # override_2d_params_flag
+    b.u(1, 1)        # override_3d_params_flag
+    b.svlc(-2)
+    b.svlc(4)
+    b.svlc(1)
+    b.s += "0" * (-len(b.s) % 8)
+    pdu = MergePatchDataUnit.parse(Bitstream(b.data()), ctx, ath)
+    assert pdu.ref_index == 1
+    assert pdu.override_2d_params_flag is False
+    assert pdu.override_3d_params_flag is True
+    assert pdu.pos_3d_offset == (-2, 4)
+    assert pdu.pos_3d_offset_d == 1
+
+
+# ---------------------------------------------------------------------------
+# Occupancy-synthesis / attribute-smoothing SEIs (framework extensions;
+# golden bits per the 23090-5 syntax shape they implement)
+# ---------------------------------------------------------------------------
+
+
+def test_golden_sei_occupancy_synthesis():
+    b = Bits()
+    b.raw_byte(65)   # payload_type = OCCUPANCY_SYNTHESIS
+    b.raw_byte(4)    # payload size (unused by the parser)
+    b.u(1, 1)        # persistence_flag
+    b.u(0, 1)        # reset_flag
+    b.u(1, 8)        # instances_updated
+    b.u(0, 8)        # instance_index
+    b.u(0, 1)        # instance_cancel_flag
+    b.uvlc(1)        # method_type = 1 (PBF)
+    b.u(2, 2)        # pbf_log2_threshold_minus1
+    b.u(1, 2)        # pbf_passes_count_minus1
+    b.u(5, 3)        # pbf_filter_size_minus1
+    b.stop_align()
+    b.raw_byte(0)    # trailing byte
+    data = b.data()
+    bs = Bitstream(data)
+    msg = SeiMessage.parse(bs, NalUnitType.PREFIX_ESEI)
+    sei = msg.sei_prefix[0]
+    assert sei.payload_type == SeiPayloadType.OCCUPANCY_SYNTHESIS
+    assert sei.persistence_flag is True
+    assert sei.method_type[0] == 1
+    assert sei.pbf_log2_threshold_minus1[0] == 2
+    assert sei.pbf_passes_count_minus1[0] == 1
+    assert sei.pbf_filter_size_minus1[0] == 5
+    assert bs.byte_pos == len(data)
+
+
+def test_golden_sei_attribute_smoothing():
+    b = Bits()
+    b.raw_byte(67)   # payload_type = ATTRIBUTE_SMOOTHING
+    b.raw_byte(8)    # payload size (unused)
+    b.u(0, 1)        # persistence_flag
+    b.u(1, 1)        # reset_flag
+    b.uvlc(1)        # num_attributes_updated
+    b.u(0, 7)        # attribute_idx
+    b.u(0, 1)        # attribute_smoothing_cancel_flag
+    b.u(1, 8)        # instances_updated
+    b.u(0, 8)        # instance_index
+    b.u(0, 1)        # instance_cancel_flag
+    b.uvlc(1)        # method_type = 1
+    b.u(6, 8)        # grid_size_minus_2
+    b.u(12, 8)       # threshold
+    b.u(20, 8)       # threshold_variation
+    b.u(10, 8)       # threshold_difference
+    b.stop_align()
+    b.raw_byte(0)    # trailing byte
+    data = b.data()
+    bs = Bitstream(data)
+    msg = SeiMessage.parse(bs, NalUnitType.PREFIX_ESEI)
+    sei = msg.sei_prefix[0]
+    assert sei.payload_type == SeiPayloadType.ATTRIBUTE_SMOOTHING
+    assert sei.reset_flag is True
+    assert sei.attribute_idx == [0]
+    assert sei.method_type[0][0] == 1
+    assert sei.grid_size_minus_2[0][0] == 6
+    assert sei.threshold[0][0] == 12
+    assert sei.threshold_variation[0][0] == 20
+    assert sei.threshold_difference[0][0] == 10
+    assert bs.byte_pos == len(data)
+
+
+# ---------------------------------------------------------------------------
+# Golden PLY snapshot (the formatter is otherwise only compared to itself)
+# ---------------------------------------------------------------------------
+
+
+def test_golden_ply_snapshot():
+    """Hand-written expected bytes per the reference writer's layout
+    (src/writer.rs:32-74): header lines, one 'x y z r g b\\n' line per
+    point, 'element face 0' stanza."""
+    from tpu_vpcc.reconstruction.pointset import PointSet3
+    from tpu_vpcc.utils.ply import format_ply
+
+    ps = PointSet3(
+        positions=np.array([[1, 2, 3], [1023, 0, 512]], np.uint16),
+        colors=np.array([[255, 0, 7], [1, 2, 3]], np.uint8),
+        with_colors=True,
+    )
+    expected = (
+        b"ply\n"
+        b"format ascii 1.0\n"
+        b"element vertex 2\n"
+        b"property uint x\n"
+        b"property uint y\n"
+        b"property uint z\n"
+        b"property uchar red\n"
+        b"property uchar green\n"
+        b"property uchar blue\n"
+        b"element face 0\n"
+        b"property list uint8 int32 vertex_index\n"
+        b"end_header\n"
+        b"1 2 3 255 0 7\n"
+        b"1023 0 512 1 2 3\n"
+    )
+    assert format_ply(ps) == expected
+
+    ps2 = PointSet3(positions=np.array([[4, 5, 6]], np.uint16))
+    expected2 = (
+        b"ply\n"
+        b"format ascii 1.0\n"
+        b"element vertex 1\n"
+        b"property uint x\n"
+        b"property uint y\n"
+        b"property uint z\n"
+        b"element face 0\n"
+        b"property list uint8 int32 vertex_index\n"
+        b"end_header\n"
+        b"4 5 6\n"
+    )
+    assert format_ply(ps2) == expected2

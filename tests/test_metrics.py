@@ -39,13 +39,19 @@ def test_unit_offset_mse():
     assert m.psnr == pytest.approx(10 * np.log10(3 * 1023**2), abs=1e-6)
 
 
-def test_cli_tool(tmp_path):
+def test_cli_tool(tmp_path, capsys):
     from tpu_vpcc.utils.metrics import main
     from tpu_vpcc.utils.ply import write_ply
 
-    rng = np.random.default_rng(1)
-    pos = rng.integers(0, 1024, (200, 3))
-    a = make_ps(pos, rng.integers(0, 256, (200, 3)))
+    # B = A shifted by exactly 1 in x: the expected D1 mse is exactly 1
+    pos = np.stack([np.arange(0, 2000, 10), np.zeros(200), np.zeros(200)], 1)
+    a = make_ps(pos, np.full((200, 3), 100))
+    b = make_ps(pos + [1, 0, 0], np.full((200, 3), 100))
     write_ply(a, tmp_path / "a.ply")
-    write_ply(a, tmp_path / "b.ply", fmt="binary_little_endian")
+    write_ply(b, tmp_path / "b.ply", fmt="binary_little_endian")
     assert main([str(tmp_path / "a.ply"), str(tmp_path / "b.ply")]) == 0
+    out = capsys.readouterr().out
+    assert "mse=1.000000" in out
+    expected_psnr = 10 * np.log10(3 * 1023**2)
+    assert f"psnr={expected_psnr:.3f}" in out
+    assert "r=inf g=inf b=inf" in out  # identical colors

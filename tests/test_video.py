@@ -94,6 +94,12 @@ def test_decoder_threading_configuration():
         assert active & 1, "frame threading should be active for HEVC"
     else:
         assert count == 1
+    # explicit request: asserts the FF_THREAD_FRAME configuration
+    # regardless of host core count (the meaningful property on this
+    # 1-core container)
+    count4, active4 = decoder_thread_info(1, threads=4)
+    assert count4 == 4
+    assert active4 & 1, "frame threading must engage with 4 threads"
 
 
 def test_concurrent_substream_decode_matches_serial():

@@ -51,6 +51,8 @@ def _load() -> ctypes.CDLL:
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.vdec_open.restype = ctypes.c_void_p
         lib.vdec_open.argtypes = [ctypes.c_int]
+        lib.vdec_open_threads.restype = ctypes.c_void_p
+        lib.vdec_open_threads.argtypes = [ctypes.c_int, ctypes.c_int]
         lib.vdec_decode.restype = ctypes.c_int
         lib.vdec_decode.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]
         lib.vdec_frame_count.restype = ctypes.c_int
@@ -203,13 +205,15 @@ def decode_annexb(
         lib.vdec_close(handle)
 
 
-def decoder_thread_info(codec_id: int = 1):
+def decoder_thread_info(codec_id: int = 1, threads: int = 0):
     """(resolved thread_count, active_thread_type bits) of a freshly
     opened decoder — 1 = frame threading, 2 = slice threading. Evidence
     that the host decode parallelizes on multi-core machines (this
-    container has 1 core, so the resolved count is 1 here)."""
+    container has 1 core, so the auto-resolved count is 1 here; pass an
+    explicit ``threads`` to assert the frame-threading request survives
+    regardless of host core count)."""
     lib = _load()
-    handle = lib.vdec_open(codec_id)
+    handle = lib.vdec_open_threads(codec_id, threads)
     if not handle:
         raise VideoDecodeError("failed to open native decoder")
     try:

@@ -108,7 +108,9 @@ extern "C" {
 
 // codec_id: 0 = H264, 1 = H265/HEVC (the only id emitted by rec0 streams,
 // reference src/decoder.rs:899-910), 2 = H266/VVC (not present in ffmpeg5).
-void* vdec_open(int codec_id) {
+// thread_count: 0 = auto (one thread per core); explicit counts let tests
+// assert the frame-threading request on single-core hosts too.
+void* vdec_open_threads(int codec_id, int thread_count) {
   auto* d = new DecoderCtx();
   AVCodecID av_id = codec_id == 0 ? AV_CODEC_ID_H264 : AV_CODEC_ID_HEVC;
   d->codec = avcodec_find_decoder(av_id);
@@ -125,7 +127,7 @@ void* vdec_open(int codec_id) {
     return nullptr;
   }
   // Frame+slice threading must be configured BEFORE avcodec_open2.
-  d->ctx->thread_count = 0;  // auto (one thread per core)
+  d->ctx->thread_count = thread_count;
   d->ctx->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
   if (avcodec_open2(d->ctx, d->codec, nullptr) < 0) {
     delete d;
@@ -133,6 +135,8 @@ void* vdec_open(int codec_id) {
   }
   return d;
 }
+
+void* vdec_open(int codec_id) { return vdec_open_threads(codec_id, 0); }
 
 // Post-open threading configuration actually in effect:
 // info[0] = resolved thread_count, info[1] = active_thread_type bits
