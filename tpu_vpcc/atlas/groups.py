@@ -29,7 +29,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .patches import FrameMeta
+from .patches import FrameMeta, PatchOrientation
 
 # group-table field indices
 (
@@ -81,6 +81,14 @@ def build_group_table(
         res = meta.patches[0].occupancy_resolution
     else:
         res = 16
+    for pidx, p in enumerate(meta.patches):
+        if p.occupancy_resolution != res:
+            # mixed packing-block sizes would misalign G_BLOCKID and the
+            # tile slicing against the per-patch affine origins
+            raise ValueError(
+                f"patch {pidx} occupancy_resolution "
+                f"{p.occupancy_resolution} != table resolution {res}"
+            )
     bw = meta.width // res
     bh = meta.height // res
     if g_cap <= 0:
@@ -103,8 +111,6 @@ def build_group_table(
             )
         owner[by, bx] = pidx + 1  # later patches overwrite earlier ones
         per_patch.append((u0g, v0g, bx, by))
-
-    from .patches import PatchOrientation  # local import to avoid cycle
 
     n_groups = 0
     tiled_ok = True

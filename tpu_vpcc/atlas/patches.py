@@ -112,14 +112,16 @@ class Patch:
         self, u_blk: int, v_blk: int, stride_blk: int, height_blk: int
     ) -> int:
         x, y = self.patch_to_canvas_helper(u_blk, v_blk, 1)
-        assert x < stride_blk and y < height_blk
+        # lower bounds too: negative coords would Python-wrap into valid
+        # indices where the Rust usize arithmetic panics
+        assert 0 <= x < stride_blk and 0 <= y < height_blk
         return y * stride_blk + x
 
     def patch_to_canvas(
         self, u: int, v: int, canvas_stride: int, canvas_height: int
     ) -> Tuple[int, int]:
         x, y = self.patch_to_canvas_helper(u, v, self.occupancy_resolution)
-        assert x < canvas_stride and y < canvas_height
+        assert 0 <= x < canvas_stride and 0 <= y < canvas_height
         return x, y
 
     def orientation_coeffs(self, resolution: int):
@@ -371,6 +373,12 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
         asps = context.get_asps(afps.atlas_sequence_parameter_set_id)
         geometry_bitdepth_3d = asps.geometry_3d_bitdepth_minus1 + 1
         frame_index = ath.frame_index
+
+        if asps.patch_precedence_order_flag:
+            # reversed patch precedence changes block ownership and the
+            # emission order; the reference asserts it false
+            # (``codec.rs:340-347``)
+            raise UnsupportedFeature("patch_precedence_order_flag (rec0)")
 
         meta = FrameMeta(
             frame_index=frame_index,

@@ -123,7 +123,13 @@ def compute_slots(
 
     ``fields_rows`` is the group-table row for each slot (already
     gathered); planes are single-frame. Returns (pos (3,S), col_y/u/v,
-    valid)."""
+    valid).
+
+    BIT-EXACTNESS NOTE: the point math here (normal_coord, 0xFFFF
+    masking, duplicate suppression, axis one-hot) is intentionally
+    duplicated in _flat_batch_impl below and in tiled._tiles_to_points —
+    the three kernels gather differently but must stay semantically
+    identical; change all three together."""
     fr = lambda idx: fields_rows[:, idx]  # noqa: E731
 
     x = fr(G.G_X00) + fr(G.G_A) * u1 + fr(G.G_B) * v1
@@ -244,6 +250,9 @@ def reconstruct_frame(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
 
 def _flat_batch_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
     """Whole-GOF reconstruction with frames flattened into the slot axis.
+
+    BIT-EXACTNESS NOTE: the per-point math duplicates compute_slots and
+    tiled._tiles_to_points; change all three together.
 
     Semantically identical to vmapping the single-frame kernel over the
     leading axis, but every gather/scatter stays rank-1/2 (no batch

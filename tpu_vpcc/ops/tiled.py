@@ -42,6 +42,10 @@ def tiled_supported(cfg: FrameConfig) -> bool:
         res >= 2
         and res % 2 == 0
         and res % cfg.occupancy_precision == 0
+        # the u32 packing carries 10-bit sample fields; geo_shift > 2
+        # implies >10-bit decoded geometry (attribute depth is gated in
+        # the pipeline's packed10_ok, which also covers this)
+        and cfg.geo_shift <= 2
     )
 
 
@@ -133,7 +137,11 @@ def _flat_tiled_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
 
 def _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg):
     """Shared tail: orientation fix, unpack, point/color compute, and
-    sort-based compaction, from per-group packed tiles [FG, res, res]."""
+    sort-based compaction, from per-group packed tiles [FG, res, res].
+
+    BIT-EXACTNESS NOTE: the per-point math duplicates
+    reconstruct.compute_slots and reconstruct._flat_batch_impl; change
+    all three together."""
     res = cfg.occupancy_resolution
     mc = cfg.map_count
 
