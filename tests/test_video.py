@@ -134,3 +134,19 @@ def test_concurrent_substream_decode_matches_serial():
     # wall-time evidence, not asserted (flat on this 1-core container)
     print(f"substream decode serial={dt_serial:.3f}s "
           f"concurrent={dt_concurrent:.3f}s")
+
+
+def test_write_yuv_dump(tmp_path):
+    """Raw YUV dump parity with the reference's Image::write debug aid
+    (planes appended y,u,v; native-endian u16 for 10-bit)."""
+    if not encoder_supports(10):
+        pytest.skip("libx265 10-bit required")
+    rng = np.random.default_rng(11)
+    frames = _random_frames(rng, 1, 32, 32, 10)
+    dec = decode_annexb(encode_yuv420(frames, bit_depth=10, lossless=True))
+    out = tmp_path / "f.yuv"
+    dec[0].write_yuv(out)
+    data = out.read_bytes()
+    expected = b"".join(np.ascontiguousarray(p).tobytes() for p in dec[0].planes)
+    assert data == expected
+    assert len(data) == (32 * 32 + 2 * 16 * 16) * 2  # u16 planes

@@ -135,6 +135,15 @@ class VideoFrame:
     def height(self) -> int:
         return self.planes[0].shape[0]
 
+    def write_yuv(self, path) -> None:
+        """Raw planar YUV dump for eyeballing decoded planes — the
+        debug aid the reference carries as ``Image::write``
+        (``src/decoder.rs:983-999``): planes appended y, u, v, native
+        endianness, no header."""
+        with open(path, "wb") as f:
+            for p in self.planes:
+                f.write(np.ascontiguousarray(p).tobytes())
+
 
 class VideoDecodeError(Exception):
     pass
