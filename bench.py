@@ -31,8 +31,23 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_vpcc_jax_cache")
 _T_START = time.perf_counter()
 
 
+def _wait_for_gate(gate: str, timeout: float = 420.0) -> None:
+    """Block until the parent bench process touches the gate file (it does
+    so only after the headline kernel measurement is done, so an extra's
+    TPU work can never distort that timing). Falls through on timeout so
+    an orphaned extra still produces a number."""
+    if not gate:
+        return
+    deadline = time.perf_counter() + timeout
+    while time.perf_counter() < deadline:
+        if os.path.exists(gate):
+            return
+        time.sleep(0.25)
+
+
 def e2e_decoder_metric(
-    n_gofs: int = 2, frames_per_gof: int = 4, width: int = 640, height: int = 640
+    gate: str = "",
+    n_gofs: int = 2, frames_per_gof: int = 4, width: int = 640, height: int = 640,
 ):
     """Frames/sec through the full streaming Decoder on a synthetic
     multi-GOF stream: V3C parse + host HEVC decode + H2D + device
@@ -51,6 +66,7 @@ def e2e_decoder_metric(
         if not (encoder_supports(8) and encoder_supports(10)):
             return {"skipped": "libx265 unavailable"}
 
+        t_prep = time.perf_counter()
         rng = np.random.default_rng(0)
         gofs = []
         for g in range(n_gofs):
@@ -63,6 +79,11 @@ def e2e_decoder_metric(
             ]
             gofs.append(build_fixture_stream(frames))
         stream = concat_streams(gofs)
+        prep_s = time.perf_counter() - t_prep
+
+        # host prep (x265 encode) overlapped the parent's compile; the TPU
+        # part waits for the parent's go-ahead
+        _wait_for_gate(gate)
 
         # warm-up decode: first dispatch bears XLA compilation (30s-5min
         # on this tunneled backend); the metric is the steady state
@@ -86,6 +107,7 @@ def e2e_decoder_metric(
             "frames": n_frames,
             "mean_points": int(n_points / max(n_frames, 1)),
             "wall_seconds": round(wall, 3),
+            "prep_seconds": round(prep_s, 3),
             "stage_seconds": stages,
             "atlas": f"{width}x{height}",
             "host_cores": os.cpu_count(),
@@ -94,7 +116,7 @@ def e2e_decoder_metric(
         return {"error": f"{type(e).__name__}: {e}"}
 
 
-def multistream_metric(n_streams: int = 8, frames_per_gof: int = 2,
+def multistream_metric(gate: str = "", n_streams: int = 8, frames_per_gof: int = 2,
                        width: int = 320, height: int = 320):
     """Aggregate frames/sec decoding n_streams concurrent bitstreams with
     cross-stream device batching (BASELINE config 5 shape, single chip).
@@ -129,6 +151,7 @@ def multistream_metric(n_streams: int = 8, frames_per_gof: int = 2,
                 p.write_bytes(stream)
                 paths.append(p)
 
+            _wait_for_gate(gate)
             for _ in decode_streams_batched(paths):  # warm-up (compile)
                 pass
             t0 = time.perf_counter()
@@ -147,34 +170,83 @@ def multistream_metric(n_streams: int = 8, frames_per_gof: int = 2,
         return {"error": f"{type(e).__name__}: {e}"}
 
 
-def _run_extra_subprocess(name: str, timeout: float = 150.0):
-    """Run an extras metric in a child process with a hard timeout so a
-    hang or crash can never cost the headline metric."""
-    import subprocess
+# total wall budget for one bench run; the driver's own timeout is
+# unknown but the round-2 artifact proved >=340s is survivable, so stay
+# conservative and spend what's left after the headline on the extras
+_TOTAL_BUDGET_S = float(os.environ.get("TPU_VPCC_BENCH_BUDGET_S", "600"))
 
+
+def _spawn_extra(name: str, gate: str):
+    """Launch an extras metric subprocess immediately (host prep overlaps
+    the parent's compile; TPU work waits on the gate file)."""
+    import subprocess
+    import tempfile
+
+    out = tempfile.NamedTemporaryFile(
+        mode="w+", suffix=f"_{name}.out", delete=False
+    )
+    proc = subprocess.Popen(
+        [sys.executable, __file__, "--extra", name, "--gate", gate],
+        stdout=out, stderr=subprocess.DEVNULL,
+    )
+    return {"name": name, "proc": proc, "out": out, "gate": gate}
+
+
+def _collect_extra(extra, deadline: float):
+    """Release an extra's gate, wait for it within the global budget, and
+    parse its JSON line. A hang or crash can never cost the headline."""
     try:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--extra", name],
-            capture_output=True, text=True, timeout=timeout,
-        )
-        for line in reversed(proc.stdout.strip().splitlines()):
+        with open(extra["gate"], "w"):
+            pass
+        # floor of 75s even when the kernel stage ate the budget: losing
+        # the extras evidence (round-2 failure mode) costs more than a
+        # minute of overrun, and prep has already been paid concurrently
+        timeout = max(75.0, deadline - time.perf_counter())
+        try:
+            extra["proc"].wait(timeout=timeout)
+        except Exception:
+            extra["proc"].kill()
+            return {"skipped": f"budget exhausted after {timeout:.0f}s wait"}
+        extra["out"].seek(0)
+        for line in reversed(extra["out"].read().strip().splitlines()):
             line = line.strip()
             if line.startswith("{"):
                 return json.loads(line)
-        return {"error": f"no output (rc={proc.returncode})"}
-    except subprocess.TimeoutExpired:
-        return {"skipped": f"timeout after {timeout}s"}
+        return {"error": f"no output (rc={extra['proc'].returncode})"}
     except Exception as e:
         return {"error": f"{type(e).__name__}: {e}"}
+    finally:
+        try:
+            extra["out"].close()
+            os.unlink(extra["out"].name)
+            os.unlink(extra["gate"])
+        except OSError:
+            pass
 
 
 def main() -> int:
     if len(sys.argv) >= 3 and sys.argv[1] == "--extra":
+        gate = ""
+        if len(sys.argv) >= 5 and sys.argv[3] == "--gate":
+            gate = sys.argv[4]
         fn = {"e2e": e2e_decoder_metric, "multistream": multistream_metric}[
             sys.argv[2]
         ]
-        print(json.dumps(fn()))
+        print(json.dumps(fn(gate=gate)))
         return 0
+
+    # extras launch first: their CPU-heavy prep (x265 fixture encode) runs
+    # while this process sits in tunnel-bound XLA compiles; their TPU work
+    # is gated until the kernel measurement below is done, and the gates
+    # are released one at a time so the extras never contend either
+    extras_procs = []
+    try:
+        gate_dir = f"/tmp/tpu_vpcc_bench_gates_{os.getpid()}"
+        os.makedirs(gate_dir, exist_ok=True)
+        for name in ("e2e", "multistream"):
+            extras_procs.append(_spawn_extra(name, f"{gate_dir}/{name}.go"))
+    except Exception:
+        extras_procs = []
 
     import jax
     import jax.numpy as jnp
@@ -281,16 +353,16 @@ def main() -> int:
     dt_dispatch = (time.perf_counter() - t0) / loop_n
 
     fps = batch / dt_net
-    # guard the headline metric: on a cold/congested tunnel (kernel stage
-    # alone took minutes) skip the extras rather than risk the driver's
-    # bench budget
-    elapsed = time.perf_counter() - _T_START
-    if elapsed > 240.0:
-        e2e = {"skipped": f"slow startup ({elapsed:.0f}s before extras)"}
-        multistream = dict(e2e)
+    # headline measured — release the extras sequentially, spending
+    # whatever is left of the total budget (their host prep already ran
+    # concurrently with the compiles above)
+    deadline = _T_START + _TOTAL_BUDGET_S
+    kernel_s = round(time.perf_counter() - _T_START, 1)
+    if extras_procs:
+        e2e = _collect_extra(extras_procs[0], deadline)
+        multistream = _collect_extra(extras_procs[1], deadline)
     else:
-        e2e = _run_extra_subprocess("e2e", timeout=210.0)
-        multistream = _run_extra_subprocess("multistream", timeout=210.0)
+        e2e = multistream = {"error": "extras failed to launch"}
     result = {
         "metric": "fps_1Mpt_frame_reconstruction",
         "value": 0.0 if differential_invalid else round(fps, 2),
@@ -306,6 +378,7 @@ def main() -> int:
             "device": str(jax.devices()[0]),
             "atlas": f"{cfg.width}x{cfg.height}",
             "s_cap": fcfg.s_cap,
+            "kernel_stage_seconds": kernel_s,
             "e2e": e2e,
             "multistream": multistream,
             "differential_invalid": differential_invalid,
