@@ -28,9 +28,12 @@ from ..v3c.stream import SampleStreamV3CUnit
 from ..runtime.pipeline import (
     DEVICE_BATCH,
     DeviceInputs,
+    Params,
+    _check_post_processing_gates,
     _dispatch_device,
     _emit_pointset,
     _gof_device_inputs,
+    _reconstruct_gof_oracle,
     prepare_gof,
 )
 
@@ -57,6 +60,7 @@ def _concat_inputs(dis: List[DeviceInputs]) -> DeviceInputs:
         use_tiled=dis[0].use_tiled,
         arrays=arrays,
         n_frames=sum(di.n_frames for di in dis),
+        color_mode=dis[0].color_mode,
     )
 
 
@@ -71,6 +75,7 @@ def _dispatch_chunked(di: DeviceInputs, mesh=None):
             use_tiled=di.use_tiled,
             arrays=tuple(a[i : i + chunk] for a in di.arrays),
             n_frames=min(chunk, di.n_frames - i),
+            color_mode=di.color_mode,
         )
         out.extend(_dispatch_device(sub, mesh=mesh))
     return out
@@ -81,6 +86,7 @@ def decode_streams_batched(
     max_host_workers: int = 8,
     mesh=None,
     coalesce_initial: bool = True,
+    params: Params = None,
 ) -> Iterator[Tuple[int, int, PointSet3]]:
     """Decode multiple streams, yielding (stream_index, frame_index, frame).
 
@@ -91,7 +97,14 @@ def decode_streams_batched(
     first GOF so all streams share the first dispatch (they start
     together; later waves take whatever has completed). Yields in
     completion order across streams; frames within a stream are in order.
+
+    ``params`` carries the same decode options as the single-stream
+    ``Decoder`` (smoothing toggles, per-GOF video threads, oracle
+    fallback, mesh) and applies to every stream; the explicit ``mesh``
+    argument wins over ``params.mesh`` when both are given.
     """
+    params = params if params is not None else Params()
+    mesh = mesh if mesh is not None else params.mesh
     states = []
     for i, path in enumerate(paths):
         data = Path(path).read_bytes()
@@ -104,7 +117,14 @@ def decode_streams_batched(
             return state, None
         context = Context()
         state.ssvu.decode_gof(context)
-        return state, prepare_gof(context)
+        _check_post_processing_gates(context, params)
+        return state, prepare_gof(
+            context,
+            num_video_threads=max(1, params.num_threads),
+            tiled=params.use_device,
+            apply_geo_smoothing=params.apply_geo_smoothing_type,
+            apply_attr_smoothing=params.apply_attr_smoothing_type,
+        )
 
     with ThreadPoolExecutor(max_workers=max_host_workers) as pool:
         pending = {pool.submit(prep, s) for s in states}
@@ -119,6 +139,13 @@ def decode_streams_batched(
                 state, gof = fut.result()
                 if gof is None or not gof.metas:
                     state.done = True
+                    continue
+                if not params.use_device:
+                    # oracle fallback: per-stream scalar path (debug/CI)
+                    for ps in _reconstruct_gof_oracle(gof):
+                        yield state.index, state.next_frame, ps
+                        state.next_frame += 1
+                    pending.add(pool.submit(prep, state))
                     continue
                 items.append((state, gof, _gof_device_inputs(gof)))
                 pending.add(pool.submit(prep, state))

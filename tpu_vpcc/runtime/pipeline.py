@@ -507,14 +507,30 @@ def decode_gof_frames(context: Context, params: Params) -> Iterator[PointSet3]:
 DEVICE_BATCH = 2
 
 
+def _convert_colors_device(col16, color_mode: str):
+    """In-jit color finalization of a compacted prefix: 'yuv10' applies
+    the exact integer BT.709 conversion (bit-equal to the host f64 chain
+    — proof in ops/color.py), 'rgb16' the u16→u8 truncation, 'raw' keeps
+    u16 YUV (oracle/debug surface)."""
+    if color_mode == "yuv10":
+        from ..ops.color import rgb8_from_yuv16
+
+        return rgb8_from_yuv16(col16)
+    if color_mode == "rgb16":
+        from ..ops.color import rgb8_from_rgb16
+
+        return rgb8_from_rgb16(col16)
+    return col16
+
+
 def _take_prefix_jit():
     import functools
 
     import jax
 
-    @functools.partial(jax.jit, static_argnames=("b",))
-    def take(pos, col, b):
-        return pos[:, :b], col[:, :b]
+    @functools.partial(jax.jit, static_argnames=("b", "color_mode"))
+    def take(pos, col, b, color_mode):
+        return pos[:, :b], _convert_colors_device(col[:, :b], color_mode)
 
     return take
 
@@ -522,25 +538,27 @@ def _take_prefix_jit():
 _take_prefix = None
 
 
-def _fetch_prefixes(positions, colors16, counts):
+def _fetch_prefixes(positions, colors16, counts, color_mode: str = "raw"):
     """Device→host fetch of a batch's compacted points: one extra dispatch
     slicing every frame to the max-count power-of-two bucket, instead of
     transferring the full padded slot arrays (outputs are compacted to the
     front). One dispatch total — round-trips dominate on high-latency
-    links; transfer volume dominates on PCIe — this bounds both."""
+    links; transfer volume dominates on PCIe — this bounds both. The
+    final color conversion rides the same dispatch (u8 on the wire)."""
     global _take_prefix
     n_max = int(counts.max()) if counts.size else 0
     S = positions.shape[1]
     if n_max == 0:
         z = np.empty((counts.shape[0], 0, 3), dtype=np.uint16)
-        return z, z
+        cz = z if color_mode == "raw" else z.astype(np.uint8)
+        return z, cz
     bucket = 1
     while bucket < n_max:
         bucket *= 2
     bucket = min(bucket, S)
     if _take_prefix is None:
         _take_prefix = _take_prefix_jit()
-    p, c = _take_prefix(positions, colors16, b=bucket)
+    p, c = _take_prefix(positions, colors16, b=bucket, color_mode=color_mode)
     return np.asarray(p), np.asarray(c)
 
 
@@ -617,10 +635,14 @@ class DeviceInputs:
     use_tiled: bool
     arrays: tuple
     n_frames: int
+    # device color finalization: 'yuv10' (exact integer BT.709 → u8),
+    # 'rgb16' (u16→u8 truncation), 'raw' (u16 YUV out). Part of the batch
+    # key: same-cfg streams may still differ in RGB-vs-YUV content.
+    color_mode: str = "raw"
 
     @property
     def batch_key(self):
-        return (self.cfg, self.use_tiled)
+        return (self.cfg, self.use_tiled, self.color_mode)
 
 
 def _gof_device_inputs(gof: GofData, metas=None) -> DeviceInputs:
@@ -711,13 +733,17 @@ def _gof_device_inputs(gof: GofData, metas=None) -> DeviceInputs:
         use_tiled=use_tiled,
         arrays=(fields, occ, geo0, geo1, ay, au, av),
         n_frames=len(metas),
+        color_mode=_gof_color_mode(gof),
     )
 
 
 _take_shard_prefix = None
 
 
-def _fetch_sharded(positions, colors16, counts, n_space: int, s_loc: int):
+def _fetch_sharded(
+    positions, colors16, counts, n_space: int, s_loc: int,
+    color_mode: str = "raw",
+):
     """Prefix fetch + host stitch of the mesh-sharded output layout:
     each frame's shard d rows are [d*s_loc, d*s_loc + counts[f, d])."""
     import functools
@@ -730,22 +756,25 @@ def _fetch_sharded(positions, colors16, counts, n_space: int, s_loc: int):
     per_frame = []
     if n_max == 0:
         z = np.empty((0, 3), dtype=np.uint16)
-        return [(z, z) for _ in range(counts.shape[0])]
+        cz = z if color_mode == "raw" else z.astype(np.uint8)
+        return [(z, cz) for _ in range(counts.shape[0])]
     bucket = 1
     while bucket < n_max:
         bucket *= 2
     bucket = min(bucket, s_loc)
     if _take_shard_prefix is None:
 
-        @functools.partial(jax.jit, static_argnames=("ns", "b"))
-        def take(pos, col, ns, b):
+        @functools.partial(jax.jit, static_argnames=("ns", "b", "color_mode"))
+        def take(pos, col, ns, b, color_mode):
             F, S, _ = pos.shape
             p = pos.reshape(F, ns, S // ns, 3)[:, :, :b]
             c = col.reshape(F, ns, S // ns, 3)[:, :, :b]
-            return p, c
+            return p, _convert_colors_device(c, color_mode)
 
         _take_shard_prefix = take
-    p, c = _take_shard_prefix(positions, colors16, ns=n_space, b=bucket)
+    p, c = _take_shard_prefix(
+        positions, colors16, ns=n_space, b=bucket, color_mode=color_mode
+    )
     p, c = np.asarray(p), np.asarray(c)  # (F, n_space, bucket, 3)
     for f in range(counts.shape[0]):
         parts_p = [p[f, d, : counts[f, d]] for d in range(n_space)]
@@ -754,11 +783,22 @@ def _fetch_sharded(positions, colors16, counts, n_space: int, s_loc: int):
     return per_frame
 
 
+def _gof_color_mode(gof: GofData) -> str:
+    """Device color finalization for a GOF: exact integer BT.709 for YUV
+    content, u16→u8 truncation for decoded-RGB content."""
+    if gof.attribute_count <= 0:
+        return "raw"
+    return "rgb16" if gof.attr_is_rgb444 else "yuv10"
+
+
 def _dispatch_device(di: DeviceInputs, mesh=None):
     """Run one device dispatch; returns a per-frame list of host
-    (positions (n,3) u16, colors16 (n,3) u16) in emission order."""
+    (positions (n,3) u16, colors (n,3)) in emission order. Colors are
+    final u8 RGB unless ``di.color_mode`` is 'raw' (u16 YUV)."""
     from ..ops.reconstruct import reconstruct_batch
     from ..ops.tiled import reconstruct_batch_pretiled
+
+    color_mode = di.color_mode
 
     # (smoothing works sharded too: the grid passes psum their cell
     # stats across the 'space' axis inside shard_map)
@@ -774,7 +814,9 @@ def _dispatch_device(di: DeviceInputs, mesh=None):
                 mesh, *arrays, di.cfg
             )
             s_loc = di.cfg.s_cap // n_space
-            return _fetch_sharded(pos, col, cnt, n_space, s_loc)[: di.n_frames]
+            return _fetch_sharded(
+                pos, col, cnt, n_space, s_loc, color_mode=color_mode
+            )[: di.n_frames]
         # g_cap not divisible by the mesh's space axis: single-device path
 
     # single-device path: when a mesh-sized chunk (DEVICE_BATCH * data)
@@ -789,6 +831,7 @@ def _dispatch_device(di: DeviceInputs, mesh=None):
                 use_tiled=di.use_tiled,
                 arrays=tuple(a[i : i + DEVICE_BATCH] for a in di.arrays),
                 n_frames=min(DEVICE_BATCH, di.n_frames - i),
+                color_mode=color_mode,
             )
             out.extend(_dispatch_device(sub, mesh=None))
         return out
@@ -804,7 +847,9 @@ def _dispatch_device(di: DeviceInputs, mesh=None):
     else:
         positions, colors16, counts = reconstruct_batch(*di.arrays, di.cfg)
     counts = np.asarray(counts)
-    pos_all, col_all = _fetch_prefixes(positions, colors16, counts)
+    pos_all, col_all = _fetch_prefixes(
+        positions, colors16, counts, color_mode=color_mode
+    )
     return [
         (pos_all[k, : counts[k]], col_all[k, : counts[k]])
         for k in range(di.n_frames)
@@ -812,28 +857,34 @@ def _dispatch_device(di: DeviceInputs, mesh=None):
 
 
 def _emit_pointset(pos: np.ndarray, col: np.ndarray, gof: GofData) -> PointSet3:
+    """Wrap fetched device output. ``col`` is u8 RGB when the dispatch
+    finalized colors on device (the production path — conversion proven
+    bit-equal to the host f64 chain, see ops/color.py), or u16 YUV from a
+    'raw'-mode dispatch, converted here with the reference f64 chain."""
     ps = PointSet3(
         positions=pos.copy(),
-        colors16bit=col.copy(),
         with_colors=gof.attribute_count > 0,
     )
     if gof.attribute_count > 0:
-        if gof.attr_is_rgb444:
-            # decoded attribute is already RGB (GBR 4:4:4 content): plain
-            # 16->8 bit copy, no matrix (``src/decoder.rs:300-305``)
-            ps.copy_rgb16_to_rgb8()
+        if col.dtype == np.uint8:
+            ps.colors = col.copy()
         else:
-            # exact f64 BT.709 conversion on host (bit-exactness; TPUs have
-            # no native f64) — ``src/codec.rs:661-687``
-            ps.convert_yuv16_to_rgb8()
+            ps.colors16bit = col.copy()
+            if gof.attr_is_rgb444:
+                # decoded attribute is already RGB (GBR 4:4:4 content):
+                # plain 16->8 bit copy, no matrix (``src/decoder.rs:300-305``)
+                ps.copy_rgb16_to_rgb8()
+            else:
+                # exact f64 BT.709 conversion (``src/codec.rs:661-687``)
+                ps.convert_yuv16_to_rgb8()
     else:
         ps.colors = np.empty((len(ps), 3), dtype=np.uint8)
     return ps
 
 
 def _reconstruct_gof_device(gof: GofData, mesh=None) -> Iterator[PointSet3]:
-    """Device stage: batched reconstruction of the whole GOF + exact host
-    color conversion."""
+    """Device stage: batched reconstruction of the whole GOF, color
+    finalization riding the fetch dispatch."""
     if not gof.metas:
         return
     chunk = DEVICE_BATCH * (mesh.shape["data"] if mesh is not None else 1)
