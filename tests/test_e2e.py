@@ -106,6 +106,52 @@ def test_e2e_decoder_on_mesh(tmp_path):
         assert format_ply(a) == format_ply(b)
 
 
+def test_e2e_rotated_orientations_res1(tmp_path):
+    """Full bitstream round trip at log2_patch_packing_block_size=0 with
+    rotated/mirrored patches — the inputs the reference itself decodes
+    (its quirked transform is in-range at resolution 1) but this repo
+    formerly blanket-rejected. Device output must equal the oracle's."""
+    from tpu_vpcc.atlas.patches import Patch
+    from tpu_vpcc.v3c.syntax import PatchOrientation
+
+    orientations = [
+        PatchOrientation.ROT90, PatchOrientation.ROT180,
+        PatchOrientation.MIRROR, PatchOrientation.MROT90,
+        PatchOrientation.DEFAULT, PatchOrientation.ROT270,
+    ]
+    rng = np.random.default_rng(55)
+    sfs = []
+    for fi in range(2):
+        patches = []
+        for k, o in enumerate(orientations):
+            p = Patch(
+                uv0=(6 + (k % 3) * 18, 6 + (k // 3) * 24),
+                size_uv0=(5, 3),
+                uv1=(int(rng.integers(0, 100)), int(rng.integers(0, 100))),
+                occupancy_resolution=1,
+                patch_orientation=o,
+            )
+            p.set_view_id(k % 6)
+            p.d1 = 60 if p.projection_mode == 0 else 960
+            p.size_d = 255
+            patches.append(p)
+        sfs.append(
+            make_synthetic_frame(
+                rng, width=64, height=64, occupancy_resolution=1,
+                occupancy_precision=1, frame_index=fi, patches=patches,
+            )
+        )
+    stream = build_fixture_stream(sfs)
+    expected = oracle_frames(sfs)
+    decoder = Decoder(Params(stream, use_device=True))
+    decoder.start()
+    decoded = list(decoder)
+    assert len(decoded) == 2 and all(len(f) > 0 for f in decoded)
+    for got, want in zip(decoded, expected):
+        np.testing.assert_array_equal(got.positions, want.positions)
+        np.testing.assert_array_equal(got.colors, want.colors)
+
+
 def test_e2e_streaming_api(tmp_path):
     _, path = make_fixture(tmp_path, n_frames=3, seed=5)
     decoder = Decoder(Params(path))

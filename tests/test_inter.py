@@ -345,18 +345,44 @@ def test_pos_min_d_quantizer_roundtrip():
         assert format_ply(a) == format_ply(b)
 
 
-def test_exotic_orientation_rejected():
-    """ROT/MIRROR orientations panic in the reference (its unscaled
-    orientation helper underflows for any multi-pixel patch); the
-    builder raises UnsupportedFeature at the same point."""
-    from tpu_vpcc.atlas.patches import Patch, _check_orientation_supported
+def test_orientation_gate_matches_reference_panics():
+    """The gate raises exactly where the reference's quirked transform
+    leaves the canvas (its release-build assert) and accepts everything
+    it decodes: block-aligned orientations at any resolution, ALL
+    orientations at resolution 1, and even quirk-in-range rotated
+    patches at resolution > 1."""
+    from tpu_vpcc.atlas.patches import Patch, _check_orientation_in_range
     from tpu_vpcc.v3c.syntax import PatchOrientation, UnsupportedFeature
 
-    for o in (PatchOrientation.ROT90, PatchOrientation.ROT180,
-              PatchOrientation.ROT270, PatchOrientation.MIRROR,
-              PatchOrientation.MROT90, PatchOrientation.MROT180):
+    W = H = 64
+    rotated = (PatchOrientation.ROT90, PatchOrientation.ROT180,
+               PatchOrientation.ROT270, PatchOrientation.MIRROR,
+               PatchOrientation.MROT90, PatchOrientation.MROT180)
+    # res > 1: multi-block patch at the origin drives the unscaled-size
+    # transform negative -> the reference panics -> raise
+    for o in rotated:
         with pytest.raises(UnsupportedFeature):
-            _check_orientation_supported(Patch(patch_orientation=o))
+            _check_orientation_in_range(
+                Patch(uv0=(0, 0), size_uv0=(3, 2), occupancy_resolution=16,
+                      patch_orientation=o), W, H,
+            )
+    # block-aligned orientations are always in-range when packed in-bounds
     for o in (PatchOrientation.DEFAULT, PatchOrientation.SWAP,
               PatchOrientation.MROT270):
-        _check_orientation_supported(Patch(patch_orientation=o))
+        _check_orientation_in_range(
+            Patch(uv0=(0, 0), size_uv0=(2, 2), occupancy_resolution=16,
+                  patch_orientation=o), W, H,
+        )
+    # res == 1: pixel units == block units, every orientation in-range
+    for o in list(PatchOrientation):
+        _check_orientation_in_range(
+            Patch(uv0=(10, 10), size_uv0=(3, 2), occupancy_resolution=1,
+                  patch_orientation=o), W, H,
+        )
+    # res > 1 quirk-in-range: ROT90 with a big-enough u0 offset keeps the
+    # (block-unit) size subtraction non-negative -> the reference release
+    # build succeeds -> accept
+    _check_orientation_in_range(
+        Patch(uv0=(2, 0), size_uv0=(2, 2), occupancy_resolution=4,
+              patch_orientation=PatchOrientation.ROT90), W, H,
+    )

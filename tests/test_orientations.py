@@ -1,5 +1,10 @@
-"""Deterministic coverage: every reachable view id and both usable
-orientations, bit-exact across oracle, baseline, tiled, and pretiled."""
+"""Deterministic coverage: every reachable view id and orientation,
+bit-exact across oracle, baseline, tiled, and pretiled.
+
+Block-aligned orientations (DEFAULT/SWAP) run at resolution 8 on all
+kernel variants; the rotated/mirrored orientations run at resolution 1 —
+exactly where the reference's quirked transform stays in-canvas and it
+decodes them successfully (``src/decoder.rs:853-867``)."""
 
 import numpy as np
 import pytest
@@ -82,3 +87,53 @@ def test_all_views_and_orientations(view_id, orientation):
     assert n == ps.point_count
     np.testing.assert_array_equal(np.asarray(tp)[0][:n], ps.positions)
     np.testing.assert_array_equal(np.asarray(tc)[0][:n], ps.colors16bit)
+
+
+ALL_BITSTREAM_ORIENTATIONS = [
+    PatchOrientation.DEFAULT, PatchOrientation.SWAP,
+    PatchOrientation.ROT90, PatchOrientation.ROT180,
+    PatchOrientation.ROT270, PatchOrientation.MIRROR,
+    PatchOrientation.MROT90, PatchOrientation.MROT180,
+]
+
+
+@pytest.mark.parametrize("orientation", ALL_BITSTREAM_ORIENTATIONS)
+@pytest.mark.parametrize("view_id", [0, 4])
+def test_all_orientations_res1(view_id, orientation):
+    """Every bitstream-expressible orientation at resolution 1 (where the
+    reference decodes them): device gather kernel == oracle, bit-exact."""
+    res = 1
+    patch = Patch(
+        uv0=(11, 17),
+        size_uv0=(5, 3),
+        uv1=(40, 80),
+        occupancy_resolution=res,
+        patch_orientation=orientation,
+    )
+    patch.set_view_id(view_id)
+    patch.d1 = 100 if patch.projection_mode == 0 else 900
+    meta = FrameMeta(width=32, height=32, patches=[patch])
+    rng = np.random.default_rng(int(orientation) * 7 + view_id)
+    occ = (rng.random((32, 32)) < 0.7).astype(np.uint8)
+    d0 = rng.integers(0, 256, (32, 32)).astype(np.uint16) * 4
+    d1 = np.minimum(d0 // 4 + rng.integers(0, 3, (32, 32)), 255).astype(np.uint16) * 4
+    ay = rng.integers(0, 1024, (2, 32, 32)).astype(np.uint16)
+    au = rng.integers(0, 1024, (2, 16, 16)).astype(np.uint16)
+    av = rng.integers(0, 1024, (2, 16, 16)).astype(np.uint16)
+
+    params = GeneratePointCloudParams(
+        occupancy_resolution=res, occupancy_precision=1, map_count_minus1=1
+    )
+    ps, _, _ = generate_point_cloud(
+        meta, params, occ, [d0, d1],
+        [[[ay[0], au[0], av[0]], [ay[1], au[1], av[1]]]],
+    )
+    assert ps.point_count > 0
+    gt = build_group_table(meta)
+    cfg = make_config(width=32, height=32, occupancy_resolution=res,
+                      occupancy_precision=1, map_count=2)
+    pos, col, cnt = reconstruct_frame(gt.fields, occ, d0, d1, ay, au, av, cfg=cfg)
+    n = int(cnt)
+    assert n == ps.point_count
+    np.testing.assert_array_equal(np.asarray(pos)[:n], ps.positions)
+    np.testing.assert_array_equal(np.asarray(col)[:n], ps.colors16bit)

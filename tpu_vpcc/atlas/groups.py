@@ -16,11 +16,13 @@ owner as simply "last covering patch" (occupancy-ignored) changes
 point set — order included — is bit-identical. This removes the
 occupancy-dependent ownership pass from the device hot path entirely.
 
-For patches whose pixel-level transform stays inside their block-level
-footprint (DEFAULT and SWAP — the only orientations real tmc2-rs streams
-can use, see ``atlas.patches.Patch.orientation_coeffs``), per-pixel
-emission equals per-block ownership + per-pixel occupancy, which the
-device kernel implements.
+The per-group affine (G_X00/G_A..G_D) expresses the reference's quirked
+orientation transform exactly for ALL orientations the reference itself
+decodes (see ``atlas.patches._check_orientation_in_range``): canvas
+coords are affine in patch-space (u, v), so per-pixel emission equals
+per-block ownership + per-pixel occupancy for every admitted patch.
+Orientations whose pixel tiles are not block-aligned under the quirk
+simply force the gather kernel via ``tiled_ok=False``.
 """
 
 from __future__ import annotations

@@ -203,24 +203,34 @@ def _patch_type(tile_type: TileType, patch_mode: int) -> str:
     return "error"
 
 
-# Orientations whose pixel transform keeps the reference's unscaled
-# size terms in-canvas. For every other orientation the tmc2-rs helper
-# (``src/decoder.rs:853-867``) subtracts pixel indices from BLOCK-unit
-# sizes, driving coordinates negative for any patch larger than one
-# pixel — a usize-underflow panic in the Rust. Parity is a clean raise.
-_SUPPORTED_ORIENTATIONS = (
-    PatchOrientation.DEFAULT,
-    PatchOrientation.SWAP,
-    PatchOrientation.MROT270,
-)
+def _check_orientation_in_range(patch: Patch, width: int, height: int) -> None:
+    """Exact success gate for the reference's orientation transform.
 
-
-def _check_orientation_supported(patch: Patch) -> None:
-    if patch.patch_orientation not in _SUPPORTED_ORIENTATIONS:
+    The tmc2-rs pixel-level helper (``src/decoder.rs:853-867``) subtracts
+    pixel indices from BLOCK-unit sizes (unlike TMC2 C++, it never scales
+    ``size_uv0`` by the resolution). In the release build (overflow checks
+    off) the arithmetic is evaluated mod 2^64 and the decoder panics
+    exactly when a final coordinate leaves the canvas (the ``assert!`` at
+    ``:848-850``, hit for every patch pixel during block-to-patch,
+    ``src/codec.rs:217-247``). So the reference succeeds iff the quirked
+    affine stays in-canvas over the patch's whole pixel domain — always
+    true for DEFAULT/SWAP/MROT270, and for EVERY orientation when
+    ``occupancy_resolution == 1`` (pixel units == block units). This gate
+    replicates that condition per patch: decode whatever the reference
+    decodes, raise exactly where it panics."""
+    res = patch.occupancy_resolution
+    a, b, cx, c, d, cy = patch.orientation_coeffs(res)
+    mu = patch.size_uv0[0] * res - 1  # max patch-space u, v
+    mv = patch.size_uv0[1] * res - 1
+    xs = (cx, a * mu + cx, b * mv + cx, a * mu + b * mv + cx)
+    ys = (cy, c * mu + cy, d * mv + cy, c * mu + d * mv + cy)
+    if min(xs) < 0 or max(xs) >= width or min(ys) < 0 or max(ys) >= height:
         raise UnsupportedFeature(
-            f"patch orientation {patch.patch_orientation!r}: the reference's "
-            f"unscaled orientation helper panics on these (tmc2-rs size "
-            f"quirk, src/decoder.rs:853-867)"
+            f"patch orientation {patch.patch_orientation!r} at resolution "
+            f"{res}: the reference's unscaled orientation helper drives "
+            f"pixels out of canvas here and panics (tmc2-rs size quirk, "
+            f"src/decoder.rs:853-867; x range {min(xs)}..{max(xs)}, "
+            f"y range {min(ys)}..{max(ys)}, canvas {width}x{height})"
         )
 
 
@@ -365,6 +375,7 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
         frame_count = max(frame_count, val + 1)
 
     by_afoc = {}  # decoded frames by AFOC val, for inter/merge/skip refs
+    seen_block_sizes = set()  # one packing block size per GOF (ASPS const)
 
     for atgl_idx in range(context.atlas_tile_layer_len()):
         atl = context.get_atlas_tile_layer(atgl_idx)
@@ -391,6 +402,15 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
 
         min_level = 1 << ath.pos_min_d_quantizer
         packing_block_size = 1 << asps.log2_patch_packing_block_size
+        # the device group tables (and the GOF batch config) assume one
+        # packing block size per GOF; surface a mix as a clean envelope
+        # raise here rather than a ValueError deep in table building
+        seen_block_sizes.add(packing_block_size)
+        if len(seen_block_sizes) > 1:
+            raise UnsupportedFeature(
+                f"mixed patch packing block sizes in one GOF: "
+                f"{sorted(seen_block_sizes)}"
+            )
 
         def ref_frame(ref_index: int) -> FrameMeta:
             afocs = ref_afoc_list(context, ath, atl.atlas_frame_order_count_val)
@@ -440,7 +460,7 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                     patch.d1 = (1 << geometry_bitdepth_3d) - pdu.pos_3d_offset_d * min_level
                 if patch.axes not in ((0, 2, 1), (1, 2, 0), (2, 0, 1)):
                     raise UnsupportedFeature(f"unexpected axes {patch.axes}")
-                _check_orientation_supported(patch)
+                _check_orientation_in_range(patch, meta.width, meta.height)
                 meta.patches.append(patch)
             elif ptype == "inter":
                 pdu = pid.patch_data_unit
@@ -451,12 +471,14 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                         f"inter ref patch index {ref_patch_idx} out of range"
                     )
                 pred_index = ref_patch_idx + 1
-                meta.patches.append(
-                    _derive_inter_patch(
-                        pdu, ref.patches[ref_patch_idx], min_level,
-                        geometry_bitdepth_3d, packing_block_size,
-                    )
+                patch = _derive_inter_patch(
+                    pdu, ref.patches[ref_patch_idx], min_level,
+                    geometry_bitdepth_3d, packing_block_size,
                 )
+                # deltas may move/resize the footprint (orientation is
+                # inherited, but the in-range condition is geometric)
+                _check_orientation_in_range(patch, meta.width, meta.height)
+                meta.patches.append(patch)
             elif ptype == "merge":
                 pdu = pid.patch_data_unit
                 ref = ref_frame(pdu.ref_index)
@@ -464,12 +486,12 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                     raise UnsupportedFeature(
                         f"merge patch index {cur_idx} beyond reference list"
                     )
-                meta.patches.append(
-                    _derive_merge_patch(
-                        pdu, ref.patches[cur_idx], min_level,
-                        geometry_bitdepth_3d, packing_block_size,
-                    )
+                patch = _derive_merge_patch(
+                    pdu, ref.patches[cur_idx], min_level,
+                    geometry_bitdepth_3d, packing_block_size,
                 )
+                _check_orientation_in_range(patch, meta.width, meta.height)
+                meta.patches.append(patch)
             elif ptype == "skip":
                 # P_SKIP: verbatim copy of the same-index reference patch
                 ref = ref_frame(0)

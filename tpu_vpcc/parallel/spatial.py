@@ -38,6 +38,12 @@ def reconstruct_gof_spatial(
 ):
     """2D-sharded GOF reconstruction: frames over 'data', slots over 'space'.
 
+    DRYRUN/FALLBACK GRADE ONLY: this path vmaps reconstruct_slot_range,
+    i.e. batched gathers/scatters — the exact pattern measured >1000x
+    slower on XLA:TPU (see PERFORMANCE.md). It exists for CPU-mesh
+    correctness checks and as the non-tileable fallback; NEVER shard
+    production on it — use reconstruct_gof_spatial_pretiled.
+
     F must divide by the 'data' axis size; s_cap by
     (space_size * slots_per_block). Returns (positions (F, s_cap, 3),
     colors16 (F, s_cap, 3), counts (F, n_space)) where each frame's rows

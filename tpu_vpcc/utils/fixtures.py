@@ -233,6 +233,16 @@ def build_fixture_stream(
     asps.geometry_3d_bitdepth_minus1 = geometry_bitdepth_3d - 1
     asps.geometry_2d_bitdepth_minus1 = 9
     asps.log2_patch_packing_block_size = log2_block
+    # orientations beyond DEFAULT/SWAP need the 3-bit coding
+    # (``reader.rs:1908-1913``); MROT270 (=8) is not bitstream-expressible
+    asps.use_eight_orientations_flag = any(
+        int(p.patch_orientation) > 1
+        for f in frames
+        for p in f.meta.patches
+    )
+    assert all(
+        int(p.patch_orientation) <= 7 for f in frames for p in f.meta.patches
+    ), "orientation 8 (MROT270) cannot be coded in the 3-bit PDU field"
     asps.map_count_minus1 = map_count - 1
     asps.normal_axis_limits_quantization_enabled_flag = True
     asps.normal_axis_max_delta_value_enabled_flag = p_modes is None
