@@ -63,7 +63,7 @@ def test_sei_attached_to_following_tile_layer():
 def test_unknown_sei_payload_skipped_and_recorded():
     """Unknown prefix SEI payloads are skipped by their coded size and
     recorded for presence queries (the reference panics here — a
-    framework robustness extension; suffix SEI still raises)."""
+    framework robustness extension)."""
     from tpu_vpcc.bitio import BitWriter
 
     w = BitWriter()
@@ -74,11 +74,55 @@ def test_unknown_sei_payload_skipped_and_recorded():
     assert sei.is_sei_present(NalUnitType.PREFIX_ESEI, SeiPayloadType.TIME_CODE)
     assert sei.sei_prefix[0].payload_size == 3
 
-    w2 = BitWriter()
-    w2.write(int(SeiPayloadType.TIME_CODE), 8)
-    w2.write(0, 8)
-    with pytest.raises(UnsupportedFeature):
-        SeiMessage.parse(Bitstream(w2.getvalue()), NalUnitType.SUFFIX_ESEI)
+
+def test_suffix_sei_recorded_and_skipped():
+    """Suffix SEI payloads are recorded by coded size — never parsed, never
+    fatal (the reference panics on every suffix SEI, ``reader.rs:813-815``)."""
+    from tpu_vpcc.bitio import BitWriter
+
+    w = BitWriter()
+    w.write(int(SeiPayloadType.DECODED_ATLAS_INFORMATION_HASH), 8)
+    w.write(4, 8)  # payload size
+    w.write(0xDEADBEEF, 32)  # opaque payload bytes
+    sei = SeiMessage.parse(Bitstream(w.getvalue()), NalUnitType.SUFFIX_ESEI)
+    assert sei.is_sei_present(
+        NalUnitType.SUFFIX_ESEI, SeiPayloadType.DECODED_ATLAS_INFORMATION_HASH
+    )
+    assert not sei.sei_prefix
+    assert sei.sei_suffix[0].payload_size == 4
+
+
+def test_suffix_sei_attaches_to_preceding_tile_layer():
+    """A suffix SEI NAL after a tile layer decodes cleanly and lands on
+    that layer's SEI record (demux-level robustness; reference panics)."""
+    from tests.test_v3c_roundtrip import make_afps, make_asps, make_atl, make_intra_pdu
+    from tpu_vpcc.bitio import BitWriter
+
+    w = BitWriter()
+    w.write(int(SeiPayloadType.DECODED_ATLAS_INFORMATION_HASH), 8)
+    w.write(2, 8)
+    w.write(0x1234, 16)
+    suffix_payload = w.getvalue()
+
+    asps = make_asps()
+    afps = make_afps()
+    atl = make_atl(patches=[make_intra_pdu()])
+    nalus = [
+        w3c.wrap_nal_unit(NalUnitType.ASPS, w3c.write_asps(asps)),
+        w3c.wrap_nal_unit(NalUnitType.AFPS, w3c.write_afps(afps, asps)),
+        w3c.wrap_nal_unit(
+            NalUnitType.IDR_N_LP,
+            w3c.write_atlas_tile_layer(atl, asps, afps, NalUnitType.IDR_N_LP),
+        ),
+        w3c.wrap_nal_unit(NalUnitType.SUFFIX_ESEI, suffix_payload),
+    ]
+    ctx = Context()
+    parse_nal_sample_stream(ctx, Bitstream(w3c.build_nal_sample_stream(nalus)))
+    sei = ctx.get_atlas_tile_layer(0).sei
+    assert sei is not None
+    assert sei.is_sei_present(
+        NalUnitType.SUFFIX_ESEI, SeiPayloadType.DECODED_ATLAS_INFORMATION_HASH
+    )
 
 
 def test_sei_occupancy_synthesis_roundtrip():

@@ -210,7 +210,19 @@ def parse_nal_sample_stream(context: Context, bs: Bitstream) -> None:
         elif unit_type.is_prefix_sei:
             prefix_sei = SeiMessage.parse(bs, unit_type)
         elif unit_type.is_suffix_sei:
-            raise UnsupportedFeature("suffix SEI not supported")
+            # Suffix SEI follows the tile layer it annotates; attach its
+            # recorded payloads there so presence queries work. The
+            # reference panics on every suffix SEI (``reader.rs:813-815``);
+            # record-and-skip is the framework's robustness model.
+            suffix = SeiMessage.parse(bs, unit_type)
+            if context.atlas_tile_layer_len() > 0:
+                atl = context.get_atlas_tile_layer(context.atlas_tile_layer_len() - 1)
+                if atl.sei is None:
+                    atl.sei = suffix
+                else:
+                    atl.sei.sei_suffix.extend(suffix.sei_suffix)
+            else:
+                log.debug("suffix SEI before any tile layer: recorded, unattached")
         elif unit_type in _SKIPPABLE_NAL_TYPES:
             # reserved ACL types, access-unit delimiters, end-of-seq/
             # bitstream, filler, and AAPS (adaptation params — unused in

@@ -836,8 +836,18 @@ class SeiMessage:
             if byte != 0xFF:
                 break
         msg = cls()
-        if not nal_unit_type.is_prefix_sei:
-            raise UnsupportedFeature("suffix SEI not supported")
+        if nal_unit_type.is_suffix_sei:
+            # Record-and-skip: suffix SEI payloads (decoded-atlas hashes
+            # and the like) are advisory — nothing the rec0 reconstruction
+            # consumes. The reference panics on every suffix SEI NAL
+            # (``reader.rs:813-815``); here the payload is skipped by its
+            # coded size and recorded so ``is_sei_present`` keeps working.
+            for _ in range(payload_size):
+                bs.read(8)
+            msg.sei_suffix.append(
+                SeiUnknown(payload_type=payload_type, payload_size=payload_size)
+            )
+            return msg
         # the reference panics on any payload but geometry smoothing
         # (``reader.rs:1402-1412``); attribute smoothing and occupancy
         # synthesis are parsed here, and anything else is recorded and
