@@ -222,6 +222,38 @@ def test_cli(tmp_path):
         assert ply.read_bytes() == format_ply(want)
 
 
+def test_cli_multistream(tmp_path):
+    """Repeated -i decodes several streams in shared device batches
+    (BASELINE config 5 from the command line); per-stream subdirectories,
+    byte-exact output."""
+    frames_a, path_a = make_fixture(tmp_path, n_frames=2, seed=91)
+    rng = np.random.default_rng(92)
+    frames_b = [
+        make_synthetic_frame(rng, width=64, height=64, occupancy_resolution=8,
+                             occupancy_precision=4, n_patches=4, frame_index=i)
+        for i in range(2)
+    ]
+    path_b = tmp_path / "second.bin"
+    path_b.write_bytes(build_fixture_stream(frames_b))
+    out_dir = tmp_path / "out_multi"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "tpu_vpcc.runtime.cli",
+            "-i", str(path_a), "-i", str(path_b), "-o", str(out_dir),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=Path(__file__).resolve().parent.parent,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"},
+    )
+    assert proc.returncode == 0, proc.stderr
+    for name, frames in (("fixture", frames_a), ("second", frames_b)):
+        plys = sorted((out_dir / name).glob("*.ply"))
+        assert [p.name for p in plys] == ["0000.ply", "0001.ply"]
+        for ply, want in zip(plys, oracle_frames(frames)):
+            assert ply.read_bytes() == format_ply(want)
+
+
 def test_decoder_accepts_bytes(tmp_path):
     frames, path = make_fixture(tmp_path, n_frames=1, seed=88)
     decoder = Decoder(Params(path.read_bytes()))

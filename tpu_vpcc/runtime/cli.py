@@ -14,11 +14,77 @@ from ..utils.ply import frame_output_path, write_ply
 from .pipeline import Decoder, Params
 
 
+def _main_multistream(args, out: Path) -> int:
+    """Decode several streams in shared device batches (BASELINE config 5).
+
+    Frames land in per-stream subdirectories of the output folder, named
+    after each input's stem (suffixed with the stream index on collision).
+    Framework extension: the reference CLI decodes exactly one stream.
+    """
+    from ..parallel.batcher import decode_streams_batched
+
+    paths = args.compressed_stream_paths
+    if "%4d" in out.name:
+        print("error: %4d-patterned output paths require a single -i",
+              file=sys.stderr)
+        return 2
+    stems = [p.stem for p in paths]
+    names = [
+        stem if stems.count(stem) == 1 else f"{stem}_{i}"
+        for i, stem in enumerate(stems)
+    ]
+    dirs = []
+    for name in names:
+        d = out / name
+        d.mkdir(parents=True, exist_ok=True)
+        dirs.append(d)
+
+    params = Params(
+        paths[0],  # carried for option plumbing; the batcher opens each path
+        keep_intermediate_files=args.keep_intermediate_files,
+        use_device=not args.oracle,
+        num_threads=args.num_threads,
+        apply_geo_smoothing_type=args.apply_geo_smoothing,
+        apply_attr_smoothing_type=args.apply_attr_smoothing,
+    )
+    n_frames = 0
+    n_points = 0
+    try:
+        for stream_idx, frame_idx, frame in decode_streams_batched(
+            paths, params=params
+        ):
+            frame_num = frame_idx + args.start_frame
+            path = frame_output_path(dirs[stream_idx], frame_num)
+            write_ply(frame, path, fmt=args.ply_format)
+            n_frames += 1
+            n_points += len(frame)
+            logging.info(
+                "Stream %d frame %d written to %s (%d points)",
+                stream_idx, frame_num, path, len(frame),
+            )
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    except Exception as e:
+        if args.verbose:
+            raise
+        print(f"error: decode failed: {e}", file=sys.stderr)
+        return 1
+    logging.info(
+        "decoded %d frames, %d points total across %d streams",
+        n_frames, n_points, len(paths),
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="An MPEG-VPCC-TMC2 conformant decoder")
     parser.add_argument(
         "-i", "--compressed-stream-path", required=True, type=Path,
-        help="Path to the compressed bitstream input",
+        action="append", dest="compressed_stream_paths",
+        help="Path to the compressed bitstream input; repeat to decode "
+             "several streams in shared device batches (framework "
+             "extension; the reference takes exactly one)",
     )
     parser.add_argument(
         "-o", "--reconstructed-data-path", required=True, type=Path,
@@ -59,9 +125,12 @@ def main(argv=None) -> int:
     else:
         out.parent.mkdir(parents=True, exist_ok=True)
 
+    if len(args.compressed_stream_paths) > 1:
+        return _main_multistream(args, out)
+
     decoder = Decoder(
         Params(
-            args.compressed_stream_path,
+            args.compressed_stream_paths[0],
             keep_intermediate_files=args.keep_intermediate_files,
             use_device=not args.oracle,
             num_threads=args.num_threads,
