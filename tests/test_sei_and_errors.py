@@ -159,6 +159,49 @@ def test_sei_attribute_smoothing_roundtrip():
     )
 
 
+def test_e2e_stream_with_suffix_sei_decodes_normally(tmp_path):
+    """A full fixture stream carrying a suffix SEI NAL decodes to exactly
+    the same output as the identical stream without it (the reference
+    panics on the NAL, ``reader.rs:813-815``)."""
+    from tpu_vpcc.utils.fixtures import build_fixture_stream
+    from tpu_vpcc.utils.ply import format_ply
+    from tpu_vpcc.utils.synthetic import make_synthetic_frame
+    from tpu_vpcc.video import encoder_supports
+
+    if not (encoder_supports(8) and encoder_supports(10)):
+        pytest.skip("libx265 required")
+    rng = np.random.default_rng(11)
+    frames = [
+        make_synthetic_frame(rng, width=64, height=64, occupancy_resolution=8,
+                             occupancy_precision=4, n_patches=3, frame_index=i)
+        for i in range(2)
+    ]
+    plain = build_fixture_stream(frames)
+    rng2 = np.random.default_rng(11)
+    frames2 = [
+        make_synthetic_frame(rng2, width=64, height=64, occupancy_resolution=8,
+                             occupancy_precision=4, n_patches=3, frame_index=i)
+        for i in range(2)
+    ]
+    with_suffix = build_fixture_stream(
+        frames2,
+        suffix_sei=(
+            int(SeiPayloadType.DECODED_ATLAS_INFORMATION_HASH),
+            b"\x01\x02\x03\x04",
+        ),
+    )
+    assert with_suffix != plain  # the NAL is really in the stream
+    d1 = Decoder(Params(with_suffix))
+    d1.start()
+    a = list(d1)
+    d2 = Decoder(Params(plain))
+    d2.start()
+    b = list(d2)
+    assert len(a) == len(b) == 2 and all(len(f) > 0 for f in a)
+    for fa, fb in zip(a, b):
+        assert format_ply(fa) == format_ply(fb)
+
+
 def test_decoder_error_propagates_to_consumer(tmp_path):
     bad = tmp_path / "bad.bin"
     bad.write_bytes(b"\x00" * 64)  # valid sample-stream header, garbage units

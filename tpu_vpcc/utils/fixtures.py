@@ -164,6 +164,7 @@ def build_fixture_stream(
     geo_smoothing_sei=None,
     attr_smoothing_sei=None,
     occ_synthesis_sei=None,
+    suffix_sei=None,
     pos_min_d_quantizer: int = 0,
 ) -> bytes:
     """Build a complete single-GOF V3C sample-stream file.
@@ -185,6 +186,10 @@ def build_fixture_stream(
     tile layer. ``attr_smoothing_sei`` (optional) is
     ``(grid_size, threshold_variation, threshold_difference)`` for a
     prefix AttributeSmoothing SEI on attribute 0.
+
+    ``suffix_sei`` (optional) is ``(payload_type, payload_bytes)``: a
+    suffix SEI NAL is emitted after the first tile layer (the decoder
+    records-and-skips it; the reference panics, ``reader.rs:813-815``).
 
     ``pos_min_d_quantizer`` codes depth offsets in units of
     ``min_level = 1 << q`` (patch d1 values must be exact multiples for
@@ -404,6 +409,13 @@ def build_fixture_stream(
                 w3c.write_atlas_tile_layer(atl, asps, afps, nal_type),
             )
         )
+        if fi == 0 and suffix_sei is not None:
+            ptype, payload = suffix_sei
+            nalus.append(
+                w3c.wrap_nal_unit(
+                    NalUnitType.SUFFIX_ESEI, w3c.write_sei_raw(ptype, payload)
+                )
+            )
 
     # --- video sub-streams (lossless HEVC) -------------------------------
     occ_h, occ_w = frames[0].occ_plane.shape

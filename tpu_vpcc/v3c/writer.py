@@ -434,6 +434,26 @@ def write_sei_occupancy_synthesis(
     return w.getvalue()
 
 
+def write_sei_raw(payload_type: int, payload: bytes) -> bytes:
+    """Serialize a generic SEI payload envelope (type + size varints +
+    opaque payload bytes) — used to exercise the record-and-skip paths
+    (unknown prefix payloads, suffix SEI) end to end."""
+    w = BitWriter()
+    t = int(payload_type)
+    while t >= 0xFF:
+        w.write(0xFF, 8)
+        t -= 0xFF
+    w.write(t, 8)
+    s = len(payload)
+    while s >= 0xFF:
+        w.write(0xFF, 8)
+        s -= 0xFF
+    w.write(s, 8)
+    for b in payload:
+        w.write(b, 8)
+    return w.getvalue()
+
+
 def wrap_nal_unit(unit_type: NalUnitType, payload: bytes) -> bytes:
     """2-byte NAL header + payload (``reader.rs:770-778``)."""
     w = BitWriter()
