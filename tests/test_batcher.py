@@ -64,6 +64,41 @@ def test_streams_share_device_batches(tmp_path, monkeypatch):
     assert all(len(b) == 1 for b in batched)
 
 
+def test_multi_stream_applies_smoothing_params(tmp_path):
+    """Params-level decode options reach the batcher: a smoothing-SEI
+    stream decoded multi-stream with the toggle set produces exactly the
+    single-stream smoothed output (and not the unsmoothed one)."""
+    # same generator as test_smoothing.make_sei_stream(seed=6, threshold=1),
+    # which demonstrably moves at least one point
+    rng = np.random.default_rng(6)
+    frames = [
+        make_synthetic_frame(rng, width=64, height=64, occupancy_resolution=8,
+                             occupancy_precision=4, n_patches=4, frame_index=i)
+        for i in range(2)
+    ]
+    stream = build_fixture_stream(frames, geo_smoothing_sei=(8, 1))
+    p = tmp_path / "sm.bin"
+    p.write_bytes(stream)
+
+    params = Params(p, apply_geo_smoothing_type=True)
+    batched = decode_streams([p, p], params=params)
+
+    d = Decoder(Params(stream, apply_geo_smoothing_type=True))
+    d.start()
+    smoothed = list(d)
+    d2 = Decoder(Params(stream))
+    d2.start()
+    plain = list(d2)
+
+    assert any(
+        format_ply(a) != format_ply(b) for a, b in zip(smoothed, plain)
+    ), "fixture must actually smooth something"
+    for s in range(2):
+        assert len(batched[s]) == len(smoothed) == 2
+        for a, b in zip(batched[s], smoothed):
+            assert format_ply(a) == format_ply(b)
+
+
 def test_multi_stream_on_mesh(tmp_path):
     """Batched decode with a ('data','space') mesh is bit-identical."""
     from tpu_vpcc.parallel.mesh import make_mesh
