@@ -1,0 +1,248 @@
+"""Round-3 lead experiment: in-kernel compaction via sequential-grid
+overlap writes — can a Pallas pass beat the XLA stable-sort compaction?
+
+Two e2e variant measurements (K-vs-1 differential, same methodology as
+bench.py — stage-isolated microbenchmarks mislead on XLA:TPU):
+
+A. **Sort-cost ceiling.** The full pre-tiled pipeline vs an identical
+   pipeline whose compaction sort is replaced by a same-shape direct
+   unpack (no sort). The difference is the true e2e marginal cost of the
+   sort — the MAXIMUM any in-kernel compaction scheme could save.
+
+B. **Cursor-DMA mechanism floor.** The no-sort pipeline plus a Pallas
+   kernel that walks the payload words chunk-by-chunk over the
+   sequential TPU grid, keeps a running valid-count cursor in SMEM, and
+   DMAs each (uncompacted) chunk to ``out[cursor : cursor+CH]`` — the
+   "overlap writes" idea with ZERO within-chunk packing work. Any
+   *correct* in-kernel compaction must additionally pack each chunk
+   (TPU has no vector scatter; packing needs O(log) roll/select passes
+   or worse), so this kernel's marginal cost is a FLOOR for the
+   approach. NOTE: its data output is deliberately garbage (overlapping
+   uncompacted chunks); only the cursor arithmetic and DMA traffic are
+   real. The final count output is checked against the XLA count.
+
+Decision rule: if floor(B) > ceiling(A), in-kernel compaction cannot
+win; record the negative result in PERFORMANCE.md and keep the XLA sort.
+
+Usage (real chip, one TPU job at a time):
+    python tools/compaction_experiment.py [batch] [loop_n]
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_vpcc_jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+from tpu_vpcc.atlas import groups as G  # noqa: E402
+from tpu_vpcc.models.flagship import FlagshipConfig, example_batch_inputs  # noqa: E402
+from tpu_vpcc.ops.tiled import (  # noqa: E402
+    _compact_words,
+    _flat_pretiled_impl,
+    _pretiled_gather_tiles,
+    _tiles_to_words,
+    tile_plane,
+)
+
+CH = 8192  # payload elements per grid step (32 KB/u32 array)
+
+
+def _words(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
+    """Shared XLA prefix: everything up to the payload words."""
+    F = fields.shape[0]
+    FG = F * fields.shape[1]
+    S = fields.shape[1] * cfg.slots_per_block
+    t_a, t_b, t_c = _pretiled_gather_tiles(
+        fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg
+    )
+    fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
+    fid = lambda idx: fields_f[:, idx]  # noqa: E731
+    return _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg), F, S
+
+
+def run_full(*args, cfg):
+    return _flat_pretiled_impl(*args, cfg)
+
+
+def run_nosort(*args, cfg):
+    """Same shapes/dtypes as run_full, compaction replaced by a direct
+    unpack (output is uncompacted — a cost probe, not a correct result)."""
+    (w0, w1, w2, valid), F, S = _words(*args, cfg=cfg)
+    counts = valid.sum(axis=1, dtype=jnp.int32)
+    lo = lambda w: (w & 0xFFFF).astype(jnp.uint16)  # noqa: E731
+    hi = lambda w: (w >> 16).astype(jnp.uint16)  # noqa: E731
+    positions = jnp.stack([lo(w0), hi(w0), lo(w1)], axis=-1).reshape(F, S, 3)
+    colors16 = jnp.stack([hi(w1), lo(w2), hi(w2)], axis=-1).reshape(F, S, 3)
+    return positions, colors16, counts
+
+
+ROWS, LANES = 8, 1024  # CH = ROWS * LANES per grid step
+assert CH == ROWS * LANES
+
+
+def _cursor_kernel(w0_ref, w1_ref, w2_ref, v_ref,
+                   out0_ref, out1_ref, out2_ref, cnt_ref,
+                   cur_ref, sems):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        cur_ref[0] = 0
+
+    cursor = cur_ref[0]  # element count
+    n = jnp.sum(v_ref[...])
+    # Mosaic requires DMA destination offsets provably divisible by the
+    # sublane tiling (8), so the overlap writes land at 8-row (chunk)
+    # granularity: same DMA volume as element-granular compaction with
+    # BETTER-aligned destinations — the floor stays a floor
+    row_cursor = pl.multiple_of((cursor // CH) * ROWS, ROWS)
+    copies = [
+        pltpu.make_async_copy(
+            src, dst.at[pl.ds(row_cursor, ROWS)], sems.at[k]
+        )
+        for k, (src, dst) in enumerate(
+            ((w0_ref, out0_ref), (w1_ref, out1_ref), (w2_ref, out2_ref))
+        )
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+    cur_ref[0] = cursor + n
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        cnt_ref[0, 0] = cursor + n
+
+
+def run_pallas_cursor(*args, cfg):
+    (w0, w1, w2, valid), F, S = _words(*args, cfg=cfg)
+    N = F * S
+    assert N % CH == 0, (N, CH)
+    nc = N // CH
+    shape2 = lambda a: a.reshape(nc * ROWS, LANES)  # noqa: E731
+    in_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0))
+    out0, out1, out2, cnt = pl.pallas_call(
+        _cursor_kernel,
+        grid=(nc,),
+        in_specs=[in_spec] * 4,
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((N // LANES, LANES), jnp.uint32)] * 3
+        + [jax.ShapeDtypeStruct((1, 1), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(shape2(w0), shape2(w1), shape2(w2), shape2(valid.astype(jnp.int32)))
+    lo = lambda w: (w & 0xFFFF).astype(jnp.uint16)  # noqa: E731
+    hi = lambda w: (w >> 16).astype(jnp.uint16)  # noqa: E731
+    positions = jnp.stack([lo(out0), hi(out0), lo(out1)], -1).reshape(F, S, 3)
+    colors16 = jnp.stack([hi(out1), lo(out2), hi(out2)], -1).reshape(F, S, 3)
+    # chain the timing carry through the kernel's SMEM count so the DMA
+    # pass can never be dead-code-eliminated
+    counts = jnp.broadcast_to(cnt[0], (F,)).astype(jnp.int32)
+    return positions, colors16, counts
+
+
+def measure_variant(fn, cfg, fcfg, inputs, loop_n, K=9, reps=5):
+    def make_loop(k):
+        @jax.jit
+        def loop(fields, occ, geo0, geo1, ay, au, av):
+            def body(i, carry):
+                c = carry
+                for _ in range(k):
+                    bump = jnp.where(c < 0, 1, 0).astype(occ.dtype)
+                    _, _, cnt = fn(
+                        fields, occ + bump, geo0, geo1, ay, au, av, cfg=fcfg
+                    )
+                    c = c + cnt.sum()
+                return c
+            return jax.lax.fori_loop(0, loop_n, body, jnp.int32(0))
+        return loop
+
+    loop_k, loop_1 = make_loop(K), make_loop(1)
+    _ = np.asarray(loop_k(*inputs))  # compile
+    _ = np.asarray(loop_1(*inputs))
+    dt_k, dt_1 = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = np.asarray(loop_k(*inputs))
+        dt_k.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _ = np.asarray(loop_1(*inputs))
+        dt_1.append(time.perf_counter() - t0)
+    return (min(dt_k) - min(dt_1)) / (loop_n * (K - 1))
+
+
+def main() -> int:
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    loop_n = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    K = 9
+    loop_n = min(loop_n, max(1, (2**31 - 1) // (batch * K * 3_000_000)))
+
+    cfg = FlagshipConfig(batch=batch)
+    fcfg = cfg.frame_config()
+    raw = example_batch_inputs(cfg, occupancy_fill=0.7, n_patches=48)
+    res = fcfg.occupancy_resolution
+    host_inputs = (
+        raw[0],
+        tile_plane(raw[1], res // fcfg.occupancy_precision),
+        tile_plane(raw[2], res),
+        tile_plane(raw[3], res),
+        tile_plane(raw[4], res),
+        tile_plane(raw[5], res // 2),
+        tile_plane(raw[6], res // 2),
+    )
+    dev = jax.devices()[0]
+    inputs = [jax.device_put(a, dev) for a in host_inputs]
+
+    # correctness probe: the cursor kernel's final count must equal the
+    # XLA count (the data outputs are deliberately uncompacted garbage)
+    full = jax.jit(functools.partial(run_full, cfg=fcfg))(*inputs)
+    pc = jax.jit(functools.partial(run_pallas_cursor, cfg=fcfg))(*inputs)
+    want = int(np.asarray(full[2]).sum())
+    got = int(np.asarray(pc[2])[0])
+    assert got == want, (got, want)
+
+    results = {}
+    for name, fn in (
+        ("full_sort", run_full),
+        ("nosort", run_nosort),
+        ("pallas_cursor", run_pallas_cursor),
+    ):
+        dt = measure_variant(fn, cfg, fcfg, inputs, loop_n, K=K)
+        results[name] = round(dt / batch * 1000, 4)  # ms/frame
+
+    results["sort_cost_ceiling_ms"] = round(
+        results["full_sort"] - results["nosort"], 4
+    )
+    results["pallas_mechanism_floor_ms"] = round(
+        results["pallas_cursor"] - results["nosort"], 4
+    )
+    results["batch"] = batch
+    results["device"] = str(dev)
+    results["total_points_check"] = want
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -7,11 +7,14 @@ field table — the step 4-6 tail of the tiled pipeline
 projection, axis permutation, duplicate suppression, YUV selection, and
 u32 payload packing never round-trip intermediates through HBM.
 
-The XLA path already fuses this stage well (see PERFORMANCE.md — the
-end-to-end pipeline is HBM-bandwidth bound either way); this kernel is the
-production escape hatch for fusing further stages (tile DMA pipelining,
-in-kernel compaction) and is kept bit-exact against the XLA path by the
-test suite. Select it with ``reconstruct_batch_pallas``.
+NOT a production path (settled round 3): measured 2.5 ms/frame vs the
+XLA path's 0.21 ms, and the in-kernel-compaction fusion it was carried
+for is decisively negative (the sort it would replace measures free; the
+cursor-DMA mechanism floor alone is 38x the whole pipeline — see
+PERFORMANCE.md "In-kernel compaction: measured dead" and
+tools/compaction_experiment.py). Kept in-tree as the bit-exact Mosaic
+reference implementation only; the test suite holds it to the XLA
+output. Select it with ``reconstruct_batch_pallas``.
 """
 
 from __future__ import annotations

@@ -135,9 +135,11 @@ def _flat_tiled_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
     return _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg)
 
 
-def _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg):
-    """Shared tail: orientation fix, unpack, point/color compute, and
-    sort-based compaction, from per-group packed tiles [FG, res, res].
+def _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg):
+    """Steps 3-6 of the tail: orientation fix, unpack, point/color
+    compute, optional smoothing, u32 payload packing — everything up to
+    (but not including) compaction. Returns ``(w0, w1, w2, valid)``,
+    each ``(F, S)``, in emission order.
 
     BIT-EXACTNESS NOTE: the per-point math duplicates
     reconstruct.compute_slots and reconstruct._flat_batch_impl; change
@@ -237,7 +239,14 @@ def _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg):
     w0 = pack(xs, ys)
     w1 = pack(zs, cys)
     w2 = pack(cus, cvs)
+    return w0, w1, w2, valid
 
+
+def _compact_words(w0, w1, w2, valid, F, S):
+    """Step 7 of the tail — compaction — plus the u16 unpack into
+    positions/colors. Split out so variant experiments (and alternative
+    compaction backends) can swap just this stage; see PERFORMANCE.md
+    "In-kernel compaction" for why the stable sort stays."""
     # --- 7. compaction: stable sort on the (frame, invalidity) key --------
     # The slot order is already the emission order (step 3 fixed SWAP
     # tiles), so a stable sort on a tiny-range key both compacts and keeps
@@ -259,6 +268,14 @@ def _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg):
     positions = jnp.stack([lo(s0), hi(s0), lo(s1)], axis=-1).reshape(F, S, 3)
     colors16 = jnp.stack([hi(s1), lo(s2), hi(s2)], axis=-1).reshape(F, S, 3)
     return positions, colors16, counts
+
+
+def _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg):
+    """Shared tail: payload-word computation + sort-based compaction."""
+    w0, w1, w2, valid = _tiles_to_words(
+        fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg
+    )
+    return _compact_words(w0, w1, w2, valid, F, S)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
