@@ -31,11 +31,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_vpcc_jax_cache")
 _T_START = time.perf_counter()
 
 
-def _wait_for_gate(gate: str, timeout: float = 420.0) -> None:
+def _wait_for_gate(gate: str, timeout: float = 1200.0) -> None:
     """Block until the parent bench process touches the gate file (it does
     so only after the headline kernel measurement is done, so an extra's
     TPU work can never distort that timing). Falls through on timeout so
-    an orphaned extra still produces a number."""
+    an orphaned extra still produces a number — the timeout must exceed
+    any plausible kernel-stage duration (559s observed on a congested
+    tunnel), or the fall-through itself violates the one-TPU-job rule
+    mid-measurement."""
     if not gate:
         return
     deadline = time.perf_counter() + timeout
@@ -246,6 +249,15 @@ def main() -> int:
         for name in ("e2e", "multistream"):
             extras_procs.append(_spawn_extra(name, f"{gate_dir}/{name}.go"))
     except Exception:
+        # never orphan an already-spawned extra: its gate would never be
+        # released and it would eventually run TPU work unsupervised
+        for e in extras_procs:
+            try:
+                e["proc"].kill()
+                e["out"].close()
+                os.unlink(e["out"].name)
+            except Exception:
+                pass
         extras_procs = []
 
     import jax

@@ -97,6 +97,94 @@ ALL_BITSTREAM_ORIENTATIONS = [
 ]
 
 
+def test_overlapping_rotated_patch_uses_occupancy_gated_ownership():
+    """A quirk-admitted ROT90 patch at res>1 overlapping a DEFAULT patch:
+    the reference's ownership is occupancy-gated over the ROT90 patch's
+    OWN (misaligned) pixel set, so when those pixels are unoccupied the
+    DEFAULT patch keeps the block and emits. The occupancy-ignored owner
+    would silently drop those points (round-3 review finding)."""
+    res = 4
+    p0 = Patch(uv0=(3, 1), size_uv0=(1, 1), uv1=(40, 80),
+               occupancy_resolution=res,
+               patch_orientation=PatchOrientation.DEFAULT)
+    p0.set_view_id(0)
+    p0.d1 = 100
+    p1 = Patch(uv0=(2, 1), size_uv0=(2, 2), uv1=(10, 20),
+               occupancy_resolution=res,
+               patch_orientation=PatchOrientation.ROT90)
+    p1.set_view_id(1)
+    p1.d1 = 100
+    meta = FrameMeta(width=16, height=16, patches=[p0, p1])
+
+    # occupancy only inside p0's block (x 12-15, y 4-7); p1's own pixel
+    # set (x 2-9, y 4-11) is fully unoccupied
+    occ = np.zeros((16, 16), np.uint8)
+    occ[4:8, 12:16] = 1
+    rng = np.random.default_rng(9)
+    d0 = rng.integers(0, 256, (16, 16)).astype(np.uint16) * 4
+    d1 = np.minimum(d0 // 4 + rng.integers(0, 3, (16, 16)), 255).astype(np.uint16) * 4
+    ay = rng.integers(0, 1024, (2, 16, 16)).astype(np.uint16)
+    au = rng.integers(0, 1024, (2, 8, 8)).astype(np.uint16)
+    av = rng.integers(0, 1024, (2, 8, 8)).astype(np.uint16)
+
+    params = GeneratePointCloudParams(
+        occupancy_resolution=res, occupancy_precision=1, map_count_minus1=1
+    )
+    ps, _, _ = generate_point_cloud(
+        meta, params, occ, [d0, d1],
+        [[[ay[0], au[0], av[0]], [ay[1], au[1], av[1]]]],
+    )
+    assert ps.point_count > 0, "p0's occupied block must emit in the oracle"
+
+    # without occupancy, the hazard is detected and refused
+    with pytest.raises(Exception):
+        build_group_table(meta)
+
+    gt = build_group_table(meta, occ_provider=lambda: occ, occ_precision=1)
+    cfg = make_config(width=16, height=16, occupancy_resolution=res,
+                      occupancy_precision=1, map_count=2)
+    pos, col, cnt = reconstruct_frame(gt.fields, occ, d0, d1, ay, au, av, cfg=cfg)
+    n = int(cnt)
+    assert n == ps.point_count
+    np.testing.assert_array_equal(np.asarray(pos)[:n], ps.positions)
+    np.testing.assert_array_equal(np.asarray(col)[:n], ps.colors16bit)
+
+
+def test_block_out_of_range_rejected_where_pixels_pass():
+    """Pixel-in-range but block-out-of-range (the reference's block-level
+    assert panics, decoder.rs:835): the gate must raise UnsupportedFeature
+    rather than let a deep ValueError/AssertionError surface."""
+    from tpu_vpcc.atlas.patches import _check_orientation_in_range
+    from tpu_vpcc.v3c.syntax import UnsupportedFeature
+
+    patch = Patch(uv0=(3, 0), size_uv0=(1, 2), occupancy_resolution=16,
+                  patch_orientation=PatchOrientation.ROT90)
+    # pixel x = 49 - v in [18, 49] < 64 (passes); block x = 4 - v_blk
+    # reaches 4 >= bw=4 (reference panics)
+    with pytest.raises(UnsupportedFeature):
+        _check_orientation_in_range(patch, 64, 64)
+
+
+def test_zero_size_derived_patch_decodes_as_empty():
+    """Zero-size patches (reachable via inter/merge signed size deltas)
+    pass the gate (the reference's loops never execute) and contribute
+    zero groups; negative sizes raise (the reference's usize wraps)."""
+    from tpu_vpcc.atlas.patches import _check_orientation_in_range
+    from tpu_vpcc.v3c.syntax import UnsupportedFeature
+
+    patch = Patch(uv0=(0, 0), size_uv0=(0, 2), occupancy_resolution=8,
+                  patch_orientation=PatchOrientation.DEFAULT)
+    _check_orientation_in_range(patch, 64, 64)  # must not raise
+    meta = FrameMeta(width=64, height=64, patches=[patch])
+    gt = build_group_table(meta)
+    assert gt.n_groups == 0
+
+    bad = Patch(uv0=(0, 0), size_uv0=(-1, 2), occupancy_resolution=8,
+                patch_orientation=PatchOrientation.DEFAULT)
+    with pytest.raises(UnsupportedFeature):
+        _check_orientation_in_range(bad, 64, 64)
+
+
 @pytest.mark.parametrize("orientation", ALL_BITSTREAM_ORIENTATIONS)
 @pytest.mark.parametrize("view_id", [0, 4])
 def test_all_orientations_res1(view_id, orientation):

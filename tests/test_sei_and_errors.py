@@ -159,6 +159,53 @@ def test_sei_attribute_smoothing_roundtrip():
     )
 
 
+def test_suffix_sei_does_not_leak_to_other_layers_sharing_prefix():
+    """A pending prefix SeiMessage is shared by every following tile layer
+    (Rc-clone parity); attaching a suffix must not mutate the shared
+    object — only the preceding layer sees the suffix."""
+    from tests.test_v3c_roundtrip import make_afps, make_asps, make_atl, make_intra_pdu
+    from tpu_vpcc.bitio import BitWriter
+
+    w = BitWriter()
+    w.write(int(SeiPayloadType.DECODED_ATLAS_INFORMATION_HASH), 8)
+    w.write(1, 8)
+    w.write(0xAB, 8)
+    suffix_payload = w.getvalue()
+
+    asps = make_asps()
+    afps = make_afps()
+    tile = lambda: w3c.wrap_nal_unit(  # noqa: E731
+        NalUnitType.IDR_N_LP,
+        w3c.write_atlas_tile_layer(
+            make_atl(patches=[make_intra_pdu()]), asps, afps,
+            NalUnitType.IDR_N_LP,
+        ),
+    )
+    nalus = [
+        w3c.wrap_nal_unit(NalUnitType.ASPS, w3c.write_asps(asps)),
+        w3c.wrap_nal_unit(NalUnitType.AFPS, w3c.write_afps(afps, asps)),
+        w3c.wrap_nal_unit(
+            NalUnitType.PREFIX_ESEI, w3c.write_sei_geometry_smoothing()
+        ),
+        tile(),  # layer 0
+        tile(),  # layer 1 — shares the prefix SeiMessage with layer 0
+        w3c.wrap_nal_unit(NalUnitType.SUFFIX_ESEI, suffix_payload),
+    ]
+    ctx = Context()
+    parse_nal_sample_stream(ctx, Bitstream(w3c.build_nal_sample_stream(nalus)))
+    sei0 = ctx.get_atlas_tile_layer(0).sei
+    sei1 = ctx.get_atlas_tile_layer(1).sei
+    assert not sei0.sei_suffix, "suffix leaked onto an earlier tile layer"
+    assert sei1.sei_suffix and sei1.sei_suffix[0].payload_type == int(
+        SeiPayloadType.DECODED_ATLAS_INFORMATION_HASH
+    )
+    # both layers keep the shared prefix payload
+    for sei in (sei0, sei1):
+        assert sei.is_sei_present(
+            NalUnitType.PREFIX_ESEI, SeiPayloadType.GEOMETRY_SMOOTHING
+        )
+
+
 def test_e2e_stream_with_suffix_sei_decodes_normally(tmp_path):
     """A full fixture stream carrying a suffix SEI NAL decodes to exactly
     the same output as the identical stream without it (the reference

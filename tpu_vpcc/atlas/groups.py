@@ -16,6 +16,16 @@ owner as simply "last covering patch" (occupancy-ignored) changes
 point set — order included — is bit-identical. This removes the
 occupancy-dependent ownership pass from the device hot path entirely.
 
+The identity has ONE precondition: every patch covering a contested
+block must sample the same pixel set for it. That holds whenever each
+patch's pixel tile IS the canvas block (DEFAULT/SWAP/MROT270, and all
+orientations at resolution 1), but the quirk-admitted rotated
+orientations at resolution > 1 sample pixels from a *different* canvas
+region than the block transform names. For frames where such a patch
+overlaps another patch, :func:`build_group_table` falls back to the
+reference's exact occupancy-gated ownership (vectorized, host-side,
+rare) — see ``_occupancy_gated_owner``.
+
 The per-group affine (G_X00/G_A..G_D) expresses the reference's quirked
 orientation transform exactly for ALL orientations the reference itself
 decodes (see ``atlas.patches._check_orientation_in_range``): canvas
@@ -31,6 +41,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ..v3c.syntax import UnsupportedFeature
 from .patches import FrameMeta, PatchOrientation
 
 # group-table field indices
@@ -64,8 +75,49 @@ class GroupTable:
     tiled_ok: bool = True  # all orientations have block-aligned pixel tiles
 
 
+# orientations whose pixel tile equals the canvas block at any resolution
+_BLOCK_ALIGNED = frozenset(
+    {PatchOrientation.DEFAULT, PatchOrientation.SWAP, PatchOrientation.MROT270}
+)
+
+
+def _occupancy_gated_owner(meta: FrameMeta, per_patch, owner_shape,
+                           occ_plane, occ_precision: int):
+    """The reference's exact block ownership (``src/codec.rs:205-250``),
+    vectorized: owner[b] = last patch whose OWN pixels of patch block b
+    (quirked pixel transform) include a non-zero occupancy sample.
+
+    Only used for frames where a non-block-aligned patch overlaps another
+    patch — everywhere else the occupancy-ignored owner is provably
+    identical (module docstring) and O(blocks) instead of O(pixels)."""
+    bh, bw = owner_shape
+    owner = np.zeros((bh, bw), dtype=np.int32)
+    occ = np.asarray(occ_plane)
+    for pidx, patch in enumerate(meta.patches):
+        u0g, v0g, bx, by = per_patch[pidx]
+        res_p = patch.occupancy_resolution
+        a, b, cxp, c, d, cyp = patch.orientation_coeffs(res_p)
+        # pixel grids for every block of this patch: (sv0, su0, res, res)
+        u1 = np.arange(res_p, dtype=np.int64)
+        v1 = np.arange(res_p, dtype=np.int64)
+        u = u0g[:, :, None, None] * res_p + u1[None, None, None, :]
+        v = v0g[:, :, None, None] * res_p + v1[None, None, :, None]
+        x = a * u + b * v + cxp + meta.left_top_in_frame[0]
+        y = c * u + d * v + cyp + meta.left_top_in_frame[1]
+        # in-range guaranteed by _check_orientation_in_range (pixel gate);
+        # left_top_in_frame is (0, 0) for the single-tile envelope but is
+        # applied for oracle parity (src/codec.rs:233-235)
+        nz = occ[y // occ_precision, x // occ_precision].reshape(
+            u0g.shape[0], u0g.shape[1], -1
+        ).sum(axis=-1)
+        has = nz > 0
+        owner[by[has], bx[has]] = pidx + 1
+    return owner
+
+
 def build_group_table(
-    meta: FrameMeta, g_cap: int = 0, occupancy_resolution: int = 0
+    meta: FrameMeta, g_cap: int = 0, occupancy_resolution: int = 0,
+    occ_provider=None, occ_precision: int = 1,
 ) -> GroupTable:
     """Build the owned-block group table in emission order.
 
@@ -76,6 +128,12 @@ def build_group_table(
     ``occupancy_resolution`` fixes the block size explicitly — required
     for legal empty tile layers, whose capacity must still match the
     GOF's other frames (no patches to derive it from).
+
+    ``occ_provider``: zero-arg callable returning the frame's canvas-order
+    occupancy plane (downscaled by ``occ_precision``). Invoked ONLY when a
+    non-block-aligned patch overlaps another patch, where exact reference
+    parity needs the occupancy-gated ownership pass. Without it, such
+    frames raise :class:`UnsupportedFeature`.
     """
     if occupancy_resolution > 0:
         res = occupancy_resolution
@@ -97,12 +155,15 @@ def build_group_table(
         g_cap = bh * bw
 
     owner = np.zeros((bh, bw), dtype=np.int32)
+    covered = np.zeros((bh, bw), dtype=bool)
+    overlap = False
+    any_nonaligned = False
     per_patch = []
     for pidx, patch in enumerate(meta.patches):
         su0, sv0 = patch.size_uv0
         a, b, cxb, c, d, cyb = patch.orientation_coeffs(1)
-        u0 = np.arange(su0, dtype=np.int64)
-        v0 = np.arange(sv0, dtype=np.int64)
+        u0 = np.arange(max(su0, 0), dtype=np.int64)
+        v0 = np.arange(max(sv0, 0), dtype=np.int64)
         u0g, v0g = np.meshgrid(u0, v0)  # (sv0, su0) — v0-major raster
         bx = a * u0g + b * v0g + cxb
         by = c * u0g + d * v0g + cyb
@@ -111,8 +172,26 @@ def build_group_table(
                 f"patch {pidx} footprint outside canvas "
                 f"(orientation {patch.patch_orientation!r})"
             )
+        overlap = overlap or bool(covered[by, bx].any())
+        covered[by, bx] = True
+        if res > 1 and patch.patch_orientation not in _BLOCK_ALIGNED:
+            any_nonaligned = True
         owner[by, bx] = pidx + 1  # later patches overwrite earlier ones
         per_patch.append((u0g, v0g, bx, by))
+
+    if overlap and any_nonaligned:
+        # a quirk-admitted rotated patch shares a block with another
+        # patch: the occupancy-ignored owner is no longer provably equal
+        # to the reference's (module docstring) — run the exact pass
+        if occ_provider is None:
+            raise UnsupportedFeature(
+                "overlapping non-block-aligned patches need the "
+                "occupancy-gated ownership pass, and no occupancy plane "
+                "was provided to build_group_table"
+            )
+        owner = _occupancy_gated_owner(
+            meta, per_patch, (bh, bw), occ_provider(), occ_precision
+        )
 
     n_groups = 0
     tiled_ok = True

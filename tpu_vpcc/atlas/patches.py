@@ -217,21 +217,53 @@ def _check_orientation_in_range(patch: Patch, width: int, height: int) -> None:
     true for DEFAULT/SWAP/MROT270, and for EVERY orientation when
     ``occupancy_resolution == 1`` (pixel units == block units). This gate
     replicates that condition per patch: decode whatever the reference
-    decodes, raise exactly where it panics."""
+    decodes, raise exactly where it panics.
+
+    TWO asserts are replicated, because the reference evaluates the
+    helper twice per block: at BLOCK units (``patch_block_to_canvas_block``,
+    resolution 1 — the un-quirked transform, asserted against block
+    dims, ``decoder.rs:835``) and at PIXEL units (``patch_to_canvas``,
+    asserted against the canvas, ``:848``). Either one out of range
+    panics the reference; a pixel-in-range but block-out-of-range patch
+    exists (e.g. ROT90 near the right canvas edge), so both are checked.
+
+    Zero-size patches (possible via inter/merge signed size deltas) are
+    exempt: the reference's per-block loops never execute, no assert is
+    hit, and the patch contributes zero points."""
     res = patch.occupancy_resolution
-    a, b, cx, c, d, cy = patch.orientation_coeffs(res)
-    mu = patch.size_uv0[0] * res - 1  # max patch-space u, v
-    mv = patch.size_uv0[1] * res - 1
-    xs = (cx, a * mu + cx, b * mv + cx, a * mu + b * mv + cx)
-    ys = (cy, c * mu + cy, d * mv + cy, c * mu + d * mv + cy)
-    if min(xs) < 0 or max(xs) >= width or min(ys) < 0 or max(ys) >= height:
+    su0, sv0 = patch.size_uv0
+    if su0 < 0 or sv0 < 0:
+        # a negative derived size wraps to a huge usize in the reference
+        # (release build) and panics at the canvas assert
         raise UnsupportedFeature(
-            f"patch orientation {patch.patch_orientation!r} at resolution "
-            f"{res}: the reference's unscaled orientation helper drives "
-            f"pixels out of canvas here and panics (tmc2-rs size quirk, "
-            f"src/decoder.rs:853-867; x range {min(xs)}..{max(xs)}, "
-            f"y range {min(ys)}..{max(ys)}, canvas {width}x{height})"
+            f"negative derived patch size {patch.size_uv0} (the reference's "
+            f"usize arithmetic wraps and panics here)"
         )
+    if su0 == 0 or sv0 == 0:
+        return
+
+    def corners(coeffs, mu, mv):
+        a, b, cx, c, d, cy = coeffs
+        xs = (cx, a * mu + cx, b * mv + cx, a * mu + b * mv + cx)
+        ys = (cy, c * mu + cy, d * mv + cy, c * mu + d * mv + cy)
+        return xs, ys
+
+    checks = (
+        ("block", corners(patch.orientation_coeffs(1), su0 - 1, sv0 - 1),
+         width // res, height // res),
+        ("pixel", corners(patch.orientation_coeffs(res), su0 * res - 1,
+                          sv0 * res - 1), width, height),
+    )
+    for unit, (xs, ys), w_lim, h_lim in checks:
+        if min(xs) < 0 or max(xs) >= w_lim or min(ys) < 0 or max(ys) >= h_lim:
+            raise UnsupportedFeature(
+                f"patch orientation {patch.patch_orientation!r} at "
+                f"resolution {res}: the reference's unscaled orientation "
+                f"helper drives {unit} coords out of range here and panics "
+                f"(tmc2-rs size quirk, src/decoder.rs:835,848,853-867; "
+                f"x range {min(xs)}..{max(xs)}, y range {min(ys)}..{max(ys)}, "
+                f"limit {w_lim}x{h_lim})"
+            )
 
 
 def ref_afoc_list(context: Context, ath, cur_afoc: int) -> List[int]:

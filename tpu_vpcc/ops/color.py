@@ -21,8 +21,10 @@ residue of 85*y mod 341 (85 and 341 are coprime), which pins S to
 EXHAUSTIVE PROOF: ``tools/verify_color_exact.py`` compares this integer
 form against the reference f64 chain over the ENTIRE input domain —
 2^20 (y,v)/(y,u) pairs for r/b and all 2^30 (y,u,v) triples for g.
-Result recorded in PERFORMANCE.md; any counterexample would be patched
-via ``_S_EXCEPTIONS`` below (none were found).
+Result recorded in PERFORMANCE.md. The g channel needed 45 ±1 repairs
+(the f64 chain's own intermediate rounding crossing a floor boundary);
+they are baked into the S table as per-cell correction masks via
+``_G_CHAIN_DEVIATIONS`` below. r and b needed none.
 
 The device path uses this form as pure int32 ops + three small gathers,
 folded into the compacted-prefix fetch so the serial host f64 stage
@@ -139,7 +141,7 @@ def color_luts():
     it rounded across an exactly-integer boundary at v=1012 in channel r.
     Residual risk is only where the f64 *chain's* own rounding (~1e-13)
     disagrees with the exact real boundary; the exhaustive verifier hunts
-    those and any finding is baked into ``_S_EXCEPTIONS``."""
+    those, and the 45 found are baked in via ``_G_CHAIN_DEVIATIONS``."""
     yf = np.arange(1024, dtype=np.float64)[:, None]
     d = np.arange(1024, dtype=np.float64) - 512.0
 

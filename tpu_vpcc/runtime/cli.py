@@ -29,10 +29,17 @@ def _main_multistream(args, out: Path) -> int:
               file=sys.stderr)
         return 2
     stems = [p.stem for p in paths]
-    names = [
-        stem if stems.count(stem) == 1 else f"{stem}_{i}"
-        for i, stem in enumerate(stems)
-    ]
+    names = []
+    seen = set()
+    for stem in stems:
+        # unique per-stream directory even when stems repeat or a literal
+        # stem collides with a de-duplicated name
+        name, k = (stem if stems.count(stem) == 1 else f"{stem}.0"), 0
+        while name in seen:
+            k += 1
+            name = f"{stem}.{k}"
+        seen.add(name)
+        names.append(name)
     dirs = []
     for name in names:
         d = out / name

@@ -666,8 +666,24 @@ def _gof_device_inputs(gof: GofData, metas=None) -> DeviceInputs:
         # color smoothing operates on YUV samples; skip for RGB content
         attr_smoothing=None if gof.attr_is_rgb444 else gof.attr_smoothing,
     )
+    def occ_provider_for(m):
+        # canvas-order occupancy for the (rare) occupancy-gated ownership
+        # fallback — overlapping non-block-aligned patches only
+        def provider():
+            o = gof.occ_planes[m.frame_index]
+            if gof.tiled:
+                res_ = cfg.occupancy_resolution
+                o = untile_plane(o, cfg.height // res_, cfg.width // res_)
+            return o
+        return provider
+
     tables = [
-        build_group_table(m, occupancy_resolution=cfg.occupancy_resolution)
+        build_group_table(
+            m,
+            occupancy_resolution=cfg.occupancy_resolution,
+            occ_provider=occ_provider_for(m),
+            occ_precision=gof.occupancy_precision,
+        )
         for m in metas
     ]
     fields = np.stack([t.fields for t in tables])

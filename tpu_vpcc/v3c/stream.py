@@ -220,7 +220,13 @@ def parse_nal_sample_stream(context: Context, bs: Bitstream) -> None:
                 if atl.sei is None:
                     atl.sei = suffix
                 else:
-                    atl.sei.sei_suffix.extend(suffix.sei_suffix)
+                    # a pending prefix SeiMessage is SHARED by every tile
+                    # layer after it (Rc-clone parity, reader.rs:806-811);
+                    # copy-on-write so the suffix lands only on this layer
+                    atl.sei = SeiMessage(
+                        sei_prefix=list(atl.sei.sei_prefix),
+                        sei_suffix=list(atl.sei.sei_suffix) + suffix.sei_suffix,
+                    )
             else:
                 log.debug("suffix SEI before any tile layer: recorded, unattached")
         elif unit_type in _SKIPPABLE_NAL_TYPES:
