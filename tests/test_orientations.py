@@ -150,6 +150,52 @@ def test_overlapping_rotated_patch_uses_occupancy_gated_ownership():
     np.testing.assert_array_equal(np.asarray(col)[:n], ps.colors16bit)
 
 
+def test_e2e_overlapping_rotated_patch_occupancy_gated():
+    """Full-bitstream version of the ownership hazard: a ROT90 patch at
+    res=16 overlapping a DEFAULT patch, with the ROT90 patch's own pixel
+    set unoccupied — exercises the occ_provider plumbing through
+    _gof_device_inputs (device output must equal the oracle)."""
+    from tpu_vpcc.atlas.patches import Patch as P
+    from tpu_vpcc.runtime.pipeline import Decoder, Params
+    from tpu_vpcc.utils.fixtures import build_fixture_stream
+    from tpu_vpcc.utils.ply import format_ply
+    from tpu_vpcc.utils.synthetic import make_synthetic_frame
+    from tpu_vpcc.video import encoder_supports
+
+    if not (encoder_supports(8) and encoder_supports(10)):
+        pytest.skip("libx265 required")
+    p0 = P(uv0=(3, 1), size_uv0=(1, 1), uv1=(40, 80),
+           occupancy_resolution=16, patch_orientation=PatchOrientation.DEFAULT)
+    p0.set_view_id(0)
+    p0.d1 = 100
+    p0.size_d = 255
+    p1 = P(uv0=(2, 1), size_uv0=(2, 2), uv1=(10, 20),
+           occupancy_resolution=16, patch_orientation=PatchOrientation.ROT90)
+    p1.set_view_id(1)
+    p1.d1 = 100
+    p1.size_d = 255
+    rng = np.random.default_rng(13)
+    sf = make_synthetic_frame(
+        rng, width=64, height=64, occupancy_resolution=16,
+        occupancy_precision=4, patches=[p0, p1],
+    )
+    # only p0's block (pixels x 48-63, y 16-31) is occupied; p1's own
+    # quirked pixel set (x 2-33, y 16-47) is fully unoccupied
+    sf.occ_plane[:] = 0
+    sf.occ_plane[4:8, 12:16] = 1
+    stream = build_fixture_stream([sf])
+
+    d1 = Decoder(Params(stream, use_device=True))
+    d1.start()
+    dev = list(d1)
+    d2 = Decoder(Params(stream, use_device=False))
+    d2.start()
+    orc = list(d2)
+    assert len(dev) == len(orc) == 1
+    assert len(orc[0]) > 0, "p0's occupied block must emit"
+    assert format_ply(dev[0]) == format_ply(orc[0])
+
+
 def test_block_out_of_range_rejected_where_pixels_pass():
     """Pixel-in-range but block-out-of-range (the reference's block-level
     assert panics, decoder.rs:835): the gate must raise UnsupportedFeature

@@ -667,15 +667,11 @@ def _gof_device_inputs(gof: GofData, metas=None) -> DeviceInputs:
         attr_smoothing=None if gof.attr_is_rgb444 else gof.attr_smoothing,
     )
     def occ_provider_for(m):
-        # canvas-order occupancy for the (rare) occupancy-gated ownership
-        # fallback — overlapping non-block-aligned patches only
-        def provider():
-            o = gof.occ_planes[m.frame_index]
-            if gof.tiled:
-                res_ = cfg.occupancy_resolution
-                o = untile_plane(o, cfg.height // res_, cfg.width // res_)
-            return o
-        return provider
+        # occupancy for the (rare) occupancy-gated ownership fallback —
+        # overlapping non-block-aligned patches only. GofData.occ_planes
+        # is always canvas-order (only geo/attr arrive block-tiled from
+        # the native decoder; occ tiles in NumPy at dispatch, line below)
+        return lambda: gof.occ_planes[m.frame_index]
 
     tables = [
         build_group_table(
