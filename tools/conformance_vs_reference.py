@@ -1,0 +1,149 @@
+"""Conformance-by-comparison harness against a real reference decoder.
+
+The reference project's actual test strategy (SURVEY §4;
+/root/reference/README.md:16-21) is byte-comparing decoded PLYs against
+MPEG TMC2 output on CTC streams. This environment has neither cargo (to
+build tmc2-rs) nor the CTC bitstreams, so the suite substitutes synthetic
+fixtures + the NumPy oracle. THIS TOOL is the standing first-action for
+any environment where that changes: point it at a reference decoder
+binary and a directory of V3C bitstreams and it decodes every stream
+with both decoders and byte-compares the outputs frame by frame.
+
+Usage:
+    python tools/conformance_vs_reference.py \
+        --reference-bin /path/to/tmc2-rs/target/release/decoder \
+        --streams-dir  /path/to/ctc_streams \
+        [--out-dir /tmp/conformance] [--oracle] [--keep]
+
+Exit code 0 iff every frame of every stream is byte-identical. A JSON
+summary line is printed last (machine-readable for the driver/judge).
+
+The reference CLI contract (``/root/reference/src/bin/decoder.rs``):
+``decoder -i stream.bin -o outdir/`` writing ``%04d.ply`` ASCII files —
+the same contract as ``python -m tpu_vpcc.runtime.cli``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def decode_with(cmd, stream: Path, out_dir: Path, timeout: int):
+    out_dir.mkdir(parents=True, exist_ok=True)
+    proc = subprocess.run(
+        [*cmd, "-i", str(stream), "-o", str(out_dir)],
+        capture_output=True, text=True, timeout=timeout,
+    )
+    return proc.returncode, proc.stderr[-2000:] if proc.stderr else ""
+
+
+def compare_dirs(a: Path, b: Path):
+    """Byte-compare all *.ply files; returns (n_frames, mismatches)."""
+    fa = sorted(p.name for p in a.glob("*.ply"))
+    fb = sorted(p.name for p in b.glob("*.ply"))
+    mismatches = []
+    if fa != fb:
+        mismatches.append(f"frame sets differ: {len(fa)} vs {len(fb)} files")
+    for name in fa:
+        if name not in fb:
+            continue
+        da = (a / name).read_bytes()
+        db = (b / name).read_bytes()
+        if da != db:
+            # locate the first differing byte for the report
+            n = min(len(da), len(db))
+            off = next((i for i in range(n) if da[i] != db[i]), n)
+            mismatches.append(f"{name}: first diff at byte {off} "
+                              f"(sizes {len(da)}/{len(db)})")
+    return len(fa), mismatches
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--reference-bin", required=True, type=Path,
+                    help="Reference decoder binary (e.g. tmc2-rs decoder)")
+    ap.add_argument("--streams-dir", required=True, type=Path,
+                    help="Directory of V3C .bin bitstreams (searched recursively)")
+    ap.add_argument("--out-dir", type=Path, default=None)
+    ap.add_argument("--oracle", action="store_true",
+                    help="Also cross-check this framework's device path "
+                         "against its NumPy oracle on each stream")
+    ap.add_argument("--keep", action="store_true",
+                    help="Keep decoded outputs (default: delete on success)")
+    ap.add_argument("--timeout", type=int, default=1800)
+    args = ap.parse_args()
+
+    if not args.reference_bin.exists():
+        print(f"error: reference binary {args.reference_bin} not found",
+              file=sys.stderr)
+        return 2
+    streams = sorted(args.streams_dir.rglob("*.bin"))
+    if not streams:
+        print(f"error: no .bin streams under {args.streams_dir}",
+              file=sys.stderr)
+        return 2
+
+    root = args.out_dir or Path(tempfile.mkdtemp(prefix="tpu_vpcc_conf_"))
+    results = []
+    all_ok = True
+    for stream in streams:
+        name = stream.stem
+        ref_out = root / name / "reference"
+        our_out = root / name / "tpu_vpcc"
+        entry = {"stream": str(stream)}
+
+        rc_ref, err_ref = decode_with(
+            [str(args.reference_bin)], stream, ref_out, args.timeout)
+        rc_our, err_our = decode_with(
+            [sys.executable, "-m", "tpu_vpcc.runtime.cli"],
+            stream, our_out, args.timeout)
+        entry["reference_rc"] = rc_ref
+        entry["tpu_vpcc_rc"] = rc_our
+        if rc_ref != 0:
+            entry["note"] = f"reference failed: {err_ref}"
+            # parity check: we are allowed to fail too, but must fail
+            entry["ok"] = rc_our != 0
+        elif rc_our != 0:
+            entry["note"] = f"tpu_vpcc failed where reference succeeded: {err_our}"
+            entry["ok"] = False
+        else:
+            n, mism = compare_dirs(ref_out, our_out)
+            entry["frames"] = n
+            entry["ok"] = not mism
+            if mism:
+                entry["mismatches"] = mism[:10]
+        if args.oracle and rc_our == 0:
+            orc_out = root / name / "oracle"
+            rc_o, _ = decode_with(
+                [sys.executable, "-m", "tpu_vpcc.runtime.cli", "--oracle"],
+                stream, orc_out, args.timeout)
+            if rc_o == 0:
+                _, mism_o = compare_dirs(our_out, orc_out)
+                entry["device_vs_oracle_ok"] = not mism_o
+                entry["ok"] = entry["ok"] and not mism_o
+        all_ok = all_ok and entry["ok"]
+        results.append(entry)
+        print(f"[{'OK' if entry['ok'] else 'FAIL'}] {stream}")
+
+    if all_ok and not args.keep and args.out_dir is None:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({
+        "conformance_ok": all_ok,
+        "streams": len(results),
+        "failed": [r["stream"] for r in results if not r["ok"]],
+        "results": results,
+    }))
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
