@@ -252,12 +252,12 @@ def main() -> int:
         # never orphan an already-spawned extra: its gate would never be
         # released and it would eventually run TPU work unsupervised
         for e in extras_procs:
-            try:
-                e["proc"].kill()
-                e["out"].close()
-                os.unlink(e["out"].name)
-            except Exception:
-                pass
+            for op in (e["proc"].kill, e["proc"].wait,
+                       e["out"].close, lambda: os.unlink(e["out"].name)):
+                try:
+                    op()
+                except Exception:
+                    pass
         extras_procs = []
 
     import jax

@@ -196,6 +196,56 @@ def test_e2e_overlapping_rotated_patch_occupancy_gated():
     assert format_ply(dev[0]) == format_ply(orc[0])
 
 
+def test_occupancy_gated_owner_matches_oracle_randomized():
+    """The vectorized occupancy-gated ownership pass (groups.py fallback)
+    and the oracle's loop-port (generate_block_to_patch) implement the
+    same reference pass (codec.rs:205-250); pin them to each other on
+    randomized mixed-orientation configs so they cannot silently
+    diverge."""
+    from tpu_vpcc.atlas.groups import _occupancy_gated_owner
+    from tpu_vpcc.atlas.patches import _check_orientation_in_range
+    from tpu_vpcc.reconstruction.oracle import generate_block_to_patch
+    from tpu_vpcc.v3c.syntax import UnsupportedFeature
+
+    res, W, H, prec = 4, 32, 32, 2
+    bw, bh = W // res, H // res
+    rng = np.random.default_rng(31)
+    checked = 0
+    for trial in range(40):
+        patches = []
+        while len(patches) < 4:
+            p = Patch(
+                uv0=(int(rng.integers(0, bw)), int(rng.integers(0, bh))),
+                size_uv0=(int(rng.integers(1, 4)), int(rng.integers(1, 4))),
+                occupancy_resolution=res,
+                patch_orientation=PatchOrientation(int(rng.integers(0, 8))),
+            )
+            p.set_view_id(int(rng.integers(0, 6)))
+            p.d1 = 100
+            try:
+                _check_orientation_in_range(p, W, H)
+            except UnsupportedFeature:
+                continue
+            patches.append(p)
+        meta = FrameMeta(width=W, height=H, patches=patches)
+        occ = (rng.random((H // prec, W // prec)) < 0.3).astype(np.uint8)
+
+        per_patch = []
+        for p in patches:
+            a, b, cxb, c, d, cyb = p.orientation_coeffs(1)
+            u0g, v0g = np.meshgrid(
+                np.arange(p.size_uv0[0], dtype=np.int64),
+                np.arange(p.size_uv0[1], dtype=np.int64),
+            )
+            per_patch.append((u0g, v0g, a * u0g + b * v0g + cxb,
+                              c * u0g + d * v0g + cyb))
+        got = _occupancy_gated_owner(meta, per_patch, (bh, bw), occ, prec)
+        want = generate_block_to_patch(meta, occ, res, prec).reshape(bh, bw)
+        np.testing.assert_array_equal(got, want.astype(np.int32))
+        checked += 1
+    assert checked == 40
+
+
 def test_block_out_of_range_rejected_where_pixels_pass():
     """Pixel-in-range but block-out-of-range (the reference's block-level
     assert panics, decoder.rs:835): the gate must raise UnsupportedFeature

@@ -34,15 +34,24 @@ import sys
 import tempfile
 from pathlib import Path
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
 
 
 def decode_with(cmd, stream: Path, out_dir: Path, timeout: int):
+    """Run one decoder; returns (rc, stderr_tail). Timeouts are reported
+    as rc=124 rather than aborting the whole sweep. Children get the repo
+    on PYTHONPATH so `python -m tpu_vpcc...` works from any cwd."""
     out_dir.mkdir(parents=True, exist_ok=True)
-    proc = subprocess.run(
-        [*cmd, "-i", str(stream), "-o", str(out_dir)],
-        capture_output=True, text=True, timeout=timeout,
-    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    try:
+        proc = subprocess.run(
+            [*cmd, "-i", str(stream), "-o", str(out_dir)],
+            capture_output=True, text=True, timeout=timeout, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return 124, f"timeout after {timeout}s"
     return proc.returncode, proc.stderr[-2000:] if proc.stderr else ""
 
 
@@ -123,13 +132,19 @@ def main() -> int:
                 entry["mismatches"] = mism[:10]
         if args.oracle and rc_our == 0:
             orc_out = root / name / "oracle"
-            rc_o, _ = decode_with(
+            rc_o, err_o = decode_with(
                 [sys.executable, "-m", "tpu_vpcc.runtime.cli", "--oracle"],
                 stream, orc_out, args.timeout)
             if rc_o == 0:
                 _, mism_o = compare_dirs(our_out, orc_out)
                 entry["device_vs_oracle_ok"] = not mism_o
                 entry["ok"] = entry["ok"] and not mism_o
+            else:
+                # an oracle crash where the device path decodes IS a
+                # device/oracle discrepancy — the check must not pass
+                entry["device_vs_oracle_ok"] = False
+                entry["oracle_note"] = f"oracle decode failed: {err_o}"
+                entry["ok"] = False
         all_ok = all_ok and entry["ok"]
         results.append(entry)
         print(f"[{'OK' if entry['ok'] else 'FAIL'}] {stream}")

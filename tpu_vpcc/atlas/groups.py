@@ -155,9 +155,8 @@ def build_group_table(
         g_cap = bh * bw
 
     owner = np.zeros((bh, bw), dtype=np.int32)
-    covered = np.zeros((bh, bw), dtype=bool)
-    overlap = False
-    any_nonaligned = False
+    cover_cnt = np.zeros((bh, bw), dtype=np.int32)
+    nonaligned_cover = np.zeros((bh, bw), dtype=bool)
     per_patch = []
     for pidx, patch in enumerate(meta.patches):
         su0, sv0 = patch.size_uv0
@@ -172,17 +171,16 @@ def build_group_table(
                 f"patch {pidx} footprint outside canvas "
                 f"(orientation {patch.patch_orientation!r})"
             )
-        overlap = overlap or bool(covered[by, bx].any())
-        covered[by, bx] = True
+        cover_cnt[by, bx] += 1  # a patch covers each of its blocks once
         if res > 1 and patch.patch_orientation not in _BLOCK_ALIGNED:
-            any_nonaligned = True
+            nonaligned_cover[by, bx] = True
         owner[by, bx] = pidx + 1  # later patches overwrite earlier ones
         per_patch.append((u0g, v0g, bx, by))
 
-    if overlap and any_nonaligned:
-        # a quirk-admitted rotated patch shares a block with another
-        # patch: the occupancy-ignored owner is no longer provably equal
-        # to the reference's (module docstring) — run the exact pass
+    # hazard = some CONTESTED block is covered by a patch whose pixel
+    # tile is not the canvas block; only there can the occupancy-ignored
+    # owner diverge from the reference's (module docstring)
+    if bool((nonaligned_cover & (cover_cnt >= 2)).any()):
         if occ_provider is None:
             raise UnsupportedFeature(
                 "overlapping non-block-aligned patches need the "
