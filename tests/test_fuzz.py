@@ -100,7 +100,63 @@ def _p_sei_stream():
     )
 
 
-def test_bit_flips_in_p_tile_and_sei_regions_fail_cleanly():
+def test_bit_flips_in_rotated_patch_stream_fail_cleanly():
+    """Corruption over a stream with non-DEFAULT orientations (3-bit
+    orientation coding, the dual-assert gate, suffix SEI): parse + patch
+    derivation either succeeds or raises cleanly — corrupted orientation
+    or size fields must surface as UnsupportedFeature/Bitstream errors,
+    never an uncaught AssertionError from the canvas-transform helpers."""
+    from dataclasses import replace as _replace
+
+    from tpu_vpcc.atlas.patches import Patch, create_patch_frames
+    from tpu_vpcc.utils.fixtures import build_fixture_stream
+    from tpu_vpcc.utils.synthetic import make_synthetic_frame
+    from tpu_vpcc.v3c.syntax import PatchOrientation
+    from tpu_vpcc.video import encoder_supports
+
+    if not (encoder_supports(8) and encoder_supports(10)):
+        pytest.skip("libx265 required")
+    p0 = Patch(uv0=(3, 1), size_uv0=(1, 1), uv1=(40, 80),
+               occupancy_resolution=16,
+               patch_orientation=PatchOrientation.DEFAULT)
+    p0.set_view_id(0)
+    p0.d1 = 100
+    p0.size_d = 255
+    p1 = Patch(uv0=(2, 1), size_uv0=(2, 2), uv1=(10, 20),
+               occupancy_resolution=16,
+               patch_orientation=PatchOrientation.ROT90)
+    p1.set_view_id(1)
+    p1.d1 = 100
+    p1.size_d = 255
+    rng = np.random.default_rng(17)
+    sf = make_synthetic_frame(rng, width=64, height=64,
+                              occupancy_resolution=16, occupancy_precision=4,
+                              patches=[_replace(p0), _replace(p1)])
+    stream = bytearray(build_fixture_stream(
+        [sf], suffix_sei=(19, b"\x01\x02")
+    ))
+
+    def run(data):
+        ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(data))
+        while ssvu.get_v3c_unit_count() > 0:
+            ctx = Context()
+            ssvu.decode_gof(ctx)
+            create_patch_frames(ctx)
+
+    run(bytes(stream))  # the unmutated stream must derive
+    raised = 0
+    bad = []
+    for i in range(0, min(400, len(stream)), 3):
+        mutated = bytearray(stream)
+        mutated[i] ^= 0xFF
+        try:
+            run(bytes(mutated))
+        except AssertionError as e:
+            bad.append((i, repr(e)))
+        except Exception:
+            raised += 1
+    assert not bad, f"uncaught AssertionError at offsets {bad[:5]}"
+    assert raised > 0, "no corruption was rejected: loop not effective"
     """Round-2 parse paths (P-tile PDUs, SEIs, ref lists) under
     corruption: parse either succeeds or raises a clean exception; the
     patch derivation must never crash the interpreter or hang."""
