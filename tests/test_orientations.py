@@ -246,6 +246,66 @@ def test_occupancy_gated_owner_matches_oracle_randomized():
     assert checked == 40
 
 
+def test_randomized_mixed_orientation_overlap_device_matches_oracle():
+    """Randomized frames mixing gate-admitted orientations (incl. quirked
+    rotated at res>1) with OVERLAPPING footprints and random occupancy:
+    gather kernel == oracle bit-exactly, including emission order, via
+    the occupancy-gated ownership fallback."""
+    from tpu_vpcc.atlas.patches import _check_orientation_in_range
+    from tpu_vpcc.v3c.syntax import UnsupportedFeature
+
+    res, W, H, prec = 4, 32, 32, 2
+    bw, bh = W // res, H // res
+    rng = np.random.default_rng(23)
+    nonempty = 0
+    for trial in range(12):
+        patches = []
+        while len(patches) < 5:
+            p = Patch(
+                uv0=(int(rng.integers(0, bw)), int(rng.integers(0, bh))),
+                size_uv0=(int(rng.integers(1, 4)), int(rng.integers(1, 4))),
+                uv1=(int(rng.integers(0, 200)), int(rng.integers(0, 200))),
+                occupancy_resolution=res,
+                patch_orientation=PatchOrientation(int(rng.integers(0, 8))),
+            )
+            p.set_view_id(int(rng.integers(0, 6)))
+            p.d1 = 100 if p.projection_mode == 0 else 900
+            try:
+                _check_orientation_in_range(p, W, H)
+            except UnsupportedFeature:
+                continue
+            patches.append(p)
+        meta = FrameMeta(width=W, height=H, patches=patches)
+        occ = (rng.random((H // prec, W // prec)) < 0.5).astype(np.uint8)
+        d0 = rng.integers(0, 256, (H, W)).astype(np.uint16) * 4
+        d1 = np.minimum(d0 // 4 + rng.integers(0, 3, (H, W)), 255).astype(np.uint16) * 4
+        ay = rng.integers(0, 1024, (2, H, W)).astype(np.uint16)
+        au = rng.integers(0, 1024, (2, H // 2, W // 2)).astype(np.uint16)
+        av = rng.integers(0, 1024, (2, H // 2, W // 2)).astype(np.uint16)
+
+        params = GeneratePointCloudParams(
+            occupancy_resolution=res, occupancy_precision=prec,
+            map_count_minus1=1,
+        )
+        ps, _, _ = generate_point_cloud(
+            meta, params, occ, [d0, d1],
+            [[[ay[0], au[0], av[0]], [ay[1], au[1], av[1]]]],
+        )
+        gt = build_group_table(meta, occ_provider=lambda: occ,
+                               occ_precision=prec)
+        cfg = make_config(width=W, height=H, occupancy_resolution=res,
+                          occupancy_precision=prec, map_count=2)
+        pos, col, cnt = reconstruct_frame(
+            gt.fields, occ, d0, d1, ay, au, av, cfg=cfg
+        )
+        n = int(cnt)
+        assert n == ps.point_count, trial
+        np.testing.assert_array_equal(np.asarray(pos)[:n], ps.positions)
+        np.testing.assert_array_equal(np.asarray(col)[:n], ps.colors16bit)
+        nonempty += ps.point_count > 0
+    assert nonempty >= 8, "most random configs should emit points"
+
+
 def test_block_out_of_range_rejected_where_pixels_pass():
     """Pixel-in-range but block-out-of-range (the reference's block-level
     assert panics, decoder.rs:835): the gate must raise UnsupportedFeature
