@@ -299,50 +299,64 @@ def main() -> int:
     def once(fields, occ, geo0, geo1, ay, au, av):
         return _flat_pretiled_impl(fields, occ, geo0, geo1, ay, au, av, fcfg)
 
-    # K-vs-1 differential: two loops identical except for the number of
-    # serially-chained kernel runs per iteration; their time difference
-    # isolates (K-1)*kernel with the per-iteration overhead cancelling
-    # exactly (the kernel is fast enough that overhead otherwise dominates).
+    # K-vs-1 differential with ONE compiled program: the chained loop
+    # takes its trip count as a DYNAMIC argument, so the long (loop_n*K
+    # kernels) and short (loop_n) measurements share a single compile.
+    # Remote compiles are the dominant kernel-stage cost on this tunnel
+    # (a trivial probe measured 383s for one compile on a congested pool,
+    # and the persistent cache does not cover this path), so going from
+    # two loop compiles to one directly shrinks the worst case. The
+    # differential math is unchanged: t(n*K) - t(n) = n*(K-1) chained
+    # kernel runs with the per-call overhead cancelling; the only added
+    # term is the device loop-step bookkeeping (sub-µs per step).
 
-    def make_loop(k):
-        @jax.jit
-        def loop(fields, occ, geo0, geo1, ay, au, av):
-            def body(i, carry):
-                # data-dependent (provably zero) perturbation defeats loop
-                # hoisting so every chained run really executes; the carry
-                # must stay a BARE add — any extra op on the chain (mod,
-                # min) measured +0.19 ms/run by breaking fusion, so
-                # overflow is prevented by bounding loop_n above instead
-                c = carry
-                for _ in range(k):
-                    bump = jnp.where(c < 0, 1, 0).astype(occ.dtype)
-                    _, _, cnt = _flat_pretiled_impl(
-                        fields, occ + bump, geo0, geo1, ay, au, av, fcfg
-                    )
-                    c = c + cnt.sum()
-                return c
-            return jax.lax.fori_loop(0, loop_n, body, jnp.int32(0))
-        return loop
+    @jax.jit
+    def chained(n, fields, occ, geo0, geo1, ay, au, av):
+        def body(i, carry):
+            # Data-dependent (provably zero) perturbations defeat loop
+            # hoisting so every chained run really executes — occ feeds
+            # the geometry/validity path and ay the color path (without
+            # the ay bump the attribute gathers are loop-invariant and
+            # hoist). The carry must stay BARE adds — any extra op on
+            # the chain (mod, min) measured +0.19 ms/run by breaking
+            # fusion, so overflow is prevented by bounding loop_n above.
+            c = carry
+            bump = jnp.where(c < 0, 1, 0)
+            pos, col, cnt = _flat_pretiled_impl(
+                fields, occ + bump.astype(occ.dtype), geo0, geo1,
+                ay + bump.astype(ay.dtype), au, av, fcfg,
+            )
+            # consume every output family: cnt alone lets XLA dead-code
+            # the compaction sort and the whole color path (round-3
+            # finding — 0 sort ops survived in the loop HLO; the real
+            # pipeline has them). pos pins sort payload s0, col[...,0]
+            # pins s1, col[...,1] pins s2.
+            probe = (
+                pos[0, 0, 0].astype(jnp.int32)
+                + col[0, 0, 0].astype(jnp.int32)
+                + col[0, 0, 1].astype(jnp.int32)
+            )
+            return c + cnt.sum() + probe
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
-    loop_k = make_loop(K)
-    loop_1 = make_loop(1)
+    n_long = np.int32(loop_n * K)
+    n_short = np.int32(loop_n)
 
     # compile + points-per-frame
     pos, col, cnt = once(*inputs)
     counts = np.asarray(cnt)
     mean_points = float(counts.mean())
-    _ = np.asarray(loop_k(*inputs))  # compile
-    _ = np.asarray(loop_1(*inputs))
+    _ = np.asarray(chained(n_long, *inputs))  # one compile for both trip counts
 
     # --- device-true kernel throughput (K-vs-1 differential) -------------
     def measure(reps):
         dt_k, dt_1 = [], []
         for _ in range(reps):
             t0 = time.perf_counter()
-            _ = np.asarray(loop_k(*inputs))
+            _ = np.asarray(chained(n_long, *inputs))
             dt_k.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
-            _ = np.asarray(loop_1(*inputs))
+            _ = np.asarray(chained(n_short, *inputs))
             dt_1.append(time.perf_counter() - t0)
         net = (min(dt_k) - min(dt_1)) / (loop_n * (K - 1))
         return net, min(dt_1)

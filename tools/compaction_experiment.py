@@ -25,7 +25,11 @@ Decision rule: if floor(B) > ceiling(A), in-kernel compaction cannot
 win; record the negative result in PERFORMANCE.md and keep the XLA sort.
 
 Usage (real chip, one TPU job at a time):
-    python tools/compaction_experiment.py [batch] [loop_n]
+    python tools/compaction_experiment.py [batch] [loop_n] [variants]
+where ``variants`` is a comma list from {full_sort,nosort,pallas_cursor}
+(default: all three). Remote compiles dominate wall time (~400 s each on
+a congested tunnel), so B-scaling sweeps should pass
+``full_sort`` or ``full_sort,nosort`` to skip the Pallas compile.
 """
 
 from __future__ import annotations
@@ -169,11 +173,20 @@ def measure_variant(fn, cfg, fcfg, inputs, loop_n, K=9, reps=5):
             def body(i, carry):
                 c = carry
                 for _ in range(k):
-                    bump = jnp.where(c < 0, 1, 0).astype(occ.dtype)
-                    _, _, cnt = fn(
-                        fields, occ + bump, geo0, geo1, ay, au, av, cfg=fcfg
+                    bump = jnp.where(c < 0, 1, 0)
+                    pos, col, cnt = fn(
+                        fields, occ + bump.astype(occ.dtype), geo0, geo1,
+                        ay + bump.astype(ay.dtype), au, av, cfg=fcfg,
                     )
-                    c = c + cnt.sum()
+                    # consume all output families — cnt alone lets XLA
+                    # dead-code the compaction sort and the color path
+                    # out of the measured graph (see bench.py)
+                    c = (
+                        c + cnt.sum()
+                        + pos[0, 0, 0].astype(jnp.int32)
+                        + col[0, 0, 0].astype(jnp.int32)
+                        + col[0, 0, 1].astype(jnp.int32)
+                    )
                 return c
             return jax.lax.fori_loop(0, loop_n, body, jnp.int32(0))
         return loop
@@ -195,6 +208,10 @@ def measure_variant(fn, cfg, fcfg, inputs, loop_n, K=9, reps=5):
 def main() -> int:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     loop_n = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    variants = (
+        sys.argv[3].split(",") if len(sys.argv) > 3
+        else ["full_sort", "nosort", "pallas_cursor"]
+    )
     K = 9
     loop_n = min(loop_n, max(1, (2**31 - 1) // (batch * K * 3_000_000)))
 
@@ -214,32 +231,39 @@ def main() -> int:
     dev = jax.devices()[0]
     inputs = [jax.device_put(a, dev) for a in host_inputs]
 
-    # correctness probe: the cursor kernel's final count must equal the
-    # XLA count (the data outputs are deliberately uncompacted garbage)
-    full = jax.jit(functools.partial(run_full, cfg=fcfg))(*inputs)
-    pc = jax.jit(functools.partial(run_pallas_cursor, cfg=fcfg))(*inputs)
-    want = int(np.asarray(full[2]).sum())
-    got = int(np.asarray(pc[2])[0])
-    assert got == want, (got, want)
+    want = None
+    if "pallas_cursor" in variants:
+        # correctness probe: the cursor kernel's final count must equal
+        # the XLA count (the data outputs are deliberately uncompacted
+        # garbage)
+        full = jax.jit(functools.partial(run_full, cfg=fcfg))(*inputs)
+        pc = jax.jit(functools.partial(run_pallas_cursor, cfg=fcfg))(*inputs)
+        want = int(np.asarray(full[2]).sum())
+        got = int(np.asarray(pc[2])[0])
+        assert got == want, (got, want)
 
+    all_fns = {
+        "full_sort": run_full,
+        "nosort": run_nosort,
+        "pallas_cursor": run_pallas_cursor,
+    }
     results = {}
-    for name, fn in (
-        ("full_sort", run_full),
-        ("nosort", run_nosort),
-        ("pallas_cursor", run_pallas_cursor),
-    ):
-        dt = measure_variant(fn, cfg, fcfg, inputs, loop_n, K=K)
+    for name in variants:
+        dt = measure_variant(all_fns[name], cfg, fcfg, inputs, loop_n, K=K)
         results[name] = round(dt / batch * 1000, 4)  # ms/frame
 
-    results["sort_cost_ceiling_ms"] = round(
-        results["full_sort"] - results["nosort"], 4
-    )
-    results["pallas_mechanism_floor_ms"] = round(
-        results["pallas_cursor"] - results["nosort"], 4
-    )
+    if "full_sort" in results and "nosort" in results:
+        results["sort_cost_ceiling_ms"] = round(
+            results["full_sort"] - results["nosort"], 4
+        )
+    if "pallas_cursor" in results and "nosort" in results:
+        results["pallas_mechanism_floor_ms"] = round(
+            results["pallas_cursor"] - results["nosort"], 4
+        )
     results["batch"] = batch
     results["device"] = str(dev)
-    results["total_points_check"] = want
+    if want is not None:
+        results["total_points_check"] = want
     print(json.dumps(results))
     return 0
 
