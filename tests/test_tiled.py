@@ -105,3 +105,41 @@ def test_tiled_batch_matches_per_frame():
         assert int(bcnt[k]) == n
         np.testing.assert_array_equal(np.asarray(bpos[k])[:n], np.asarray(p)[:n])
         np.testing.assert_array_equal(np.asarray(bcol[k])[:n], np.asarray(c)[:n])
+
+
+def test_compaction_variants_bit_exact():
+    """Every alternative compaction strategy produces the identical
+    compacted prefix (and count) as the production payload sort, on
+    random payload words with a random validity mask — incl. F>1 frame
+    folding and all-valid / all-invalid frames."""
+    import jax.numpy as jnp
+
+    from tpu_vpcc.ops.tiled import (
+        _compact_words,
+        _compact_words_key_iota,
+        _compact_words_packed_sort,
+        _compact_words_scatter,
+    )
+
+    rng = np.random.default_rng(41)
+    for F, S in ((1, 4096), (3, 2048), (2, 512)):
+        w = rng.integers(0, 2**32, (3, F, S), dtype=np.uint64).astype(np.uint32)
+        valid = rng.random((F, S)) < rng.uniform(0.1, 0.9)
+        valid[0, :] = True if F == 2 else valid[0, :]
+        if F == 3:
+            valid[1, :] = False  # an empty frame inside the batch
+        args = (jnp.asarray(w[0]), jnp.asarray(w[1]), jnp.asarray(w[2]),
+                jnp.asarray(valid), F, S)
+        rp, rc, rcnt = [np.asarray(x) for x in _compact_words(*args)]
+        for fn in (_compact_words_packed_sort, _compact_words_key_iota,
+                   _compact_words_scatter):
+            p, c, cnt = [np.asarray(x) for x in fn(*args)]
+            np.testing.assert_array_equal(cnt, rcnt, err_msg=fn.__name__)
+            for f in range(F):
+                n = int(rcnt[f])
+                np.testing.assert_array_equal(
+                    p[f, :n], rp[f, :n], err_msg=fn.__name__
+                )
+                np.testing.assert_array_equal(
+                    c[f, :n], rc[f, :n], err_msg=fn.__name__
+                )

@@ -54,6 +54,9 @@ from tpu_vpcc.atlas import groups as G  # noqa: E402
 from tpu_vpcc.models.flagship import FlagshipConfig, example_batch_inputs  # noqa: E402
 from tpu_vpcc.ops.tiled import (  # noqa: E402
     _compact_words,
+    _compact_words_key_iota,
+    _compact_words_packed_sort,
+    _compact_words_scatter,
     _flat_pretiled_impl,
     _pretiled_gather_tiles,
     _tiles_to_words,
@@ -90,6 +93,18 @@ def run_nosort(*args, cfg):
     positions = jnp.stack([lo(w0), hi(w0), lo(w1)], axis=-1).reshape(F, S, 3)
     colors16 = jnp.stack([hi(w1), lo(w2), hi(w2)], axis=-1).reshape(F, S, 3)
     return positions, colors16, counts
+
+
+def _make_compact_variant(compact_fn):
+    def run(*args, cfg):
+        (w0, w1, w2, valid), F, S = _words(*args, cfg=cfg)
+        return compact_fn(w0, w1, w2, valid, F, S)
+    return run
+
+
+run_packed_sort = _make_compact_variant(_compact_words_packed_sort)
+run_key_iota_sort = _make_compact_variant(_compact_words_key_iota)
+run_scatter_partition = _make_compact_variant(_compact_words_scatter)
 
 
 ROWS, LANES = 8, 1024  # CH = ROWS * LANES per grid step
@@ -246,6 +261,9 @@ def main() -> int:
         "full_sort": run_full,
         "nosort": run_nosort,
         "pallas_cursor": run_pallas_cursor,
+        "packed_sort": run_packed_sort,
+        "key_iota_sort": run_key_iota_sort,
+        "scatter_partition": run_scatter_partition,
     }
     results = {}
     for name in variants:

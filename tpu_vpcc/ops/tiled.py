@@ -270,6 +270,86 @@ def _compact_words(w0, w1, w2, valid, F, S):
     return positions, colors16, counts
 
 
+# --- alternative compaction strategies (round-3 candidates) ---------------
+# The 4-operand payload sort measured 22 ms/frame once the benchmark's
+# DCE hole was fixed (XLA:TPU sort is a bitonic network — O(n log^2 n)
+# memory passes over every operand byte). These variants shrink the
+# bytes moving through the sort network, or avoid the sort entirely.
+# Bit-exactness: all produce the identical compacted prefix; pinned by
+# tests/test_tiled.py.
+
+_IDX_BITS = 27  # flat slot index budget: F*S < 2^27 (F<=40 at 1280^2)
+
+
+def _unpack_sorted(s0, s1, s2, valid, F, S):
+    counts = valid.sum(axis=1, dtype=jnp.int32)
+    lo = lambda w: (w & 0xFFFF).astype(jnp.uint16)  # noqa: E731
+    hi = lambda w: (w >> 16).astype(jnp.uint16)  # noqa: E731
+    positions = jnp.stack([lo(s0), hi(s0), lo(s1)], axis=-1).reshape(F, S, 3)
+    colors16 = jnp.stack([hi(s1), lo(s2), hi(s2)], axis=-1).reshape(F, S, 3)
+    return positions, colors16, counts
+
+
+def _compact_words_packed_sort(w0, w1, w2, valid, F, S):
+    """Compaction via ONE single-operand u32 sort of (key << 27 | slot
+    index) — the embedded index makes the sort stable for free — then
+    three payload gathers by the recovered index. 4 B/element of sort
+    traffic instead of the payload sort's 16 B/element."""
+    N = F * S
+    assert N < (1 << _IDX_BITS) and 2 * F <= (1 << (32 - _IDX_BITS))
+    key = (
+        jax.lax.broadcasted_iota(jnp.uint32, (F, S), 0) * 2
+        + (~valid).astype(jnp.uint32)
+    ).reshape(-1)
+    idx = jax.lax.broadcasted_iota(jnp.uint32, (N, 1), 0).reshape(-1)
+    s = jax.lax.sort((key << _IDX_BITS) | idx)
+    si = (s & ((1 << _IDX_BITS) - 1)).astype(jnp.int32)
+    return _unpack_sorted(
+        w0.reshape(-1)[si], w1.reshape(-1)[si], w2.reshape(-1)[si],
+        valid, F, S,
+    )
+
+
+def _compact_words_key_iota(w0, w1, w2, valid, F, S):
+    """Compaction via a (key, iota) 2-operand stable sort + 3 payload
+    gathers (8 B/element of sort traffic)."""
+    N = F * S
+    key = (
+        jax.lax.broadcasted_iota(jnp.int32, (F, S), 0) * 2
+        + (~valid).astype(jnp.int32)
+    ).reshape(-1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).reshape(-1)
+    _, si = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
+    return _unpack_sorted(
+        w0.reshape(-1)[si], w1.reshape(-1)[si], w2.reshape(-1)[si],
+        valid, F, S,
+    )
+
+
+def _compact_words_scatter(w0, w1, w2, valid, F, S):
+    """Compaction with NO sort: exclusive-cumsum destination ranks + one
+    u32 permutation scatter (unique indices) to build the inverse
+    permutation + 3 payload gathers. Risk: XLA:TPU scatter lowering."""
+    N = F * S
+    v = valid.astype(jnp.int32)
+    rank_v = jnp.cumsum(v, axis=1) - v
+    nv = 1 - v
+    rank_i = jnp.cumsum(nv, axis=1) - nv
+    counts = v.sum(axis=1, dtype=jnp.int32)
+    base = jax.lax.broadcasted_iota(jnp.int32, (F, S), 0) * S
+    dest = base + jnp.where(valid, rank_v, counts[:, None] + rank_i)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).reshape(-1)
+    inv = (
+        jnp.zeros(N, jnp.int32)
+        .at[dest.reshape(-1)]
+        .set(iota, unique_indices=True)
+    )
+    return _unpack_sorted(
+        w0.reshape(-1)[inv], w1.reshape(-1)[inv], w2.reshape(-1)[inv],
+        valid, F, S,
+    )
+
+
 def _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg):
     """Shared tail: payload-word computation + sort-based compaction."""
     w0, w1, w2, valid = _tiles_to_words(
