@@ -66,8 +66,9 @@ from tpu_vpcc.ops.tiled import (  # noqa: E402
 CH = 8192  # payload elements per grid step (32 KB/u32 array)
 
 
-def _words(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
-    """Shared XLA prefix: everything up to the payload words."""
+def _words(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg, **probe):
+    """Shared XLA prefix: everything up to the payload words. ``probe``
+    forwards the cost-probe switches of ``_tiles_to_words``."""
     F = fields.shape[0]
     FG = F * fields.shape[1]
     S = fields.shape[1] * cfg.slots_per_block
@@ -76,23 +77,38 @@ def _words(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
     )
     fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
     fid = lambda idx: fields_f[:, idx]  # noqa: E731
-    return _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg), F, S
+    return (
+        _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg, **probe),
+        F, S,
+    )
 
 
 def run_full(*args, cfg):
     return _flat_pretiled_impl(*args, cfg)
 
 
-def run_nosort(*args, cfg):
+def run_nosort(*args, cfg, **probe):
     """Same shapes/dtypes as run_full, compaction replaced by a direct
     unpack (output is uncompacted — a cost probe, not a correct result)."""
-    (w0, w1, w2, valid), F, S = _words(*args, cfg=cfg)
+    (w0, w1, w2, valid), F, S = _words(*args, cfg=cfg, **probe)
     counts = valid.sum(axis=1, dtype=jnp.int32)
     lo = lambda w: (w & 0xFFFF).astype(jnp.uint16)  # noqa: E731
     hi = lambda w: (w >> 16).astype(jnp.uint16)  # noqa: E731
     positions = jnp.stack([lo(w0), hi(w0), lo(w1)], axis=-1).reshape(F, S, 3)
     colors16 = jnp.stack([hi(w1), lo(w2), hi(w2)], axis=-1).reshape(F, S, 3)
     return positions, colors16, counts
+
+
+def run_nosort_nofix(*args, cfg):
+    """Stage probe: nosort with the SWAP-tile transpose step removed
+    (wrong output for SWAP tiles; isolates the [N,16,16] transpose cost)."""
+    return run_nosort(*args, cfg=cfg, _fix_orientation=False)
+
+
+def run_nosort_nocolor(*args, cfg):
+    """Stage probe: nosort with the whole color path dead (t_b/t_c
+    unused; isolates the attribute processing cost)."""
+    return run_nosort(*args, cfg=cfg, _color=False)
 
 
 def _make_compact_variant(compact_fn):
@@ -260,6 +276,8 @@ def main() -> int:
     all_fns = {
         "full_sort": run_full,
         "nosort": run_nosort,
+        "nosort_nofix": run_nosort_nofix,
+        "nosort_nocolor": run_nosort_nocolor,
         "pallas_cursor": run_pallas_cursor,
         "packed_sort": run_packed_sort,
         "key_iota_sort": run_key_iota_sort,

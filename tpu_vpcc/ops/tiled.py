@@ -135,11 +135,16 @@ def _flat_tiled_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
     return _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg)
 
 
-def _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg):
+def _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg,
+                    _fix_orientation=True, _color=True):
     """Steps 3-6 of the tail: orientation fix, unpack, point/color
     compute, optional smoothing, u32 payload packing — everything up to
     (but not including) compaction. Returns ``(w0, w1, w2, valid)``,
     each ``(F, S)``, in emission order.
+
+    ``_fix_orientation=False`` / ``_color=False`` are COST-PROBE switches
+    for tools/compaction_experiment.py stage decomposition (outputs wrong
+    / colors zeroed); production always uses the defaults.
 
     BIT-EXACTNESS NOTE: the per-point math duplicates
     reconstruct.compute_slots and reconstruct._flat_batch_impl; change
@@ -148,23 +153,29 @@ def _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg):
     mc = cfg.map_count
 
     # --- 3. orientation fix (transpose SWAP-family tiles) -----------------
-    sw = (fid(G.G_SWAP) == 1)[:, None, None]
-    fix = lambda t: jnp.where(sw, t.transpose(0, 2, 1), t)  # noqa: E731
-    t_a = fix(t_a)
-    t_b = fix(t_b)
-    t_c = fix(t_c)
+    if _fix_orientation:
+        sw = (fid(G.G_SWAP) == 1)[:, None, None]
+        fix = lambda t: jnp.where(sw, t.transpose(0, 2, 1), t)  # noqa: E731
+        t_a = fix(t_a)
+        t_b = fix(t_b)
+        t_c = fix(t_c)
 
     # --- 4. unpack to slot grids [FG, res, res] ---------------------------
     M10 = 0x3FF
     d0 = (t_a & M10).astype(jnp.int32) >> cfg.geo_shift
     d1 = ((t_a >> 10) & M10).astype(jnp.int32) >> cfg.geo_shift
     occ_bit_t = ((t_a >> 20) & 1).astype(jnp.int32)
-    cy0 = (t_b & M10).astype(jnp.int32)
-    cy1 = ((t_b >> 10) & M10).astype(jnp.int32)
-    cu0 = ((t_b >> 20) & M10).astype(jnp.int32)
-    cv0 = (t_c & M10).astype(jnp.int32)
-    cv1 = ((t_c >> 10) & M10).astype(jnp.int32)
-    cu1 = ((t_c >> 20) & M10).astype(jnp.int32)
+    if _color:
+        cy0 = (t_b & M10).astype(jnp.int32)
+        cy1 = ((t_b >> 10) & M10).astype(jnp.int32)
+        cu0 = ((t_b >> 20) & M10).astype(jnp.int32)
+        cv0 = (t_c & M10).astype(jnp.int32)
+        cv1 = ((t_c >> 10) & M10).astype(jnp.int32)
+        cu1 = ((t_c >> 20) & M10).astype(jnp.int32)
+    else:  # cost probe: drop the whole color path (t_b/t_c dead)
+        cy0 = cy1 = cu0 = cv0 = cv1 = cu1 = jnp.zeros(
+            (FG, res, res), jnp.int32
+        )
 
     # --- 5. per-slot compute with group-field broadcasting ----------------
     bcast = lambda idx: fid(idx)[:, None, None]  # noqa: E731
