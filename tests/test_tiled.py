@@ -121,9 +121,21 @@ def test_compaction_variants_bit_exact():
         _compact_words_scatter,
     )
 
+    from tpu_vpcc.ops.tiled import (
+        _compact_words_narrow_stable,
+        _compact_words_narrow_unique,
+    )
+
     rng = np.random.default_rng(41)
     for F, S in ((1, 4096), (3, 2048), (2, 512)):
-        w = rng.integers(0, 2**32, (3, F, S), dtype=np.uint64).astype(np.uint32)
+        # contract-consistent payload words (tiled path: 10-bit samples):
+        # w0 = xs|ys<<16 (full u16 halves), w1 = zs|cy<<16 (cy 10-bit),
+        # w2 = cu|cv<<16 (10-bit each)
+        xs, ys, zs = (rng.integers(0, 2**16, (3, F, S), dtype=np.uint32)
+                      .astype(np.uint32))
+        cy, cu, cv = (rng.integers(0, 1024, (3, F, S), dtype=np.uint32)
+                      .astype(np.uint32))
+        w = np.stack([xs | (ys << 16), zs | (cy << 16), cu | (cv << 16)])
         valid = rng.random((F, S)) < rng.uniform(0.1, 0.9)
         valid[0, :] = True if F == 2 else valid[0, :]
         if F == 3:
@@ -132,7 +144,8 @@ def test_compaction_variants_bit_exact():
                 jnp.asarray(valid), F, S)
         rp, rc, rcnt = [np.asarray(x) for x in _compact_words(*args)]
         for fn in (_compact_words_packed_sort, _compact_words_key_iota,
-                   _compact_words_scatter):
+                   _compact_words_scatter, _compact_words_narrow_stable,
+                   _compact_words_narrow_unique):
             p, c, cnt = [np.asarray(x) for x in fn(*args)]
             np.testing.assert_array_equal(cnt, rcnt, err_msg=fn.__name__)
             for f in range(F):

@@ -121,6 +121,36 @@ def _make_compact_variant(compact_fn):
 run_packed_sort = _make_compact_variant(_compact_words_packed_sort)
 run_key_iota_sort = _make_compact_variant(_compact_words_key_iota)
 run_scatter_partition = _make_compact_variant(_compact_words_scatter)
+run_narrow_stable = _make_compact_variant(_compact_words_narrow_stable)
+run_narrow_unique = _make_compact_variant(_compact_words_narrow_unique)
+
+
+def _make_segsort_probe(seg):
+    def run(*args, cfg):
+        """COST PROBE: batched per-segment sort along the minor axis —
+        each `seg`-wide segment partitions independently (output is only
+        segment-partitioned, NOT the global prefix; measures how much of
+        the full sort's O(n log^2 n) a two-stage design could save)."""
+        (w0, w1, w2, valid), F, S = _words(*args, cfg=cfg)
+        N = F * S
+        assert N % seg == 0
+        r = lambda a: a.reshape(N // seg, seg)  # noqa: E731
+        k = r((~valid).reshape(-1).astype(jnp.uint8))
+        _, s0, s1, s2 = jax.lax.sort(
+            (k, r(w0.reshape(-1)), r(w1.reshape(-1)), r(w2.reshape(-1))),
+            num_keys=1, is_stable=True,
+        )
+        from tpu_vpcc.ops.tiled import _unpack_sorted
+
+        return _unpack_sorted(
+            s0.reshape(F, S), s1.reshape(F, S), s2.reshape(F, S),
+            valid, F, S,
+        )
+    return run
+
+
+run_segsort_8k = _make_segsort_probe(8192)
+run_segsort_2k = _make_segsort_probe(2048)
 
 
 ROWS, LANES = 8, 1024  # CH = ROWS * LANES per grid step
@@ -282,6 +312,10 @@ def main() -> int:
         "packed_sort": run_packed_sort,
         "key_iota_sort": run_key_iota_sort,
         "scatter_partition": run_scatter_partition,
+        "narrow_stable": run_narrow_stable,
+        "narrow_unique": run_narrow_unique,
+        "segsort_8k": run_segsort_8k,
+        "segsort_2k": run_segsort_2k,
     }
     results = {}
     for name in variants:
