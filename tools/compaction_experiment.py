@@ -55,6 +55,8 @@ from tpu_vpcc.models.flagship import FlagshipConfig, example_batch_inputs  # noq
 from tpu_vpcc.ops.tiled import (  # noqa: E402
     _compact_words,
     _compact_words_key_iota,
+    _compact_words_narrow_stable,
+    _compact_words_narrow_unique,
     _compact_words_packed_sort,
     _compact_words_scatter,
     _flat_pretiled_impl,
