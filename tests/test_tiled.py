@@ -118,6 +118,7 @@ def test_compaction_variants_bit_exact():
         _compact_words,
         _compact_words_key_iota,
         _compact_words_packed_sort,
+        _compact_words_payload_sort,
         _compact_words_scatter,
     )
 
@@ -142,10 +143,10 @@ def test_compaction_variants_bit_exact():
             valid[1, :] = False  # an empty frame inside the batch
         args = (jnp.asarray(w[0]), jnp.asarray(w[1]), jnp.asarray(w[2]),
                 jnp.asarray(valid), F, S)
-        rp, rc, rcnt = [np.asarray(x) for x in _compact_words(*args)]
-        for fn in (_compact_words_packed_sort, _compact_words_key_iota,
-                   _compact_words_scatter, _compact_words_narrow_stable,
-                   _compact_words_narrow_unique):
+        rp, rc, rcnt = [np.asarray(x) for x in _compact_words_payload_sort(*args)]
+        for fn in (_compact_words, _compact_words_packed_sort,
+                   _compact_words_key_iota, _compact_words_scatter,
+                   _compact_words_narrow_stable, _compact_words_narrow_unique):
             p, c, cnt = [np.asarray(x) for x in fn(*args)]
             np.testing.assert_array_equal(cnt, rcnt, err_msg=fn.__name__)
             for f in range(F):
