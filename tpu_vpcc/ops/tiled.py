@@ -136,7 +136,8 @@ def _flat_tiled_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
 
 
 def _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg,
-                    _fix_orientation=True, _color=True):
+                    _fix_orientation=True, _color=True,
+                    _narrow_emit=False):
     """Steps 3-6 of the tail: orientation fix, unpack, point/color
     compute, optional smoothing, u32 payload packing — everything up to
     (but not including) compaction. Returns ``(w0, w1, w2, valid)``,
@@ -217,6 +218,27 @@ def _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg,
     # --- 6. interleave maps into slot order, optional smoothing, pack ----
     def interleave(a, b):
         return jnp.stack([a, b], axis=-1).reshape(F, S)
+
+    if _narrow_emit:
+        # pack per-map in GRID space and interleave only four arrays
+        # (w0, zs, wc, valid) instead of seven — equivalent because
+        # elementwise packing commutes with the interleave permutation;
+        # feeds _compact_narrow_triple directly (10 B sort payload,
+        # no intermediate w1/w2). Only valid when nothing downstream
+        # needs unpacked coordinates (i.e. smoothing off).
+        pk = lambda a, b: a.astype(jnp.uint32) | (b.astype(jnp.uint32) << 16)  # noqa: E731
+        wc_of = lambda cy, cu, cv: (  # noqa: E731
+            cy.astype(jnp.uint32)
+            | (cu.astype(jnp.uint32) << 10)
+            | (cv.astype(jnp.uint32) << 20)
+        )
+        w0 = interleave(pk(p0x, p0y), pk(p1x, p1y))
+        zs = interleave(
+            p0z.astype(jnp.uint16), p1z.astype(jnp.uint16)
+        )
+        wc = interleave(wc_of(cy0, cu0, cv0), wc_of(cy1, cu1, cv1))
+        valid = jnp.stack([valid0, valid1], axis=-1).reshape(F, S)
+        return w0, zs, wc, valid
 
     xs = interleave(p0x, p1x)
     ys = interleave(p0y, p1y)
@@ -444,8 +466,46 @@ def _compact_words_scatter(w0, w1, w2, valid, F, S):
     )
 
 
+def _compact_narrow_triple(w0, zs, wc, valid, F, S):
+    """The narrow unique-key compaction on natively-narrow inputs
+    (w0 = xs|ys u32, zs u16, wc = cy|cu|cv u32)."""
+    N = F * S
+    key = (
+        jax.lax.broadcasted_iota(jnp.uint32, (F, S), 0) * 2
+        + (~valid).astype(jnp.uint32)
+    ).reshape(-1)
+    idx = jax.lax.broadcasted_iota(jnp.uint32, (N, 1), 0).reshape(-1)
+    _, s0, sz, sc = jax.lax.sort(
+        ((key << _IDX_BITS) | idx, w0.reshape(-1), zs.reshape(-1),
+         wc.reshape(-1)),
+        num_keys=1, is_stable=False,
+    )
+    return _unpack_narrow_sorted(
+        s0.reshape(F, S), sz.reshape(F, S), sc.reshape(F, S), valid, F, S
+    )
+
+
 def _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg):
-    """Shared tail: payload-word computation + sort-based compaction."""
+    """Shared tail: payload-word computation + sort-based compaction.
+
+    Fast path (no smoothing, narrow-key budget holds): pack per-map in
+    grid space and run the narrow unique-key sort directly — four
+    interleaved arrays and 10 B of sort payload instead of seven arrays
+    and the 12 B w1/w2 detour. Smoothing needs unpacked coordinates, so
+    it takes the general path (whose _compact_words re-narrows anyway).
+    """
+    N = F * S
+    narrow_ok = (
+        cfg.smoothing is None
+        and cfg.attr_smoothing is None
+        and N < (1 << _IDX_BITS)
+        and 2 * F <= (1 << (32 - _IDX_BITS))
+    )
+    if narrow_ok:
+        w0, zs, wc, valid = _tiles_to_words(
+            fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg, _narrow_emit=True
+        )
+        return _compact_narrow_triple(w0, zs, wc, valid, F, S)
     w0, w1, w2, valid = _tiles_to_words(
         fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg
     )
