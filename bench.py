@@ -326,13 +326,18 @@ def main() -> int:
                 fields, occ + bump.astype(occ.dtype), geo0, geo1,
                 ay + bump.astype(ay.dtype), au, av, fcfg,
             )
-            # consume every output family: cnt alone lets XLA dead-code
+            # consume every SORT OPERAND: cnt alone lets XLA dead-code
             # the compaction sort and the whole color path (round-3
-            # finding — 0 sort ops survived in the loop HLO; the real
-            # pipeline has them). pos pins sort payload s0, col[...,0]
-            # pins s1, col[...,1] pins s2.
+            # finding — 0 sort ops survived in the loop HLO), and a
+            # partial probe lets the SortSimplifier drop individual
+            # payload operands (second round-3 finding: without
+            # pos[...,2] the narrow layout's u16 zs operand was removed,
+            # verified in HLO). Narrow layout pins: pos[...,0/1] -> w0,
+            # pos[...,2] -> zs, col[...] -> wc; the same probe also pins
+            # all operands of the wide fallback layout.
             probe = (
                 pos[0, 0, 0].astype(jnp.int32)
+                + pos[0, 0, 2].astype(jnp.int32)
                 + col[0, 0, 0].astype(jnp.int32)
                 + col[0, 0, 1].astype(jnp.int32)
             )

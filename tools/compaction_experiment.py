@@ -53,7 +53,6 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 from tpu_vpcc.atlas import groups as G  # noqa: E402
 from tpu_vpcc.models.flagship import FlagshipConfig, example_batch_inputs  # noqa: E402
 from tpu_vpcc.ops.tiled import (  # noqa: E402
-    _compact_words,
     _compact_words_key_iota,
     _compact_words_narrow_stable,
     _compact_words_narrow_unique,
@@ -230,40 +229,41 @@ def run_pallas_cursor(*args, cfg):
 
 
 def measure_variant(fn, cfg, fcfg, inputs, loop_n, K=9, reps=5):
-    def make_loop(k):
-        @jax.jit
-        def loop(fields, occ, geo0, geo1, ay, au, av):
-            def body(i, carry):
-                c = carry
-                for _ in range(k):
-                    bump = jnp.where(c < 0, 1, 0)
-                    pos, col, cnt = fn(
-                        fields, occ + bump.astype(occ.dtype), geo0, geo1,
-                        ay + bump.astype(ay.dtype), au, av, cfg=fcfg,
-                    )
-                    # consume all output families — cnt alone lets XLA
-                    # dead-code the compaction sort and the color path
-                    # out of the measured graph (see bench.py)
-                    c = (
-                        c + cnt.sum()
-                        + pos[0, 0, 0].astype(jnp.int32)
-                        + col[0, 0, 0].astype(jnp.int32)
-                        + col[0, 0, 1].astype(jnp.int32)
-                    )
-                return c
-            return jax.lax.fori_loop(0, loop_n, body, jnp.int32(0))
-        return loop
+    # single-compile dynamic-trip-count loop (same as bench.py): the
+    # long and short measurements share one remote compile (~400 s each
+    # on a congested tunnel)
+    @jax.jit
+    def chained(n, fields, occ, geo0, geo1, ay, au, av):
+        def body(i, carry):
+            c = carry
+            bump = jnp.where(c < 0, 1, 0)
+            pos, col, cnt = fn(
+                fields, occ + bump.astype(occ.dtype), geo0, geo1,
+                ay + bump.astype(ay.dtype), au, av, cfg=fcfg,
+            )
+            # consume every sort OPERAND, not just output families — a
+            # partial probe lets XLA's SortSimplifier drop individual
+            # payload operands (see bench.py): pos[...,0/2] pin w0/zs,
+            # col[...] pins wc (and s1/s2 of the wide layout)
+            return (
+                c + cnt.sum()
+                + pos[0, 0, 0].astype(jnp.int32)
+                + pos[0, 0, 2].astype(jnp.int32)
+                + col[0, 0, 0].astype(jnp.int32)
+                + col[0, 0, 1].astype(jnp.int32)
+            )
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
-    loop_k, loop_1 = make_loop(K), make_loop(1)
-    _ = np.asarray(loop_k(*inputs))  # compile
-    _ = np.asarray(loop_1(*inputs))
+    n_long = np.int32(loop_n * K)
+    n_short = np.int32(loop_n)
+    _ = np.asarray(chained(n_long, *inputs))  # one compile for both
     dt_k, dt_1 = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
-        _ = np.asarray(loop_k(*inputs))
+        _ = np.asarray(chained(n_long, *inputs))
         dt_k.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        _ = np.asarray(loop_1(*inputs))
+        _ = np.asarray(chained(n_short, *inputs))
         dt_1.append(time.perf_counter() - t0)
     return (min(dt_k) - min(dt_1)) / (loop_n * (K - 1))
 

@@ -288,20 +288,20 @@ def _compact_words(w0, w1, w2, valid, F, S):
     bitonic network whose cost is proportional to operand bytes, so
     14 B/element vs the naive 16 B (plus the dropped stability operand)
     measured 8.5 ms vs 14.7 ms at 3.3M slots. Falls back to the plain
-    4-operand stable payload sort when the flat index would overflow
-    the 27-bit budget. Measured-worse alternatives (index sort +
+    4-operand stable payload sort outside the narrow key budget
+    (``_narrow_sort_ok``: flat index < 2^27 AND F <= 16). Measured-worse
+    alternatives (index sort +
     gathers, scatter partition, per-segment sorts) are preserved below
     and in PERFORMANCE.md.
     """
-    N = F * S
-    if N < (1 << _IDX_BITS) and 2 * F <= (1 << (32 - _IDX_BITS)):
+    if _narrow_sort_ok(F * S, F):
         return _compact_words_narrow_unique(w0, w1, w2, valid, F, S)
     return _compact_words_payload_sort(w0, w1, w2, valid, F, S)
 
 
 def _compact_words_payload_sort(w0, w1, w2, valid, F, S):
-    """The 4-operand stable payload sort (fallback for dispatches whose
-    flat slot index exceeds the narrow key's 27-bit budget)."""
+    """The 4-operand stable payload sort (fallback for dispatches
+    outside the narrow key budget: flat index >= 2^27 or F > 16)."""
     key = (
         jax.lax.broadcasted_iota(jnp.int32, (F, S), 0) * 2
         + (~valid).astype(jnp.int32)
@@ -311,13 +311,7 @@ def _compact_words_payload_sort(w0, w1, w2, valid, F, S):
         num_keys=1,
         is_stable=True,
     )
-    counts = valid.sum(axis=1, dtype=jnp.int32)
-
-    lo = lambda w: (w & 0xFFFF).astype(jnp.uint16)  # noqa: E731
-    hi = lambda w: (w >> 16).astype(jnp.uint16)  # noqa: E731
-    positions = jnp.stack([lo(s0), hi(s0), lo(s1)], axis=-1).reshape(F, S, 3)
-    colors16 = jnp.stack([hi(s1), lo(s2), hi(s2)], axis=-1).reshape(F, S, 3)
-    return positions, colors16, counts
+    return _unpack_sorted(s0, s1, s2, valid, F, S)
 
 
 # --- alternative compaction strategies (round-3 candidates) ---------------
@@ -328,7 +322,16 @@ def _compact_words_payload_sort(w0, w1, w2, valid, F, S):
 # Bit-exactness: all produce the identical compacted prefix; pinned by
 # tests/test_tiled.py.
 
-_IDX_BITS = 27  # flat slot index budget: F*S < 2^27 (F<=40 at 1280^2)
+_IDX_BITS = 27  # flat slot index budget: F*S < 2^27 AND 2F <= 2^5 = 32
+# (the 5 high key bits hold frame*2+invalid, so the narrow path caps at
+# F = 16 frames per dispatch regardless of atlas size)
+
+
+def _narrow_sort_ok(N: int, F: int) -> bool:
+    """Single eligibility predicate for the narrow unique-key sort —
+    shared by the emission fast path and the compaction dispatcher so
+    they can never disagree."""
+    return N < (1 << _IDX_BITS) and 2 * F <= (1 << (32 - _IDX_BITS))
 
 
 def _unpack_sorted(s0, s1, s2, valid, F, S):
@@ -494,12 +497,10 @@ def _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg):
     and the 12 B w1/w2 detour. Smoothing needs unpacked coordinates, so
     it takes the general path (whose _compact_words re-narrows anyway).
     """
-    N = F * S
     narrow_ok = (
         cfg.smoothing is None
         and cfg.attr_smoothing is None
-        and N < (1 << _IDX_BITS)
-        and 2 * F <= (1 << (32 - _IDX_BITS))
+        and _narrow_sort_ok(F * S, F)
     )
     if narrow_ok:
         w0, zs, wc, valid = _tiles_to_words(
