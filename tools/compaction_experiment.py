@@ -54,6 +54,7 @@ from tpu_vpcc.atlas import groups as G  # noqa: E402
 from tpu_vpcc.models.flagship import FlagshipConfig, example_batch_inputs  # noqa: E402
 from tpu_vpcc.ops.tiled import (  # noqa: E402
     _compact_words_key_iota,
+    _compact_words_payload_sort,
     _compact_words_narrow_stable,
     _compact_words_narrow_unique,
     _compact_words_packed_sort,
@@ -119,6 +120,7 @@ def _make_compact_variant(compact_fn):
     return run
 
 
+run_payload_sort = _make_compact_variant(_compact_words_payload_sort)
 run_packed_sort = _make_compact_variant(_compact_words_packed_sort)
 run_key_iota_sort = _make_compact_variant(_compact_words_key_iota)
 run_scatter_partition = _make_compact_variant(_compact_words_scatter)
@@ -311,6 +313,7 @@ def main() -> int:
         "nosort_nofix": run_nosort_nofix,
         "nosort_nocolor": run_nosort_nocolor,
         "pallas_cursor": run_pallas_cursor,
+        "payload_sort": run_payload_sort,
         "packed_sort": run_packed_sort,
         "key_iota_sort": run_key_iota_sort,
         "scatter_partition": run_scatter_partition,
