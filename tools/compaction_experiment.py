@@ -26,10 +26,12 @@ win; record the negative result in PERFORMANCE.md and keep the XLA sort.
 
 Usage (real chip, one TPU job at a time):
     python tools/compaction_experiment.py [batch] [loop_n] [variants]
-where ``variants`` is a comma list from {full_sort,nosort,pallas_cursor}
-(default: all three). Remote compiles dominate wall time (~400 s each on
-a congested tunnel), so B-scaling sweeps should pass
-``full_sort`` or ``full_sort,nosort`` to skip the Pallas compile.
+where ``variants`` is a comma list over the keys of ``all_fns`` in
+``main`` (full/nosort/stage probes, payload/narrow/packed/key-iota/
+scatter compactions, segsort probes, pallas_cursor; default
+full_sort,nosort,pallas_cursor). Remote compiles dominate wall time
+(~400 s each on a congested tunnel; one compile per variant), so sweep
+only the variants you need.
 """
 
 from __future__ import annotations
