@@ -152,10 +152,15 @@ def _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg,
     all three together."""
     res = cfg.occupancy_resolution
     mc = cfg.map_count
+    sw = (fid(G.G_SWAP) == 1)[:, None, None]
 
     # --- 3. orientation fix (transpose SWAP-family tiles) -----------------
-    if _fix_orientation:
-        sw = (fid(G.G_SWAP) == 1)[:, None, None]
+    # The narrow-emit path SKIPS the three [N,res,res] tile transposes:
+    # it keeps canvas memory order, swaps the patch-space iotas instead,
+    # and lets the compaction sort land every slot at its emission rank
+    # (the sort key embeds a slot index anyway, so ordering by emission
+    # rank costs nothing — the transpose rides the sort for free).
+    if _fix_orientation and not _narrow_emit:
         fix = lambda t: jnp.where(sw, t.transpose(0, 2, 1), t)  # noqa: E731
         t_a = fix(t_a)
         t_b = fix(t_b)
@@ -182,6 +187,11 @@ def _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg,
     bcast = lambda idx: fid(idx)[:, None, None]  # noqa: E731
     v1 = jax.lax.broadcasted_iota(jnp.int32, (FG, res, res), 1)
     u1 = jax.lax.broadcasted_iota(jnp.int32, (FG, res, res), 2)
+    if _narrow_emit:
+        # canvas memory order: a SWAP-family slot at memory (row, col)
+        # is patch-space (u, v) = (row, col) — swap the iotas instead of
+        # transposing the data tiles
+        u1, v1 = jnp.where(sw, v1, u1), jnp.where(sw, u1, v1)
 
     d1_patch = bcast(G.G_D1)
     mode = bcast(G.G_MODE)
@@ -220,12 +230,12 @@ def _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg,
         return jnp.stack([a, b], axis=-1).reshape(F, S)
 
     if _narrow_emit:
-        # pack per-map in GRID space and interleave only four arrays
-        # (w0, zs, wc, valid) instead of seven — equivalent because
-        # elementwise packing commutes with the interleave permutation;
-        # feeds _compact_narrow_triple directly (10 B sort payload,
-        # no intermediate w1/w2). Only valid when nothing downstream
-        # needs unpacked coordinates (i.e. smoothing off).
+        # pack per-map in GRID space and interleave only five arrays
+        # (w0, zs, wc, valid, emission index) instead of seven —
+        # equivalent because elementwise packing commutes with the
+        # interleave permutation; feeds _compact_narrow_triple directly
+        # (10 B sort payload, no intermediate w1/w2). Only valid when
+        # nothing downstream needs unpacked coordinates (smoothing off).
         pk = lambda a, b: a.astype(jnp.uint32) | (b.astype(jnp.uint32) << 16)  # noqa: E731
         wc_of = lambda cy, cu, cv: (  # noqa: E731
             cy.astype(jnp.uint32)
@@ -238,7 +248,18 @@ def _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg,
         )
         wc = interleave(wc_of(cy0, cu0, cv0), wc_of(cy1, cu1, cv1))
         valid = jnp.stack([valid0, valid1], axis=-1).reshape(F, S)
-        return w0, zs, wc, valid
+        # per-slot EMISSION index within its frame: groups ascending,
+        # patch-space (v, u) raster within the tile (u1/v1 already in
+        # patch space — see step 5), maps interleaved per pixel. Memory
+        # order stays canvas order; the sort key lands every slot at
+        # this rank, replacing the tile transposes of the general path.
+        gl = jax.lax.broadcasted_iota(
+            jnp.uint32, (F, FG // F), 1
+        ).reshape(FG)[:, None, None]
+        rank = v1.astype(jnp.uint32) * res + u1.astype(jnp.uint32)
+        base = (gl * (res * res) + rank) * 2
+        emi = interleave(base, base + 1).astype(jnp.uint32)
+        return w0, zs, wc, valid, emi
 
     xs = interleave(p0x, p1x)
     ys = interleave(p0y, p1y)
@@ -469,18 +490,19 @@ def _compact_words_scatter(w0, w1, w2, valid, F, S):
     )
 
 
-def _compact_narrow_triple(w0, zs, wc, valid, F, S):
+def _compact_narrow_triple(w0, zs, wc, valid, emi, F, S):
     """The narrow unique-key compaction on natively-narrow inputs
-    (w0 = xs|ys u32, zs u16, wc = cy|cu|cv u32)."""
-    N = F * S
+    (w0 = xs|ys u32, zs u16, wc = cy|cu|cv u32). ``emi`` is each slot's
+    per-frame EMISSION index — for SWAP-family groups it differs from
+    the memory index, so this sort also performs the orientation
+    transpose the general path pays three tile transposes for."""
     key = (
         jax.lax.broadcasted_iota(jnp.uint32, (F, S), 0) * 2
         + (~valid).astype(jnp.uint32)
-    ).reshape(-1)
-    idx = jax.lax.broadcasted_iota(jnp.uint32, (N, 1), 0).reshape(-1)
+    )
     _, s0, sz, sc = jax.lax.sort(
-        ((key << _IDX_BITS) | idx, w0.reshape(-1), zs.reshape(-1),
-         wc.reshape(-1)),
+        (((key << _IDX_BITS) | emi).reshape(-1), w0.reshape(-1),
+         zs.reshape(-1), wc.reshape(-1)),
         num_keys=1, is_stable=False,
     )
     return _unpack_narrow_sorted(
@@ -503,10 +525,10 @@ def _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg):
         and _narrow_sort_ok(F * S, F)
     )
     if narrow_ok:
-        w0, zs, wc, valid = _tiles_to_words(
+        w0, zs, wc, valid, emi = _tiles_to_words(
             fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg, _narrow_emit=True
         )
-        return _compact_narrow_triple(w0, zs, wc, valid, F, S)
+        return _compact_narrow_triple(w0, zs, wc, valid, emi, F, S)
     w0, w1, w2, valid = _tiles_to_words(
         fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg
     )
