@@ -103,6 +103,25 @@ def run_nosort(*args, cfg, **probe):
     return positions, colors16, counts
 
 
+def run_nosort_narrow(*args, cfg, **probe):
+    """Words-stage probe for the PRODUCTION (narrow-emit) path: narrow
+    words + direct unsorted unpack — the full pipeline minus its sort."""
+    from tpu_vpcc.ops.tiled import _unpack_narrow_sorted
+
+    (w0, zs, wc, valid, emi), F, S = _words(
+        *args, cfg=cfg, _narrow_emit=True, **probe
+    )
+    pos, col, counts = _unpack_narrow_sorted(w0, zs, wc, valid, F, S)
+    # keep the emission-index computation alive (part of the real path)
+    counts = counts + (emi[0, 0] & 1).astype(jnp.int32)
+    return pos, col, counts
+
+
+def run_nosort_narrow_nocolor(*args, cfg):
+    """Narrow words probe with the color path dead."""
+    return run_nosort_narrow(*args, cfg=cfg, _color=False)
+
+
 def run_nosort_nofix(*args, cfg):
     """Stage probe: nosort with the SWAP-tile transpose step removed
     (wrong output for SWAP tiles; isolates the [N,16,16] transpose cost)."""
@@ -312,6 +331,8 @@ def main() -> int:
     all_fns = {
         "full_sort": run_full,
         "nosort": run_nosort,
+        "nosort_narrow": run_nosort_narrow,
+        "nosort_narrow_nocolor": run_nosort_narrow_nocolor,
         "nosort_nofix": run_nosort_nofix,
         "nosort_nocolor": run_nosort_nocolor,
         "pallas_cursor": run_pallas_cursor,
