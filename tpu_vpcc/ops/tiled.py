@@ -49,6 +49,20 @@ def tiled_supported(cfg: FrameConfig) -> bool:
     )
 
 
+def _upsample2d(t, factor: int):
+    """Nearest-neighbour 2x2-style upsample of the last two axes via
+    broadcast+reshape — bit-identical to jnp.repeat along -2 then -1,
+    but guaranteed to lower as a broadcast (repeat can lower as a
+    gather on TPU)."""
+    if factor == 1:
+        return t
+    *lead, h, w = t.shape
+    t = jnp.broadcast_to(
+        t[..., :, None, :, None], (*lead, h, factor, w, factor)
+    )
+    return t.reshape(*lead, h * factor, w * factor)
+
+
 def _tile_slices(plane, r0, c0, th: int, tw: int):
     """Batched [n, th, tw] tile extraction at (r0[i], c0[i])."""
     return jax.vmap(
@@ -87,10 +101,7 @@ def _flat_tiled_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
     mc = cfg.map_count
 
     # --- 1. dense upsample + bit-pack into 3 u32 planes -------------------
-    def up(plane, factor):
-        if factor == 1:
-            return plane
-        return jnp.repeat(jnp.repeat(plane, factor, axis=-2), factor, axis=-1)
+    up = _upsample2d
 
     occ_bit = (up(occ, prec) > 0).astype(jnp.uint32)
     d0r = geo0.astype(jnp.uint32)
@@ -582,10 +593,7 @@ def _pretiled_gather_tiles(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg)
     prec = cfg.occupancy_precision
     mc = cfg.map_count
 
-    def up_tile(t, factor):
-        if factor == 1:
-            return t
-        return jnp.repeat(jnp.repeat(t, factor, axis=-2), factor, axis=-1)
+    up_tile = _upsample2d
 
     # --- 1. dense tile-local upsample + bit-pack into 3 tiled u32 planes --
     occ_bit = (up_tile(occ_t, prec) > 0).astype(jnp.uint32)
