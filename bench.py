@@ -201,10 +201,12 @@ def _collect_extra(extra, deadline: float):
     try:
         with open(extra["gate"], "w"):
             pass
-        # floor of 75s even when the kernel stage ate the budget: losing
-        # the extras evidence (round-2 failure mode) costs more than a
-        # minute of overrun, and prep has already been paid concurrently
-        timeout = max(75.0, deadline - time.perf_counter())
+        # floor of 150s even when the kernel stage ate the budget: losing
+        # the extras evidence (round-2 failure mode) costs more than the
+        # overrun, prep has already been paid concurrently, and a warm-
+        # cache extra still needs ~60-120s of import + queued dispatches
+        # on a congested tunnel (75s proved marginal in round 3)
+        timeout = max(150.0, deadline - time.perf_counter())
         try:
             extra["proc"].wait(timeout=timeout)
         except Exception:
