@@ -157,6 +157,9 @@ def test_bit_flips_in_rotated_patch_stream_fail_cleanly():
             raised += 1
     assert not bad, f"uncaught AssertionError at offsets {bad[:5]}"
     assert raised > 0, "no corruption was rejected: loop not effective"
+
+
+def test_bit_flips_in_p_tile_and_sei_regions_fail_cleanly():
     """Round-2 parse paths (P-tile PDUs, SEIs, ref lists) under
     corruption: parse either succeeds or raises a clean exception; the
     patch derivation must never crash the interpreter or hang."""

@@ -125,6 +125,48 @@ def test_suffix_sei_attaches_to_preceding_tile_layer():
     )
 
 
+def test_suffix_sei_multiple_payloads_in_one_nal():
+    """An SEI RBSP may carry several sei_message() payloads; the suffix
+    record-and-skip loop must record ALL of them (an earlier version
+    stopped after the first, so presence queries missed trailing
+    payloads)."""
+    from tests.test_v3c_roundtrip import make_afps, make_asps, make_atl, make_intra_pdu
+    from tpu_vpcc.bitio import BitWriter
+
+    w = BitWriter()
+    w.write(int(SeiPayloadType.DECODED_ATLAS_INFORMATION_HASH), 8)
+    w.write(2, 8)
+    w.write(0x1234, 16)
+    w.write(int(SeiPayloadType.TIME_CODE), 8)  # second sei_message()
+    w.write(3, 8)
+    w.write(0xABCDEF, 24)
+    w.write(0x80, 8)  # rbsp_trailing_bits
+    suffix_payload = w.getvalue()
+
+    asps = make_asps()
+    afps = make_afps()
+    atl = make_atl(patches=[make_intra_pdu()])
+    nalus = [
+        w3c.wrap_nal_unit(NalUnitType.ASPS, w3c.write_asps(asps)),
+        w3c.wrap_nal_unit(NalUnitType.AFPS, w3c.write_afps(afps, asps)),
+        w3c.wrap_nal_unit(
+            NalUnitType.IDR_N_LP,
+            w3c.write_atlas_tile_layer(atl, asps, afps, NalUnitType.IDR_N_LP),
+        ),
+        w3c.wrap_nal_unit(NalUnitType.SUFFIX_ESEI, suffix_payload),
+    ]
+    ctx = Context()
+    parse_nal_sample_stream(ctx, Bitstream(w3c.build_nal_sample_stream(nalus)))
+    sei = ctx.get_atlas_tile_layer(0).sei
+    assert sei is not None
+    assert len(sei.sei_suffix) == 2
+    assert sei.is_sei_present(
+        NalUnitType.SUFFIX_ESEI, SeiPayloadType.DECODED_ATLAS_INFORMATION_HASH
+    )
+    assert sei.is_sei_present(NalUnitType.SUFFIX_ESEI, SeiPayloadType.TIME_CODE)
+    assert sei.sei_suffix[1].payload_size == 3
+
+
 def test_sei_occupancy_synthesis_roundtrip():
     payload = w3c.write_sei_occupancy_synthesis(
         instances=((0, 1, 2, 1, 5),), persistence_flag=True

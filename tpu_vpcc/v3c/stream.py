@@ -214,7 +214,7 @@ def parse_nal_sample_stream(context: Context, bs: Bitstream) -> None:
             # recorded payloads there so presence queries work. The
             # reference panics on every suffix SEI (``reader.rs:813-815``);
             # record-and-skip is the framework's robustness model.
-            suffix = SeiMessage.parse(bs, unit_type)
+            suffix = SeiMessage.parse(bs, unit_type, end_byte=end_pos)
             if context.atlas_tile_layer_len() > 0:
                 atl = context.get_atlas_tile_layer(context.atlas_tile_layer_len() - 1)
                 if atl.sei is None:

@@ -822,32 +822,33 @@ class SeiMessage:
     sei_suffix: List[object] = field(default_factory=list)
 
     @classmethod
-    def parse(cls, bs: Bitstream, nal_unit_type: NalUnitType) -> "SeiMessage":
-        payload_type = 0
-        while True:
-            byte = bs.read(8)
-            payload_type += byte
-            if byte != 0xFF:
-                break
-        payload_size = 0
-        while True:
-            byte = bs.read(8)
-            payload_size += byte
-            if byte != 0xFF:
-                break
+    def parse(
+        cls, bs: Bitstream, nal_unit_type: NalUnitType, end_byte: int = -1
+    ) -> "SeiMessage":
         msg = cls()
         if nal_unit_type.is_suffix_sei:
             # Record-and-skip: suffix SEI payloads (decoded-atlas hashes
             # and the like) are advisory — nothing the rec0 reconstruction
             # consumes. The reference panics on every suffix SEI NAL
-            # (``reader.rs:813-815``); here the payload is skipped by its
-            # coded size and recorded so ``is_sei_present`` keeps working.
-            for _ in range(payload_size):
-                bs.read(8)
-            msg.sei_suffix.append(
-                SeiUnknown(payload_type=payload_type, payload_size=payload_size)
-            )
+            # (``reader.rs:813-815``); here every sei_message() in the
+            # RBSP is skipped by its coded size and recorded so
+            # ``is_sei_present`` keeps working. An SEI RBSP may carry
+            # several payloads; with ``end_byte`` (the sized-NAL
+            # boundary) known, loop until only the rbsp_trailing_bits
+            # byte remains.
+            while True:
+                payload_type, payload_size = cls._read_payload_header(bs)
+                for _ in range(payload_size):
+                    bs.read(8)
+                msg.sei_suffix.append(
+                    SeiUnknown(
+                        payload_type=payload_type, payload_size=payload_size
+                    )
+                )
+                if end_byte < 0 or end_byte - bs.byte_pos <= 1:
+                    break
             return msg
+        payload_type, payload_size = cls._read_payload_header(bs)
         # the reference panics on any payload but geometry smoothing
         # (``reader.rs:1402-1412``); attribute smoothing and occupancy
         # synthesis are parsed here, and anything else is recorded and
@@ -872,8 +873,27 @@ class SeiMessage:
         bs.byte_align()
         # TMC2 consumes one extra trailing byte after prefix SEI payloads;
         # replicated from the reference hack (``reader.rs:1414-1417``).
+        # That hack makes multi-payload prefix NALs unframeable, so one
+        # parsed payload per prefix NAL is assumed (as in the reference).
         bs.read(8)
         return msg
+
+    @staticmethod
+    def _read_payload_header(bs: Bitstream):
+        """The 0xFF-extended payload type/size varints (``reader.rs:1378-1395``)."""
+        payload_type = 0
+        while True:
+            byte = bs.read(8)
+            payload_type += byte
+            if byte != 0xFF:
+                break
+        payload_size = 0
+        while True:
+            byte = bs.read(8)
+            payload_size += byte
+            if byte != 0xFF:
+                break
+        return payload_type, payload_size
 
     def is_sei_present(self, nal_unit_type: NalUnitType, payload_type: SeiPayloadType) -> bool:
         if not (nal_unit_type.is_prefix_sei or nal_unit_type.is_suffix_sei):
