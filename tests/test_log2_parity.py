@@ -1,0 +1,179 @@
+"""fast-math log2 parity audit (VERDICT round-3 item 5).
+
+The reference derives four header bit-counts from an APPROXIMATE f32
+log2 (``fast_math::log2_raw``, ``reader.rs:1597,1632,1671,1905``); this
+framework uses exact integer ``ceil_log2`` / ``floor_log2``
+(``v3c/syntax.py``). The fast-math 0.1.1 crate source is not available
+in this environment (zero egress, no cargo registry on disk), so the
+audit proceeds by *domain analysis* plus candidate reconstructions of
+every plausible fast-log2 family:
+
+Call-site reachability under the rec0 envelope (both decoders):
+
+1. ``reader.rs:1597`` ceil(log2(num_tiles_in_atlas_frame_minus1+1)) —
+   UNREACHABLE: single_tile_in_atlas_frame_flag is asserted true
+   (``reader.rs:1264-1267``; UnsupportedFeature here), so
+   num_tiles_minus1 == 0 and the guarding ``!= 0`` branch never runs.
+2. ``reader.rs:1632`` ceil(log2(num_ref_atlas_frame_lists_in_asps)) —
+   reachable for n in 2..=64 (spec bound).
+3. ``reader.rs:1671`` floor(log2(geometry_3d_bitdepth_minus1+1)) —
+   reachable for x in 1..=32 when
+   raw_3d_offset_bitcount_explicit_mode_flag is set.
+4. ``reader.rs:1905`` ceil(log2(max_number_projections_minus1+1)) —
+   domain is exactly {6}: extended projection is asserted off
+   (``reader.rs:1043``), leaving the default of 5. log2(6)=2.585 is
+   0.415 from the nearest integer, so ANY approximation within ±0.4
+   yields the exact 3.
+
+For sites 2 and 3 the candidate families below prove that every
+non-power-of-two argument parses identically to exact ceil/floor (the
+tightest integer gap in-domain is |log2(63)-6| = 0.0227, and all known
+fast-log2 designs are 5-20x more accurate than that). At EXACT powers
+of two the families genuinely differ (pinned below), so byte-level
+parity there depends on unverifiable crate internals. The framework's
+DEFINED behavior is the exact integer value — which is what the V3C
+spec and upstream TMC2 C++ use, so streams produced by real encoders
+are always parsed correctly; if tmc2-rs's crate happens to round a
+power of two up (quad family), tmc2-rs itself would misparse such
+spec-conforming streams, i.e. any residual divergence is the reference
+diverging from its own conformance target, not this decoder.
+
+See docs/DESIGN.md (fast-math audit section) for the write-up.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from tpu_vpcc.v3c.syntax import ceil_log2, floor_log2
+
+
+def _decompose(x: float):
+    b = int(np.float32(x).view(np.uint32))
+    e = (b >> 23) - 127
+    m = float(np.uint32((b & 0x7FFFFF) | (127 << 23)).view(np.float32))
+    return e, np.float32(m)
+
+
+def quad_minimax(x: float) -> float:
+    """Family A: unconstrained degree-2 minimax of log2 on [1,2] (the
+    constants that circulate in fast-log2 folklore). Error +0.00494 at
+    m=1 — rounds exact powers of two UP under ceil."""
+    e, m = _decompose(x)
+    p = (
+        np.float32(-0.34484843) * m * m
+        + np.float32(2.02466578) * m
+        + np.float32(-1.67487759)
+    )
+    return float(np.float32(e) + p)
+
+
+def mineiro(x: float) -> float:
+    """Family B: P. Mineiro's fastlog2 (rational correction). Error
+    ~-2e-6 at m=1 — rounds exact powers of two DOWN under floor."""
+    vx = int(np.float32(x).view(np.uint32))
+    mx = np.uint32((vx & 0x007FFFFF) | 0x3F000000).view(np.float32)
+    y = np.float32(vx) * np.float32(1.1920928955078125e-7)
+    return float(
+        y
+        - np.float32(124.22551499)
+        - np.float32(1.498030302) * mx
+        - np.float32(1.72587999) / (np.float32(0.3520887068) + mx)
+    )
+
+
+def constrained_quad(x: float) -> float:
+    """Family C: endpoint-constrained quadratic (q(1)=0, q(2)=1) — the
+    natural choice for a crate wanting exactness at powers of two;
+    residual f32 rounding still leaves ±1 ulp at some powers."""
+    a = np.float32(-0.33985)
+    b = np.float32(1.0) - np.float32(3.0) * a
+    c = np.float32(2.0) * a - np.float32(1.0)
+    e, m = _decompose(x)
+    return float(np.float32(e) + (a * m * m + b * m + c))
+
+
+FAMILIES = [quad_minimax, mineiro, constrained_quad]
+
+
+def test_all_families_are_plausible_reconstructions():
+    """Each candidate is within fast-math's documented accuracy class
+    (abs error well under 0.01 across the reachable domain)."""
+    for fn in FAMILIES:
+        err = max(abs(fn(n) - math.log2(n)) for n in range(1, 65))
+        assert err < 0.01, fn.__name__
+
+
+def test_site2_ceil_parity_on_all_non_powers():
+    """reader.rs:1632 — ceil over n in 2..=64: every family matches the
+    exact value on every non-power-of-two argument."""
+    for n in range(2, 65):
+        if n & (n - 1) == 0:
+            continue
+        for fn in FAMILIES:
+            assert math.ceil(fn(n)) == ceil_log2(n), (fn.__name__, n)
+
+
+def test_site3_floor_parity_on_all_non_powers():
+    """reader.rs:1671 — floor over x in 1..=32: every family matches the
+    exact value on every non-power-of-two argument."""
+    for n in range(1, 33):
+        if n & (n - 1) == 0:
+            continue
+        for fn in FAMILIES:
+            assert math.floor(fn(n)) == floor_log2(n), (fn.__name__, n)
+
+
+def test_power_of_two_family_behavior_pinned():
+    """The residual ambiguity, pinned: at exact powers of two the three
+    families round differently (quad ceils k->k+1; mineiro floors
+    k->k-1; constrained is exact except f32 ulps). This is exactly the
+    set of outcomes the crate could produce — the framework's exact
+    integer choice coincides with at least one plausible family at
+    every site AND with TMC2/spec semantics everywhere."""
+    quad_ceil_div = [
+        n for n in (2, 4, 8, 16, 32, 64)
+        if math.ceil(quad_minimax(n)) != ceil_log2(n)
+    ]
+    assert quad_ceil_div == [2, 4, 8, 16, 32, 64]
+    assert all(
+        math.floor(quad_minimax(n)) == floor_log2(n) for n in (1, 2, 4, 8, 16, 32)
+    )
+    mineiro_floor_div = [
+        n for n in (1, 2, 4, 8, 16, 32)
+        if math.floor(mineiro(n)) != floor_log2(n)
+    ]
+    assert mineiro_floor_div == [1, 2, 4, 8, 16, 32]
+    assert all(
+        math.ceil(mineiro(n)) == ceil_log2(n) for n in (2, 4, 8, 16, 32, 64)
+    )
+
+
+def test_site4_insensitive_for_any_bounded_approximation():
+    """reader.rs:1905 — domain is exactly {6} (extended projection
+    asserted off leaves the default max_number_projections_minus1=5);
+    log2(6) is 0.415 from the nearest integer so every family (indeed
+    any approximation within +/-0.4) gives the exact 3 bits."""
+    assert ceil_log2(6) == 3
+    for fn in FAMILIES:
+        assert math.ceil(fn(6)) == 3
+
+
+def test_site1_unreachable_single_tile_enforced():
+    """reader.rs:1597 — our parser (like the reference's assert) rejects
+    multi-tile atlas frames, so num_tiles_in_atlas_frame_minus1 is
+    always 0 and the ceil_log2 branch in AtlasTileHeader.parse is dead."""
+    from tpu_vpcc.bitio import BitWriter, Bitstream
+    from tpu_vpcc.v3c.syntax import (
+        AtlasFrameTileInformation,
+        AtlasSequenceParameterSet,
+        UnsupportedFeature,
+    )
+
+    asps = AtlasSequenceParameterSet()
+    w = BitWriter()
+    w.write(0, 1)  # single_tile_in_atlas_frame_flag = false
+    w.write(0, 32)
+    with pytest.raises(UnsupportedFeature):
+        AtlasFrameTileInformation.parse(Bitstream(w.getvalue()), asps)

@@ -28,8 +28,13 @@ def ceil_log2(x: int) -> int:
 
     The reference uses ``fast_math::log2_raw(..).ceil()`` (an *approximate*
     f32 log2, ``reader.rs:1597,1632,1671,1905``); upstream TMC2 C++ uses the
-    exact value. We implement the exact integer version, which matches TMC2
-    for every fixed-length bit-count derivation in the rec0 streams.
+    exact value. We implement the exact integer version — audited in
+    tests/test_log2_parity.py and docs/DESIGN.md §7: of the four call
+    sites one is unreachable and one has a singleton domain; on the two
+    live sites every plausible fast-log2 family matches this exact value
+    for all non-power-of-two arguments, and at exact powers of two the
+    exact value is the TMC2/spec behavior (any crate deviation there
+    would be a reference bug against its own conformance target).
     """
     if x <= 0:
         raise ValueError("ceil_log2 requires x >= 1")
