@@ -282,6 +282,15 @@ def main() -> int:
     fcfg = cfg.frame_config()
     raw = example_batch_inputs(cfg, occupancy_fill=0.7, n_patches=48)
     res = fcfg.occupancy_resolution
+    # group-axis bucketing, exactly as the production dispatch does it
+    # (_gof_device_inputs): live groups sit at the front of the table in
+    # emission order, so slicing to the quarter-pow2 bucket drops only
+    # G_VALID=0 padding — bit-identical output, ~live-sized sort/words
+    from tpu_vpcc.atlas import groups as G
+
+    n_live = int(raw[0][:, :, G.G_VALID].sum(axis=1).max())
+    g_bucket = G.bucket_group_count(n_live, raw[0].shape[1])
+    raw = (np.ascontiguousarray(raw[0][:, :g_bucket]),) + raw[1:]
     # Block-tiling happens on the host; in the production pipeline the
     # native video bridge emits this layout during its decode memcpy.
     host_inputs = (
@@ -410,7 +419,10 @@ def main() -> int:
             "batch": batch,
             "device": str(jax.devices()[0]),
             "atlas": f"{cfg.width}x{cfg.height}",
-            "s_cap": fcfg.s_cap,
+            "s_cap": g_bucket * fcfg.slots_per_block,
+            "g_bucket": g_bucket,
+            "g_live": n_live,
+            "g_cap_full": fcfg.g_cap,
             "kernel_stage_seconds": kernel_s,
             "e2e": e2e,
             "multistream": multistream,

@@ -65,6 +65,32 @@ from .patches import FrameMeta, PatchOrientation
 N_GROUP_FIELDS = 19
 
 
+def bucket_group_count(
+    n_live: int, g_cap: int, multiple_of: int = 1, min_bucket: int = 256
+) -> int:
+    """Round a live group count up to a quarter-power-of-two bucket.
+
+    The device kernels size their group axis (and therefore the words
+    stage and the O(n log^2 n) compaction sort) from ``fields.shape[1]``;
+    padding to the full canvas-block capacity makes them pay for dead
+    slots (a ~1M-point 1280^2 frame owns ~2.7k of 6400 blocks — the
+    reference only ever visits owned blocks, ``src/codec.rs:352-480``).
+    Buckets are ``m * 2^e`` with mantissa m in {4,5,6,7} (waste <= 25%)
+    so a stream compiles at most a handful of kernel variants; a floor of
+    ``min_bucket`` keeps near-empty frames from minting tiny variants.
+    ``multiple_of`` (the mesh 'space' axis, when sharded) is applied
+    after the bucket rounding; the result is clamped to ``g_cap``.
+    """
+    n = max(int(n_live), min_bucket, 1)
+    if n < g_cap:
+        e = max(n.bit_length() - 3, 0)  # so that 4*2^e <= n < 8*2^e
+        m = -(-n >> e)  # ceil(n / 2^e), in 4..8
+        n = m << e
+    if multiple_of > 1:
+        n = -(-n // multiple_of) * multiple_of
+    return min(n, g_cap)
+
+
 @dataclass
 class GroupTable:
     """Per-frame group fields, padded to the static canvas-block capacity."""

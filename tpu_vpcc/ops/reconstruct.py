@@ -260,7 +260,10 @@ def _flat_batch_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
     catastrophically (measured >1000x slower at 1280x1280). Frames are
     independent (``src/decoder.rs:186``)."""
     spb = cfg.slots_per_block
-    S = cfg.s_cap
+    # the group axis may be bucketed to the live group count (or sharded);
+    # size the slot extent from the table shape, not cfg.s_cap
+    Gb = fields.shape[1]
+    S = Gb * spb
     F = fields.shape[0]
     ST = F * S
     H, W = cfg.height, cfg.width
@@ -279,7 +282,7 @@ def _flat_batch_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
     u1 = r2 // 2
     i_map = r2 - u1 * 2
 
-    fields_rows = fields.reshape(F * cfg.g_cap, G.N_GROUP_FIELDS)[f * cfg.g_cap + g]
+    fields_rows = fields.reshape(F * Gb, G.N_GROUP_FIELDS)[f * Gb + g]
     fr = lambda idx: fields_rows[:, idx]  # noqa: E731
 
     x = fr(G.G_X00) + fr(G.G_A) * u1 + fr(G.G_B) * v1

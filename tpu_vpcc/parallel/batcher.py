@@ -147,7 +147,10 @@ def decode_streams_batched(
                         state.next_frame += 1
                     pending.add(pool.submit(prep, state))
                     continue
-                items.append((state, gof, _gof_device_inputs(gof)))
+                items.append((state, gof, _gof_device_inputs(
+                    gof,
+                    space_multiple=mesh.shape["space"] if mesh is not None else 1,
+                )))
                 pending.add(pool.submit(prep, state))
 
             by_key: Dict[object, list] = {}

@@ -117,9 +117,12 @@ def reconstruct_gof_spatial_pretiled(
     from ..ops.tiled import _flat_pretiled_impl
 
     n_space = mesh.shape["space"]
-    g_loc = cfg.g_cap // n_space
-    if g_loc * n_space != cfg.g_cap:
-        raise ValueError("g_cap must divide by the space axis")
+    # the group axis may be bucketed to the live group count — size the
+    # shard geometry from the table shape, not cfg.g_cap
+    g_tot = fields.shape[1]
+    g_loc = g_tot // n_space
+    if g_loc * n_space != g_tot:
+        raise ValueError("the group axis must divide by the space axis")
     if cfg.smoothing is not None or cfg.attr_smoothing is not None:
         # smoothing grids must cover whole frames: the in-kernel passes
         # psum/pmin their cell stats across the 'space' shards

@@ -188,7 +188,9 @@ class Decoder:
                     pending = prefetcher.submit(prep_next)
                     with stage_timer(gs, "reconstruct"):
                         frames = list(
-                            _reconstruct_gof_device(gof, mesh=self.params.mesh)
+                            _reconstruct_gof_device(
+                                gof, mesh=self.params.mesh, stats=gs
+                            )
                             if self.params.use_device
                             else _reconstruct_gof_oracle(gof)
                         )
@@ -641,13 +643,35 @@ class DeviceInputs:
     color_mode: str = "raw"
 
     @property
+    def group_cap(self) -> int:
+        """Device group-axis extent: the field table's (possibly bucketed
+        — see ``atlas.groups.bucket_group_count``) group count."""
+        return self.arrays[0].shape[1]
+
+    @property
+    def slot_cap(self) -> int:
+        return self.group_cap * self.cfg.slots_per_block
+
+    @property
     def batch_key(self):
-        return (self.cfg, self.use_tiled, self.color_mode)
+        # group_cap is part of the key: inputs bucketed to different
+        # group extents cannot share one concatenated dispatch
+        return (self.cfg, self.use_tiled, self.color_mode, self.group_cap)
 
 
-def _gof_device_inputs(gof: GofData, metas=None) -> DeviceInputs:
-    """Build the device input arrays for (a chunk of) a GOF's frames."""
-    from ..atlas.groups import build_group_table
+def _gof_device_inputs(
+    gof: GofData, metas=None, space_multiple: int = 1
+) -> DeviceInputs:
+    """Build the device input arrays for (a chunk of) a GOF's frames.
+
+    The group axis is BUCKETED to the chunk's live group count (quarter-
+    pow2 steps, ``atlas.groups.bucket_group_count``): live groups sit at
+    the front of every table in emission order, so slicing drops only
+    G_VALID=0 padding — bit-identical compacted output while the words
+    stage and the compaction sort process ~the live slot set instead of
+    the full canvas-block capacity. ``space_multiple`` (the mesh 'space'
+    axis size) keeps the bucket shardable."""
+    from ..atlas.groups import bucket_group_count, build_group_table
     from ..ops.reconstruct import make_config
     from ..ops.tiled import tile_plane, tiled_supported, untile_plane
 
@@ -683,6 +707,13 @@ def _gof_device_inputs(gof: GofData, metas=None) -> DeviceInputs:
         for m in metas
     ]
     fields = np.stack([t.fields for t in tables])
+    g_bucket = bucket_group_count(
+        max((t.n_groups for t in tables), default=0),
+        fields.shape[1],
+        multiple_of=space_multiple,
+    )
+    if g_bucket < fields.shape[1]:
+        fields = np.ascontiguousarray(fields[:, :g_bucket])
     use_tiled = (
         tiled_supported(cfg)
         and gof.packed10_ok  # the tiled kernels pack samples into 10 bits
@@ -803,7 +834,7 @@ def _gof_color_mode(gof: GofData) -> str:
     return "rgb16" if gof.attr_is_rgb444 else "yuv10"
 
 
-def _dispatch_device(di: DeviceInputs, mesh=None):
+def _dispatch_device(di: DeviceInputs, mesh=None, stats=None):
     """Run one device dispatch; returns a per-frame list of host
     (positions (n,3) u16, colors (n,3)) in emission order. Colors are
     final u8 RGB unless ``di.color_mode`` is 'raw' (u16 YUV)."""
@@ -820,16 +851,34 @@ def _dispatch_device(di: DeviceInputs, mesh=None):
 
         data = mesh.shape["data"]
         n_space = mesh.shape["space"]
-        if di.cfg.g_cap % n_space == 0:
+        if di.group_cap % n_space == 0:
             arrays = [pad_batch(a, data) for a in di.arrays]
             pos, col, cnt, _ = reconstruct_gof_spatial_pretiled(
                 mesh, *arrays, di.cfg
             )
-            s_loc = di.cfg.s_cap // n_space
+            s_loc = di.slot_cap // n_space
             return _fetch_sharded(
                 pos, col, cnt, n_space, s_loc, color_mode=color_mode
             )[: di.n_frames]
         # g_cap not divisible by the mesh's space axis: single-device path
+    if mesh is not None:
+        # a mesh was configured but this dispatch cannot use it — surface
+        # the degradation instead of silently going single-chip
+        # (gather-path sharding is dryrun/fallback grade, and the spatial
+        # kernel needs the group axis divisible by the 'space' axis)
+        reason = (
+            "group capacity %d not divisible by mesh space axis %d"
+            % (di.group_cap, mesh.shape["space"])
+            if di.use_tiled
+            else "non-tileable frames (rotated orientations or >10-bit "
+            "samples) use the gather kernel"
+        )
+        log.warning(
+            "mesh configured but dispatch of %d frame(s) falls back to "
+            "single-device: %s", di.n_frames, reason,
+        )
+        if stats is not None:
+            stats.count("mesh_fallback_dispatches")
 
     # single-device path: when a mesh-sized chunk (DEVICE_BATCH * data)
     # falls through here (non-tileable tables, indivisible g_cap), split
@@ -845,7 +894,7 @@ def _dispatch_device(di: DeviceInputs, mesh=None):
                 n_frames=min(DEVICE_BATCH, di.n_frames - i),
                 color_mode=color_mode,
             )
-            out.extend(_dispatch_device(sub, mesh=None))
+            out.extend(_dispatch_device(sub, mesh=None, stats=stats))
         return out
 
     # host arrays stage implicitly on dispatch; an explicit batched
@@ -894,13 +943,16 @@ def _emit_pointset(pos: np.ndarray, col: np.ndarray, gof: GofData) -> PointSet3:
     return ps
 
 
-def _reconstruct_gof_device(gof: GofData, mesh=None) -> Iterator[PointSet3]:
+def _reconstruct_gof_device(gof: GofData, mesh=None, stats=None) -> Iterator[PointSet3]:
     """Device stage: batched reconstruction of the whole GOF, color
     finalization riding the fetch dispatch."""
     if not gof.metas:
         return
     chunk = DEVICE_BATCH * (mesh.shape["data"] if mesh is not None else 1)
+    space = mesh.shape["space"] if mesh is not None else 1
     for i in range(0, len(gof.metas), chunk):
-        di = _gof_device_inputs(gof, gof.metas[i : i + chunk])
-        for pos, col in _dispatch_device(di, mesh=mesh):
+        di = _gof_device_inputs(
+            gof, gof.metas[i : i + chunk], space_multiple=space
+        )
+        for pos, col in _dispatch_device(di, mesh=mesh, stats=stats):
             yield _emit_pointset(pos, col, gof)

@@ -24,14 +24,24 @@ class GofStats:
     total_points: int = 0
     video_bytes: Dict[str, int] = field(default_factory=dict)
     stage_seconds: Dict[str, float] = field(default_factory=dict)
+    #: event counters (e.g. ``mesh_fallback_dispatches`` when a
+    #: mesh-configured decode degraded to single-device)
+    counters: Dict[str, int] = field(default_factory=dict)
+
+    def count(self, name: str, n: int = 1) -> None:
+        self.counters[name] = self.counters.get(name, 0) + n
 
     def summary(self) -> str:
         stages = " ".join(
             f"{k}={v * 1000:.1f}ms" for k, v in sorted(self.stage_seconds.items())
         )
+        counters = " ".join(
+            f"{k}={v}" for k, v in sorted(self.counters.items())
+        )
         return (
             f"gof={self.gof_index} frames={self.frame_count} "
             f"points={self.total_points} {stages}"
+            + (f" {counters}" if counters else "")
         )
 
 
@@ -59,6 +69,13 @@ class DecodeStats:
         for g in self.gofs:
             for k, v in g.stage_seconds.items():
                 out[k] = out.get(k, 0.0) + v
+        return out
+
+    def counter_totals(self) -> Dict[str, int]:
+        out: Dict[str, int] = {}
+        for g in self.gofs:
+            for k, v in g.counters.items():
+                out[k] = out.get(k, 0) + v
         return out
 
 
