@@ -659,30 +659,17 @@ class DeviceInputs:
         return (self.cfg, self.use_tiled, self.color_mode, self.group_cap)
 
 
-def _gof_device_inputs(
-    gof: GofData, metas=None, space_multiple: int = 1
-) -> DeviceInputs:
-    """Build the device input arrays for (a chunk of) a GOF's frames.
-
-    The group axis is BUCKETED to the chunk's live group count (quarter-
-    pow2 steps, ``atlas.groups.bucket_group_count``): live groups sit at
-    the front of every table in emission order, so slicing drops only
-    G_VALID=0 padding — bit-identical compacted output while the words
-    stage and the compaction sort process ~the live slot set instead of
-    the full canvas-block capacity. ``space_multiple`` (the mesh 'space'
-    axis size) keeps the bucket shardable."""
-    from ..atlas.groups import bucket_group_count, build_group_table
+def _gof_frame_tables(gof: GofData, metas):
+    """Host stage: the FrameConfig + per-frame group tables for ``metas``."""
+    from ..atlas.groups import build_group_table
     from ..ops.reconstruct import make_config
-    from ..ops.tiled import tile_plane, tiled_supported, untile_plane
 
-    metas = gof.metas if metas is None else metas
-    mc = gof.map_count
     cfg = make_config(
         width=metas[0].width,
         height=metas[0].height,
         occupancy_resolution=gof.occupancy_resolution,
         occupancy_precision=gof.occupancy_precision,
-        map_count=mc,
+        map_count=gof.map_count,
         absolute_d1=gof.absolute_d1,
         geo_shift=gof.geo_shift,
         chroma_shift=gof.attr_chroma_shift,
@@ -690,11 +677,12 @@ def _gof_device_inputs(
         # color smoothing operates on YUV samples; skip for RGB content
         attr_smoothing=None if gof.attr_is_rgb444 else gof.attr_smoothing,
     )
+
     def occ_provider_for(m):
         # occupancy for the (rare) occupancy-gated ownership fallback —
         # overlapping non-block-aligned patches only. GofData.occ_planes
         # is always canvas-order (only geo/attr arrive block-tiled from
-        # the native decoder; occ tiles in NumPy at dispatch, line below)
+        # the native decoder; occ tiles in NumPy at dispatch)
         return lambda: gof.occ_planes[m.frame_index]
 
     tables = [
@@ -706,12 +694,39 @@ def _gof_device_inputs(
         )
         for m in metas
     ]
-    fields = np.stack([t.fields for t in tables])
-    g_bucket = bucket_group_count(
-        max((t.n_groups for t in tables), default=0),
-        fields.shape[1],
-        multiple_of=space_multiple,
+    return cfg, tables
+
+
+def _gof_device_inputs(
+    gof: GofData, metas=None, space_multiple: int = 1,
+    prebuilt=None, g_bucket: int = None,
+) -> DeviceInputs:
+    """Build the device input arrays for (a chunk of) a GOF's frames.
+
+    The group axis is BUCKETED to the live group count (quarter-pow2
+    steps, ``atlas.groups.bucket_group_count``): live groups sit at the
+    front of every table in emission order, so slicing drops only
+    G_VALID=0 padding — bit-identical compacted output while the words
+    stage and the compaction sort process ~the live slot set instead of
+    the full canvas-block capacity. ``space_multiple`` (the mesh 'space'
+    axis size) keeps the bucket shardable. ``prebuilt``/``g_bucket``
+    let the GOF driver share tables and pin ONE bucket across its
+    chunks, so chunking never multiplies compile variants."""
+    from ..atlas.groups import bucket_group_count
+    from ..ops.tiled import tile_plane, tiled_supported, untile_plane
+
+    metas = gof.metas if metas is None else metas
+    mc = gof.map_count
+    cfg, tables = (
+        prebuilt if prebuilt is not None else _gof_frame_tables(gof, metas)
     )
+    fields = np.stack([t.fields for t in tables])
+    if g_bucket is None:
+        g_bucket = bucket_group_count(
+            max((t.n_groups for t in tables), default=0),
+            fields.shape[1],
+            multiple_of=space_multiple,
+        )
     if g_bucket < fields.shape[1]:
         fields = np.ascontiguousarray(fields[:, :g_bucket])
     use_tiled = (
@@ -948,11 +963,24 @@ def _reconstruct_gof_device(gof: GofData, mesh=None, stats=None) -> Iterator[Poi
     finalization riding the fetch dispatch."""
     if not gof.metas:
         return
+    from ..atlas.groups import bucket_group_count
+
     chunk = DEVICE_BATCH * (mesh.shape["data"] if mesh is not None else 1)
     space = mesh.shape["space"] if mesh is not None else 1
+    # tables built once; ONE bucket for the whole GOF so every chunk
+    # shares a single compiled kernel variant
+    cfg, tables = _gof_frame_tables(gof, gof.metas)
+    g_bucket = bucket_group_count(
+        max((t.n_groups for t in tables), default=0),
+        cfg.g_cap,
+        multiple_of=space,
+    )
     for i in range(0, len(gof.metas), chunk):
         di = _gof_device_inputs(
-            gof, gof.metas[i : i + chunk], space_multiple=space
+            gof,
+            gof.metas[i : i + chunk],
+            prebuilt=(cfg, tables[i : i + chunk]),
+            g_bucket=g_bucket,
         )
         for pos, col in _dispatch_device(di, mesh=mesh, stats=stats):
             yield _emit_pointset(pos, col, gof)
