@@ -25,10 +25,19 @@ import numpy as np
 
 # persistent compilation cache: the extras subprocesses (and repeat bench
 # runs) reuse compiled executables instead of re-paying the 30s-5min
-# tunneled compile
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_vpcc_jax_cache")
+# tunneled compile. Lives INSIDE the repo (gitignored) so it survives
+# /tmp cleanup between the development session and the driver's run.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
 
 _T_START = time.perf_counter()
+
+
+def _cache_file_count() -> int:
+    try:
+        return len(os.listdir(os.environ["JAX_COMPILATION_CACHE_DIR"]))
+    except OSError:
+        return -1
 
 
 def _wait_for_gate(gate: str, timeout: float = 1200.0) -> None:
@@ -88,12 +97,15 @@ def e2e_decoder_metric(
         # part waits for the parent's go-ahead
         _wait_for_gate(gate)
 
-        # warm-up decode: first dispatch bears XLA compilation (30s-5min
+        # warm-up decode below bears the XLA compilation (30s-5min cold
         # on this tunneled backend); the metric is the steady state
+        cache_before = _cache_file_count()
+        t_warm = time.perf_counter()
         warm = Decoder(Params(stream))
         warm.start()
         for _ in warm:
             pass
+        warm_s = time.perf_counter() - t_warm
 
         t0 = time.perf_counter()
         decoder = Decoder(Params(stream))
@@ -111,6 +123,12 @@ def e2e_decoder_metric(
             "mean_points": int(n_points / max(n_frames, 1)),
             "wall_seconds": round(wall, 3),
             "prep_seconds": round(prep_s, 3),
+            # warm-up bears the compiles; with a hitting persistent cache
+            # warmup_seconds collapses toward wall_seconds (the recorded
+            # file delta distinguishes hit from miss)
+            "warmup_seconds": round(warm_s, 3),
+            "cache_files_before": cache_before,
+            "cache_files_after": _cache_file_count(),
             "stage_seconds": stages,
             "atlas": f"{width}x{height}",
             "host_cores": os.cpu_count(),
@@ -155,8 +173,11 @@ def multistream_metric(gate: str = "", n_streams: int = 8, frames_per_gof: int =
                 paths.append(p)
 
             _wait_for_gate(gate)
+            cache_before = _cache_file_count()
+            t_warm = time.perf_counter()
             for _ in decode_streams_batched(paths):  # warm-up (compile)
                 pass
+            warm_s = time.perf_counter() - t_warm
             t0 = time.perf_counter()
             n_frames = 0
             for _si, _fi, ps in decode_streams_batched(paths):
@@ -167,10 +188,69 @@ def multistream_metric(gate: str = "", n_streams: int = 8, frames_per_gof: int =
             "streams": n_streams,
             "frames": n_frames,
             "wall_seconds": round(wall, 3),
+            "warmup_seconds": round(warm_s, 3),
+            "cache_files_before": cache_before,
+            "cache_files_after": _cache_file_count(),
             "atlas": f"{width}x{height}",
         }
     except Exception as e:
         return {"error": f"{type(e).__name__}: {e}"}
+
+
+def tpu_parity_check(width: int = 128, height: int = 128, n_frames: int = 2):
+    """Certify output correctness ON THE REAL DEVICE (VERDICT item 3):
+    decode a small lossless fixture with the device pipeline (this
+    process's backend — the TPU in the driver's run) and byte-compare
+    positions/colors against the NumPy oracle. All other bit-exactness
+    evidence is CPU-backend (the test suite forces jax_platforms=cpu);
+    this is the one check that runs on the chip the headline number
+    comes from."""
+    try:
+        import numpy as np
+
+        from tpu_vpcc.runtime.pipeline import Decoder, Params
+        from tpu_vpcc.utils.fixtures import build_fixture_stream
+        from tpu_vpcc.utils.synthetic import make_synthetic_frame
+        from tpu_vpcc.video import encoder_supports
+
+        if not (encoder_supports(8) and encoder_supports(10)):
+            return {"tpu_parity": "skipped: libx265 unavailable"}
+        rng = np.random.default_rng(99)
+        frames = [
+            make_synthetic_frame(
+                rng, width=width, height=height, occupancy_resolution=16,
+                occupancy_precision=4, n_patches=5, frame_index=i,
+            )
+            for i in range(n_frames)
+        ]
+        stream = build_fixture_stream(frames)
+
+        dev = Decoder(Params(stream))
+        dev.start()
+        dev_frames = list(dev)
+        orc = Decoder(Params(stream, use_device=False))
+        orc.start()
+        orc_frames = list(orc)
+        if len(dev_frames) != len(orc_frames):
+            return {"tpu_parity": "FAIL: frame count mismatch"}
+        for i, (a, b) in enumerate(zip(dev_frames, orc_frames)):
+            if not (
+                np.array_equal(a.positions, b.positions)
+                and np.array_equal(a.colors, b.colors)
+            ):
+                npos = int((np.asarray(a.positions) != np.asarray(b.positions)).sum())
+                ncol = int((np.asarray(a.colors) != np.asarray(b.colors)).sum())
+                return {
+                    "tpu_parity": f"FAIL: frame {i}: {npos} position and "
+                    f"{ncol} color component mismatches"
+                }
+        return {
+            "tpu_parity": "ok",
+            "tpu_parity_frames": len(dev_frames),
+            "tpu_parity_points": sum(len(f) for f in dev_frames),
+        }
+    except Exception as e:
+        return {"tpu_parity": f"error: {type(e).__name__}: {e}"}
 
 
 # total wall budget for one bench run; the driver's own timeout is
@@ -243,13 +323,17 @@ def main() -> int:
     # extras launch first: their CPU-heavy prep (x265 fixture encode) runs
     # while this process sits in tunnel-bound XLA compiles; their TPU work
     # is gated until the kernel measurement below is done, and the gates
-    # are released one at a time so the extras never contend either
+    # are released one at a time so the extras never contend either.
+    # TPU_VPCC_SKIP_EXTRAS=1 is the development fast path (kernel-only
+    # iteration); the driver's official run never sets it.
     extras_procs = []
+    skip_extras = bool(os.environ.get("TPU_VPCC_SKIP_EXTRAS"))
     try:
-        gate_dir = f"/tmp/tpu_vpcc_bench_gates_{os.getpid()}"
-        os.makedirs(gate_dir, exist_ok=True)
-        for name in ("e2e", "multistream"):
-            extras_procs.append(_spawn_extra(name, f"{gate_dir}/{name}.go"))
+        if not skip_extras:
+            gate_dir = f"/tmp/tpu_vpcc_bench_gates_{os.getpid()}"
+            os.makedirs(gate_dir, exist_ok=True)
+            for name in ("e2e", "multistream"):
+                extras_procs.append(_spawn_extra(name, f"{gate_dir}/{name}.go"))
     except Exception:
         # never orphan an already-spawned extra: its gate would never be
         # released and it would eventually run TPU work unsupervised
@@ -395,14 +479,26 @@ def main() -> int:
     dt_dispatch = (time.perf_counter() - t0) / loop_n
 
     fps = batch / dt_net
-    # headline measured — release the extras sequentially, spending
-    # whatever is left of the total budget (their host prep already ran
-    # concurrently with the compiles above)
+    # headline measured — certify on-device correctness, then release
+    # the extras sequentially, spending whatever is left of the total
+    # budget (their host prep already ran concurrently with the
+    # compiles above)
     deadline = _T_START + _TOTAL_BUDGET_S
     kernel_s = round(time.perf_counter() - _T_START, 1)
+    # the parity decode uses this process's device and must finish
+    # before the extras' gates open (one TPU job at a time); its small
+    # shapes compile fast warm, but guard the cold case with a floor
+    if deadline - time.perf_counter() > 60 or os.environ.get(
+        "TPU_VPCC_FORCE_PARITY"
+    ):
+        parity = tpu_parity_check()
+    else:
+        parity = {"tpu_parity": "skipped: budget exhausted"}
     if extras_procs:
         e2e = _collect_extra(extras_procs[0], deadline)
         multistream = _collect_extra(extras_procs[1], deadline)
+    elif skip_extras:
+        e2e = multistream = {"skipped": "TPU_VPCC_SKIP_EXTRAS set"}
     else:
         e2e = multistream = {"error": "extras failed to launch"}
     result = {
@@ -424,6 +520,7 @@ def main() -> int:
             "g_live": n_live,
             "g_cap_full": fcfg.g_cap,
             "kernel_stage_seconds": kernel_s,
+            **parity,
             "e2e": e2e,
             "multistream": multistream,
             "differential_invalid": differential_invalid,

@@ -61,3 +61,77 @@ def test_tile_plane_roundtrip():
     np.testing.assert_array_equal(
         t[1, 2, 1 * 6 + 2], plane[1, 2, 8:16, 16:24]
     )
+
+
+@pytest.mark.parametrize("seed,res,prec,mc", [
+    (0, 8, 4, 2), (1, 8, 4, 2), (2, 8, 2, 1), (3, 16, 4, 2),
+])
+def test_raw_gather_path_bit_identical(seed, res, prec, mc):
+    """The raw-tile-gather narrow path (cfg.raw_gather) produces the
+    identical compacted prefix to the packed-plane path."""
+    from dataclasses import replace
+
+    rng = np.random.default_rng(seed)
+    width = 128 if res == 16 else 64
+    sf = make_synthetic_frame(
+        rng, width=width, height=width, occupancy_resolution=res,
+        occupancy_precision=prec, map_count=mc, n_patches=4,
+    )
+    cfg = make_config(
+        width=width, height=width, occupancy_resolution=res,
+        occupancy_precision=prec, map_count=mc,
+    )
+    _, tiled = tiled_inputs(sf, res)
+    p1, c1, n1 = reconstruct_batch_pretiled(*tiled, cfg=cfg)
+    p2, c2, n2 = reconstruct_batch_pretiled(
+        *tiled, cfg=replace(cfg, raw_gather=True)
+    )
+    n1, n2 = int(n1[0]), int(n2[0])
+    assert n1 == n2 and n1 > 0
+    np.testing.assert_array_equal(np.asarray(p1)[0][:n1], np.asarray(p2)[0][:n1])
+    np.testing.assert_array_equal(np.asarray(c1)[0][:n1], np.asarray(c2)[0][:n1])
+
+
+def test_raw_gather_with_swap_orientation_and_bucketing():
+    """raw_gather composes with SWAP-family orientations (emission-rank
+    sort reorder) and a bucketed group axis."""
+    from dataclasses import replace as dreplace
+
+    from tpu_vpcc.atlas.groups import bucket_group_count, build_group_table
+    from tpu_vpcc.atlas.patches import Patch
+    from tpu_vpcc.v3c.syntax import PatchOrientation
+
+    p0 = Patch(uv0=(0, 0), size_uv0=(2, 2), uv1=(8, 16),
+               occupancy_resolution=8,
+               patch_orientation=PatchOrientation.SWAP)
+    p0.set_view_id(0)
+    p0.d1 = 50
+    p0.size_d = 255
+    p1 = Patch(uv0=(3, 3), size_uv0=(2, 1), uv1=(4, 4),
+               occupancy_resolution=8,
+               patch_orientation=PatchOrientation.DEFAULT)
+    p1.set_view_id(2)
+    p1.d1 = 10
+    p1.size_d = 255
+    rng = np.random.default_rng(9)
+    sf = make_synthetic_frame(
+        rng, width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2,
+        patches=[dreplace(p0), dreplace(p1)],
+    )
+    cfg = make_config(
+        width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2,
+    )
+    _, tiled = tiled_inputs(sf, 8)
+    gt = build_group_table(sf.meta)
+    b = bucket_group_count(gt.n_groups, cfg.g_cap, min_bucket=1)
+    sliced = (np.ascontiguousarray(tiled[0][:, :b]),) + tiled[1:]
+    p1_, c1_, n1_ = reconstruct_batch_pretiled(*sliced, cfg=cfg)
+    p2_, c2_, n2_ = reconstruct_batch_pretiled(
+        *sliced, cfg=dreplace(cfg, raw_gather=True)
+    )
+    n1_, n2_ = int(n1_[0]), int(n2_[0])
+    assert n1_ == n2_ and n1_ > 0
+    np.testing.assert_array_equal(np.asarray(p1_)[0][:n1_], np.asarray(p2_)[0][:n1_])
+    np.testing.assert_array_equal(np.asarray(c1_)[0][:n1_], np.asarray(c2_)[0][:n1_])

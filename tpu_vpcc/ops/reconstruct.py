@@ -57,6 +57,10 @@ class FrameConfig:
     # mesh axis name when the kernel runs inside shard_map with the slot
     # axis sharded: smoothing grids combine across shards via psum/pmin
     shard_axis: object = None
+    # pre-tiled narrow path: gather RAW decoder planes per owned group
+    # instead of bit-packing all blocks into u32 planes first (see
+    # tiled._pretiled_gather_raw). Bit-identical output; perf switch.
+    raw_gather: bool = False
 
     @property
     def slots_per_block(self) -> int:
@@ -90,6 +94,7 @@ def make_config(
     chroma_shift: int = 1,
     smoothing=None,
     attr_smoothing=None,
+    raw_gather: bool = False,
     **_ignored,
 ) -> FrameConfig:
     return FrameConfig(
@@ -103,6 +108,7 @@ def make_config(
         chroma_shift=chroma_shift,
         smoothing=smoothing,
         attr_smoothing=attr_smoothing,
+        raw_gather=raw_gather,
     )
 
 

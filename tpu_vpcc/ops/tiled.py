@@ -162,7 +162,6 @@ def _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg,
     reconstruct.compute_slots and reconstruct._flat_batch_impl; change
     all three together."""
     res = cfg.occupancy_resolution
-    mc = cfg.map_count
     sw = (fid(G.G_SWAP) == 1)[:, None, None]
 
     # --- 3. orientation fix (transpose SWAP-family tiles) -----------------
@@ -193,6 +192,22 @@ def _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg,
         cy0 = cy1 = cu0 = cv0 = cv1 = cu1 = jnp.zeros(
             (FG, res, res), jnp.int32
         )
+    return _grids_to_words(
+        fields_f, fid,
+        (d0, d1, occ_bit_t, cy0, cy1, cu0, cu1, cv0, cv1),
+        F, FG, S, cfg, _narrow_emit=_narrow_emit,
+    )
+
+
+def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False):
+    """Steps 5-6 on unpacked slot grids ``(d0, d1, occ_bit, cy0, cy1,
+    cu0, cu1, cv0, cv1)``, each [FG, res, res] int32 in CANVAS memory
+    order (the packed-tile path unpacks into these; the raw-gather path
+    produces them directly)."""
+    res = cfg.occupancy_resolution
+    mc = cfg.map_count
+    d0, d1, occ_bit_t, cy0, cy1, cu0, cu1, cv0, cv1 = grids
+    sw = (fid(G.G_SWAP) == 1)[:, None, None]
 
     # --- 5. per-slot compute with group-field broadcasting ----------------
     bcast = lambda idx: fid(idx)[:, None, None]  # noqa: E731
@@ -626,6 +641,52 @@ def _pretiled_gather_tiles(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg)
     return t_a, t_b, t_c
 
 
+def _pretiled_gather_raw(fields_f, fid, occ_t, geo0_t, geo1_t, ay_t, au_t,
+                         av_t, cfg, F):
+    """Row-gather the RAW block-tiled planes for each owned group, then
+    upsample per gathered tile — NO canvas-sized packing pass.
+
+    The packed-plane path (:func:`_pretiled_gather_tiles`) upsamples and
+    bit-packs ALL ``n_blocks`` tiles into three u32 planes before
+    gathering the owned rows; with the group axis bucketed to the live
+    count, that preparation touches ~2x more blocks than the gathers
+    read. Here the gathers go straight at the decoder-emitted planes
+    (9 row gathers of 16B-512B contiguous rows instead of 3 of 1KB) and
+    the upsample/typecast work is bucket-sized. Returns the unpacked
+    slot grids of :func:`_grids_to_words` in canvas memory order —
+    bit-identical to unpacking the packed tiles.
+    """
+    res = cfg.occupancy_resolution
+    nb = cfg.block_h * cfg.block_w
+    rp = res // cfg.occupancy_precision
+    rc = res >> cfg.chroma_shift
+    mc = cfg.map_count
+    cup = 1 << cfg.chroma_shift
+    FG = fields_f.shape[0]
+    up = _upsample2d
+    i32 = lambda a: a.astype(jnp.int32)  # noqa: E731
+
+    f_of_g = jax.lax.broadcasted_iota(jnp.int32, (F, FG // F), 0).reshape(FG)
+    row_idx = f_of_g * nb + fid(G.G_BLOCKID)
+
+    occ_bit = i32(up(occ_t.reshape(F * nb, rp, rp)[row_idx], cfg.occupancy_precision) > 0)
+    d0 = i32(geo0_t.reshape(F * nb, res, res)[row_idx]) >> cfg.geo_shift
+    d1 = (
+        i32(geo1_t.reshape(F * nb, res, res)[row_idx]) >> cfg.geo_shift
+        if mc > 1 else d0
+    )
+    cy0 = i32(ay_t[:, 0].reshape(F * nb, res, res)[row_idx])
+    cu0 = i32(up(au_t[:, 0].reshape(F * nb, rc, rc)[row_idx], cup))
+    cv0 = i32(up(av_t[:, 0].reshape(F * nb, rc, rc)[row_idx], cup))
+    if mc > 1:
+        cy1 = i32(ay_t[:, 1].reshape(F * nb, res, res)[row_idx])
+        cu1 = i32(up(au_t[:, 1].reshape(F * nb, rc, rc)[row_idx], cup))
+        cv1 = i32(up(av_t[:, 1].reshape(F * nb, rc, rc)[row_idx], cup))
+    else:
+        cy1, cu1, cv1 = cy0, cu0, cv0
+    return d0, d1, occ_bit, cy0, cy1, cu0, cu1, cv0, cv1
+
+
 def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
     """Flat-batch reconstruction from block-tiled planes.
 
@@ -642,11 +703,24 @@ def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
     F = fields.shape[0]
     FG = F * fields.shape[1]
     S = fields.shape[1] * cfg.slots_per_block
+    fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
+    fid = lambda idx: fields_f[:, idx]  # noqa: E731
+    narrow_ok = (
+        cfg.smoothing is None
+        and cfg.attr_smoothing is None
+        and _narrow_sort_ok(F * S, F)
+    )
+    if cfg.raw_gather and narrow_ok:
+        grids = _pretiled_gather_raw(
+            fields_f, fid, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg, F
+        )
+        w0, zs, wc, valid, emi = _grids_to_words(
+            fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=True
+        )
+        return _compact_narrow_triple(w0, zs, wc, valid, emi, F, S)
     t_a, t_b, t_c = _pretiled_gather_tiles(
         fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg
     )
-    fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
-    fid = lambda idx: fields_f[:, idx]  # noqa: E731
     return _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg)
 
 
