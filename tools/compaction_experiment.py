@@ -44,7 +44,13 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_vpcc_jax_cache")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    ),
+)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
@@ -89,6 +95,40 @@ def _words(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg, **probe):
 
 def run_full(*args, cfg):
     return _flat_pretiled_impl(*args, cfg)
+
+
+def run_raw_gather(*args, cfg):
+    """The raw-tile-gather narrow path (round 4): 9 raw row gathers, no
+    canvas-sized pack/upsample. Bit-exact production candidate."""
+    from dataclasses import replace
+
+    return _flat_pretiled_impl(*args, replace(cfg, raw_gather=True))
+
+
+def run_raw_nosort(*args, cfg):
+    """raw_gather words stage without the sort (cost split probe)."""
+    from dataclasses import replace as _rp
+
+    from tpu_vpcc.ops.tiled import (
+        _grids_to_words,
+        _pretiled_gather_raw,
+        _unpack_narrow_sorted,
+    )
+
+    rcfg = _rp(cfg, raw_gather=True)
+    fields = args[0]
+    F = fields.shape[0]
+    FG = F * fields.shape[1]
+    S = fields.shape[1] * cfg.slots_per_block
+    fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
+    fid = lambda idx: fields_f[:, idx]  # noqa: E731
+    grids = _pretiled_gather_raw(fields_f, fid, *args[1:], rcfg, F)
+    w0, zs, wc, valid, emi = _grids_to_words(
+        fields_f, fid, grids, F, FG, S, rcfg, _narrow_emit=True
+    )
+    pos, col, counts = _unpack_narrow_sorted(w0, zs, wc, valid, F, S)
+    counts = counts + (emi[0, 0] & 1).astype(jnp.int32)
+    return pos, col, counts
 
 
 def run_nosort(*args, cfg, **probe):
@@ -305,6 +345,10 @@ def main() -> int:
     fcfg = cfg.frame_config()
     raw = example_batch_inputs(cfg, occupancy_fill=0.7, n_patches=48)
     res = fcfg.occupancy_resolution
+    # group-axis bucketing, as bench.py / the production dispatch do
+    n_live = int(raw[0][:, :, G.G_VALID].sum(axis=1).max())
+    g_bucket = G.bucket_group_count(n_live, raw[0].shape[1])
+    raw = (np.ascontiguousarray(raw[0][:, :g_bucket]),) + raw[1:]
     host_inputs = (
         raw[0],
         tile_plane(raw[1], res // fcfg.occupancy_precision),
@@ -330,6 +374,8 @@ def main() -> int:
 
     all_fns = {
         "full_sort": run_full,
+        "raw_gather": run_raw_gather,
+        "raw_nosort": run_raw_nosort,
         "nosort": run_nosort,
         "nosort_narrow": run_nosort_narrow,
         "nosort_narrow_nocolor": run_nosort_narrow_nocolor,
