@@ -135,3 +135,102 @@ def test_raw_gather_with_swap_orientation_and_bucketing():
     assert n1_ == n2_ and n1_ > 0
     np.testing.assert_array_equal(np.asarray(p1_)[0][:n1_], np.asarray(p2_)[0][:n1_])
     np.testing.assert_array_equal(np.asarray(c1_)[0][:n1_], np.asarray(c2_)[0][:n1_])
+
+
+def cell_inputs(sf, res, prec, cell_bucket=0):
+    """Cell-granular device inputs: cell table (padded) + prec-tiled planes."""
+    from tpu_vpcc.atlas.groups import N_GROUP_FIELDS, build_cell_table
+
+    ct = build_cell_table(sf.meta, sf.occ_plane, prec, occupancy_resolution=res)
+    n = ct.n_groups
+    cap = cell_bucket if cell_bucket else max(n, 1)
+    fields = np.zeros((cap, N_GROUP_FIELDS), np.int32)
+    fields[:n] = ct.fields[:n]
+    geo0 = sf.geo_planes[0]
+    geo1 = sf.geo_planes[1] if sf.map_count > 1 else sf.geo_planes[0]
+    ay = np.stack([p[0] for p in sf.attr_planes])
+    au = np.stack([p[1] for p in sf.attr_planes])
+    av = np.stack([p[2] for p in sf.attr_planes])
+    occ_dummy = np.zeros((1, 1, 1), np.uint8)  # unused in cell mode
+    return (
+        fields[None],
+        occ_dummy[None],
+        tile_plane(geo0, prec)[None],
+        tile_plane(geo1, prec)[None],
+        tile_plane(ay, prec)[None],
+        tile_plane(au, prec // 2)[None],
+        tile_plane(av, prec // 2)[None],
+    )
+
+
+@pytest.mark.parametrize("seed,res,prec,mc", [
+    (0, 8, 4, 2), (1, 8, 4, 2), (3, 16, 4, 2), (4, 16, 8, 2), (5, 8, 4, 1),
+])
+def test_cell_groups_bit_identical(seed, res, prec, mc):
+    """Cell-granular groups (occupied precision cells, G_EMITBASE ranks,
+    no device occupancy input) produce the identical compacted prefix to
+    the block-granular path."""
+    from dataclasses import replace
+
+    rng = np.random.default_rng(seed)
+    width = 128 if res == 16 else 64
+    sf = make_synthetic_frame(
+        rng, width=width, height=width, occupancy_resolution=res,
+        occupancy_precision=prec, map_count=mc, n_patches=4,
+    )
+    cfg = make_config(
+        width=width, height=width, occupancy_resolution=res,
+        occupancy_precision=prec, map_count=mc,
+    )
+    _, tiled = tiled_inputs(sf, res)
+    p1, c1, n1 = reconstruct_batch_pretiled(*tiled, cfg=cfg)
+    cell = cell_inputs(sf, res, prec)
+    p2, c2, n2 = reconstruct_batch_pretiled(
+        *cell, cfg=replace(cfg, cell_groups=True)
+    )
+    n1, n2 = int(n1[0]), int(n2[0])
+    assert n1 == n2 and n1 > 0
+    np.testing.assert_array_equal(np.asarray(p1)[0][:n1], np.asarray(p2)[0][:n1])
+    np.testing.assert_array_equal(np.asarray(c1)[0][:n1], np.asarray(c2)[0][:n1])
+
+
+def test_cell_groups_swap_orientation():
+    """Cell mode with a SWAP patch: the emission permutation (G_EMITBASE
+    + swapped in-cell iotas) must reproduce patch-space raster order."""
+    from dataclasses import replace as dreplace
+
+    from tpu_vpcc.atlas.patches import Patch
+    from tpu_vpcc.v3c.syntax import PatchOrientation
+
+    p0 = Patch(uv0=(0, 0), size_uv0=(2, 2), uv1=(8, 16),
+               occupancy_resolution=8,
+               patch_orientation=PatchOrientation.SWAP)
+    p0.set_view_id(0)
+    p0.d1 = 50
+    p0.size_d = 255
+    p1 = Patch(uv0=(3, 3), size_uv0=(2, 1), uv1=(4, 4),
+               occupancy_resolution=8,
+               patch_orientation=PatchOrientation.MROT270)
+    p1.set_view_id(2)
+    p1.d1 = 10
+    p1.size_d = 255
+    rng = np.random.default_rng(21)
+    sf = make_synthetic_frame(
+        rng, width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2,
+        patches=[dreplace(p0), dreplace(p1)],
+    )
+    cfg = make_config(
+        width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2,
+    )
+    _, tiled = tiled_inputs(sf, 8)
+    p1_, c1_, n1_ = reconstruct_batch_pretiled(*tiled, cfg=cfg)
+    cell = cell_inputs(sf, 8, 4)
+    p2_, c2_, n2_ = reconstruct_batch_pretiled(
+        *cell, cfg=dreplace(cfg, cell_groups=True)
+    )
+    n1_, n2_ = int(n1_[0]), int(n2_[0])
+    assert n1_ == n2_ and n1_ > 0
+    np.testing.assert_array_equal(np.asarray(p1_)[0][:n1_], np.asarray(p2_)[0][:n1_])
+    np.testing.assert_array_equal(np.asarray(c1_)[0][:n1_], np.asarray(c2_)[0][:n1_])

@@ -376,6 +376,7 @@ def main() -> int:
         "full_sort": run_full,
         "raw_gather": run_raw_gather,
         "raw_nosort": run_raw_nosort,
+        "cell_full": run_full,  # cell-mode cfg + inputs (see main)
         "nosort": run_nosort,
         "nosort_narrow": run_nosort_narrow,
         "nosort_narrow_nocolor": run_nosort_narrow_nocolor,
@@ -391,9 +392,42 @@ def main() -> int:
         "segsort_8k": run_segsort_8k,
         "segsort_2k": run_segsort_2k,
     }
+    # cell-granular variants use their own inputs (cell tables + planes
+    # tiled at the precision edge) and a cell-mode FrameConfig
+    cell_variants = {n for n in variants if n.startswith("cell")}
+    if cell_variants:
+        from dataclasses import replace
+
+        from tpu_vpcc.models.flagship import example_cell_batch_inputs
+
+        cell_raw, n_cells = example_cell_batch_inputs(
+            cfg, occupancy_fill=0.7, n_patches=48
+        )
+        cell_inputs = [jax.device_put(a, dev) for a in cell_raw]
+        cell_cfg = replace(fcfg, cell_groups=True)
+        print(
+            f"# cells: live {n_cells}, bucket {cell_raw[0].shape[1]}, "
+            f"slots {cell_raw[0].shape[1] * cell_cfg.slots_per_group}",
+            file=sys.stderr,
+        )
+        # correctness cross-check once per run
+        a = jax.jit(functools.partial(run_full, cfg=fcfg))(*inputs)
+        b = jax.jit(functools.partial(run_full, cfg=cell_cfg))(*cell_inputs)
+        na = np.asarray(a[2])
+        nb_ = np.asarray(b[2])
+        assert (na == nb_).all(), (na, nb_)
+        pa = np.asarray(a[0])[0][: na[0]]
+        pb = np.asarray(b[0])[0][: nb_[0]]
+        assert (pa == pb).all(), "cell-mode positions diverge on device"
+
     results = {}
     for name in variants:
-        dt = measure_variant(all_fns[name], cfg, fcfg, inputs, loop_n, K=K)
+        if name in cell_variants:
+            dt = measure_variant(
+                all_fns[name], cfg, cell_cfg, cell_inputs, loop_n, K=K
+            )
+        else:
+            dt = measure_variant(all_fns[name], cfg, fcfg, inputs, loop_n, K=K)
         results[name] = round(dt / batch * 1000, 4)  # ms/frame
 
     if "full_sort" in results and "nosort" in results:

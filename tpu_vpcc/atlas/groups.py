@@ -57,12 +57,16 @@ from .patches import FrameMeta, PatchOrientation
     G_D1,
     G_MODE,
     G_NORMAL, G_TANGENT, G_BITANGENT,
-    G_BLOCKID,    # canvas block flat index by*bw + bx (tiled kernel)
+    G_BLOCKID,    # canvas tile row index (block tables: by*bw + bx at the
+                  # block grid; cell tables: the cell grid equivalent)
     G_SWAP,       # 1 when the pixel tile is transposed vs canvas (SWAP)
     G_PATCH,      # patch index (grid-smoothing cluster id)
-) = range(19)
+    G_EMITBASE,   # frame slot index of this group's patch-space (0,0) D0
+                  # slot: block tables group_idx*res*res*2; cell tables
+                  # block_rank*res*res*2 + (v1c*res + u1c)*2
+) = range(20)
 
-N_GROUP_FIELDS = 19
+N_GROUP_FIELDS = 20
 
 
 def bucket_group_count(
@@ -99,6 +103,9 @@ class GroupTable:
     n_groups: int
     block_to_patch: np.ndarray  # (bh, bw) int32 — parity/debug
     tiled_ok: bool = True  # all orientations have block-aligned pixel tiles
+    #: group tile edge: 0/res for block tables, occ_precision for cell
+    #: tables (build_cell_table)
+    granularity: int = 0
 
 
 # orientations whose pixel tile equals the canvas block at any resolution
@@ -252,6 +259,9 @@ def build_group_table(
         fields[sl, G_BITANGENT] = patch.axes[2]
         fields[sl, G_BLOCKID] = by[owned] * bw + bx[owned]
         fields[sl, G_PATCH] = pidx
+        fields[sl, G_EMITBASE] = (
+            np.arange(sl.start, sl.stop) * (res * res * 2)
+        )
         # Orientations whose pixel tile is the canvas block, possibly
         # transposed: DEFAULT (identity), SWAP/MROT270 (transpose). All
         # others leave block alignment (the tmc2-rs size quirk, see
@@ -264,4 +274,100 @@ def build_group_table(
 
     return GroupTable(
         fields=fields, n_groups=n_groups, block_to_patch=owner, tiled_ok=tiled_ok
+    )
+
+
+def build_cell_table(
+    meta: FrameMeta,
+    occ_ds: np.ndarray,
+    occ_precision: int,
+    occupancy_resolution: int = 0,
+    block_table: GroupTable = None,
+) -> GroupTable:
+    """CELL-granular group table: one group per OCCUPIED precision cell
+    of an owned block (round-4 structural optimization).
+
+    The occupancy video is coded at ``occ_precision`` granularity, so
+    occupancy is CONSTANT over each precision cell — and the host holds
+    the decoded plane (``occ_ds``, shape (H/prec, W/prec)). Emitting
+    groups only for cells whose occupancy sample is non-zero therefore
+    (a) removes the device-side occupancy gather entirely (every pixel
+    of a live cell passes the occupancy test; validity reduces to the
+    D1 duplicate check) and (b) shrinks the compaction-sort extent to
+    ~the emitted point count instead of all pixels of owned blocks —
+    the same principle as the reference's occupancy test
+    (``src/codec.rs:393-397``), applied at table-build time.
+
+    The emission permutation is carried per group in G_EMITBASE (frame
+    slot index of the cell's patch-space origin), which the narrow
+    compaction sort consumes — cells need not be table-ordered by
+    emission. Requires every patch block-aligned (DEFAULT/SWAP/MROT270;
+    ``tiled_ok``) and ``res % prec == 0``; callers fall back to block
+    tables otherwise. Returns a GroupTable whose ``granularity`` is the
+    cell edge (``occ_precision``).
+    """
+    bt = block_table if block_table is not None else build_group_table(
+        meta, occupancy_resolution=occupancy_resolution
+    )
+    if occupancy_resolution > 0:
+        res = occupancy_resolution
+    elif meta.patches:
+        res = meta.patches[0].occupancy_resolution
+    else:
+        res = 16
+    prec = occ_precision
+    if not bt.tiled_ok or res % prec != 0 or prec < 1:
+        raise ValueError("cell tables need block-aligned patches and res % prec == 0")
+    cpb = res // prec  # cells per block edge
+    bw = meta.width // res
+    cw = meta.width // prec  # cell-grid width (canvas)
+    occ = np.asarray(occ_ds)
+    spb = res * res * 2
+
+    bf = bt.fields[: bt.n_groups]
+    if bt.n_groups == 0:
+        return GroupTable(
+            fields=np.zeros((0, N_GROUP_FIELDS), np.int32), n_groups=0,
+            block_to_patch=bt.block_to_patch, tiled_ok=True,
+            granularity=prec,
+        )
+    # per owned block: canvas origin of patch-space (0,0) pixel and the
+    # (possibly transposing) affine — vectorized over blocks x cells
+    k = bf.shape[0]
+    cu = np.arange(cpb, dtype=np.int64)
+    cv = np.arange(cpb, dtype=np.int64)
+    cug, cvg = np.meshgrid(cu, cv)  # (cpb, cpb), cv-major raster
+    pu0 = (cug * prec)[None]  # patch-space cell origins within the block
+    pv0 = (cvg * prec)[None]
+    a = bf[:, G_A][:, None, None]
+    b = bf[:, G_B][:, None, None]
+    c = bf[:, G_C][:, None, None]
+    d = bf[:, G_D][:, None, None]
+    x00 = bf[:, G_X00][:, None, None] + a * pu0 + b * pv0
+    y00 = bf[:, G_Y00][:, None, None] + c * pu0 + d * pv0
+    # block-aligned orientations have non-negative unit coefficients, so
+    # (x00, y00) is each cell's canvas min corner
+    live = occ[y00 // prec, x00 // prec] > 0  # (k, cpb, cpb)
+    n_cells = int(live.sum())
+
+    fields = np.zeros((n_cells, N_GROUP_FIELDS), dtype=np.int32)
+    bidx = np.broadcast_to(np.arange(k)[:, None, None], live.shape)[live]
+    src = bf[bidx]
+    fields[:] = src  # inherit patch constants (d1/mode/axes/swap/patch)
+    pu0l = np.broadcast_to(pu0, live.shape)[live]
+    pv0l = np.broadcast_to(pv0, live.shape)[live]
+    fields[:, G_X00] = x00[live]
+    fields[:, G_Y00] = y00[live]
+    fields[:, G_T00] = src[:, G_T00] + src[:, G_LODX] * pu0l
+    fields[:, G_B00] = src[:, G_B00] + src[:, G_LODY] * pv0l
+    fields[:, G_BLOCKID] = (y00[live] // prec) * cw + x00[live] // prec
+    fields[:, G_EMITBASE] = (
+        src[:, G_EMITBASE] + (pv0l * res + pu0l) * 2
+    )
+    if bt.n_groups * spb >= (1 << 27):
+        # the narrow sort key carries G_EMITBASE in 27 bits
+        raise ValueError("frame slot space exceeds the narrow key budget")
+    return GroupTable(
+        fields=fields, n_groups=n_cells, block_to_patch=bt.block_to_patch,
+        tiled_ok=True, granularity=prec,
     )

@@ -105,3 +105,71 @@ def fast_forward_fn(cfg: FlagshipConfig):
     from ..ops.tiled import _flat_pretiled_impl
 
     return functools.partial(_flat_pretiled_impl, cfg=cfg.frame_config())
+
+
+def example_cell_batch_inputs(
+    cfg: FlagshipConfig, seed: int = 0, n_patches: int = 48,
+    occupancy_fill: float = 0.7, **kw,
+):
+    """Batched inputs for the CELL-granular fast path: per-frame cell
+    tables (padded to the shared bucket) + planes tiled at the precision
+    cell edge. Returns (inputs, n_cells_max)."""
+    from ..atlas.groups import (
+        N_GROUP_FIELDS,
+        bucket_group_count,
+        build_cell_table,
+    )
+    from ..ops.tiled import tile_plane
+    from ..utils.synthetic import make_synthetic_frame
+
+    prec = cfg.occupancy_precision
+    frames = []
+    tables = []
+    for k in range(cfg.batch):
+        rng = np.random.default_rng(seed + k)
+        sf = make_synthetic_frame(
+            rng,
+            width=cfg.width,
+            height=cfg.height,
+            occupancy_resolution=cfg.occupancy_resolution,
+            occupancy_precision=prec,
+            map_count=cfg.map_count,
+            n_patches=n_patches,
+            occupancy_fill=occupancy_fill,
+            **kw,
+        )
+        frames.append(sf)
+        tables.append(
+            build_cell_table(
+                sf.meta, sf.occ_plane, prec,
+                occupancy_resolution=cfg.occupancy_resolution,
+            )
+        )
+    n_max = max(t.n_groups for t in tables)
+    cell_cap = (cfg.width // prec) * (cfg.height // prec)
+    bucket = bucket_group_count(n_max, cell_cap)
+    fields = np.zeros((cfg.batch, bucket, N_GROUP_FIELDS), np.int32)
+    for k, t in enumerate(tables):
+        fields[k, : t.n_groups] = t.fields[: t.n_groups]
+
+    def stack(get):
+        return np.stack([get(sf) for sf in frames])
+
+    geo0 = stack(lambda sf: sf.geo_planes[0])
+    geo1 = stack(
+        lambda sf: sf.geo_planes[1] if cfg.map_count > 1 else sf.geo_planes[0]
+    )
+    ay = stack(lambda sf: np.stack([p[0] for p in sf.attr_planes]))
+    au = stack(lambda sf: np.stack([p[1] for p in sf.attr_planes]))
+    av = stack(lambda sf: np.stack([p[2] for p in sf.attr_planes]))
+    occ_dummy = np.zeros((cfg.batch, 1, 1, 1), np.uint8)
+    inputs = (
+        fields,
+        occ_dummy,
+        tile_plane(geo0, prec),
+        tile_plane(geo1, prec),
+        tile_plane(ay, prec),
+        tile_plane(au, prec // 2),
+        tile_plane(av, prec // 2),
+    )
+    return inputs, n_max

@@ -61,10 +61,27 @@ class FrameConfig:
     # instead of bit-packing all blocks into u32 planes first (see
     # tiled._pretiled_gather_raw). Bit-identical output; perf switch.
     raw_gather: bool = False
+    # groups are OCCUPIED precision cells (atlas.groups.build_cell_table)
+    # instead of owned blocks: group tile = occupancy_precision, no
+    # device occupancy test, sort extent ~ the emitted point count.
+    cell_groups: bool = False
 
     @property
     def slots_per_block(self) -> int:
         return self.occupancy_resolution * self.occupancy_resolution * 2
+
+    @property
+    def group_tile(self) -> int:
+        """Pixel edge of one group's tile (block edge, or the precision
+        cell edge in cell-groups mode)."""
+        return (
+            self.occupancy_precision if self.cell_groups
+            else self.occupancy_resolution
+        )
+
+    @property
+    def slots_per_group(self) -> int:
+        return self.group_tile * self.group_tile * 2
 
     @property
     def block_w(self) -> int:
@@ -95,6 +112,7 @@ def make_config(
     smoothing=None,
     attr_smoothing=None,
     raw_gather: bool = False,
+    cell_groups: bool = False,
     **_ignored,
 ) -> FrameConfig:
     return FrameConfig(
@@ -109,6 +127,7 @@ def make_config(
         smoothing=smoothing,
         attr_smoothing=attr_smoothing,
         raw_gather=raw_gather,
+        cell_groups=cell_groups,
     )
 
 

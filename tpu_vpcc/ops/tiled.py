@@ -201,18 +201,21 @@ def _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg,
 
 def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False):
     """Steps 5-6 on unpacked slot grids ``(d0, d1, occ_bit, cy0, cy1,
-    cu0, cu1, cv0, cv1)``, each [FG, res, res] int32 in CANVAS memory
+    cu0, cu1, cv0, cv1)``, each [FG, tile, tile] int32 in CANVAS memory
     order (the packed-tile path unpacks into these; the raw-gather path
-    produces them directly)."""
+    produces them directly; ``tile`` is the block edge for block tables
+    and occ_precision for cell tables, whose ``occ_bit`` is None — cell
+    groups are occupied by construction)."""
     res = cfg.occupancy_resolution
+    tile = cfg.group_tile
     mc = cfg.map_count
     d0, d1, occ_bit_t, cy0, cy1, cu0, cu1, cv0, cv1 = grids
     sw = (fid(G.G_SWAP) == 1)[:, None, None]
 
     # --- 5. per-slot compute with group-field broadcasting ----------------
     bcast = lambda idx: fid(idx)[:, None, None]  # noqa: E731
-    v1 = jax.lax.broadcasted_iota(jnp.int32, (FG, res, res), 1)
-    u1 = jax.lax.broadcasted_iota(jnp.int32, (FG, res, res), 2)
+    v1 = jax.lax.broadcasted_iota(jnp.int32, (FG, tile, tile), 1)
+    u1 = jax.lax.broadcasted_iota(jnp.int32, (FG, tile, tile), 2)
     if _narrow_emit:
         # canvas memory order: a SWAP-family slot at memory (row, col)
         # is patch-space (u, v) = (row, col) — swap the iotas instead of
@@ -232,7 +235,11 @@ def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False):
     else:
         n1 = jnp.where(mode == 0, n0 + d1, n0 - d1) & 0xFFFF
 
-    occ_on = (occ_bit_t > 0) & (bcast(G.G_VALID) > 0)
+    occ_on = (bcast(G.G_VALID) > 0)
+    if occ_bit_t is not None:
+        occ_on &= occ_bit_t > 0
+    else:
+        occ_on = jnp.broadcast_to(occ_on, d0.shape)
     dup = n1 == n0
     valid0 = occ_on
     valid1 = occ_on & (mc > 1) & ~dup
@@ -274,16 +281,16 @@ def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False):
         )
         wc = interleave(wc_of(cy0, cu0, cv0), wc_of(cy1, cu1, cv1))
         valid = jnp.stack([valid0, valid1], axis=-1).reshape(F, S)
-        # per-slot EMISSION index within its frame: groups ascending,
-        # patch-space (v, u) raster within the tile (u1/v1 already in
-        # patch space — see step 5), maps interleaved per pixel. Memory
-        # order stays canvas order; the sort key lands every slot at
-        # this rank, replacing the tile transposes of the general path.
-        gl = jax.lax.broadcasted_iota(
-            jnp.uint32, (F, FG // F), 1
-        ).reshape(FG)[:, None, None]
+        # per-slot EMISSION index within its frame: G_EMITBASE carries
+        # the group's patch-space-origin slot index (block tables:
+        # group_idx * res² * 2, reproducing the old group-iota rank;
+        # cell tables: the cell's exact slot base), plus the in-tile
+        # patch-space raster (u1/v1 already in patch space — step 5) and
+        # the per-pixel map interleave. Memory order stays canvas
+        # order; the sort key lands every slot at this rank, replacing
+        # the tile transposes of the general path.
         rank = v1.astype(jnp.uint32) * res + u1.astype(jnp.uint32)
-        base = (gl * (res * res) + rank) * 2
+        base = bcast(G.G_EMITBASE).astype(jnp.uint32) + rank * 2
         emi = interleave(base, base + 1).astype(jnp.uint32)
         return w0, zs, wc, valid, emi
 
@@ -549,6 +556,9 @@ def _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg):
         cfg.smoothing is None
         and cfg.attr_smoothing is None
         and _narrow_sort_ok(F * S, F)
+        # G_EMITBASE-based emission ranks span the FULL frame slot space
+        # (not just the bucketed extent) and ride the 27-bit key field
+        and cfg.s_cap < (1 << _IDX_BITS)
     )
     if narrow_ok:
         w0, zs, wc, valid, emi = _tiles_to_words(
@@ -656,10 +666,10 @@ def _pretiled_gather_raw(fields_f, fid, occ_t, geo0_t, geo1_t, ay_t, au_t,
     slot grids of :func:`_grids_to_words` in canvas memory order —
     bit-identical to unpacking the packed tiles.
     """
-    res = cfg.occupancy_resolution
-    nb = cfg.block_h * cfg.block_w
-    rp = res // cfg.occupancy_precision
-    rc = res >> cfg.chroma_shift
+    tile = cfg.group_tile
+    nb = (cfg.height // tile) * (cfg.width // tile)
+    rp = tile // cfg.occupancy_precision  # 1 in cell-groups mode
+    rc = tile >> cfg.chroma_shift
     mc = cfg.map_count
     cup = 1 << cfg.chroma_shift
     FG = fields_f.shape[0]
@@ -669,17 +679,25 @@ def _pretiled_gather_raw(fields_f, fid, occ_t, geo0_t, geo1_t, ay_t, au_t,
     f_of_g = jax.lax.broadcasted_iota(jnp.int32, (F, FG // F), 0).reshape(FG)
     row_idx = f_of_g * nb + fid(G.G_BLOCKID)
 
-    occ_bit = i32(up(occ_t.reshape(F * nb, rp, rp)[row_idx], cfg.occupancy_precision) > 0)
-    d0 = i32(geo0_t.reshape(F * nb, res, res)[row_idx]) >> cfg.geo_shift
+    if cfg.cell_groups:
+        # cell groups are occupied by construction (the host filtered on
+        # the decoded occupancy sample) — no device occupancy input
+        occ_bit = None
+    else:
+        occ_bit = i32(
+            up(occ_t.reshape(F * nb, rp, rp)[row_idx], cfg.occupancy_precision)
+            > 0
+        )
+    d0 = i32(geo0_t.reshape(F * nb, tile, tile)[row_idx]) >> cfg.geo_shift
     d1 = (
-        i32(geo1_t.reshape(F * nb, res, res)[row_idx]) >> cfg.geo_shift
+        i32(geo1_t.reshape(F * nb, tile, tile)[row_idx]) >> cfg.geo_shift
         if mc > 1 else d0
     )
-    cy0 = i32(ay_t[:, 0].reshape(F * nb, res, res)[row_idx])
+    cy0 = i32(ay_t[:, 0].reshape(F * nb, tile, tile)[row_idx])
     cu0 = i32(up(au_t[:, 0].reshape(F * nb, rc, rc)[row_idx], cup))
     cv0 = i32(up(av_t[:, 0].reshape(F * nb, rc, rc)[row_idx], cup))
     if mc > 1:
-        cy1 = i32(ay_t[:, 1].reshape(F * nb, res, res)[row_idx])
+        cy1 = i32(ay_t[:, 1].reshape(F * nb, tile, tile)[row_idx])
         cu1 = i32(up(au_t[:, 1].reshape(F * nb, rc, rc)[row_idx], cup))
         cv1 = i32(up(av_t[:, 1].reshape(F * nb, rc, rc)[row_idx], cup))
     else:
@@ -702,15 +720,22 @@ def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
     """
     F = fields.shape[0]
     FG = F * fields.shape[1]
-    S = fields.shape[1] * cfg.slots_per_block
+    S = fields.shape[1] * cfg.slots_per_group
     fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
     fid = lambda idx: fields_f[:, idx]  # noqa: E731
     narrow_ok = (
         cfg.smoothing is None
         and cfg.attr_smoothing is None
         and _narrow_sort_ok(F * S, F)
+        # G_EMITBASE-based emission ranks span the FULL frame slot space
+        # (not just the bucketed extent) and ride the 27-bit key field
+        and cfg.s_cap < (1 << _IDX_BITS)
     )
-    if cfg.raw_gather and narrow_ok:
+    if cfg.cell_groups and not narrow_ok:
+        # the host gates cell tables on exactly these conditions
+        # (_cell_mode_ok); reaching here is a dispatch bug
+        raise ValueError("cell-groups dispatch outside the narrow envelope")
+    if (cfg.raw_gather or cfg.cell_groups) and narrow_ok:
         grids = _pretiled_gather_raw(
             fields_f, fid, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg, F
         )
