@@ -130,9 +130,11 @@ def test_pipeline_dispatch_buckets_and_matches_oracle():
     ctx = Context()
     ssvu.decode_gof(ctx)
     gof = prepare_gof(ctx)
+    from tpu_vpcc.runtime.pipeline import _group_capacity
+
     di = _gof_device_inputs(gof)
-    assert di.group_cap < di.cfg.g_cap, "bucketing did not engage"
-    assert di.group_cap * di.cfg.slots_per_block == di.slot_cap
+    assert di.group_cap < _group_capacity(di.cfg), "bucketing did not engage"
+    assert di.group_cap * di.cfg.slots_per_group == di.slot_cap
 
     dev = Decoder(Params(stream))
     dev.start()

@@ -429,6 +429,8 @@ def main() -> int:
         else:
             dt = measure_variant(all_fns[name], cfg, fcfg, inputs, loop_n, K=K)
         results[name] = round(dt / batch * 1000, 4)  # ms/frame
+        # incremental line so a timeout can never lose completed variants
+        print(f"# {name}: {results[name]} ms/frame", flush=True)
 
     if "full_sort" in results and "nosort" in results:
         results["sort_cost_ceiling_ms"] = round(

@@ -260,9 +260,16 @@ class GofData:
     # grid attribute smoothing (AttrSmoothingConfig), same contract
     attr_smoothing: Optional[object] = None
     # When tiled, geo/attr planes are block-tiled (n_blocks, t, t) straight
-    # from the native decoder copy (luma t = occupancy_resolution, chroma
-    # t/2); occupancy stays raw (its size defines occupancy_precision).
+    # from the native decoder copy (luma t = tile_size, chroma t/2);
+    # occupancy stays raw (its size defines occupancy_precision).
     tiled: bool = False
+    # tile edge of the tiled planes: the packing block size normally, or
+    # the occupancy precision when the cell-granular path is active
+    tile_size: int = 0
+    # cell-granular dispatch (groups = occupied precision cells; see
+    # atlas.groups.build_cell_table): chosen at prepare time so the
+    # planes are decoded pre-tiled at the cell edge
+    cell: bool = False
     # the tiled kernels bit-pack samples into 10-bit u32 fields; wider
     # decoded samples must use the gather kernel (i32 end to end)
     packed10_ok: bool = True
@@ -388,11 +395,33 @@ def prepare_gof(
     tiled = tiled and res >= 2 and res % 2 == 0
     vtile = res if tiled else 0
 
+    # Cell-granular dispatch wants planes tiled at the occupancy
+    # PRECISION — which is only known from the decoded occupancy's
+    # resolution, so occupancy decodes first (it is by far the smallest
+    # substream; geo/attr still decode concurrently afterwards).
+    cell = (
+        CELL_GROUPS
+        and tiled
+        and not apply_geo_smoothing
+        and not apply_attr_smoothing
+    )
     with ThreadPoolExecutor(max_workers=num_video_threads) as pool:
-        occ_f = pool.submit(decompress_video, occ_bs.data, occ_codec)
+        if cell:
+            occ_frames = decompress_video(occ_bs.data, occ_codec)
+            prec = (
+                vps.frame_width // occ_frames[0].width if occ_frames else 0
+            )
+            if prec >= 2 and res % prec == 0:
+                vtile = prec
+            else:
+                cell = False
+            occ_f = None
+        else:
+            occ_f = pool.submit(decompress_video, occ_bs.data, occ_codec)
         geo_f = pool.submit(decompress_video, geo_bs.data, geo_codec, True, vtile)
         attr_f = pool.submit(decompress_video, attr_bs.data, attr_codec, True, vtile)
-        occ_frames = occ_f.result()
+        if occ_f is not None:
+            occ_frames = occ_f.result()
         geo_frames = geo_f.result()
         attr_frames = attr_f.result()
 
@@ -433,6 +462,7 @@ def prepare_gof(
     attr_is_rgb444 = bool(attr_frames and attr_frames[0].is_rgb)
     # the native copy falls back to raw layout when dims don't divide
     tiled = tiled and bool(geo_frames) and geo_frames[0].planes[0].ndim == 3
+    cell = cell and tiled
 
     return GofData(
         metas=metas,
@@ -457,6 +487,8 @@ def prepare_gof(
             extract_attr_smoothing(context, asps) if apply_attr_smoothing else None
         ),
         tiled=tiled,
+        tile_size=vtile if tiled else 0,
+        cell=cell,
         packed10_ok=(
             geo_bit_depth <= 10 and attr_frames[0].bit_depth <= 10
         ),
@@ -507,6 +539,13 @@ def decode_gof_frames(context: Context, params: Params) -> Iterator[PointSet3]:
 # B=4, 0.700 at B=8), so GOFs are reconstructed in 2-frame chunks — the
 # best per-frame compute with half the dispatches of B=1
 DEVICE_BATCH = 2
+
+# cell-granular dispatch (atlas.groups.build_cell_table): groups are
+# occupied occupancy-precision cells, the device occupancy input
+# disappears, and the compaction sort shrinks to ~the emitted point
+# count. Requires block-aligned orientations and no smoothing; those
+# frames fall back to block tables automatically.
+CELL_GROUPS = True
 
 
 def _convert_colors_device(col16, color_mode: str):
@@ -650,7 +689,7 @@ class DeviceInputs:
 
     @property
     def slot_cap(self) -> int:
-        return self.group_cap * self.cfg.slots_per_block
+        return self.group_cap * self.cfg.slots_per_group
 
     @property
     def batch_key(self):
@@ -659,8 +698,15 @@ class DeviceInputs:
         return (self.cfg, self.use_tiled, self.color_mode, self.group_cap)
 
 
-def _gof_frame_tables(gof: GofData, metas):
-    """Host stage: the FrameConfig + per-frame group tables for ``metas``."""
+def _gof_frame_tables(gof: GofData, metas, allow_cell: bool = True):
+    """Host stage: the FrameConfig + per-frame group tables for ``metas``.
+
+    ``allow_cell=False`` forces block-granular tables — required for
+    spatially sharded dispatches: the sharded output stitch concatenates
+    per-shard compacted prefixes, which is only emission-ordered when
+    consecutive table rows own DISJOINT emission ranges. Block groups
+    do; cells of one block interleave their pixel rows, so a shard
+    boundary inside a block would interleave across shards."""
     from ..atlas.groups import build_group_table
     from ..ops.reconstruct import make_config
 
@@ -694,7 +740,35 @@ def _gof_frame_tables(gof: GofData, metas):
         )
         for m in metas
     ]
+    if (
+        allow_cell
+        and gof.cell
+        and cfg.smoothing is None
+        and cfg.attr_smoothing is None
+        and cfg.s_cap < (1 << 27)  # narrow-key budget for G_EMITBASE
+        and all(t.tiled_ok for t in tables)
+    ):
+        from ..atlas.groups import build_cell_table
+        from dataclasses import replace
+
+        cell_tables = [
+            build_cell_table(
+                m,
+                gof.occ_planes[m.frame_index],
+                gof.occupancy_precision,
+                occupancy_resolution=cfg.occupancy_resolution,
+                block_table=t,
+            )
+            for m, t in zip(metas, tables)
+        ]
+        return replace(cfg, cell_groups=True), cell_tables
     return cfg, tables
+
+
+def _group_capacity(cfg) -> int:
+    """Static group-axis capacity for bucketing: all canvas blocks, or
+    all precision cells in cell-groups mode."""
+    return (cfg.width // cfg.group_tile) * (cfg.height // cfg.group_tile)
 
 
 def _gof_device_inputs(
@@ -715,55 +789,69 @@ def _gof_device_inputs(
     from ..atlas.groups import bucket_group_count
     from ..ops.tiled import tile_plane, tiled_supported, untile_plane
 
+    from ..atlas.groups import N_GROUP_FIELDS
+
     metas = gof.metas if metas is None else metas
     mc = gof.map_count
     cfg, tables = (
-        prebuilt if prebuilt is not None else _gof_frame_tables(gof, metas)
+        prebuilt
+        if prebuilt is not None
+        else _gof_frame_tables(gof, metas, allow_cell=space_multiple <= 1)
     )
-    fields = np.stack([t.fields for t in tables])
     if g_bucket is None:
         g_bucket = bucket_group_count(
             max((t.n_groups for t in tables), default=0),
-            fields.shape[1],
+            _group_capacity(cfg),
             multiple_of=space_multiple,
         )
-    if g_bucket < fields.shape[1]:
-        fields = np.ascontiguousarray(fields[:, :g_bucket])
+    fields = np.zeros((len(tables), g_bucket, N_GROUP_FIELDS), np.int32)
+    for k, t in enumerate(tables):
+        n = min(t.n_groups, g_bucket)
+        fields[k, :n] = t.fields[:n]
     use_tiled = (
         tiled_supported(cfg)
         and gof.packed10_ok  # the tiled kernels pack samples into 10 bits
         and all(t.tiled_ok for t in tables)
     )
     res = cfg.occupancy_resolution
-    occ = np.stack([gof.occ_planes[m.frame_index] for m in metas])
+    # source tile edge of the gof's planes (0 = canvas layout) and the
+    # kernel's wanted edge (block edge, or the precision cell edge when
+    # the tables came back cell-granular)
+    ts = gof.tile_size if gof.tiled else 0
+    kt = cfg.group_tile if use_tiled else 0
 
-    def maybe_untile(plane):
-        # gof planes may arrive block-tiled straight from the native
-        # decoder; block counts are resolution-independent, so the untile
-        # geometry is the same for luma and chroma planes
-        if gof.tiled and not use_tiled:
-            return untile_plane(plane, cfg.height // res, cfg.width // res)
-        return plane
+    def relayout(plane, shift=0):
+        # untile/retile between the decoder-emitted layout and the
+        # kernel's — a no-op on the production path (prepare_gof decodes
+        # straight into the wanted layout). ``shift`` is the chroma
+        # subsampling of this plane: tile edges scale with it while tile
+        # COUNTS stay resolution-independent (same grid as luma).
+        if ts == kt:
+            return plane
+        if ts:
+            plane = untile_plane(plane, cfg.height // ts, cfg.width // ts)
+        return tile_plane(plane, kt >> shift) if kt else plane
 
     geo0 = np.stack(
-        [maybe_untile(gof.geo_planes[m.frame_index * mc]) for m in metas]
+        [relayout(gof.geo_planes[m.frame_index * mc]) for m in metas]
     )
     geo1 = np.stack(
         [
-            maybe_untile(
+            relayout(
                 gof.geo_planes[m.frame_index * mc + (1 if mc > 1 else 0)]
             )
             for m in metas
         ]
     )
 
-    def attr_stack(plane_idx):
+    def attr_stack(plane_idx, shift):
         return np.stack(
             [
                 np.stack(
                     [
-                        maybe_untile(
-                            gof.attr_planes[m.frame_index * mc + z][plane_idx]
+                        relayout(
+                            gof.attr_planes[m.frame_index * mc + z][plane_idx],
+                            shift,
                         )
                         for z in range(mc)
                     ]
@@ -772,19 +860,17 @@ def _gof_device_inputs(
             ]
         )
 
-    ctile = res >> cfg.chroma_shift
-    ay = attr_stack(0)
-    au = attr_stack(1)
-    av = attr_stack(2)
+    ay = attr_stack(0, 0)
+    au = attr_stack(1, cfg.chroma_shift)
+    av = attr_stack(2, cfg.chroma_shift)
 
-    if use_tiled:
-        if not gof.tiled:
-            geo0 = tile_plane(geo0, res)
-            geo1 = tile_plane(geo1, res)
-            ay = tile_plane(ay, res)
-            au = tile_plane(au, ctile)
-            av = tile_plane(av, ctile)
-        occ = tile_plane(occ, res // cfg.occupancy_precision)
+    if cfg.cell_groups:
+        # cell groups are occupied by construction — no occupancy input
+        occ = np.zeros((len(metas), 1, 1, 1), np.uint8)
+    else:
+        occ = np.stack([gof.occ_planes[m.frame_index] for m in metas])
+        if use_tiled:
+            occ = tile_plane(occ, kt // cfg.occupancy_precision)
 
     return DeviceInputs(
         cfg=cfg,
@@ -968,11 +1054,14 @@ def _reconstruct_gof_device(gof: GofData, mesh=None, stats=None) -> Iterator[Poi
     chunk = DEVICE_BATCH * (mesh.shape["data"] if mesh is not None else 1)
     space = mesh.shape["space"] if mesh is not None else 1
     # tables built once; ONE bucket for the whole GOF so every chunk
-    # shares a single compiled kernel variant
-    cfg, tables = _gof_frame_tables(gof, gof.metas)
+    # shares a single compiled kernel variant. Cell granularity is
+    # incompatible with the spatial shard stitch (see _gof_frame_tables).
+    cfg, tables = _gof_frame_tables(
+        gof, gof.metas, allow_cell=mesh is None or space <= 1
+    )
     g_bucket = bucket_group_count(
         max((t.n_groups for t in tables), default=0),
-        cfg.g_cap,
+        _group_capacity(cfg),
         multiple_of=space,
     )
     for i in range(0, len(gof.metas), chunk):
