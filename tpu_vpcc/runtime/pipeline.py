@@ -543,9 +543,13 @@ DEVICE_BATCH = 2
 # cell-granular dispatch (atlas.groups.build_cell_table): groups are
 # occupied occupancy-precision cells, the device occupancy input
 # disappears, and the compaction sort shrinks to ~the emitted point
-# count. Requires block-aligned orientations and no smoothing; those
-# frames fall back to block tables automatically.
-CELL_GROUPS = True
+# count. MEASURED SLOWER on TPU (round 4: 12.9 vs 7.7 ms/frame at
+# 1280²/prec 4): the (N, 4, 4) slot grids waste ~97% of each vector
+# lane and the 8-32 B row gathers pay per-row overhead, which together
+# dwarf the ~17% sort-extent saving at realistic occupancy fill. Kept
+# off (the path stays tested/bit-exact; flip only with new layout
+# evidence, e.g. flattened 1-D grid compute).
+CELL_GROUPS = False
 
 
 def _convert_colors_device(col16, color_mode: str):
