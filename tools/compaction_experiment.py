@@ -105,6 +105,35 @@ def run_raw_gather(*args, cfg):
     return _flat_pretiled_impl(*args, replace(cfg, raw_gather=True))
 
 
+def run_raw_slicerows(*args, cfg):
+    """COST PROBE: the raw path with every row gather replaced by a
+    contiguous row slice (WRONG output, full pipeline otherwise — all
+    outputs consumed, so nothing DCEs). full - this = the marginal cost
+    of gather randomness."""
+    from dataclasses import replace as _rp
+
+    import tpu_vpcc.ops.tiled as T
+
+    rcfg = _rp(cfg, raw_gather=True)
+    fields = args[0]
+    F = fields.shape[0]
+    FG = F * fields.shape[1]
+    S = fields.shape[1] * cfg.slots_per_block
+    fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
+    fid = lambda idx: fields_f[:, idx]  # noqa: E731
+    fid_fake = lambda idx: (  # noqa: E731
+        jax.lax.broadcasted_iota(jnp.int32, (FG,), 0)
+        if idx == G.G_BLOCKID else fields_f[:, idx]
+    )
+    grids = T._pretiled_gather_raw(
+        fields_f, fid_fake, *args[1:], rcfg, F
+    )
+    w0, zs, wc, valid, emi = T._grids_to_words(
+        fields_f, fid, grids, F, FG, S, rcfg, _narrow_emit=True
+    )
+    return T._compact_narrow_triple(w0, zs, wc, valid, emi, F, S)
+
+
 def run_raw_nosort(*args, cfg):
     """raw_gather words stage without the sort (cost split probe)."""
     from dataclasses import replace as _rp
@@ -376,6 +405,8 @@ def main() -> int:
         "full_sort": run_full,
         "raw_gather": run_raw_gather,
         "raw_nosort": run_raw_nosort,
+        "raw_slicerows": run_raw_slicerows,
+        "raw_blocksorted": run_raw_gather,  # reordered inputs (see main)
         "cell_full": run_full,  # cell-mode cfg + inputs (see main)
         "nosort": run_nosort,
         "nosort_narrow": run_nosort_narrow,
@@ -420,8 +451,27 @@ def main() -> int:
         pb = np.asarray(b[0])[0][: nb_[0]]
         assert (pa == pb).all(), "cell-mode positions diverge on device"
 
+    # host-reordered table: rows sorted by G_BLOCKID so the raw row
+    # gathers see ascending indices (emission order rides G_EMITBASE
+    # through the sort, so table order is free on the narrow path);
+    # output is bit-identical — pinned on CPU by test_pretiled
+    bs_inputs = None
+    if "raw_blocksorted" in variants:
+        fb = np.array(host_inputs[0])
+        for f in range(fb.shape[0]):
+            order = np.argsort(fb[f, :, G.G_BLOCKID], kind="stable")
+            fb[f] = fb[f][order]
+        bs_inputs = [jax.device_put(fb, dev)] + inputs[1:]
+
     results = {}
     for name in variants:
+        if name == "raw_blocksorted":
+            dt = measure_variant(
+                run_raw_gather, cfg, fcfg, bs_inputs, loop_n, K=K
+            )
+            results[name] = round(dt / batch * 1000, 4)
+            print(f"# {name}: {results[name]} ms/frame", flush=True)
+            continue
         if name in cell_variants:
             dt = measure_variant(
                 all_fns[name], cfg, cell_cfg, cell_inputs, loop_n, K=K

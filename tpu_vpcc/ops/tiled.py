@@ -244,20 +244,6 @@ def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False):
     valid0 = occ_on
     valid1 = occ_on & (mc > 1) & ~dup
 
-    # component assembly via one-hot on the axis permutation
-    def assemble(n_val):
-        comps = []
-        for comp in range(3):
-            comps.append(
-                jnp.where(bcast(G.G_NORMAL) == comp, n_val, 0)
-                + jnp.where(bcast(G.G_TANGENT) == comp, tangent, 0)
-                + jnp.where(bcast(G.G_BITANGENT) == comp, bitangent, 0)
-            )
-        return comps  # [x, y, z] each [FG, res, res]
-
-    p0x, p0y, p0z = assemble(n0)
-    p1x, p1y, p1z = assemble(n1)
-
     # --- 6. interleave maps into slot order, optional smoothing, pack ----
     def interleave(a, b):
         return jnp.stack([a, b], axis=-1).reshape(F, S)
@@ -269,16 +255,37 @@ def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False):
         # interleave permutation; feeds _compact_narrow_triple directly
         # (10 B sort payload, no intermediate w1/w2). Only valid when
         # nothing downstream needs unpacked coordinates (smoothing off).
-        pk = lambda a, b: a.astype(jnp.uint32) | (b.astype(jnp.uint32) << 16)  # noqa: E731
+        #
+        # The axis permutation is folded INTO the payload pack: each of
+        # (n, t, b) lands at bit 0 / bit 16 of w0 or in zs, selected by
+        # a PER-GROUP multiplier (three [FG,1,1] scalars from the axis
+        # fields) — w0 = n*wn + t*wt + b*wb with disjoint 16-bit slots,
+        # replacing the 9-term one-hot component assembly (per-slot
+        # where-passes) with broadcast multiply-adds.
+        u32 = lambda a: a.astype(jnp.uint32)  # noqa: E731
+        def packmul(axis_field):
+            ax = bcast(axis_field)
+            return (
+                u32(ax == 0) + (u32(ax == 1) << 16),  # -> w0 slot
+                u32(ax == 2),  # -> zs
+            )
+
+        wn, zn = packmul(G.G_NORMAL)
+        wt, zt = packmul(G.G_TANGENT)
+        wb, zb = packmul(G.G_BITANGENT)
+        tan_u = u32(tangent)
+        bit_u = u32(bitangent)
+        w0_of = lambda n: u32(n) * wn + tan_u * wt + bit_u * wb  # noqa: E731
+        zs_of = lambda n: (  # noqa: E731
+            u32(n) * zn + tan_u * zt + bit_u * zb
+        ).astype(jnp.uint16)
         wc_of = lambda cy, cu, cv: (  # noqa: E731
             cy.astype(jnp.uint32)
             | (cu.astype(jnp.uint32) << 10)
             | (cv.astype(jnp.uint32) << 20)
         )
-        w0 = interleave(pk(p0x, p0y), pk(p1x, p1y))
-        zs = interleave(
-            p0z.astype(jnp.uint16), p1z.astype(jnp.uint16)
-        )
+        w0 = interleave(w0_of(n0), w0_of(n1))
+        zs = interleave(zs_of(n0), zs_of(n1))
         wc = interleave(wc_of(cy0, cu0, cv0), wc_of(cy1, cu1, cv1))
         valid = jnp.stack([valid0, valid1], axis=-1).reshape(F, S)
         # per-slot EMISSION index within its frame: G_EMITBASE carries
@@ -293,6 +300,21 @@ def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False):
         base = bcast(G.G_EMITBASE).astype(jnp.uint32) + rank * 2
         emi = interleave(base, base + 1).astype(jnp.uint32)
         return w0, zs, wc, valid, emi
+
+    # wide path: explicit component assembly via one-hot on the axis
+    # permutation (smoothing needs unpacked coordinates)
+    def assemble(n_val):
+        comps = []
+        for comp in range(3):
+            comps.append(
+                jnp.where(bcast(G.G_NORMAL) == comp, n_val, 0)
+                + jnp.where(bcast(G.G_TANGENT) == comp, tangent, 0)
+                + jnp.where(bcast(G.G_BITANGENT) == comp, bitangent, 0)
+            )
+        return comps  # [x, y, z] each [FG, tile, tile]
+
+    p0x, p0y, p0z = assemble(n0)
+    p1x, p1y, p1z = assemble(n1)
 
     xs = interleave(p0x, p1x)
     ys = interleave(p0y, p1y)
