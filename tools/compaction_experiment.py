@@ -105,6 +105,63 @@ def run_raw_gather(*args, cfg):
     return _flat_pretiled_impl(*args, replace(cfg, raw_gather=True))
 
 
+def run_megarow(*args, cfg):
+    """Packed planes concatenated into ONE tiled row layout: a single
+    n_groups-row gather fetches all three tiles (bit-exact)."""
+    from tpu_vpcc.ops.tiled import (
+        _pretiled_gather_megarow,
+        _tiles_to_points,
+    )
+
+    fields = args[0]
+    F = fields.shape[0]
+    FG = F * fields.shape[1]
+    S = fields.shape[1] * cfg.slots_per_block
+    t_a, t_b, t_c = _pretiled_gather_megarow(*args, cfg)
+    fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
+    fid = lambda idx: fields_f[:, idx]  # noqa: E731
+    return _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg)
+
+
+def run_raw_noup(*args, cfg):
+    """COST PROBE: the raw path with the occupancy/chroma UPSAMPLES
+    removed — occ_bit and chroma grids are gathered from the full-res
+    luma plane instead (same gather count and shapes, WRONG output,
+    everything downstream live incl. the sort). full - this = the cost
+    of the _upsample2d broadcasts on gathered tiles."""
+    from dataclasses import replace as _rp
+
+    import tpu_vpcc.ops.tiled as T
+
+    rcfg = _rp(cfg, raw_gather=True)
+    fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t = args
+    F = fields.shape[0]
+    FG = F * fields.shape[1]
+    S = fields.shape[1] * cfg.slots_per_block
+    fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
+    fid = lambda idx: fields_f[:, idx]  # noqa: E731
+    res = cfg.occupancy_resolution
+    nb = cfg.block_h * cfg.block_w
+    mc = cfg.map_count
+    i32 = lambda a: a.astype(jnp.int32)  # noqa: E731
+    f_of_g = jax.lax.broadcasted_iota(jnp.int32, (F, FG // F), 0).reshape(FG)
+    row_idx = f_of_g * nb + fid(G.G_BLOCKID)
+    r16 = lambda p: p.reshape(F * nb, res, res)[row_idx]  # noqa: E731
+    d0 = i32(r16(geo0_t)) >> cfg.geo_shift
+    d1 = (i32(r16(geo1_t)) >> cfg.geo_shift) if mc > 1 else d0
+    occ_bit = i32(r16(ay_t[:, 0]) > 0)  # stand-in: no upsample
+    cy0 = i32(r16(ay_t[:, 0]))
+    cy1 = i32(r16(ay_t[:, 1])) if mc > 1 else cy0
+    cu0 = i32(r16(ay_t[:, 0]))  # stand-ins for the chroma upsamples
+    cv0 = i32(r16(ay_t[:, mc - 1]))
+    cu1, cv1 = cv0, cu0
+    grids = (d0, d1, occ_bit, cy0, cy1, cu0, cu1, cv0, cv1)
+    w0, zs, wc, valid, emi = T._grids_to_words(
+        fields_f, fid, grids, F, FG, S, rcfg, _narrow_emit=True
+    )
+    return T._compact_narrow_triple(w0, zs, wc, valid, emi, F, S)
+
+
 def run_raw_slicerows(*args, cfg):
     """COST PROBE: the raw path with every row gather replaced by a
     contiguous row slice (WRONG output, full pipeline otherwise — all
@@ -406,6 +463,8 @@ def main() -> int:
         "raw_gather": run_raw_gather,
         "raw_nosort": run_raw_nosort,
         "raw_slicerows": run_raw_slicerows,
+        "megarow": run_megarow,
+        "raw_noup": run_raw_noup,
         "raw_blocksorted": run_raw_gather,  # reordered inputs (see main)
         "cell_full": run_full,  # cell-mode cfg + inputs (see main)
         "nosort": run_nosort,

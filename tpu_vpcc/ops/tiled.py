@@ -205,17 +205,34 @@ def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False):
     order (the packed-tile path unpacks into these; the raw-gather path
     produces them directly; ``tile`` is the block edge for block tables
     and occ_precision for cell tables, whose ``occ_bit`` is None — cell
-    groups are occupied by construction)."""
+    groups are occupied by construction).
+
+    LAYOUT: all per-slot compute runs on grids FLATTENED to
+    ``(FG, tile*tile)`` — a [N, 16, 16] int32 array puts 16 elements in
+    the 128-wide vector lane dimension, wasting 7/8 of every VPU op and
+    (when materialized padded) 8x the HBM traffic; the flat form fills
+    two full vector registers per row. The in-tile coordinates become
+    index arithmetic on one flat iota."""
     res = cfg.occupancy_resolution
     tile = cfg.group_tile
+    T2 = tile * tile
     mc = cfg.map_count
-    d0, d1, occ_bit_t, cy0, cy1, cu0, cu1, cv0, cv1 = grids
-    sw = (fid(G.G_SWAP) == 1)[:, None, None]
+    fl = lambda g: None if g is None else g.reshape(FG, T2)  # noqa: E731
+    d0, d1, occ_bit_t, cy0, cy1, cu0, cu1, cv0, cv1 = (
+        fl(g) for g in grids
+    )
+    sw = (fid(G.G_SWAP) == 1)[:, None]
 
     # --- 5. per-slot compute with group-field broadcasting ----------------
-    bcast = lambda idx: fid(idx)[:, None, None]  # noqa: E731
-    v1 = jax.lax.broadcasted_iota(jnp.int32, (FG, tile, tile), 1)
-    u1 = jax.lax.broadcasted_iota(jnp.int32, (FG, tile, tile), 2)
+    bcast = lambda idx: fid(idx)[:, None]  # noqa: E731
+    flat = jax.lax.broadcasted_iota(jnp.int32, (FG, T2), 1)
+    if tile & (tile - 1) == 0:
+        sh = tile.bit_length() - 1
+        v1 = flat >> sh
+        u1 = flat & (tile - 1)
+    else:
+        v1 = flat // tile
+        u1 = flat - v1 * tile
     if _narrow_emit:
         # canvas memory order: a SWAP-family slot at memory (row, col)
         # is patch-space (u, v) = (row, col) — swap the iotas instead of
@@ -325,7 +342,7 @@ def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False):
     valid = jnp.stack([valid0, valid1], axis=-1).reshape(F, S)
 
     if cfg.smoothing is not None or cfg.attr_smoothing is not None:
-        pid_grid = jnp.broadcast_to(bcast(G.G_PATCH), (FG, res, res))
+        pid_grid = jnp.broadcast_to(bcast(G.G_PATCH), (FG, T2))
         pid = interleave(pid_grid, pid_grid)
     if cfg.smoothing is not None:
         from .smoothing import smooth_batch
@@ -725,6 +742,63 @@ def _pretiled_gather_raw(fields_f, fid, occ_t, geo0_t, geo1_t, ay_t, au_t,
     else:
         cy1, cu1, cv1 = cy0, cu0, cv0
     return d0, d1, occ_bit, cy0, cy1, cu0, cu1, cv0, cv1
+
+
+def _pretiled_gather_megarow(fields, occ_t, geo0_t, geo1_t, ay_t, au_t,
+                             av_t, cfg):
+    """Pack the three u32 planes tile-space (as :func:`_pretiled_gather_
+    tiles` does) but CONCATENATE them into one (F*nb, 3*res*res) row
+    layout and fetch each owned group with a SINGLE 3 KB row gather.
+
+    XLA:TPU row gathers pay a fixed per-ROW cost (~0.25 us measured:
+    contiguous, sorted, and random indices all time identically, and
+    stage costs scale with row count, not bytes) — so the gather bill is
+    minimized by gathering the fewest, fattest rows. One gather of
+    n_groups rows replaces three (packed) or nine (raw)."""
+    res = cfg.occupancy_resolution
+    T2 = res * res
+    Gc = fields.shape[1]
+    F = fields.shape[0]
+    FG = F * Gc
+    nb = cfg.block_h * cfg.block_w
+    prec = cfg.occupancy_precision
+    mc = cfg.map_count
+
+    up = _upsample2d
+    occ_bit = (up(occ_t, prec) > 0).astype(jnp.uint32)
+    d0r = geo0_t.astype(jnp.uint32)
+    d1r = geo1_t.astype(jnp.uint32) if mc > 1 else d0r
+    plane_a = d0r | (d1r << 10) | (occ_bit << 20)
+
+    cup = 1 << cfg.chroma_shift
+    y0 = ay_t[:, 0].astype(jnp.uint32)
+    y1 = ay_t[:, 1].astype(jnp.uint32) if mc > 1 else y0
+    u0p = up(au_t[:, 0], cup).astype(jnp.uint32)
+    v0p = up(av_t[:, 0], cup).astype(jnp.uint32)
+    if mc > 1:
+        u1p = up(au_t[:, 1], cup).astype(jnp.uint32)
+        v1p = up(av_t[:, 1], cup).astype(jnp.uint32)
+    else:
+        u1p, v1p = u0p, v0p
+    plane_b = y0 | (y1 << 10) | (u0p << 20)
+    plane_c = v0p | (v1p << 10) | (u1p << 20)
+
+    cat = jnp.concatenate(
+        [
+            plane_a.reshape(F * nb, T2),
+            plane_b.reshape(F * nb, T2),
+            plane_c.reshape(F * nb, T2),
+        ],
+        axis=1,
+    )
+    fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
+    fid = lambda idx: fields_f[:, idx]  # noqa: E731
+    f_of_g = jax.lax.broadcasted_iota(jnp.int32, (F, Gc), 0).reshape(FG)
+    rows = cat[f_of_g * nb + fid(G.G_BLOCKID)]
+    t_a = rows[:, :T2].reshape(FG, res, res)
+    t_b = rows[:, T2 : 2 * T2].reshape(FG, res, res)
+    t_c = rows[:, 2 * T2 :].reshape(FG, res, res)
+    return t_a, t_b, t_c
 
 
 def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
