@@ -265,6 +265,17 @@ def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False):
     def interleave(a, b):
         return jnp.stack([a, b], axis=-1).reshape(F, S)
 
+    def emit_concat(a, b):
+        """Maps CONCATENATED along the slot axis — a layout-preserving
+        copy, unlike the per-pixel interleave whose stack materializes a
+        minor-dim-2 intermediate (catastrophic lane padding on TPU). The
+        narrow sort orders slots by the emission index anyway, so memory
+        order is free: the D0/D1 interleave rides the sort like the
+        orientation transpose does."""
+        return jnp.concatenate(
+            [a.reshape(F, S // 2), b.reshape(F, S // 2)], axis=1
+        )
+
     if _narrow_emit:
         # pack per-map in GRID space and interleave only five arrays
         # (w0, zs, wc, valid, emission index) instead of seven —
@@ -301,10 +312,10 @@ def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False):
             | (cu.astype(jnp.uint32) << 10)
             | (cv.astype(jnp.uint32) << 20)
         )
-        w0 = interleave(w0_of(n0), w0_of(n1))
-        zs = interleave(zs_of(n0), zs_of(n1))
-        wc = interleave(wc_of(cy0, cu0, cv0), wc_of(cy1, cu1, cv1))
-        valid = jnp.stack([valid0, valid1], axis=-1).reshape(F, S)
+        w0 = emit_concat(w0_of(n0), w0_of(n1))
+        zs = emit_concat(zs_of(n0), zs_of(n1))
+        wc = emit_concat(wc_of(cy0, cu0, cv0), wc_of(cy1, cu1, cv1))
+        valid = emit_concat(valid0, valid1)
         # per-slot EMISSION index within its frame: G_EMITBASE carries
         # the group's patch-space-origin slot index (block tables:
         # group_idx * res² * 2, reproducing the old group-iota rank;
@@ -315,7 +326,7 @@ def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False):
         # the tile transposes of the general path.
         rank = v1.astype(jnp.uint32) * res + u1.astype(jnp.uint32)
         base = bcast(G.G_EMITBASE).astype(jnp.uint32) + rank * 2
-        emi = interleave(base, base + 1).astype(jnp.uint32)
+        emi = emit_concat(base, base + 1)
         return w0, zs, wc, valid, emi
 
     # wide path: explicit component assembly via one-hot on the axis
