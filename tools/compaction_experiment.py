@@ -123,6 +123,51 @@ def run_megarow(*args, cfg):
     return _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg)
 
 
+def run_megaraw(*args, cfg):
+    """Raw u16 planes concatenated into mega-rows: one gather, unpack
+    and upsample AFTER the gather (bit-exact)."""
+    from tpu_vpcc.ops.tiled import (
+        _compact_narrow_triple,
+        _grids_to_words,
+        _pretiled_gather_megaraw,
+    )
+
+    fields = args[0]
+    F = fields.shape[0]
+    FG = F * fields.shape[1]
+    S = fields.shape[1] * cfg.slots_per_block
+    fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
+    fid = lambda idx: fields_f[:, idx]  # noqa: E731
+    grids = _pretiled_gather_megaraw(fields_f, fid, *args[1:], cfg, F)
+    w0, zs, wc, valid, emi = _grids_to_words(
+        fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=True
+    )
+    return _compact_narrow_triple(w0, zs, wc, valid, emi, F, S)
+
+
+def run_mega_nosort(*args, cfg):
+    """Megarow words stage without the sort (DCE-hazy cost bound)."""
+    from tpu_vpcc.ops.tiled import (
+        _pretiled_gather_megarow,
+        _tiles_to_words,
+        _unpack_narrow_sorted,
+    )
+
+    fields = args[0]
+    F = fields.shape[0]
+    FG = F * fields.shape[1]
+    S = fields.shape[1] * cfg.slots_per_block
+    t_a, t_b, t_c = _pretiled_gather_megarow(*args, cfg)
+    fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
+    fid = lambda idx: fields_f[:, idx]  # noqa: E731
+    w0, zs, wc, valid, emi = _tiles_to_words(
+        fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg, _narrow_emit=True
+    )
+    pos, col, counts = _unpack_narrow_sorted(w0, zs, wc, valid, F, S)
+    counts = counts + (emi[0, 0] & 1).astype(jnp.int32)
+    return pos, col, counts
+
+
 def run_raw_noup(*args, cfg):
     """COST PROBE: the raw path with the occupancy/chroma UPSAMPLES
     removed — occ_bit and chroma grids are gathered from the full-res
@@ -464,6 +509,8 @@ def main() -> int:
         "raw_nosort": run_raw_nosort,
         "raw_slicerows": run_raw_slicerows,
         "megarow": run_megarow,
+        "megaraw": run_megaraw,
+        "mega_nosort": run_mega_nosort,
         "raw_noup": run_raw_noup,
         "raw_blocksorted": run_raw_gather,  # reordered inputs (see main)
         "cell_full": run_full,  # cell-mode cfg + inputs (see main)

@@ -812,6 +812,64 @@ def _pretiled_gather_megarow(fields, occ_t, geo0_t, geo1_t, ay_t, au_t,
     return t_a, t_b, t_c
 
 
+def _pretiled_gather_megaraw(fields_f, fid, occ_t, geo0_t, geo1_t, ay_t,
+                             au_t, av_t, cfg, F):
+    """One mega-row gather over the RAW u16 planes concatenated
+    row-wise (no canvas-sized pack/upsample prep — only a cast+concat
+    copy); unpack + upsample happen per gathered tile (bucket-sized).
+    Returns the slot grids of :func:`_grids_to_words`."""
+    res = cfg.occupancy_resolution
+    T2 = res * res
+    rp = res // cfg.occupancy_precision
+    rc = res >> cfg.chroma_shift
+    P2 = rp * rp
+    C2 = rc * rc
+    nb = cfg.block_h * cfg.block_w
+    mc = cfg.map_count
+    cup = 1 << cfg.chroma_shift
+    FG = fields_f.shape[0]
+    up = _upsample2d
+    i32 = lambda a: a.astype(jnp.int32)  # noqa: E731
+
+    FN = F * nb
+    parts = [
+        occ_t.reshape(FN, P2).astype(jnp.uint16),
+        geo0_t.reshape(FN, T2),
+        ay_t[:, 0].reshape(FN, T2),
+        au_t[:, 0].reshape(FN, C2),
+        av_t[:, 0].reshape(FN, C2),
+    ]
+    if mc > 1:
+        parts += [
+            geo1_t.reshape(FN, T2),
+            ay_t[:, 1].reshape(FN, T2),
+            au_t[:, 1].reshape(FN, C2),
+            av_t[:, 1].reshape(FN, C2),
+        ]
+    cat = jnp.concatenate(parts, axis=1)
+    f_of_g = jax.lax.broadcasted_iota(jnp.int32, (F, FG // F), 0).reshape(FG)
+    rows = cat[f_of_g * nb + fid(G.G_BLOCKID)]
+
+    off = [0]
+    for p in parts:
+        off.append(off[-1] + p.shape[1])
+    cut = lambda k, n, e: rows[:, off[k] : off[k] + n * n].reshape(FG, n, n)  # noqa: E731,E501
+
+    occ_bit = i32(up(cut(0, rp, P2), cfg.occupancy_precision) > 0)
+    d0 = i32(cut(1, res, T2)) >> cfg.geo_shift
+    cy0 = i32(cut(2, res, T2))
+    cu0 = i32(up(cut(3, rc, C2), cup))
+    cv0 = i32(up(cut(4, rc, C2), cup))
+    if mc > 1:
+        d1 = i32(cut(5, res, T2)) >> cfg.geo_shift
+        cy1 = i32(cut(6, res, T2))
+        cu1 = i32(up(cut(7, rc, C2), cup))
+        cv1 = i32(up(cut(8, rc, C2), cup))
+    else:
+        d1, cy1, cu1, cv1 = d0, cy0, cu0, cv0
+    return d0, d1, occ_bit, cy0, cy1, cu0, cu1, cv0, cv1
+
+
 def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
     """Flat-batch reconstruction from block-tiled planes.
 

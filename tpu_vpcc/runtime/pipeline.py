@@ -533,11 +533,13 @@ def decode_gof_frames(context: Context, params: Params) -> Iterator[PointSet3]:
         yield from _reconstruct_gof_oracle(gof)
 
 
-# frames per device dispatch: the compaction sort cost cliffs once the
-# flattened batch passes ~6.6M slots (round-2 measurement on v5e at
-# 1280², single process: 0.298 ms/frame at B=1, 0.256 at B=2, 0.671 at
-# B=4, 0.700 at B=8), so GOFs are reconstructed in 2-frame chunks — the
-# best per-frame compute with half the dispatches of B=1
+# frames per device dispatch. Honest round-4 sweep (megarow kernel,
+# bucketed, official harness): B=1 3.80 ms/frame device, B=2 4.43 — the
+# sort/working set grows with the flattened batch, so per-frame COMPUTE
+# is best at B=1. On THIS tunneled environment a dispatch costs ~31 ms
+# (B=1) vs ~19 ms/frame (B=2), so halving dispatches still wins
+# end-to-end and B=2 stays; on a host-attached chip (~50 us dispatch)
+# set this to 1.
 DEVICE_BATCH = 2
 
 # cell-granular dispatch (atlas.groups.build_cell_table): groups are
