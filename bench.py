@@ -375,6 +375,18 @@ def main() -> int:
     n_live = int(raw[0][:, :, G.G_VALID].sum(axis=1).max())
     g_bucket = G.bucket_group_count(n_live, raw[0].shape[1])
     raw = (np.ascontiguousarray(raw[0][:, :g_bucket]),) + raw[1:]
+    # pack30, exactly as the production dispatch gates it: one-u32
+    # coordinate packing when the host proves every axis < 1024
+    from dataclasses import replace as _replace
+
+    pack30 = all(
+        G.coords_fit_10bit(
+            raw[0][k], g_bucket, fcfg.group_tile, fcfg.geo_shift,
+            fcfg.absolute_d1,
+        )
+        for k in range(raw[0].shape[0])
+    )
+    fcfg = _replace(fcfg, pack30=pack30)
     # Block-tiling happens on the host; in the production pipeline the
     # native video bridge emits this layout during its decode memcpy.
     host_inputs = (
@@ -519,6 +531,7 @@ def main() -> int:
             "g_bucket": g_bucket,
             "g_live": n_live,
             "g_cap_full": fcfg.g_cap,
+            "pack30": pack30,
             "kernel_stage_seconds": kernel_s,
             **parity,
             "e2e": e2e,

@@ -234,3 +234,85 @@ def test_cell_groups_swap_orientation():
     assert n1_ == n2_ and n1_ > 0
     np.testing.assert_array_equal(np.asarray(p1_)[0][:n1_], np.asarray(p2_)[0][:n1_])
     np.testing.assert_array_equal(np.asarray(c1_)[0][:n1_], np.asarray(c2_)[0][:n1_])
+
+
+@pytest.mark.parametrize("seed,res,prec,mc", [(0, 8, 4, 2), (3, 16, 4, 2)])
+def test_pack30_bit_identical(seed, res, prec, mc):
+    """pack30 (one-u32 xyz) produces the identical compacted prefix when
+    the host bound holds."""
+    from dataclasses import replace
+
+    from tpu_vpcc.atlas.groups import build_group_table, coords_fit_10bit
+
+    rng = np.random.default_rng(seed)
+    width = 128 if res == 16 else 64
+    sf = make_synthetic_frame(
+        rng, width=width, height=width, occupancy_resolution=res,
+        occupancy_precision=prec, map_count=mc, n_patches=4,
+    )
+    cfg = make_config(
+        width=width, height=width, occupancy_resolution=res,
+        occupancy_precision=prec, map_count=mc,
+    )
+    gt = build_group_table(sf.meta)
+    assert coords_fit_10bit(
+        gt.fields, gt.n_groups, cfg.group_tile, cfg.geo_shift,
+        cfg.absolute_d1,
+    ), "fixture should satisfy the 10-bit bound"
+    _, tiled = tiled_inputs(sf, res)
+    p1, c1, n1 = reconstruct_batch_pretiled(*tiled, cfg=cfg)
+    p2, c2, n2 = reconstruct_batch_pretiled(
+        *tiled, cfg=replace(cfg, pack30=True)
+    )
+    n1, n2 = int(n1[0]), int(n2[0])
+    assert n1 == n2 and n1 > 0
+    np.testing.assert_array_equal(np.asarray(p1)[0][:n1], np.asarray(p2)[0][:n1])
+    np.testing.assert_array_equal(np.asarray(c1)[0][:n1], np.asarray(c2)[0][:n1])
+
+
+def test_pack30_bound_rejects_wide_coordinates():
+    """The host bound must refuse tables whose coordinates can reach
+    1024 (e.g. large d1), and the pipeline then keeps the split layout."""
+    from tpu_vpcc.atlas.groups import build_group_table, coords_fit_10bit
+    from tpu_vpcc.atlas.patches import Patch
+
+    p = Patch(uv0=(0, 0), size_uv0=(2, 2), uv1=(8, 16),
+              occupancy_resolution=8)
+    p.set_view_id(0)
+    p.d1 = 900  # 900 + depth_max(255) >= 1024
+    p.size_d = 255
+    rng = np.random.default_rng(3)
+    sf = make_synthetic_frame(
+        rng, width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2, patches=[p],
+    )
+    gt = build_group_table(sf.meta)
+    assert not coords_fit_10bit(gt.fields, gt.n_groups, 8, 2, True)
+    # relative-D1 coding is always excluded
+    assert not coords_fit_10bit(gt.fields, gt.n_groups, 8, 2, False)
+
+
+def test_pipeline_enables_pack30_for_10bit_content():
+    from tpu_vpcc.runtime.pipeline import _gof_frame_tables, prepare_gof
+    from tpu_vpcc.utils.fixtures import build_fixture_stream
+    from tpu_vpcc.v3c.context import Context
+    from tpu_vpcc.v3c.stream import SampleStreamV3CUnit
+    from tpu_vpcc.bitio import Bitstream
+    from tpu_vpcc.video import encoder_supports
+
+    if not (encoder_supports(8) and encoder_supports(10)):
+        pytest.skip("libx265 required")
+    rng = np.random.default_rng(8)
+    frames = [
+        make_synthetic_frame(
+            rng, width=128, height=128, occupancy_resolution=16,
+            occupancy_precision=4, n_patches=4, frame_index=0,
+        )
+    ]
+    stream = build_fixture_stream(frames)
+    ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(stream))
+    ctx = Context()
+    ssvu.decode_gof(ctx)
+    gof = prepare_gof(ctx)
+    cfg, _ = _gof_frame_tables(gof, gof.metas)
+    assert cfg.pack30

@@ -69,6 +69,37 @@ from .patches import FrameMeta, PatchOrientation
 N_GROUP_FIELDS = 20
 
 
+def coords_fit_10bit(
+    fields: np.ndarray, n_groups: int, tile: int, geo_shift: int,
+    absolute_d1: bool,
+) -> bool:
+    """True when every coordinate this table can emit is provably
+    < 1024, so the device may pack (x, y, z) into one u32 (10 bits
+    each; ``cfg.pack30``).
+
+    The three axis values are bounded from the table alone:
+    depth <= (2^10 - 1) >> geo_shift (10-bit decoded samples, gated
+    upstream by packed10_ok); normal = depth + d1 (mode 0) or
+    max(d1, depth) - depth <= max(d1, depth) (mode 1); tangent /
+    bitangent are affine in the in-tile patch coordinate with
+    host-known origins. Relative-D1 coding (absolute_d1=False) can
+    underflow through the u16 wrap and is excluded.
+    """
+    if not absolute_d1:
+        return False
+    f = fields[:n_groups]
+    if f.shape[0] == 0:
+        return True
+    depth_max = ((1 << 10) - 1) >> geo_shift
+    d1 = f[:, G_D1].astype(np.int64)
+    n_max = np.where(
+        f[:, G_MODE] == 0, d1 + depth_max, np.maximum(d1, depth_max)
+    ).max()
+    t_max = (f[:, G_T00].astype(np.int64) + f[:, G_LODX] * (tile - 1)).max()
+    b_max = (f[:, G_B00].astype(np.int64) + f[:, G_LODY] * (tile - 1)).max()
+    return bool(max(n_max, t_max, b_max) < 1024)
+
+
 def bucket_group_count(
     n_live: int, g_cap: int, multiple_of: int = 1, min_bucket: int = 256
 ) -> int:

@@ -65,6 +65,12 @@ class FrameConfig:
     # instead of owned blocks: group tile = occupancy_precision, no
     # device occupancy test, sort extent ~ the emitted point count.
     cell_groups: bool = False
+    # narrow path: pack all three coordinates into one u32 (10 bits
+    # each), shrinking the compaction sort's payload from 10 B to 8 B.
+    # Only legal when the HOST has proven every axis value < 1024 for
+    # this dispatch (atlas.groups.coords_fit_10bit) — the dispatch sets
+    # it per GOF; content that can exceed 10 bits falls back.
+    pack30: bool = False
 
     @property
     def slots_per_block(self) -> int:
@@ -113,6 +119,7 @@ def make_config(
     attr_smoothing=None,
     raw_gather: bool = False,
     cell_groups: bool = False,
+    pack30: bool = False,
     **_ignored,
 ) -> FrameConfig:
     return FrameConfig(
@@ -128,6 +135,7 @@ def make_config(
         attr_smoothing=attr_smoothing,
         raw_gather=raw_gather,
         cell_groups=cell_groups,
+        pack30=pack30,
     )
 
 

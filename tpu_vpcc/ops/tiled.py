@@ -291,29 +291,49 @@ def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False):
         # replacing the 9-term one-hot component assembly (per-slot
         # where-passes) with broadcast multiply-adds.
         u32 = lambda a: a.astype(jnp.uint32)  # noqa: E731
-        def packmul(axis_field):
-            ax = bcast(axis_field)
-            return (
-                u32(ax == 0) + (u32(ax == 1) << 16),  # -> w0 slot
-                u32(ax == 2),  # -> zs
-            )
+        if cfg.pack30:
+            # host-certified <1024 coordinates: all three components
+            # pack into ONE u32 (x | y<<10 | z<<20) — the zs sort
+            # operand disappears (8 B payload)
+            def packmul30(axis_field):
+                ax = bcast(axis_field)
+                return (
+                    u32(ax == 0)
+                    + (u32(ax == 1) << 10)
+                    + (u32(ax == 2) << 20)
+                )
 
-        wn, zn = packmul(G.G_NORMAL)
-        wt, zt = packmul(G.G_TANGENT)
-        wb, zb = packmul(G.G_BITANGENT)
+            wn = packmul30(G.G_NORMAL)
+            wt = packmul30(G.G_TANGENT)
+            wb = packmul30(G.G_BITANGENT)
+            zs_of = None
+        else:
+            def packmul(axis_field):
+                ax = bcast(axis_field)
+                return (
+                    u32(ax == 0) + (u32(ax == 1) << 16),  # -> w0 slot
+                    u32(ax == 2),  # -> zs
+                )
+
+            wn, zn = packmul(G.G_NORMAL)
+            wt, zt = packmul(G.G_TANGENT)
+            wb, zb = packmul(G.G_BITANGENT)
         tan_u = u32(tangent)
         bit_u = u32(bitangent)
         w0_of = lambda n: u32(n) * wn + tan_u * wt + bit_u * wb  # noqa: E731
-        zs_of = lambda n: (  # noqa: E731
-            u32(n) * zn + tan_u * zt + bit_u * zb
-        ).astype(jnp.uint16)
         wc_of = lambda cy, cu, cv: (  # noqa: E731
             cy.astype(jnp.uint32)
             | (cu.astype(jnp.uint32) << 10)
             | (cv.astype(jnp.uint32) << 20)
         )
         w0 = emit_concat(w0_of(n0), w0_of(n1))
-        zs = emit_concat(zs_of(n0), zs_of(n1))
+        if cfg.pack30:
+            zs = None
+        else:
+            zs_of = lambda n: (  # noqa: E731
+                u32(n) * zn + tan_u * zt + bit_u * zb
+            ).astype(jnp.uint16)
+            zs = emit_concat(zs_of(n0), zs_of(n1))
         wc = emit_concat(wc_of(cy0, cu0, cv0), wc_of(cy1, cu1, cv1))
         valid = emit_concat(valid0, valid1)
         # per-slot EMISSION index within its frame: G_EMITBASE carries
@@ -575,14 +595,33 @@ def _compact_words_scatter(w0, w1, w2, valid, F, S):
 
 def _compact_narrow_triple(w0, zs, wc, valid, emi, F, S):
     """The narrow unique-key compaction on natively-narrow inputs
-    (w0 = xs|ys u32, zs u16, wc = cy|cu|cv u32). ``emi`` is each slot's
-    per-frame EMISSION index — for SWAP-family groups it differs from
-    the memory index, so this sort also performs the orientation
-    transpose the general path pays three tile transposes for."""
+    (w0 = xs|ys u32, zs u16, wc = cy|cu|cv u32 — or, with ``zs=None``,
+    the pack30 layout where w0 = x|y<<10|z<<20 and the zs operand is
+    gone). ``emi`` is each slot's per-frame EMISSION index — for
+    SWAP-family groups it differs from the memory index, so this sort
+    also performs the orientation transpose (and the D0/D1 map
+    interleave) the general path pays dense passes for."""
     key = (
         jax.lax.broadcasted_iota(jnp.uint32, (F, S), 0) * 2
         + (~valid).astype(jnp.uint32)
     )
+    if zs is None:
+        _, s0, sc = jax.lax.sort(
+            (((key << _IDX_BITS) | emi).reshape(-1), w0.reshape(-1),
+             wc.reshape(-1)),
+            num_keys=1, is_stable=False,
+        )
+        counts = valid.sum(axis=1, dtype=jnp.int32)
+        m10 = lambda w, s: ((w >> s) & 0x3FF).astype(jnp.uint16)  # noqa: E731
+        s0 = s0.reshape(F, S)
+        sc = sc.reshape(F, S)
+        positions = jnp.stack(
+            [m10(s0, 0), m10(s0, 10), m10(s0, 20)], axis=-1
+        ).reshape(F, S, 3)
+        colors16 = jnp.stack(
+            [m10(sc, 0), m10(sc, 10), m10(sc, 20)], axis=-1
+        ).reshape(F, S, 3)
+        return positions, colors16, counts
     _, s0, sz, sc = jax.lax.sort(
         (((key << _IDX_BITS) | emi).reshape(-1), w0.reshape(-1),
          zs.reshape(-1), wc.reshape(-1)),

@@ -746,6 +746,10 @@ def _gof_frame_tables(gof: GofData, metas, allow_cell: bool = True):
         )
         for m in metas
     ]
+    from dataclasses import replace
+
+    from ..atlas.groups import coords_fit_10bit
+
     if (
         allow_cell
         and gof.cell
@@ -755,7 +759,6 @@ def _gof_frame_tables(gof: GofData, metas, allow_cell: bool = True):
         and all(t.tiled_ok for t in tables)
     ):
         from ..atlas.groups import build_cell_table
-        from dataclasses import replace
 
         cell_tables = [
             build_cell_table(
@@ -767,7 +770,19 @@ def _gof_frame_tables(gof: GofData, metas, allow_cell: bool = True):
             )
             for m, t in zip(metas, tables)
         ]
-        return replace(cfg, cell_groups=True), cell_tables
+        cfg, tables = replace(cfg, cell_groups=True), cell_tables
+    # pack30: one-u32 coordinate packing when the host can bound every
+    # axis value below 1024 for this GOF (narrow-path sort payload
+    # shrinks 10 B -> 8 B); content outside the bound keeps the split
+    # layout — a separate compile variant either way
+    if gof.packed10_ok and all(
+        coords_fit_10bit(
+            t.fields, t.n_groups, cfg.group_tile, cfg.geo_shift,
+            cfg.absolute_d1,
+        )
+        for t in tables
+    ):
+        cfg = replace(cfg, pack30=True)
     return cfg, tables
 
 
