@@ -499,8 +499,12 @@ def main() -> int:
     kernel_s = round(time.perf_counter() - _T_START, 1)
     # the parity decode uses this process's device and must finish
     # before the extras' gates open (one TPU job at a time); its small
-    # shapes compile fast warm, but guard the cold case with a floor
-    if deadline - time.perf_counter() > 60 or os.environ.get(
+    # shapes compile fast warm, but guard the cold case with a floor.
+    # Kernel-only dev mode skips it too (its x265 encode + two decodes
+    # cost minutes per iteration) unless explicitly forced.
+    if skip_extras and not os.environ.get("TPU_VPCC_FORCE_PARITY"):
+        parity = {"tpu_parity": "skipped: TPU_VPCC_SKIP_EXTRAS set"}
+    elif deadline - time.perf_counter() > 60 or os.environ.get(
         "TPU_VPCC_FORCE_PARITY"
     ):
         parity = tpu_parity_check()

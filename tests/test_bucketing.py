@@ -236,3 +236,40 @@ def test_mesh_fallback_is_surfaced():
     orc_frames = list(orc)
     np.testing.assert_array_equal(frames_out[0].positions, orc_frames[0].positions)
     np.testing.assert_array_equal(frames_out[0].colors, orc_frames[0].colors)
+
+
+def test_cell_gate_respects_use_tiled_preconditions():
+    """A cell-flagged GOF whose content fails the tiled preconditions
+    (>10-bit samples) must keep BLOCK tables — cell tables only ever
+    feed the narrow pretiled kernel (review round-4 finding)."""
+    from dataclasses import replace
+
+    from tpu_vpcc.runtime.pipeline import _gof_frame_tables, prepare_gof
+    from tpu_vpcc.utils.fixtures import build_fixture_stream
+    from tpu_vpcc.v3c.context import Context
+    from tpu_vpcc.v3c.stream import SampleStreamV3CUnit
+    from tpu_vpcc.bitio import Bitstream
+    from tpu_vpcc.video import encoder_supports
+
+    if not (encoder_supports(8) and encoder_supports(10)):
+        pytest.skip("libx265 required")
+    rng = np.random.default_rng(23)
+    frames = [
+        make_synthetic_frame(
+            rng, width=128, height=128, occupancy_resolution=16,
+            occupancy_precision=4, n_patches=4, frame_index=0,
+        )
+    ]
+    stream = build_fixture_stream(frames)
+    ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(stream))
+    ctx = Context()
+    ssvu.decode_gof(ctx)
+    gof = prepare_gof(ctx)
+    gof = replace(gof, cell=True, packed10_ok=False)
+    cfg, tables = _gof_frame_tables(gof, gof.metas)
+    assert not cfg.cell_groups
+    assert not cfg.pack30  # packed10_ok gates pack30 too
+    # with the preconditions satisfied the cell gate engages
+    gof2 = replace(gof, packed10_ok=True)
+    cfg2, _ = _gof_frame_tables(gof2, gof2.metas)
+    assert cfg2.cell_groups

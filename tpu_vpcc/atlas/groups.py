@@ -90,6 +90,11 @@ def coords_fit_10bit(
     f = fields[:n_groups]
     if f.shape[0] == 0:
         return True
+    # the device masks values & 0xFFFF — a negative table entry (only
+    # reachable from corrupt input surviving parse) would WRAP on device
+    # while this bound saw a small value, so any negative disqualifies
+    if bool((f[:, [G_D1, G_T00, G_B00, G_LODX, G_LODY]] < 0).any()):
+        return False
     depth_max = ((1 << 10) - 1) >> geo_shift
     d1 = f[:, G_D1].astype(np.int64)
     n_max = np.where(
@@ -134,9 +139,6 @@ class GroupTable:
     n_groups: int
     block_to_patch: np.ndarray  # (bh, bw) int32 — parity/debug
     tiled_ok: bool = True  # all orientations have block-aligned pixel tiles
-    #: group tile edge: 0/res for block tables, occ_precision for cell
-    #: tables (build_cell_table)
-    granularity: int = 0
 
 
 # orientations whose pixel tile equals the canvas block at any resolution
@@ -334,8 +336,8 @@ def build_cell_table(
     compaction sort consumes — cells need not be table-ordered by
     emission. Requires every patch block-aligned (DEFAULT/SWAP/MROT270;
     ``tiled_ok``) and ``res % prec == 0``; callers fall back to block
-    tables otherwise. Returns a GroupTable whose ``granularity`` is the
-    cell edge (``occ_precision``).
+    tables otherwise (the cell edge is carried by ``cfg.group_tile``
+    on the dispatch side).
     """
     bt = block_table if block_table is not None else build_group_table(
         meta, occupancy_resolution=occupancy_resolution
@@ -360,7 +362,6 @@ def build_cell_table(
         return GroupTable(
             fields=np.zeros((0, N_GROUP_FIELDS), np.int32), n_groups=0,
             block_to_patch=bt.block_to_patch, tiled_ok=True,
-            granularity=prec,
         )
     # per owned block: canvas origin of patch-space (0,0) pixel and the
     # (possibly transposing) affine — vectorized over blocks x cells
@@ -400,5 +401,5 @@ def build_cell_table(
         raise ValueError("frame slot space exceeds the narrow key budget")
     return GroupTable(
         fields=fields, n_groups=n_cells, block_to_patch=bt.block_to_patch,
-        tiled_ok=True, granularity=prec,
+        tiled_ok=True,
     )

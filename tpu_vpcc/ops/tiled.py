@@ -306,7 +306,6 @@ def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False):
             wn = packmul30(G.G_NORMAL)
             wt = packmul30(G.G_TANGENT)
             wb = packmul30(G.G_BITANGENT)
-            zs_of = None
         else:
             def packmul(axis_field):
                 ax = bcast(axis_field)
@@ -456,6 +455,20 @@ def _narrow_sort_ok(N: int, F: int) -> bool:
     shared by the emission fast path and the compaction dispatcher so
     they can never disagree."""
     return N < (1 << _IDX_BITS) and 2 * F <= (1 << (32 - _IDX_BITS))
+
+
+def narrow_emit_ok(cfg, F: int, S: int) -> bool:
+    """FULL eligibility for the emission-rank narrow path — the single
+    source of truth shared by the kernels and the host dispatch gates
+    (smoothing needs unpacked coordinates; the sort key carries the
+    G_EMITBASE emission rank, which spans the full frame slot space, in
+    ``_IDX_BITS`` bits)."""
+    return (
+        cfg.smoothing is None
+        and cfg.attr_smoothing is None
+        and _narrow_sort_ok(F * S, F)
+        and cfg.s_cap < (1 << _IDX_BITS)
+    )
 
 
 def _unpack_sorted(s0, s1, s2, valid, F, S):
@@ -641,14 +654,7 @@ def _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg):
     and the 12 B w1/w2 detour. Smoothing needs unpacked coordinates, so
     it takes the general path (whose _compact_words re-narrows anyway).
     """
-    narrow_ok = (
-        cfg.smoothing is None
-        and cfg.attr_smoothing is None
-        and _narrow_sort_ok(F * S, F)
-        # G_EMITBASE-based emission ranks span the FULL frame slot space
-        # (not just the bucketed extent) and ride the 27-bit key field
-        and cfg.s_cap < (1 << _IDX_BITS)
-    )
+    narrow_ok = narrow_emit_ok(cfg, F, S)
     if narrow_ok:
         w0, zs, wc, valid, emi = _tiles_to_words(
             fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg, _narrow_emit=True
@@ -892,18 +898,18 @@ def _pretiled_gather_megaraw(fields_f, fid, occ_t, geo0_t, geo1_t, ay_t,
     off = [0]
     for p in parts:
         off.append(off[-1] + p.shape[1])
-    cut = lambda k, n, e: rows[:, off[k] : off[k] + n * n].reshape(FG, n, n)  # noqa: E731,E501
+    cut = lambda k, n: rows[:, off[k] : off[k] + n * n].reshape(FG, n, n)  # noqa: E731,E501
 
-    occ_bit = i32(up(cut(0, rp, P2), cfg.occupancy_precision) > 0)
-    d0 = i32(cut(1, res, T2)) >> cfg.geo_shift
-    cy0 = i32(cut(2, res, T2))
-    cu0 = i32(up(cut(3, rc, C2), cup))
-    cv0 = i32(up(cut(4, rc, C2), cup))
+    occ_bit = i32(up(cut(0, rp), cfg.occupancy_precision) > 0)
+    d0 = i32(cut(1, res)) >> cfg.geo_shift
+    cy0 = i32(cut(2, res))
+    cu0 = i32(up(cut(3, rc), cup))
+    cv0 = i32(up(cut(4, rc), cup))
     if mc > 1:
-        d1 = i32(cut(5, res, T2)) >> cfg.geo_shift
-        cy1 = i32(cut(6, res, T2))
-        cu1 = i32(up(cut(7, rc, C2), cup))
-        cv1 = i32(up(cut(8, rc, C2), cup))
+        d1 = i32(cut(5, res)) >> cfg.geo_shift
+        cy1 = i32(cut(6, res))
+        cu1 = i32(up(cut(7, rc), cup))
+        cv1 = i32(up(cut(8, rc), cup))
     else:
         d1, cy1, cu1, cv1 = d0, cy0, cu0, cv0
     return d0, d1, occ_bit, cy0, cy1, cu0, cu1, cv0, cv1
@@ -927,14 +933,7 @@ def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
     S = fields.shape[1] * cfg.slots_per_group
     fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
     fid = lambda idx: fields_f[:, idx]  # noqa: E731
-    narrow_ok = (
-        cfg.smoothing is None
-        and cfg.attr_smoothing is None
-        and _narrow_sort_ok(F * S, F)
-        # G_EMITBASE-based emission ranks span the FULL frame slot space
-        # (not just the bucketed extent) and ride the 27-bit key field
-        and cfg.s_cap < (1 << _IDX_BITS)
-    )
+    narrow_ok = narrow_emit_ok(cfg, F, S)
     if cfg.cell_groups and not narrow_ok:
         # the host gates cell tables on exactly these conditions
         # (_cell_mode_ok); reaching here is a dispatch bug

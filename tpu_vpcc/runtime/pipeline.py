@@ -750,12 +750,20 @@ def _gof_frame_tables(gof: GofData, metas, allow_cell: bool = True):
 
     from ..atlas.groups import coords_fit_10bit
 
+    from ..ops.tiled import narrow_emit_ok, tiled_supported
+
     if (
         allow_cell
         and gof.cell
-        and cfg.smoothing is None
-        and cfg.attr_smoothing is None
-        and cfg.s_cap < (1 << 27)  # narrow-key budget for G_EMITBASE
+        # cell tables only ever feed the narrow pretiled kernel — every
+        # use_tiled precondition must hold too, or the gather fallback
+        # would see cell-granular rows and a dummy occupancy plane
+        and tiled_supported(cfg)
+        and gof.packed10_ok
+        # conservative dispatch-shape bound: F <= DEVICE_BATCH, cell
+        # slots <= the block slot capacity (shared predicate with the
+        # kernels — tiled.narrow_emit_ok)
+        and narrow_emit_ok(cfg, DEVICE_BATCH, cfg.s_cap)
         and all(t.tiled_ok for t in tables)
     ):
         from ..atlas.groups import build_cell_table
@@ -827,8 +835,14 @@ def _gof_device_inputs(
         )
     fields = np.zeros((len(tables), g_bucket, N_GROUP_FIELDS), np.int32)
     for k, t in enumerate(tables):
-        n = min(t.n_groups, g_bucket)
-        fields[k, :n] = t.fields[:n]
+        # bucket_group_count guarantees bucket >= every live count for
+        # the internal callers; a smaller explicit g_bucket would
+        # silently drop live emission-ordered groups
+        if t.n_groups > g_bucket:
+            raise ValueError(
+                f"g_bucket {g_bucket} < live group count {t.n_groups}"
+            )
+        fields[k, : t.n_groups] = t.fields[: t.n_groups]
     use_tiled = (
         tiled_supported(cfg)
         and gof.packed10_ok  # the tiled kernels pack samples into 10 bits
@@ -995,10 +1009,13 @@ def _dispatch_device(di: DeviceInputs, mesh=None, stats=None):
             else "non-tileable frames (rotated orientations or >10-bit "
             "samples) use the gather kernel"
         )
-        log.warning(
-            "mesh configured but dispatch of %d frame(s) falls back to "
-            "single-device: %s", di.n_frames, reason,
-        )
+        # warn once per GOF (the counter aggregates; a 300-frame stream
+        # would otherwise emit one line per chunk)
+        if stats is None or not stats.counters.get("mesh_fallback_dispatches"):
+            log.warning(
+                "mesh configured but dispatch of %d frame(s) falls back "
+                "to single-device: %s", di.n_frames, reason,
+            )
         if stats is not None:
             stats.count("mesh_fallback_dispatches")
 
