@@ -163,7 +163,13 @@ def run_mega_nosort(*args, cfg):
     w0, zs, wc, valid, emi = _tiles_to_words(
         fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg, _narrow_emit=True
     )
-    pos, col, counts = _unpack_narrow_sorted(w0, zs, wc, valid, F, S)
+    if zs is None:  # pack30 layout
+        m10 = lambda w, s: ((w >> s) & 0x3FF).astype(jnp.uint16)  # noqa: E731
+        pos = jnp.stack([m10(w0, 0), m10(w0, 10), m10(w0, 20)], -1)
+        col = jnp.stack([m10(wc, 0), m10(wc, 10), m10(wc, 20)], -1)
+        counts = valid.sum(axis=1, dtype=jnp.int32)
+    else:
+        pos, col, counts = _unpack_narrow_sorted(w0, zs, wc, valid, F, S)
     counts = counts + (emi[0, 0] & 1).astype(jnp.int32)
     return pos, col, counts
 
@@ -476,10 +482,21 @@ def main() -> int:
     fcfg = cfg.frame_config()
     raw = example_batch_inputs(cfg, occupancy_fill=0.7, n_patches=48)
     res = fcfg.occupancy_resolution
-    # group-axis bucketing, as bench.py / the production dispatch do
+    # group-axis bucketing + pack30, as bench.py / the production
+    # dispatch do
     n_live = int(raw[0][:, :, G.G_VALID].sum(axis=1).max())
     g_bucket = G.bucket_group_count(n_live, raw[0].shape[1])
     raw = (np.ascontiguousarray(raw[0][:, :g_bucket]),) + raw[1:]
+    from dataclasses import replace as _rp30
+
+    if all(
+        G.coords_fit_10bit(
+            raw[0][k], g_bucket, fcfg.group_tile, fcfg.geo_shift,
+            fcfg.absolute_d1,
+        )
+        for k in range(raw[0].shape[0])
+    ):
+        fcfg = _rp30(fcfg, pack30=True)
     host_inputs = (
         raw[0],
         tile_plane(raw[1], res // fcfg.occupancy_precision),

@@ -946,17 +946,13 @@ def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
             fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=True
         )
         return _compact_narrow_triple(w0, zs, wc, valid, emi, F, S)
-    if narrow_ok:
-        # PRODUCTION fast path (round 4): one mega-row gather + concat
-        # emission measured 3.8 ms/frame vs 7.4-8.1 for every other
-        # gather/emission combination (see PERFORMANCE.md)
-        t_a, t_b, t_c = _pretiled_gather_megarow(
-            fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg
-        )
-    else:
-        t_a, t_b, t_c = _pretiled_gather_tiles(
-            fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg
-        )
+    # one mega-row gather for BOTH tails (round 4): measured 3.8 ms/frame
+    # vs 7.4-8.1 for every other gather/emission combination on the
+    # narrow path (see PERFORMANCE.md); the wide/smoothing tail consumes
+    # the identical tiles
+    t_a, t_b, t_c = _pretiled_gather_megarow(
+        fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg
+    )
     return _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg)
 
 
