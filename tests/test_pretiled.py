@@ -316,3 +316,41 @@ def test_pipeline_enables_pack30_for_10bit_content():
     gof = prepare_gof(ctx)
     cfg, _ = _gof_frame_tables(gof, gof.metas)
     assert cfg.pack30
+
+
+def test_pack30_with_swap_orientation():
+    """pack30 composes with SWAP/MROT270 emission-rank reordering."""
+    from dataclasses import replace as dreplace
+
+    from tpu_vpcc.atlas.patches import Patch
+    from tpu_vpcc.v3c.syntax import PatchOrientation
+
+    p0 = Patch(uv0=(0, 0), size_uv0=(2, 2), uv1=(8, 16),
+               occupancy_resolution=8,
+               patch_orientation=PatchOrientation.SWAP)
+    p0.set_view_id(0)
+    p0.d1 = 50
+    p0.size_d = 255
+    p1 = Patch(uv0=(3, 3), size_uv0=(2, 1), uv1=(4, 4),
+               occupancy_resolution=8,
+               patch_orientation=PatchOrientation.MROT270)
+    p1.set_view_id(2)
+    p1.d1 = 10
+    p1.size_d = 255
+    rng = np.random.default_rng(33)
+    sf = make_synthetic_frame(
+        rng, width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2,
+        patches=[dreplace(p0), dreplace(p1)],
+    )
+    cfg = make_config(
+        width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2,
+    )
+    _, tiled = tiled_inputs(sf, 8)
+    a = reconstruct_batch_pretiled(*tiled, cfg=cfg)
+    b = reconstruct_batch_pretiled(*tiled, cfg=dreplace(cfg, pack30=True))
+    na, nb = int(a[2][0]), int(b[2][0])
+    assert na == nb and na > 0
+    np.testing.assert_array_equal(np.asarray(a[0])[0][:na], np.asarray(b[0])[0][:nb])
+    np.testing.assert_array_equal(np.asarray(a[1])[0][:na], np.asarray(b[1])[0][:nb])
