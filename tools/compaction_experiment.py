@@ -123,6 +123,28 @@ def run_megarow(*args, cfg):
     return _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg)
 
 
+def run_sort_primitive(*args, cfg):
+    """COST PROBE: a bare 3-operand u32 lax.sort at the production slot
+    extent (key + 8 B payload), fed from the input planes so the timing
+    loop's perturbation reaches the key. Measures the sort PRIMITIVE's
+    own cost — if it matches full-minus-words, the pipeline is at the
+    primitive's floor."""
+    fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t = args
+    S = fields.shape[1] * cfg.slots_per_block
+    F = fields.shape[0]
+    a = geo0_t.reshape(-1)[:S].astype(jnp.uint32)
+    b = geo1_t.reshape(-1)[:S].astype(jnp.uint32) | (a << 16)
+    c = ay_t.reshape(-1)[:S].astype(jnp.uint32) * jnp.uint32(2654435761)
+    k, s1, s2 = jax.lax.sort((c, b, a), num_keys=1, is_stable=False)
+    u16 = lambda w: (w & 0xFFFF).astype(jnp.uint16)  # noqa: E731
+    pos = jnp.stack(
+        [u16(s1), u16(s1 >> 16), u16(s2)], -1
+    ).reshape(F, S, 3)
+    col = jnp.stack([u16(k), u16(k >> 16), u16(s2 >> 4)], -1).reshape(F, S, 3)
+    counts = jnp.broadcast_to((k[0] & 0xFF).astype(jnp.int32), (F,))
+    return pos, col, counts
+
+
 def run_megaraw(*args, cfg):
     """Raw u16 planes concatenated into mega-rows: one gather, unpack
     and upsample AFTER the gather (bit-exact)."""
@@ -527,6 +549,7 @@ def main() -> int:
         "raw_slicerows": run_raw_slicerows,
         "megarow": run_megarow,
         "megaraw": run_megaraw,
+        "sort_primitive": run_sort_primitive,
         "mega_nosort": run_mega_nosort,
         "raw_noup": run_raw_noup,
         "raw_blocksorted": run_raw_gather,  # reordered inputs (see main)
