@@ -186,10 +186,9 @@ def run_mega_nosort(*args, cfg):
         fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg, _narrow_emit=True
     )
     if zs is None:  # pack30 layout
-        m10 = lambda w, s: ((w >> s) & 0x3FF).astype(jnp.uint16)  # noqa: E731
-        pos = jnp.stack([m10(w0, 0), m10(w0, 10), m10(w0, 20)], -1)
-        col = jnp.stack([m10(wc, 0), m10(wc, 10), m10(wc, 20)], -1)
-        counts = valid.sum(axis=1, dtype=jnp.int32)
+        from tpu_vpcc.ops.tiled import _unpack_pack30
+
+        pos, col, counts = _unpack_pack30(w0, wc, valid, F, S)
     else:
         pos, col, counts = _unpack_narrow_sorted(w0, zs, wc, valid, F, S)
     counts = counts + (emi[0, 0] & 1).astype(jnp.int32)

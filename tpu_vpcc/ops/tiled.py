@@ -97,29 +97,11 @@ def _flat_tiled_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
     S = Gc * spb
     H, W = cfg.height, cfg.width
     bw = cfg.block_w
-    prec = cfg.occupancy_precision
-    mc = cfg.map_count
 
     # --- 1. dense upsample + bit-pack into 3 u32 planes -------------------
-    up = _upsample2d
-
-    occ_bit = (up(occ, prec) > 0).astype(jnp.uint32)
-    d0r = geo0.astype(jnp.uint32)
-    d1r = geo1.astype(jnp.uint32) if mc > 1 else d0r
-    plane_a = d0r | (d1r << 10) | (occ_bit << 20)
-
-    cup = 1 << cfg.chroma_shift  # chroma upsample factor (4:2:0 -> 2)
-    y0 = attr_y[:, 0].astype(jnp.uint32)
-    y1 = attr_y[:, 1].astype(jnp.uint32) if mc > 1 else y0
-    u0p = up(attr_u[:, 0], cup).astype(jnp.uint32)
-    v0p = up(attr_v[:, 0], cup).astype(jnp.uint32)
-    if mc > 1:
-        u1p = up(attr_u[:, 1], cup).astype(jnp.uint32)
-        v1p = up(attr_v[:, 1], cup).astype(jnp.uint32)
-    else:
-        u1p, v1p = u0p, v0p
-    plane_b = y0 | (y1 << 10) | (u0p << 20)
-    plane_c = v0p | (v1p << 10) | (u1p << 20)
+    plane_a, plane_b, plane_c = _pack_u32_planes(
+        occ, geo0, geo1, attr_y, attr_u, attr_v, cfg
+    )
 
     # stack frames vertically so one dynamic_slice domain covers the batch
     a_cat = plane_a.reshape(F * H, W)
@@ -527,16 +509,24 @@ def _repack_for_narrow_sort(w0, w1, w2):
     return w0, zs, wc
 
 
+def _m10_triplet(w, F, S):
+    """(F,S,3) u16 from three 10-bit fields of a u32 word array."""
+    m10 = lambda s: ((w >> s) & 0x3FF).astype(jnp.uint16)  # noqa: E731
+    return jnp.stack([m10(0), m10(10), m10(20)], axis=-1).reshape(F, S, 3)
+
+
 def _unpack_narrow_sorted(s0, sz, sc, valid, F, S):
     counts = valid.sum(axis=1, dtype=jnp.int32)
     lo = lambda w: (w & 0xFFFF).astype(jnp.uint16)  # noqa: E731
     hi = lambda w: (w >> 16).astype(jnp.uint16)  # noqa: E731
-    m10 = lambda w, s: ((w >> s) & 0x3FF).astype(jnp.uint16)  # noqa: E731
     positions = jnp.stack([lo(s0), hi(s0), sz], axis=-1).reshape(F, S, 3)
-    colors16 = jnp.stack(
-        [m10(sc, 0), m10(sc, 10), m10(sc, 20)], axis=-1
-    ).reshape(F, S, 3)
-    return positions, colors16, counts
+    return positions, _m10_triplet(sc, F, S), counts
+
+
+def _unpack_pack30(w, wc, valid, F, S):
+    """Unpack the pack30 layout (x|y<<10|z<<20 and the color word)."""
+    counts = valid.sum(axis=1, dtype=jnp.int32)
+    return _m10_triplet(w, F, S), _m10_triplet(wc, F, S), counts
 
 
 def _compact_words_narrow_stable(w0, w1, w2, valid, F, S):
@@ -624,17 +614,9 @@ def _compact_narrow_triple(w0, zs, wc, valid, emi, F, S):
              wc.reshape(-1)),
             num_keys=1, is_stable=False,
         )
-        counts = valid.sum(axis=1, dtype=jnp.int32)
-        m10 = lambda w, s: ((w >> s) & 0x3FF).astype(jnp.uint16)  # noqa: E731
-        s0 = s0.reshape(F, S)
-        sc = sc.reshape(F, S)
-        positions = jnp.stack(
-            [m10(s0, 0), m10(s0, 10), m10(s0, 20)], axis=-1
-        ).reshape(F, S, 3)
-        colors16 = jnp.stack(
-            [m10(sc, 0), m10(sc, 10), m10(sc, 20)], axis=-1
-        ).reshape(F, S, 3)
-        return positions, colors16, counts
+        return _unpack_pack30(
+            s0.reshape(F, S), sc.reshape(F, S), valid, F, S
+        )
     _, s0, sz, sc = jax.lax.sort(
         (((key << _IDX_BITS) | emi).reshape(-1), w0.reshape(-1),
          zs.reshape(-1), wc.reshape(-1)),
@@ -701,6 +683,41 @@ def untile_plane(tiled: "object", bh: int, bw: int):
     return np.ascontiguousarray(x.reshape(*lead, bh * t, bw * t))
 
 
+def _pack_u32_planes(occ, geo0, geo1, ay, au, av, cfg):
+    """Dense upsample + bit-pack into the three u32 sample planes:
+
+      plane A: d0 | d1 << 10 | occ_bit << 20      (raw 10-bit depths)
+      plane B: y0 | y1 << 10 | u0 << 20           (10-bit attr samples)
+      plane C: v0 | v1 << 10 | u1 << 20
+
+    Chroma and occupancy are upsampled nearest-neighbour (bit-identical
+    to the reference's index-division sampling). Shape-agnostic: works
+    on canvas planes ((F, H, W)) and block-tiled planes
+    ((F, nb, t, t)) alike — ``ay/au/av`` carry a map axis at position 1.
+    """
+    mc = cfg.map_count
+    up = _upsample2d
+
+    occ_bit = (up(occ, cfg.occupancy_precision) > 0).astype(jnp.uint32)
+    d0r = geo0.astype(jnp.uint32)
+    d1r = geo1.astype(jnp.uint32) if mc > 1 else d0r
+    plane_a = d0r | (d1r << 10) | (occ_bit << 20)
+
+    cup = 1 << cfg.chroma_shift  # chroma upsample factor (4:2:0 -> 2)
+    y0 = ay[:, 0].astype(jnp.uint32)
+    y1 = ay[:, 1].astype(jnp.uint32) if mc > 1 else y0
+    u0p = up(au[:, 0], cup).astype(jnp.uint32)
+    v0p = up(av[:, 0], cup).astype(jnp.uint32)
+    if mc > 1:
+        u1p = up(au[:, 1], cup).astype(jnp.uint32)
+        v1p = up(av[:, 1], cup).astype(jnp.uint32)
+    else:
+        u1p, v1p = u0p, v0p
+    plane_b = y0 | (y1 << 10) | (u0p << 20)
+    plane_c = v0p | (v1p << 10) | (u1p << 20)
+    return plane_a, plane_b, plane_c
+
+
 def _pretiled_gather_tiles(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
     """Pack block-tiled planes into 3 u32 tiled planes and gather each
     group's tile rows (contiguous). Returns (t_a, t_b, t_c), canvas-order
@@ -710,36 +727,18 @@ def _pretiled_gather_tiles(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg)
     F = fields.shape[0]
     FG = F * Gc
     nb = cfg.block_h * cfg.block_w
-    prec = cfg.occupancy_precision
-    mc = cfg.map_count
 
-    up_tile = _upsample2d
-
-    # --- 1. dense tile-local upsample + bit-pack into 3 tiled u32 planes --
-    occ_bit = (up_tile(occ_t, prec) > 0).astype(jnp.uint32)
-    d0r = geo0_t.astype(jnp.uint32)
-    d1r = geo1_t.astype(jnp.uint32) if mc > 1 else d0r
-    plane_a = (d0r | (d1r << 10) | (occ_bit << 20)).reshape(F * nb, res, res)
-
-    cup = 1 << cfg.chroma_shift  # chroma upsample factor (4:2:0 -> 2)
-    y0 = ay_t[:, 0].astype(jnp.uint32)
-    y1 = ay_t[:, 1].astype(jnp.uint32) if mc > 1 else y0
-    u0p = up_tile(au_t[:, 0], cup).astype(jnp.uint32)
-    v0p = up_tile(av_t[:, 0], cup).astype(jnp.uint32)
-    if mc > 1:
-        u1p = up_tile(au_t[:, 1], cup).astype(jnp.uint32)
-        v1p = up_tile(av_t[:, 1], cup).astype(jnp.uint32)
-    else:
-        u1p, v1p = u0p, v0p
-    plane_b = (y0 | (y1 << 10) | (u0p << 20)).reshape(F * nb, res, res)
-    plane_c = (v0p | (v1p << 10) | (u1p << 20)).reshape(F * nb, res, res)
+    planes = _pack_u32_planes(occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg)
+    plane_a, plane_b, plane_c = (
+        p.reshape(F * nb, res, res) for p in planes
+    )
 
     fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
     fid = lambda idx: fields_f[:, idx]  # noqa: E731
     f_of_g = jax.lax.broadcasted_iota(jnp.int32, (F, Gc), 0).reshape(FG)
     row_idx = f_of_g * nb + fid(G.G_BLOCKID)
 
-    # --- 2. contiguous row gathers ----------------------------------------
+    # contiguous row gathers
     t_a = plane_a[row_idx]
     t_b = plane_b[row_idx]
     t_c = plane_c[row_idx]
@@ -817,35 +816,10 @@ def _pretiled_gather_megarow(fields, occ_t, geo0_t, geo1_t, ay_t, au_t,
     F = fields.shape[0]
     FG = F * Gc
     nb = cfg.block_h * cfg.block_w
-    prec = cfg.occupancy_precision
-    mc = cfg.map_count
 
-    up = _upsample2d
-    occ_bit = (up(occ_t, prec) > 0).astype(jnp.uint32)
-    d0r = geo0_t.astype(jnp.uint32)
-    d1r = geo1_t.astype(jnp.uint32) if mc > 1 else d0r
-    plane_a = d0r | (d1r << 10) | (occ_bit << 20)
-
-    cup = 1 << cfg.chroma_shift
-    y0 = ay_t[:, 0].astype(jnp.uint32)
-    y1 = ay_t[:, 1].astype(jnp.uint32) if mc > 1 else y0
-    u0p = up(au_t[:, 0], cup).astype(jnp.uint32)
-    v0p = up(av_t[:, 0], cup).astype(jnp.uint32)
-    if mc > 1:
-        u1p = up(au_t[:, 1], cup).astype(jnp.uint32)
-        v1p = up(av_t[:, 1], cup).astype(jnp.uint32)
-    else:
-        u1p, v1p = u0p, v0p
-    plane_b = y0 | (y1 << 10) | (u0p << 20)
-    plane_c = v0p | (v1p << 10) | (u1p << 20)
-
+    planes = _pack_u32_planes(occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg)
     cat = jnp.concatenate(
-        [
-            plane_a.reshape(F * nb, T2),
-            plane_b.reshape(F * nb, T2),
-            plane_c.reshape(F * nb, T2),
-        ],
-        axis=1,
+        [p.reshape(F * nb, T2) for p in planes], axis=1
     )
     fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
     fid = lambda idx: fields_f[:, idx]  # noqa: E731
