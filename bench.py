@@ -366,27 +366,12 @@ def main() -> int:
     fcfg = cfg.frame_config()
     raw = example_batch_inputs(cfg, occupancy_fill=0.7, n_patches=48)
     res = fcfg.occupancy_resolution
-    # group-axis bucketing, exactly as the production dispatch does it
-    # (_gof_device_inputs): live groups sit at the front of the table in
-    # emission order, so slicing to the quarter-pow2 bucket drops only
-    # G_VALID=0 padding — bit-identical output, ~live-sized sort/words
-    from tpu_vpcc.atlas import groups as G
+    # group-axis bucketing + pack30 gating, exactly as the production
+    # dispatch applies them (shared helper — see flagship)
+    from tpu_vpcc.models.flagship import bucket_flagship_inputs
 
-    n_live = int(raw[0][:, :, G.G_VALID].sum(axis=1).max())
-    g_bucket = G.bucket_group_count(n_live, raw[0].shape[1])
-    raw = (np.ascontiguousarray(raw[0][:, :g_bucket]),) + raw[1:]
-    # pack30, exactly as the production dispatch gates it: one-u32
-    # coordinate packing when the host proves every axis < 1024
-    from dataclasses import replace as _replace
-
-    pack30 = all(
-        G.coords_fit_10bit(
-            raw[0][k], g_bucket, fcfg.group_tile, fcfg.geo_shift,
-            fcfg.absolute_d1,
-        )
-        for k in range(raw[0].shape[0])
-    )
-    fcfg = _replace(fcfg, pack30=pack30)
+    raw, fcfg, g_bucket, n_live = bucket_flagship_inputs(raw, fcfg)
+    pack30 = fcfg.pack30
     # Block-tiling happens on the host; in the production pipeline the
     # native video bridge emits this layout during its decode memcpy.
     host_inputs = (

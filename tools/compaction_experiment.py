@@ -132,9 +132,15 @@ def run_sort_primitive(*args, cfg):
     fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t = args
     S = fields.shape[1] * cfg.slots_per_block
     F = fields.shape[0]
-    a = geo0_t.reshape(-1)[:S].astype(jnp.uint32)
-    b = geo1_t.reshape(-1)[:S].astype(jnp.uint32) | (a << 16)
-    c = ay_t.reshape(-1)[:S].astype(jnp.uint32) * jnp.uint32(2654435761)
+    N = F * S  # the full flattened batch extent, like the real sort
+    # N = 2 maps x pixels, so only the map-carrying attr plane is big
+    # enough to source all N elements; key diversity + the timing
+    # loop's ay perturbation both ride it (payload VALUES are
+    # irrelevant to bitonic cost — only operand bytes move)
+    base = ay_t.reshape(-1)[:N].astype(jnp.uint32)
+    c = base * jnp.uint32(2654435761)
+    a = base ^ (base << 7)
+    b = base ^ (base << 13)
     k, s1, s2 = jax.lax.sort((c, b, a), num_keys=1, is_stable=False)
     u16 = lambda w: (w & 0xFFFF).astype(jnp.uint16)  # noqa: E731
     pos = jnp.stack(
@@ -169,11 +175,7 @@ def run_megaraw(*args, cfg):
 
 def run_mega_nosort(*args, cfg):
     """Megarow words stage without the sort (DCE-hazy cost bound)."""
-    from tpu_vpcc.ops.tiled import (
-        _pretiled_gather_megarow,
-        _tiles_to_words,
-        _unpack_narrow_sorted,
-    )
+    from tpu_vpcc.ops.tiled import _pretiled_gather_megarow, _tiles_to_words
 
     fields = args[0]
     F = fields.shape[0]
@@ -185,12 +187,7 @@ def run_mega_nosort(*args, cfg):
     w0, zs, wc, valid, emi = _tiles_to_words(
         fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg, _narrow_emit=True
     )
-    if zs is None:  # pack30 layout
-        from tpu_vpcc.ops.tiled import _unpack_pack30
-
-        pos, col, counts = _unpack_pack30(w0, wc, valid, F, S)
-    else:
-        pos, col, counts = _unpack_narrow_sorted(w0, zs, wc, valid, F, S)
+    pos, col, counts = _probe_unpack(w0, zs, wc, valid, F, S)
     counts = counts + (emi[0, 0] & 1).astype(jnp.int32)
     return pos, col, counts
 
@@ -284,7 +281,7 @@ def run_raw_nosort(*args, cfg):
     w0, zs, wc, valid, emi = _grids_to_words(
         fields_f, fid, grids, F, FG, S, rcfg, _narrow_emit=True
     )
-    pos, col, counts = _unpack_narrow_sorted(w0, zs, wc, valid, F, S)
+    pos, col, counts = _probe_unpack(w0, zs, wc, valid, F, S)
     counts = counts + (emi[0, 0] & 1).astype(jnp.int32)
     return pos, col, counts
 
@@ -301,15 +298,23 @@ def run_nosort(*args, cfg, **probe):
     return positions, colors16, counts
 
 
+def _probe_unpack(w0, zs, wc, valid, F, S):
+    """Unsorted unpack for words-stage probes, handling both narrow
+    layouts (split zs, or the pack30 zs=None layout)."""
+    from tpu_vpcc.ops.tiled import _unpack_narrow_sorted, _unpack_pack30
+
+    if zs is None:
+        return _unpack_pack30(w0, wc, valid, F, S)
+    return _unpack_narrow_sorted(w0, zs, wc, valid, F, S)
+
+
 def run_nosort_narrow(*args, cfg, **probe):
     """Words-stage probe for the PRODUCTION (narrow-emit) path: narrow
     words + direct unsorted unpack — the full pipeline minus its sort."""
-    from tpu_vpcc.ops.tiled import _unpack_narrow_sorted
-
     (w0, zs, wc, valid, emi), F, S = _words(
         *args, cfg=cfg, _narrow_emit=True, **probe
     )
-    pos, col, counts = _unpack_narrow_sorted(w0, zs, wc, valid, F, S)
+    pos, col, counts = _probe_unpack(w0, zs, wc, valid, F, S)
     # keep the emission-index computation alive (part of the real path)
     counts = counts + (emi[0, 0] & 1).astype(jnp.int32)
     return pos, col, counts
@@ -503,21 +508,11 @@ def main() -> int:
     fcfg = cfg.frame_config()
     raw = example_batch_inputs(cfg, occupancy_fill=0.7, n_patches=48)
     res = fcfg.occupancy_resolution
-    # group-axis bucketing + pack30, as bench.py / the production
-    # dispatch do
-    n_live = int(raw[0][:, :, G.G_VALID].sum(axis=1).max())
-    g_bucket = G.bucket_group_count(n_live, raw[0].shape[1])
-    raw = (np.ascontiguousarray(raw[0][:, :g_bucket]),) + raw[1:]
-    from dataclasses import replace as _rp30
+    # group-axis bucketing + pack30 gating, shared with bench.py and the
+    # production dispatch (flagship.bucket_flagship_inputs)
+    from tpu_vpcc.models.flagship import bucket_flagship_inputs
 
-    if all(
-        G.coords_fit_10bit(
-            raw[0][k], g_bucket, fcfg.group_tile, fcfg.geo_shift,
-            fcfg.absolute_d1,
-        )
-        for k in range(raw[0].shape[0])
-    ):
-        fcfg = _rp30(fcfg, pack30=True)
+    raw, fcfg, g_bucket, n_live = bucket_flagship_inputs(raw, fcfg)
     host_inputs = (
         raw[0],
         tile_plane(raw[1], res // fcfg.occupancy_precision),

@@ -107,6 +107,31 @@ def fast_forward_fn(cfg: FlagshipConfig):
     return functools.partial(_flat_pretiled_impl, cfg=cfg.frame_config())
 
 
+def bucket_flagship_inputs(raw, fcfg):
+    """Apply the production dispatch's group-axis bucketing and pack30
+    gating to flagship example inputs — THE shared implementation for
+    bench.py and the experiment tools, so the measured config can never
+    drift from what `_gof_device_inputs` would dispatch.
+
+    Returns ``(raw_bucketed, fcfg', g_bucket, n_live)``.
+    """
+    from dataclasses import replace
+
+    from ..atlas import groups as G
+
+    n_live = int(raw[0][:, :, G.G_VALID].sum(axis=1).max())
+    g_bucket = G.bucket_group_count(n_live, raw[0].shape[1])
+    raw = (np.ascontiguousarray(raw[0][:, :g_bucket]),) + tuple(raw[1:])
+    pack30 = all(
+        G.coords_fit_10bit(
+            raw[0][k], g_bucket, fcfg.group_tile, fcfg.geo_shift,
+            fcfg.absolute_d1,
+        )
+        for k in range(raw[0].shape[0])
+    )
+    return raw, replace(fcfg, pack30=pack30), g_bucket, n_live
+
+
 def example_cell_batch_inputs(
     cfg: FlagshipConfig, seed: int = 0, n_patches: int = 48,
     occupancy_fill: float = 0.7, **kw,
