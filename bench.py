@@ -483,18 +483,16 @@ def main() -> int:
     deadline = _T_START + _TOTAL_BUDGET_S
     kernel_s = round(time.perf_counter() - _T_START, 1)
     # the parity decode uses this process's device and must finish
-    # before the extras' gates open (one TPU job at a time); its small
-    # shapes compile fast warm, but guard the cold case with a floor.
-    # Kernel-only dev mode skips it too (its x265 encode + two decodes
-    # cost minutes per iteration) unless explicitly forced.
+    # before the extras' gates open (one TPU job at a time). It ALWAYS
+    # runs in an official collection — like the extras' 150 s floors,
+    # losing the on-device correctness evidence costs more than a
+    # budget overrun, and with warm caches it takes well under a
+    # minute. Kernel-only dev mode skips it (its x265 encode + two
+    # decodes cost minutes per iteration) unless explicitly forced.
     if skip_extras and not os.environ.get("TPU_VPCC_FORCE_PARITY"):
         parity = {"tpu_parity": "skipped: TPU_VPCC_SKIP_EXTRAS set"}
-    elif deadline - time.perf_counter() > 60 or os.environ.get(
-        "TPU_VPCC_FORCE_PARITY"
-    ):
-        parity = tpu_parity_check()
     else:
-        parity = {"tpu_parity": "skipped: budget exhausted"}
+        parity = tpu_parity_check()
     if extras_procs:
         e2e = _collect_extra(extras_procs[0], deadline)
         multistream = _collect_extra(extras_procs[1], deadline)
