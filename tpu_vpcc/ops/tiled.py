@@ -1,28 +1,38 @@
-"""Tiled whole-frame reconstruction — the fast path (v3).
+"""Tiled whole-frame reconstruction — the production fast path.
 
 Eliminates every per-slot gather of the baseline kernel
 (``tpu_vpcc.ops.reconstruct``): for the orientations real tmc2-rs
 streams can contain (DEFAULT; SWAP/MROT270 = transposed), a patch
-block's pixels are exactly one canvas-aligned tile, so the device pass
-becomes:
+block's pixels are exactly one canvas-aligned tile. The round-4
+production pass (3.0 ms / 331+ fps per chip at 1M points, within
+~0.25 ms of the bare sort primitive — PERFORMANCE.md):
 
-  1. dense packing of the geometry D0/D1 and per-map attribute planes
-     into u32 planes (two 16-bit halves),
-  2. one batched 16x16 tile slice per owned block from each packed
-     plane (a handful of tile-gathers of only ``n_groups`` indices,
-     instead of millions of per-slot gathers),
-  3. an orientation-conditional tile transpose (dense),
-  4. dense broadcast expansion to slot grids [G, res, res, 2] — the
-     flattening of which IS the reference emission order,
-  5. compaction by one *stable sort* on the invalidity key with the
-     point payload packed into three u32 words — measured an order of
-     magnitude faster than XLA:TPU's scatter lowering.
+  1. the HOST buckets the group table to the live group count
+     (quarter-pow2; ``atlas.groups.bucket_group_count``) so every
+     device stage sees ~the live slot set, not the canvas capacity;
+  2. geometry D0/D1/occupancy-bit and the two attribute maps' YUV are
+     bit-packed into three u32 planes in the block-tiled layout the
+     native video bridge emits, CONCATENATED row-wise, and each owned
+     group fetched by ONE 3 KB row gather (``_pretiled_gather_megarow``
+     — row gathers pay per row, not per byte);
+  3. per-slot compute runs on flat ``[groups, res²]`` grids with the
+     axis permutation folded into the payload pack by per-group
+     multipliers (``pack30``: all three coords in one u32 when the
+     host proves them < 1024);
+  4. compaction is ONE unique-key unstable sort whose key embeds each
+     slot's EMISSION index (G_EMITBASE + in-tile patch raster + map),
+     so the orientation transpose AND the D0/D1 map interleave ride
+     the sort as free permutations — maps are emitted concatenated,
+     never interleaved in memory.
 
-Frames whose patches use other orientations fall back to the gather
-kernel (``GroupTable.tiled_ok`` gates this on the host).
+Smoothing (needs unpacked coordinates mid-pipeline) and dispatches
+outside the narrow-key budget take the wide tail: explicit transposes,
+per-pixel interleaves, a stable payload sort. Frames whose patches use
+non-block-aligned orientations fall back to the gather kernel
+(``GroupTable.tiled_ok`` gates this on the host).
 
 Bit-exactness contract: identical output to the oracle and to the
-baseline kernel.
+baseline kernel, on every path.
 """
 
 from __future__ import annotations
