@@ -354,3 +354,76 @@ def test_pack30_with_swap_orientation():
     assert na == nb and na > 0
     np.testing.assert_array_equal(np.asarray(a[0])[0][:na], np.asarray(b[0])[0][:nb])
     np.testing.assert_array_equal(np.asarray(a[1])[0][:na], np.asarray(b[1])[0][:nb])
+
+
+@pytest.mark.parametrize("K", [2, 4])
+def test_sort_split_bit_identical(K):
+    """Split-sort (cfg.sort_split=K) produces the identical compacted
+    prefix, including SWAP orientations and pack30."""
+    from dataclasses import replace
+
+    rng = np.random.default_rng(41)
+    sf = make_synthetic_frame(
+        rng, width=128, height=128, occupancy_resolution=16,
+        occupancy_precision=4, map_count=2, n_patches=5,
+    )
+    cfg = make_config(
+        width=128, height=128, occupancy_resolution=16,
+        occupancy_precision=4, map_count=2,
+    )
+    _, tiled = tiled_inputs(sf, 16)
+    assert tiled[0].shape[1] % K == 0
+    for pk in (False, True):
+        base = replace(cfg, pack30=pk)
+        a = reconstruct_batch_pretiled(*tiled, cfg=base)
+        b = reconstruct_batch_pretiled(
+            *tiled, cfg=replace(base, sort_split=K)
+        )
+        na, nb = int(a[2][0]), int(b[2][0])
+        assert na == nb and na > 0
+        np.testing.assert_array_equal(
+            np.asarray(a[0])[0][:na], np.asarray(b[0])[0][:nb]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a[1])[0][:na], np.asarray(b[1])[0][:nb]
+        )
+
+
+def test_sort_split_multi_frame_and_indivisible():
+    """F=2 merging uses per-frame offsets; an indivisible group count
+    falls back to the single sort."""
+    from dataclasses import replace
+
+    rng = np.random.default_rng(43)
+    sfs = [
+        make_synthetic_frame(
+            rng, width=64, height=64, occupancy_resolution=8,
+            occupancy_precision=4, map_count=2, n_patches=3,
+        )
+        for _ in range(2)
+    ]
+    cfg = make_config(
+        width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2,
+    )
+    ins = [tiled_inputs(sf, 8)[1] for sf in sfs]
+    batch = tuple(np.concatenate([a[i], b[i]]) for (a, b) in [
+        (ins[0], ins[1])
+    ] for i in range(7))
+    a = reconstruct_batch_pretiled(*batch, cfg=cfg)
+    b = reconstruct_batch_pretiled(*batch, cfg=replace(cfg, sort_split=2))
+    # indivisible: 64-group axis sliced to 63 -> falls back, still equal
+    odd = (np.ascontiguousarray(batch[0][:, :63]),) + batch[1:]
+    c = reconstruct_batch_pretiled(*odd, cfg=replace(cfg, sort_split=2))
+    c_ref = reconstruct_batch_pretiled(*odd, cfg=cfg)
+    for x, y in ((a, b), (c_ref, c)):
+        nx = np.asarray(x[2])
+        ny = np.asarray(y[2])
+        np.testing.assert_array_equal(nx, ny)
+        for f in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(x[0])[f][: nx[f]], np.asarray(y[0])[f][: ny[f]]
+            )
+            np.testing.assert_array_equal(
+                np.asarray(x[1])[f][: nx[f]], np.asarray(y[1])[f][: ny[f]]
+            )

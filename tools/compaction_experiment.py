@@ -151,6 +151,40 @@ def run_sort_primitive(*args, cfg):
     return pos, col, counts
 
 
+def _make_split_variant(K):
+    def run(*args, cfg):
+        from dataclasses import replace
+
+        return _flat_pretiled_impl(*args, replace(cfg, sort_split=K))
+    return run
+
+
+run_split2 = _make_split_variant(2)
+run_split4 = _make_split_variant(4)
+run_split8 = _make_split_variant(8)
+run_split16 = _make_split_variant(16)
+
+
+def run_halfsplit(*args, cfg):
+    """Two half-group-extent narrow pipelines in one kernel (the
+    spatial-shard layout on a single device): each half compacts its own
+    emission-contiguous group range, outputs concatenated. The bitonic
+    sort is O(n log^2 n), so two half sorts SHOULD cost ~11% less than
+    one — this measures whether that holds on this backend."""
+    fields = args[0]
+    Gc = fields.shape[1]
+    h = Gc // 2
+    p1, c1, n1 = _flat_pretiled_impl(
+        fields[:, :h], *args[1:], cfg
+    )
+    p2, c2, n2 = _flat_pretiled_impl(
+        fields[:, h:], *args[1:], cfg
+    )
+    pos = jnp.concatenate([p1, p2], axis=1)
+    col = jnp.concatenate([c1, c2], axis=1)
+    return pos, col, n1 + n2
+
+
 def run_megaraw(*args, cfg):
     """Raw u16 planes concatenated into mega-rows: one gather, unpack
     and upsample AFTER the gather (bit-exact)."""
@@ -544,6 +578,11 @@ def main() -> int:
         "megarow": run_megarow,
         "megaraw": run_megaraw,
         "sort_primitive": run_sort_primitive,
+        "halfsplit": run_halfsplit,
+        "split2": run_split2,
+        "split4": run_split4,
+        "split8": run_split8,
+        "split16": run_split16,
         "mega_nosort": run_mega_nosort,
         "raw_noup": run_raw_noup,
         "raw_blocksorted": run_raw_gather,  # reordered inputs (see main)

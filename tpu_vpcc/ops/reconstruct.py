@@ -71,6 +71,15 @@ class FrameConfig:
     # this dispatch (atlas.groups.coords_fit_10bit) — the dispatch sets
     # it per GOF; content that can exceed 10 bits falls back.
     pack30: bool = False
+    # narrow path: sort K independent emission-contiguous group-range
+    # segments (one lax.sort along the minor axis) and merge their
+    # compacted prefixes with K-1 dynamic row updates per frame. The
+    # bitonic sort's cost cliffs with its working set: at the 1280²
+    # bucketed extent, K=2 HALVED the whole kernel (PERFORMANCE.md).
+    # Requires the dispatch group count divisible by K and table order
+    # == emission order (block tables; the kernel falls back to 1
+    # segment otherwise).
+    sort_split: int = 1
 
     @property
     def slots_per_block(self) -> int:
@@ -120,6 +129,7 @@ def make_config(
     raw_gather: bool = False,
     cell_groups: bool = False,
     pack30: bool = False,
+    sort_split: int = 1,
     **_ignored,
 ) -> FrameConfig:
     return FrameConfig(
@@ -136,6 +146,7 @@ def make_config(
         raw_gather=raw_gather,
         cell_groups=cell_groups,
         pack30=pack30,
+        sort_split=sort_split,
     )
 
 

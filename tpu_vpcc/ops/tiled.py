@@ -618,23 +618,44 @@ def _compact_narrow_triple(w0, zs, wc, valid, emi, F, S):
         jax.lax.broadcasted_iota(jnp.uint32, (F, S), 0) * 2
         + (~valid).astype(jnp.uint32)
     )
-    if zs is None:
-        _, s0, sc = jax.lax.sort(
-            (((key << _IDX_BITS) | emi).reshape(-1), w0.reshape(-1),
-             wc.reshape(-1)),
-            num_keys=1, is_stable=False,
-        )
-        return _unpack_pack30(
-            s0.reshape(F, S), sc.reshape(F, S), valid, F, S
-        )
-    _, s0, sz, sc = jax.lax.sort(
-        (((key << _IDX_BITS) | emi).reshape(-1), w0.reshape(-1),
-         zs.reshape(-1), wc.reshape(-1)),
+    full_key = (key << _IDX_BITS) | emi
+    ops = [full_key, w0] + ([] if zs is None else [zs]) + [wc]
+    sorted_ops = jax.lax.sort(
+        tuple(a.reshape(-1) for a in ops),
         num_keys=1, is_stable=False,
     )
+    merged = [a.reshape(F, S) for a in sorted_ops[1:]]
+    if zs is None:
+        return _unpack_pack30(merged[0], merged[1], valid, F, S)
     return _unpack_narrow_sorted(
-        s0.reshape(F, S), sz.reshape(F, S), sc.reshape(F, S), valid, F, S
+        merged[0], merged[1], merged[2], valid, F, S
     )
+
+
+def _merge_point_segments(segs, F, S):
+    """Concatenate K per-segment compacted point prefixes into one
+    per-frame prefix: K-1 dynamic row updates per frame per output.
+    Safe by construction — the cumulative offset before segment k is at
+    most the sum of earlier segment capacities, so every update stays
+    in bounds; each lands at the running valid count, overwriting the
+    previous segment's invalid tail and leaving one contiguous valid
+    prefix (tail garbage beyond the total count is outside the API
+    contract)."""
+    counts_seg = jnp.stack([c for _, _, c in segs], axis=1)  # (F, K)
+    offs = jnp.cumsum(counts_seg, axis=1)
+    outs = []
+    for j in range(2):  # positions, colors16
+        rows = []
+        for f in range(F):
+            row = jnp.zeros((S, 3), segs[0][j].dtype)
+            row = jax.lax.dynamic_update_slice(row, segs[0][j][f], (0, 0))
+            for k in range(1, len(segs)):
+                row = jax.lax.dynamic_update_slice(
+                    row, segs[k][j][f], (offs[f, k - 1], 0)
+                )
+            rows.append(row)
+        outs.append(jnp.stack(rows))
+    return outs[0], outs[1], counts_seg.sum(axis=1)
 
 
 def _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg):
@@ -922,6 +943,32 @@ def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
         # the host gates cell tables on exactly these conditions
         # (_cell_mode_ok); reaching here is a dispatch bug
         raise ValueError("cell-groups dispatch outside the narrow envelope")
+    K = cfg.sort_split
+    if (
+        K > 1
+        and narrow_ok
+        and not cfg.cell_groups  # cell tables are not emission-ordered
+        and fields.shape[1] % K == 0
+    ):
+        # SPLIT-SORT (round 4): run the narrow pipeline on K emission-
+        # contiguous group-range segments and merge their compacted
+        # prefixes in-kernel. Block-table group ranges own disjoint
+        # consecutive emission ranges, so concatenated prefixes ARE the
+        # frame prefix. The bitonic sort's cost cliffs with working-set
+        # residency: K=2 at the 1280² bucketed extent HALVED the whole
+        # kernel (PERFORMANCE.md).
+        from dataclasses import replace
+
+        sub = replace(cfg, sort_split=1)
+        Gk = fields.shape[1] // K
+        segs = [
+            _flat_pretiled_impl(
+                fields[:, k * Gk : (k + 1) * Gk], occ_t, geo0_t, geo1_t,
+                ay_t, au_t, av_t, sub,
+            )
+            for k in range(K)
+        ]
+        return _merge_point_segments(segs, F, S)
     if (cfg.raw_gather or cfg.cell_groups) and narrow_ok:
         grids = _pretiled_gather_raw(
             fields_f, fid, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg, F
