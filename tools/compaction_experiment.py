@@ -163,6 +163,8 @@ run_split2 = _make_split_variant(2)
 run_split4 = _make_split_variant(4)
 run_split8 = _make_split_variant(8)
 run_split16 = _make_split_variant(16)
+run_split32 = _make_split_variant(32)
+run_split64 = _make_split_variant(64)
 
 
 def run_halfsplit(*args, cfg):
@@ -583,6 +585,8 @@ def main() -> int:
         "split4": run_split4,
         "split8": run_split8,
         "split16": run_split16,
+        "split32": run_split32,
+        "split64": run_split64,
         "mega_nosort": run_mega_nosort,
         "raw_noup": run_raw_noup,
         "raw_blocksorted": run_raw_gather,  # reordered inputs (see main)

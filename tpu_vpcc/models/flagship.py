@@ -129,7 +129,16 @@ def bucket_flagship_inputs(raw, fcfg):
         )
         for k in range(raw[0].shape[0])
     )
-    return raw, replace(fcfg, pack30=pack30), g_bucket, n_live
+    from ..ops.tiled import choose_sort_split
+
+    fcfg = replace(
+        fcfg,
+        pack30=pack30,
+        sort_split=choose_sort_split(
+            g_bucket, fcfg.slots_per_group, fcfg.cell_groups
+        ),
+    )
+    return raw, fcfg, g_bucket, n_live
 
 
 def example_cell_batch_inputs(

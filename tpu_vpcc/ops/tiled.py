@@ -449,6 +449,27 @@ def _narrow_sort_ok(N: int, F: int) -> bool:
     return N < (1 << _IDX_BITS) and 2 * F <= (1 << (32 - _IDX_BITS))
 
 
+# production split-sort K (round-4 sweep at the 1280² bucketed extent:
+# K=1 2.99, 2 2.84, 4 2.54, 8 2.42, 16 2.16, 32 2.44, 64 2.26 ms/frame)
+# and the dispatch size below which splitting is pointless overhead
+SORT_SPLIT_K = 16
+_MIN_SPLIT_SLOTS = 1 << 19
+
+
+def choose_sort_split(g_bucket: int, slots_per_group: int,
+                      cell_groups: bool) -> int:
+    """The host-side split-sort policy for a dispatch: K=16 when the
+    bucket divides by it and the extent is big enough to matter; cell
+    tables (not emission-ordered) and small dispatches keep one sort."""
+    if (
+        not cell_groups
+        and g_bucket % SORT_SPLIT_K == 0
+        and g_bucket * slots_per_group >= _MIN_SPLIT_SLOTS
+    ):
+        return SORT_SPLIT_K
+    return 1
+
+
 def narrow_emit_ok(cfg, F: int, S: int) -> bool:
     """FULL eligibility for the emission-rank narrow path — the single
     source of truth shared by the kernels and the host dispatch gates
@@ -606,14 +627,10 @@ def _compact_words_scatter(w0, w1, w2, valid, F, S):
     )
 
 
-def _compact_narrow_triple(w0, zs, wc, valid, emi, F, S):
-    """The narrow unique-key compaction on natively-narrow inputs
-    (w0 = xs|ys u32, zs u16, wc = cy|cu|cv u32 — or, with ``zs=None``,
-    the pack30 layout where w0 = x|y<<10|z<<20 and the zs operand is
-    gone). ``emi`` is each slot's per-frame EMISSION index — for
-    SWAP-family groups it differs from the memory index, so this sort
-    also performs the orientation transpose (and the D0/D1 map
-    interleave) the general path pays dense passes for."""
+def _narrow_sort_ops(w0, zs, wc, valid, emi, F, S):
+    """The narrow unique-key sort; returns the sorted payload operands
+    (each (F, S)) WITHOUT unpacking — the split-sort path merges
+    segments on these lane-friendly flat arrays before one unpack."""
     key = (
         jax.lax.broadcasted_iota(jnp.uint32, (F, S), 0) * 2
         + (~valid).astype(jnp.uint32)
@@ -624,38 +641,68 @@ def _compact_narrow_triple(w0, zs, wc, valid, emi, F, S):
         tuple(a.reshape(-1) for a in ops),
         num_keys=1, is_stable=False,
     )
-    merged = [a.reshape(F, S) for a in sorted_ops[1:]]
-    if zs is None:
-        return _unpack_pack30(merged[0], merged[1], valid, F, S)
-    return _unpack_narrow_sorted(
-        merged[0], merged[1], merged[2], valid, F, S
-    )
+    return [a.reshape(F, S) for a in sorted_ops[1:]]
 
 
-def _merge_point_segments(segs, F, S):
-    """Concatenate K per-segment compacted point prefixes into one
-    per-frame prefix: K-1 dynamic row updates per frame per output.
-    Safe by construction — the cumulative offset before segment k is at
-    most the sum of earlier segment capacities, so every update stays
-    in bounds; each lands at the running valid count, overwriting the
-    previous segment's invalid tail and leaving one contiguous valid
-    prefix (tail garbage beyond the total count is outside the API
-    contract)."""
-    counts_seg = jnp.stack([c for _, _, c in segs], axis=1)  # (F, K)
-    offs = jnp.cumsum(counts_seg, axis=1)
-    outs = []
-    for j in range(2):  # positions, colors16
+def _unpack_narrow_ops(merged, valid_or_counts, F, S):
+    """Final unpack of (merged) sorted operands: 2 operands = pack30
+    layout, 3 = the split zs layout. ``valid_or_counts`` is the (F, S)
+    validity mask or a precomputed (F,) count vector."""
+    if valid_or_counts.ndim == 2:
+        counts = valid_or_counts.sum(axis=1, dtype=jnp.int32)
+    else:
+        counts = valid_or_counts
+    if len(merged) == 2:
+        return (
+            _m10_triplet(merged[0], F, S), _m10_triplet(merged[1], F, S),
+            counts,
+        )
+    s0, sz, sc = merged
+    lo = lambda w: (w & 0xFFFF).astype(jnp.uint16)  # noqa: E731
+    hi = lambda w: (w >> 16).astype(jnp.uint16)  # noqa: E731
+    positions = jnp.stack([lo(s0), hi(s0), sz], axis=-1).reshape(F, S, 3)
+    return positions, _m10_triplet(sc, F, S), counts
+
+
+def _compact_narrow_triple(w0, zs, wc, valid, emi, F, S):
+    """The narrow unique-key compaction on natively-narrow inputs
+    (w0 = xs|ys u32, zs u16, wc = cy|cu|cv u32 — or, with ``zs=None``,
+    the pack30 layout where w0 = x|y<<10|z<<20 and the zs operand is
+    gone). ``emi`` is each slot's per-frame EMISSION index — for
+    SWAP-family groups it differs from the memory index, so this sort
+    also performs the orientation transpose (and the D0/D1 map
+    interleave) the general path pays dense passes for."""
+    merged = _narrow_sort_ops(w0, zs, wc, valid, emi, F, S)
+    return _unpack_narrow_ops(merged, valid, F, S)
+
+
+def _merge_sorted_segments(seg_ops, counts_seg, F):
+    """Concatenate K per-segment compacted prefixes on the SORTED FLAT
+    operands: K-1 dynamic row updates per frame per operand, on
+    lane-friendly (S_k,) arrays. Safe by construction — the cumulative
+    offset before segment k is at most the sum of earlier segment
+    capacities, so every update stays in bounds; each lands at the
+    running valid count, overwriting the previous segment's invalid
+    tail and leaving one contiguous valid prefix (tail garbage beyond
+    the total count is outside the API contract)."""
+    K = len(seg_ops)
+    S = sum(ops[0].shape[1] for ops in seg_ops)
+    offs = jnp.cumsum(counts_seg, axis=1)  # (F, K)
+    merged = []
+    for j in range(len(seg_ops[0])):
         rows = []
         for f in range(F):
-            row = jnp.zeros((S, 3), segs[0][j].dtype)
-            row = jax.lax.dynamic_update_slice(row, segs[0][j][f], (0, 0))
-            for k in range(1, len(segs)):
+            row = jnp.zeros((S,), seg_ops[0][j].dtype)
+            row = jax.lax.dynamic_update_slice(
+                row, seg_ops[0][j][f], (0,)
+            )
+            for k in range(1, K):
                 row = jax.lax.dynamic_update_slice(
-                    row, segs[k][j][f], (offs[f, k - 1], 0)
+                    row, seg_ops[k][j][f], (offs[f, k - 1],)
                 )
             rows.append(row)
-        outs.append(jnp.stack(rows))
-    return outs[0], outs[1], counts_seg.sum(axis=1)
+        merged.append(jnp.stack(rows))
+    return merged
 
 
 def _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg):
@@ -950,41 +997,71 @@ def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
         and not cfg.cell_groups  # cell tables are not emission-ordered
         and fields.shape[1] % K == 0
     ):
-        # SPLIT-SORT (round 4): run the narrow pipeline on K emission-
-        # contiguous group-range segments and merge their compacted
-        # prefixes in-kernel. Block-table group ranges own disjoint
+        # SPLIT-SORT (round 4): run the narrow pipeline through the
+        # sort on K emission-contiguous group-range segments, merge the
+        # SORTED FLAT operands (lane-friendly dynamic row updates; the
+        # post-unpack merge wastes ~1.5 ms on minor-dim-3 layouts), and
+        # unpack once. Block-table group ranges own disjoint
         # consecutive emission ranges, so concatenated prefixes ARE the
         # frame prefix. The bitonic sort's cost cliffs with working-set
-        # residency: K=2 at the 1280² bucketed extent HALVED the whole
-        # kernel (PERFORMANCE.md).
-        from dataclasses import replace
-
-        sub = replace(cfg, sort_split=1)
+        # residency: segment sorts that fit run dramatically faster
+        # (PERFORMANCE.md).
         Gk = fields.shape[1] // K
-        segs = [
-            _flat_pretiled_impl(
+        seg_ops = []
+        seg_counts = []
+        for k in range(K):
+            ops_k, counts_k = _narrow_pipeline_ops(
                 fields[:, k * Gk : (k + 1) * Gk], occ_t, geo0_t, geo1_t,
-                ay_t, au_t, av_t, sub,
+                ay_t, au_t, av_t, cfg, F,
             )
-            for k in range(K)
-        ]
-        return _merge_point_segments(segs, F, S)
-    if (cfg.raw_gather or cfg.cell_groups) and narrow_ok:
+            seg_ops.append(ops_k)
+            seg_counts.append(counts_k)
+        counts_seg = jnp.stack(seg_counts, axis=1)  # (F, K)
+        merged = _merge_sorted_segments(seg_ops, counts_seg, F)
+        return _unpack_narrow_ops(
+            merged, counts_seg.sum(axis=1), F, S
+        )
+    if narrow_ok:
+        ops, counts = _narrow_pipeline_ops(
+            fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg, F
+        )
+        return _unpack_narrow_ops(ops, counts, F, S)
+    # one mega-row gather for the wide/smoothing tail too (round 4):
+    # measured 3.8 ms/frame vs 7.4-8.1 for every other gather/emission
+    # combination on the narrow path (see PERFORMANCE.md)
+    t_a, t_b, t_c = _pretiled_gather_megarow(
+        fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg
+    )
+    return _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg)
+
+
+def _narrow_pipeline_ops(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t,
+                         cfg, F):
+    """The narrow path through the compaction sort for one (segment of
+    a) dispatch: gather (megarow, or raw for cell/experimental
+    configs), words, sort. Returns (sorted flat operands, (F,) counts)
+    — unpacking is the caller's job so split segments can merge first."""
+    Gc = fields.shape[1]
+    FG = F * Gc
+    S = Gc * cfg.slots_per_group
+    fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
+    fid = lambda idx: fields_f[:, idx]  # noqa: E731
+    if cfg.raw_gather or cfg.cell_groups:
         grids = _pretiled_gather_raw(
             fields_f, fid, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg, F
         )
         w0, zs, wc, valid, emi = _grids_to_words(
             fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=True
         )
-        return _compact_narrow_triple(w0, zs, wc, valid, emi, F, S)
-    # one mega-row gather for BOTH tails (round 4): measured 3.8 ms/frame
-    # vs 7.4-8.1 for every other gather/emission combination on the
-    # narrow path (see PERFORMANCE.md); the wide/smoothing tail consumes
-    # the identical tiles
-    t_a, t_b, t_c = _pretiled_gather_megarow(
-        fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg
-    )
-    return _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg)
+    else:
+        t_a, t_b, t_c = _pretiled_gather_megarow(
+            fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg
+        )
+        w0, zs, wc, valid, emi = _tiles_to_words(
+            fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg, _narrow_emit=True
+        )
+    ops = _narrow_sort_ops(w0, zs, wc, valid, emi, F, S)
+    return ops, valid.sum(axis=1, dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -833,6 +833,18 @@ def _gof_device_inputs(
             _group_capacity(cfg),
             multiple_of=space_multiple,
         )
+    # split-sort policy follows the bucket (deterministic, so chunks of
+    # one GOF still share a config/compile)
+    from dataclasses import replace as _replace
+
+    from ..ops.tiled import choose_sort_split
+
+    cfg = _replace(
+        cfg,
+        sort_split=choose_sort_split(
+            g_bucket, cfg.slots_per_group, cfg.cell_groups
+        ),
+    )
     fields = np.zeros((len(tables), g_bucket, N_GROUP_FIELDS), np.int32)
     for k, t in enumerate(tables):
         # bucket_group_count guarantees bucket >= every live count for
