@@ -59,8 +59,12 @@ def _wait_for_gate(gate: str, timeout: float = 1200.0) -> None:
 
 def e2e_decoder_metric(
     gate: str = "",
-    n_gofs: int = 2, frames_per_gof: int = 4, width: int = 640, height: int = 640,
+    n_gofs: int = 2, frames_per_gof: int = 2, width: int = 640, height: int = 640,
 ):
+    # frames_per_gof=2 == one DEVICE_BATCH chunk per GOF: the fewest
+    # tunneled round trips that still exercise multi-GOF streaming —
+    # under pool congestion each round trip can queue for minutes, and
+    # a skipped e2e block costs the artifact more than a smaller sample
     """Frames/sec through the full streaming Decoder on a synthetic
     multi-GOF stream: V3C parse + host HEVC decode + H2D + device
     reconstruction + D2H + exact color conversion. This container has
