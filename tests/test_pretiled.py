@@ -389,6 +389,81 @@ def test_sort_split_bit_identical(K):
         )
 
 
+@pytest.mark.parametrize("K", [2, 4])
+def test_sort_split_batched_bit_identical(K):
+    """The batched split-sort (one minor-axis sort over (F*K, Sk) rows,
+    u16 keys — Sk <= 2^15 here) matches the per-segment split-sort and
+    the single sort bit-for-bit, incl. SWAP orientations and pack30."""
+    from dataclasses import replace
+
+    rng = np.random.default_rng(47)
+    sf = make_synthetic_frame(
+        rng, width=128, height=128, occupancy_resolution=16,
+        occupancy_precision=4, map_count=2, n_patches=5,
+    )
+    cfg = make_config(
+        width=128, height=128, occupancy_resolution=16,
+        occupancy_precision=4, map_count=2,
+    )
+    _, tiled = tiled_inputs(sf, 16)
+    assert tiled[0].shape[1] % K == 0
+    # Sk <= 2^15 -> the u16 key path
+    assert tiled[0].shape[1] // K * cfg.slots_per_group <= (1 << 15)
+    for pk in (False, True):
+        base = replace(cfg, pack30=pk)
+        a = reconstruct_batch_pretiled(*tiled, cfg=base)
+        b = reconstruct_batch_pretiled(
+            *tiled, cfg=replace(base, sort_split=K, sort_split_batched=True)
+        )
+        na, nb = int(a[2][0]), int(b[2][0])
+        assert na == nb and na > 0
+        np.testing.assert_array_equal(
+            np.asarray(a[0])[0][:na], np.asarray(b[0])[0][:nb]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a[1])[0][:na], np.asarray(b[1])[0][:nb]
+        )
+
+
+def test_sort_split_batched_u32_key_and_multi_frame():
+    """A segment extent above 2^15 slots exercises the batched path's
+    u32 key; F=2 exercises per-(frame, segment) rows."""
+    from dataclasses import replace
+
+    rng = np.random.default_rng(53)
+    sfs = [
+        make_synthetic_frame(
+            rng, width=256, height=256, occupancy_resolution=16,
+            occupancy_precision=4, map_count=2, n_patches=4,
+        )
+        for _ in range(2)
+    ]
+    cfg = make_config(
+        width=256, height=256, occupancy_resolution=16,
+        occupancy_precision=4, map_count=2,
+    )
+    ins = [tiled_inputs(sf, 16)[1] for sf in sfs]
+    batch = tuple(
+        np.concatenate([ins[0][i], ins[1][i]]) for i in range(7)
+    )
+    K = 2
+    assert batch[0].shape[1] // K * cfg.slots_per_group > (1 << 15)
+    a = reconstruct_batch_pretiled(*batch, cfg=cfg)
+    b = reconstruct_batch_pretiled(
+        *batch, cfg=replace(cfg, sort_split=K, sort_split_batched=True)
+    )
+    na = np.asarray(a[2])
+    nb = np.asarray(b[2])
+    np.testing.assert_array_equal(na, nb)
+    for f in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(a[0])[f][: na[f]], np.asarray(b[0])[f][: nb[f]]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a[1])[f][: na[f]], np.asarray(b[1])[f][: nb[f]]
+        )
+
+
 def test_sort_split_multi_frame_and_indivisible():
     """F=2 merging uses per-frame offsets; an indivisible group count
     falls back to the single sort."""

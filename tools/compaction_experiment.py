@@ -167,6 +167,27 @@ run_split32 = _make_split_variant(32)
 run_split64 = _make_split_variant(64)
 
 
+def _make_batched_split_variant(K):
+    def run(*args, cfg):
+        """Batched split-sort: ONE minor-axis lax.sort over (F*K, Sk)
+        rows instead of K separate flat sorts; the key narrows to u16
+        when Sk <= 2^15 (K >= 48 at the 1280² bucketed extent).
+        Bit-exact production candidate."""
+        from dataclasses import replace
+
+        return _flat_pretiled_impl(
+            *args, replace(cfg, sort_split=K, sort_split_batched=True)
+        )
+    return run
+
+
+run_splitb8 = _make_batched_split_variant(8)
+run_splitb16 = _make_batched_split_variant(16)
+run_splitb48 = _make_batched_split_variant(48)
+run_splitb64 = _make_batched_split_variant(64)
+run_splitb96 = _make_batched_split_variant(96)
+
+
 def run_halfsplit(*args, cfg):
     """Two half-group-extent narrow pipelines in one kernel (the
     spatial-shard layout on a single device): each half compacts its own
@@ -587,6 +608,11 @@ def main() -> int:
         "split16": run_split16,
         "split32": run_split32,
         "split64": run_split64,
+        "splitb8": run_splitb8,
+        "splitb16": run_splitb16,
+        "splitb48": run_splitb48,
+        "splitb64": run_splitb64,
+        "splitb96": run_splitb96,
         "mega_nosort": run_mega_nosort,
         "raw_noup": run_raw_noup,
         "raw_blocksorted": run_raw_gather,  # reordered inputs (see main)

@@ -80,6 +80,11 @@ class FrameConfig:
     # == emission order (block tables; the kernel falls back to 1
     # segment otherwise).
     sort_split: int = 1
+    # split-sort variant: sort all K segments in ONE minor-axis lax.sort
+    # over (F*K, Sk) rows instead of K separate flat sorts; when the
+    # seg-local emission rank fits 15 bits (Sk <= 2^15) the key narrows
+    # to u16 (sort operands 12 B -> 10 B per element). Bit-identical.
+    sort_split_batched: bool = False
 
     @property
     def slots_per_block(self) -> int:
@@ -130,6 +135,7 @@ def make_config(
     cell_groups: bool = False,
     pack30: bool = False,
     sort_split: int = 1,
+    sort_split_batched: bool = False,
     **_ignored,
 ) -> FrameConfig:
     return FrameConfig(
@@ -147,6 +153,7 @@ def make_config(
         cell_groups=cell_groups,
         pack30=pack30,
         sort_split=sort_split,
+        sort_split_batched=sort_split_batched,
     )
 
 

@@ -1007,16 +1007,29 @@ def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
         # residency: segment sorts that fit run dramatically faster
         # (PERFORMANCE.md).
         Gk = fields.shape[1] // K
-        seg_ops = []
-        seg_counts = []
-        for k in range(K):
-            ops_k, counts_k = _narrow_pipeline_ops(
-                fields[:, k * Gk : (k + 1) * Gk], occ_t, geo0_t, geo1_t,
-                ay_t, au_t, av_t, cfg, F,
-            )
-            seg_ops.append(ops_k)
-            seg_counts.append(counts_k)
-        counts_seg = jnp.stack(seg_counts, axis=1)  # (F, K)
+        if cfg.sort_split_batched:
+            # ONE minor-axis sort over all (frame, segment) rows; u16
+            # keys when the seg-local rank fits (see _batched_split_sort)
+            Sk = Gk * cfg.slots_per_group
+            seg_words = [
+                _narrow_pipeline_words(
+                    fields[:, k * Gk : (k + 1) * Gk], occ_t, geo0_t,
+                    geo1_t, ay_t, au_t, av_t, cfg, F,
+                )
+                for k in range(K)
+            ]
+            seg_ops, counts_seg = _batched_split_sort(seg_words, F, K, Sk)
+        else:
+            seg_ops = []
+            seg_counts = []
+            for k in range(K):
+                ops_k, counts_k = _narrow_pipeline_ops(
+                    fields[:, k * Gk : (k + 1) * Gk], occ_t, geo0_t,
+                    geo1_t, ay_t, au_t, av_t, cfg, F,
+                )
+                seg_ops.append(ops_k)
+                seg_counts.append(counts_k)
+            counts_seg = jnp.stack(seg_counts, axis=1)  # (F, K)
         merged = _merge_sorted_segments(seg_ops, counts_seg, F)
         return _unpack_narrow_ops(
             merged, counts_seg.sum(axis=1), F, S
@@ -1035,12 +1048,12 @@ def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
     return _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg)
 
 
-def _narrow_pipeline_ops(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t,
-                         cfg, F):
-    """The narrow path through the compaction sort for one (segment of
-    a) dispatch: gather (megarow, or raw for cell/experimental
-    configs), words, sort. Returns (sorted flat operands, (F,) counts)
-    — unpacking is the caller's job so split segments can merge first."""
+def _narrow_pipeline_words(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t,
+                           cfg, F):
+    """The narrow path UP TO the compaction sort for one (segment of a)
+    dispatch: gather (megarow, or raw for cell/experimental configs)
+    plus the words stage. Returns ``(w0, zs, wc, valid, emi)``, each
+    ``(F, S_seg)``."""
     Gc = fields.shape[1]
     FG = F * Gc
     S = Gc * cfg.slots_per_group
@@ -1050,18 +1063,75 @@ def _narrow_pipeline_ops(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t,
         grids = _pretiled_gather_raw(
             fields_f, fid, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg, F
         )
-        w0, zs, wc, valid, emi = _grids_to_words(
+        return _grids_to_words(
             fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=True
         )
-    else:
-        t_a, t_b, t_c = _pretiled_gather_megarow(
-            fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg
-        )
-        w0, zs, wc, valid, emi = _tiles_to_words(
-            fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg, _narrow_emit=True
-        )
+    t_a, t_b, t_c = _pretiled_gather_megarow(
+        fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg
+    )
+    return _tiles_to_words(
+        fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg, _narrow_emit=True
+    )
+
+
+def _narrow_pipeline_ops(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t,
+                         cfg, F):
+    """The narrow path through the compaction sort for one (segment of
+    a) dispatch: gather, words, sort. Returns (sorted flat operands,
+    (F,) counts) — unpacking is the caller's job so split segments can
+    merge first."""
+    S = fields.shape[1] * cfg.slots_per_group
+    w0, zs, wc, valid, emi = _narrow_pipeline_words(
+        fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg, F
+    )
     ops = _narrow_sort_ops(w0, zs, wc, valid, emi, F, S)
     return ops, valid.sum(axis=1, dtype=jnp.int32)
+
+
+def _batched_split_sort(seg_words, F, K, Sk):
+    """Sort all K emission-contiguous segments in ONE minor-axis
+    ``lax.sort`` over ``(F*K, Sk)`` rows instead of K separate flat
+    sorts. The key drops the frame/segment bits the flat sort needed
+    (each row IS one frame-segment) and carries only the SEG-LOCAL
+    emission rank: segment k's valid slots own emission indices exactly
+    ``[k*Sk, (k+1)*Sk)`` (block tables: ``G_EMITBASE = row * spb``), so
+    ``emi - k*Sk`` fits 15 bits whenever ``Sk <= 2^15`` and the whole
+    key narrows to u16 — 10 B of sort operands per element instead of
+    12. Invalid slots (incl. bucket-padding rows whose G_EMITBASE is
+    garbage here) mask into the upper key half, where order is
+    irrelevant (the merge overwrites invalid tails).
+
+    Returns ``(seg_ops, counts_seg)`` shaped for
+    :func:`_merge_sorted_segments`."""
+    has_zs = seg_words[0][1] is not None
+
+    def stk(i):
+        return jnp.stack([s[i] for s in seg_words], axis=1).reshape(
+            F * K, Sk
+        )
+
+    valid_b = stk(3)
+    emi_b = jnp.stack(
+        [s[4] - jnp.uint32(k * Sk) for k, s in enumerate(seg_words)],
+        axis=1,
+    ).reshape(F * K, Sk)
+    inv = ~valid_b
+    if Sk <= (1 << 15):
+        key = (inv.astype(jnp.uint16) << 15) | (
+            emi_b.astype(jnp.uint16) & jnp.uint16(0x7FFF)
+        )
+    else:
+        key = (inv.astype(jnp.uint32) << 31) | (
+            emi_b & jnp.uint32(0x7FFFFFFF)
+        )
+    ops = [key, stk(0)] + ([stk(1)] if has_zs else []) + [stk(2)]
+    sorted_ops = jax.lax.sort(
+        tuple(ops), dimension=1, num_keys=1, is_stable=False
+    )
+    payload = [o.reshape(F, K, Sk) for o in sorted_ops[1:]]
+    counts_seg = valid_b.reshape(F, K, Sk).sum(axis=2, dtype=jnp.int32)
+    seg_ops = [[p[:, k] for p in payload] for k in range(K)]
+    return seg_ops, counts_seg
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
