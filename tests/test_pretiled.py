@@ -425,6 +425,41 @@ def test_sort_split_batched_bit_identical(K):
         )
 
 
+def test_sort_split_batched_padding_segments():
+    """Zero-padding table rows (G_VALID=0, G_EMITBASE=0) in LATER
+    segments underflow the batched key's seg-local subtraction; the
+    masking must keep them in the invalid key half. Pad the table so
+    the last two segments are pure padding."""
+    from dataclasses import replace
+
+    rng = np.random.default_rng(59)
+    sf = make_synthetic_frame(
+        rng, width=128, height=128, occupancy_resolution=16,
+        occupancy_precision=4, map_count=2, n_patches=5,
+    )
+    cfg = make_config(
+        width=128, height=128, occupancy_resolution=16,
+        occupancy_precision=4, map_count=2,
+    )
+    _, tiled = tiled_inputs(sf, 16)
+    fields = np.concatenate(
+        [tiled[0], np.zeros_like(tiled[0])], axis=1
+    )
+    padded = (fields,) + tiled[1:]
+    a = reconstruct_batch_pretiled(*tiled, cfg=cfg)
+    b = reconstruct_batch_pretiled(
+        *padded, cfg=replace(cfg, sort_split=4, sort_split_batched=True)
+    )
+    na, nb = int(a[2][0]), int(b[2][0])
+    assert na == nb and na > 0
+    np.testing.assert_array_equal(
+        np.asarray(a[0])[0][:na], np.asarray(b[0])[0][:nb]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a[1])[0][:na], np.asarray(b[1])[0][:nb]
+    )
+
+
 def test_sort_split_batched_u32_key_and_multi_frame():
     """A segment extent above 2^15 slots exercises the batched path's
     u32 key; F=2 exercises per-(frame, segment) rows."""

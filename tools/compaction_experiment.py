@@ -186,6 +186,8 @@ run_splitb16 = _make_batched_split_variant(16)
 run_splitb48 = _make_batched_split_variant(48)
 run_splitb64 = _make_batched_split_variant(64)
 run_splitb96 = _make_batched_split_variant(96)
+run_splitb192 = _make_batched_split_variant(192)
+run_splitb384 = _make_batched_split_variant(384)
 
 
 def run_halfsplit(*args, cfg):
@@ -613,6 +615,8 @@ def main() -> int:
         "splitb48": run_splitb48,
         "splitb64": run_splitb64,
         "splitb96": run_splitb96,
+        "splitb192": run_splitb192,
+        "splitb384": run_splitb384,
         "mega_nosort": run_mega_nosort,
         "raw_noup": run_raw_noup,
         "raw_blocksorted": run_raw_gather,  # reordered inputs (see main)
