@@ -537,3 +537,62 @@ def test_sort_split_multi_frame_and_indivisible():
             np.testing.assert_array_equal(
                 np.asarray(x[1])[f][: nx[f]], np.asarray(y[1])[f][: ny[f]]
             )
+
+
+def test_choose_sort_split_policy():
+    """The host policy prefers the batched variant at Sk=16384-slot
+    segments, falls back to flat K=16, and keeps one sort for cell
+    tables and small dispatches."""
+    from tpu_vpcc.ops.tiled import choose_sort_split
+
+    # production extent: 3072 groups x 512 slots -> Gk=32, K=96 batched
+    assert choose_sort_split(3072, 512, False) == (96, True)
+    # map_count=1 (256 slots/group): Gk=64
+    assert choose_sort_split(2048, 256, False) == (32, True)
+    # bucket not divisible by Gk=32 -> flat K=16 fallback
+    assert choose_sort_split(1040, 512, False) == (16, False)
+    # neither divisible -> single sort
+    assert choose_sort_split(1035, 512, False) == (1, False)
+    # small dispatch (below 2^19 slots) -> single sort
+    assert choose_sort_split(512, 512, False) == (1, False)
+    # cell tables are not emission-ordered -> single sort
+    assert choose_sort_split(3072, 512, True) == (1, False)
+
+
+def test_sort_split_batched_shard_offset():
+    """Spatial shards run the impl on a table CHUNK whose G_EMITBASE
+    values are GLOBAL row indices; the batched key must subtract the
+    segment's true base read from the table, not ``k*Sk`` — a chunk
+    whose segment emission range crosses a 2^15 boundary would
+    otherwise wrap under the u16 key mask and mis-order the emission.
+    Chunk rows [48:112): segment 0 spans slots [24576, 40960), crossing
+    32768."""
+    from dataclasses import replace
+
+    from tpu_vpcc.atlas import groups as G
+
+    rng = np.random.default_rng(61)
+    sf = make_synthetic_frame(
+        rng, width=256, height=256, occupancy_resolution=16,
+        occupancy_precision=4, map_count=2, n_patches=24,
+    )
+    cfg = make_config(
+        width=256, height=256, occupancy_resolution=16,
+        occupancy_precision=4, map_count=2,
+    )
+    _, tiled = tiled_inputs(sf, 16)
+    n_live = int(tiled[0][0, :, G.G_VALID].sum())
+    assert n_live >= 112, f"need a fully live chunk, got {n_live} groups"
+    chunk = (np.ascontiguousarray(tiled[0][:, 48:112]),) + tiled[1:]
+    a = reconstruct_batch_pretiled(*chunk, cfg=cfg)
+    b = reconstruct_batch_pretiled(
+        *chunk, cfg=replace(cfg, sort_split=2, sort_split_batched=True)
+    )
+    na, nb_ = int(a[2][0]), int(b[2][0])
+    assert na == nb_ and na > 0
+    np.testing.assert_array_equal(
+        np.asarray(a[0])[0][:na], np.asarray(b[0])[0][:na]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a[1])[0][:na], np.asarray(b[1])[0][:na]
+    )

@@ -131,12 +131,14 @@ def bucket_flagship_inputs(raw, fcfg):
     )
     from ..ops.tiled import choose_sort_split
 
+    _split_k, _split_batched = choose_sort_split(
+        g_bucket, fcfg.slots_per_group, fcfg.cell_groups
+    )
     fcfg = replace(
         fcfg,
         pack30=pack30,
-        sort_split=choose_sort_split(
-            g_bucket, fcfg.slots_per_group, fcfg.cell_groups
-        ),
+        sort_split=_split_k,
+        sort_split_batched=_split_batched,
     )
     return raw, fcfg, g_bucket, n_live
 

@@ -449,25 +449,40 @@ def _narrow_sort_ok(N: int, F: int) -> bool:
     return N < (1 << _IDX_BITS) and 2 * F <= (1 << (32 - _IDX_BITS))
 
 
-# production split-sort K (round-4 sweep at the 1280² bucketed extent:
-# K=1 2.99, 2 2.84, 4 2.54, 8 2.42, 16 2.16, 32 2.44, 64 2.26 ms/frame)
-# and the dispatch size below which splitting is pointless overhead
+# production split-sort K for the FLAT (per-segment sorts) variant
+# (round-4 sweep at the 1280² bucketed extent: K=1 2.99, 2 2.84, 4 2.54,
+# 8 2.42, 16 2.16, 32 2.44, 64 2.26 ms/frame) and the dispatch size
+# below which splitting is pointless overhead
 SORT_SPLIT_K = 16
 _MIN_SPLIT_SLOTS = 1 << 19
+# the BATCHED variant (one minor-axis sort over (F*K, Sk) rows, u16
+# keys) bottoms at segment extent Sk = 16384 slots on the real chip:
+# Sk 98304(K=16) 2.57, 32768(K=48) 2.04, 24576(K=64) 2.19,
+# 16384(K=96) 1.97-2.02, 8192(K=192) 2.23, 4096(K=384) 2.15 ms/frame
+# vs 2.12-2.16 for the flat K=16 production sort — power-of-two
+# segment lengths win (the bitonic network pads any other extent up)
+_BATCHED_SEG_SLOTS = 1 << 14
 
 
 def choose_sort_split(g_bucket: int, slots_per_group: int,
-                      cell_groups: bool) -> int:
-    """The host-side split-sort policy for a dispatch: K=16 when the
-    bucket divides by it and the extent is big enough to matter; cell
-    tables (not emission-ordered) and small dispatches keep one sort."""
-    if (
-        not cell_groups
-        and g_bucket % SORT_SPLIT_K == 0
-        and g_bucket * slots_per_group >= _MIN_SPLIT_SLOTS
-    ):
-        return SORT_SPLIT_K
-    return 1
+                      cell_groups: bool) -> "tuple[int, bool]":
+    """The host-side split-sort policy for a dispatch: returns
+    ``(K, batched)`` for ``cfg.sort_split`` / ``cfg.sort_split_batched``.
+
+    Preferred: the batched variant at segment extent ``Sk = 16384``
+    slots (measured optimum; see the constants above), when the group
+    bucket divides into whole ``Gk = Sk / slots_per_group`` group
+    segments. Fallback: the flat K=16 variant. Cell tables (not
+    emission-ordered) and small dispatches keep one sort."""
+    if cell_groups or g_bucket * slots_per_group < _MIN_SPLIT_SLOTS:
+        return 1, False
+    gk = _BATCHED_SEG_SLOTS // slots_per_group
+    if gk >= 1 and _BATCHED_SEG_SLOTS % slots_per_group == 0 \
+            and g_bucket % gk == 0:
+        return g_bucket // gk, True
+    if g_bucket % SORT_SPLIT_K == 0:
+        return SORT_SPLIT_K, False
+    return 1, False
 
 
 def narrow_emit_ok(cfg, F: int, S: int) -> bool:
@@ -1018,7 +1033,13 @@ def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
                 )
                 for k in range(K)
             ]
-            seg_ops, counts_seg = _batched_split_sort(seg_words, F, K, Sk)
+            seg_bases = [
+                fields[:, k * Gk, G.G_EMITBASE].astype(jnp.uint32)
+                for k in range(K)
+            ]
+            seg_ops, counts_seg = _batched_split_sort(
+                seg_words, seg_bases, F, K, Sk
+            )
         else:
             seg_ops = []
             seg_counts = []
@@ -1088,18 +1109,23 @@ def _narrow_pipeline_ops(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t,
     return ops, valid.sum(axis=1, dtype=jnp.int32)
 
 
-def _batched_split_sort(seg_words, F, K, Sk):
+def _batched_split_sort(seg_words, seg_bases, F, K, Sk):
     """Sort all K emission-contiguous segments in ONE minor-axis
     ``lax.sort`` over ``(F*K, Sk)`` rows instead of K separate flat
     sorts. The key drops the frame/segment bits the flat sort needed
     (each row IS one frame-segment) and carries only the SEG-LOCAL
     emission rank: segment k's valid slots own emission indices exactly
-    ``[k*Sk, (k+1)*Sk)`` (block tables: ``G_EMITBASE = row * spb``), so
-    ``emi - k*Sk`` fits 15 bits whenever ``Sk <= 2^15`` and the whole
+    ``[base_k, base_k + Sk)`` where ``base_k`` is the segment's first
+    table row's G_EMITBASE (``seg_bases[k]``, per frame — block tables:
+    ``row * spb``; the row index is GLOBAL under spatial sharding, so
+    the base is read from the table rather than assumed ``k*Sk``), so
+    ``emi - base_k`` fits 15 bits whenever ``Sk <= 2^15`` and the whole
     key narrows to u16 — 10 B of sort operands per element instead of
     12. Invalid slots (incl. bucket-padding rows whose G_EMITBASE is
     garbage here) mask into the upper key half, where order is
-    irrelevant (the merge overwrites invalid tails).
+    irrelevant (the merge overwrites invalid tails); a partially padded
+    segment's base is still its first LIVE row's (tables are
+    live-prefix), and an all-padding segment has no valid slots.
 
     Returns ``(seg_ops, counts_seg)`` shaped for
     :func:`_merge_sorted_segments`."""
@@ -1112,7 +1138,7 @@ def _batched_split_sort(seg_words, F, K, Sk):
 
     valid_b = stk(3)
     emi_b = jnp.stack(
-        [s[4] - jnp.uint32(k * Sk) for k, s in enumerate(seg_words)],
+        [s[4] - seg_bases[k][:, None] for k, s in enumerate(seg_words)],
         axis=1,
     ).reshape(F * K, Sk)
     inv = ~valid_b

@@ -839,11 +839,11 @@ def _gof_device_inputs(
 
     from ..ops.tiled import choose_sort_split
 
+    _split_k, _split_batched = choose_sort_split(
+        g_bucket, cfg.slots_per_group, cfg.cell_groups
+    )
     cfg = _replace(
-        cfg,
-        sort_split=choose_sort_split(
-            g_bucket, cfg.slots_per_group, cfg.cell_groups
-        ),
+        cfg, sort_split=_split_k, sort_split_batched=_split_batched
     )
     fields = np.zeros((len(tables), g_bucket, N_GROUP_FIELDS), np.int32)
     for k, t in enumerate(tables):
