@@ -190,6 +190,82 @@ run_splitb192 = _make_batched_split_variant(192)
 run_splitb384 = _make_batched_split_variant(384)
 
 
+def _merge_tree(seg_ops, counts_seg, F):
+    """Pairwise-tree merge of the K compacted segment prefixes:
+    ceil(log2 K) dependency depth instead of the K-1 sequential
+    dynamic row updates. MEASURED NEGATIVE (K=96: 2.78 vs 2.02
+    sequential; K=48: 2.66): the per-level buffer materializations
+    (concat + stacked per-frame updates) cost more than the sequential
+    chain's small in-place row copies — the chain is bandwidth-cheap,
+    not latency-bound. Kept here for reproducibility."""
+    items = [
+        (list(ops), counts_seg[:, k]) for k, ops in enumerate(seg_ops)
+    ]
+    while len(items) > 1:
+        nxt = []
+        for i in range(0, len(items) - 1, 2):
+            a_ops, a_cnt = items[i]
+            b_ops, b_cnt = items[i + 1]
+            lb = b_ops[0].shape[1]
+            m_ops = []
+            for j in range(len(a_ops)):
+                buf = jnp.concatenate(
+                    [a_ops[j], jnp.zeros((F, lb), a_ops[j].dtype)],
+                    axis=1,
+                )
+                rows = [
+                    jax.lax.dynamic_update_slice(
+                        buf[f], b_ops[j][f], (a_cnt[f],)
+                    )
+                    for f in range(F)
+                ]
+                m_ops.append(jnp.stack(rows))
+            nxt.append((m_ops, a_cnt + b_cnt))
+        if len(items) % 2:
+            nxt.append(items[-1])
+        items = nxt
+    return items[0][0]
+
+
+def _make_tree_merge_variant(K):
+    def run(*args, cfg):
+        """Batched split-sort + pairwise TREE merge (see _merge_tree:
+        measured negative; the sequential merge stays production)."""
+        from tpu_vpcc.atlas import groups as GG
+        from tpu_vpcc.ops.tiled import (
+            _batched_split_sort,
+            _narrow_pipeline_words,
+            _unpack_narrow_ops,
+        )
+
+        fields = args[0]
+        F = fields.shape[0]
+        Gk = fields.shape[1] // K
+        Sk = Gk * cfg.slots_per_group
+        seg_words = [
+            _narrow_pipeline_words(
+                fields[:, k * Gk : (k + 1) * Gk], *args[1:], cfg, F
+            )
+            for k in range(K)
+        ]
+        seg_bases = [
+            fields[:, k * Gk, GG.G_EMITBASE].astype(jnp.uint32)
+            for k in range(K)
+        ]
+        seg_ops, counts_seg = _batched_split_sort(
+            seg_words, seg_bases, F, K, Sk
+        )
+        merged = _merge_tree(seg_ops, counts_seg, F)
+        return _unpack_narrow_ops(
+            merged, counts_seg.sum(axis=1), F, K * Sk
+        )
+    return run
+
+
+run_splitb96tree = _make_tree_merge_variant(96)
+run_splitb48tree = _make_tree_merge_variant(48)
+
+
 def run_halfsplit(*args, cfg):
     """Two half-group-extent narrow pipelines in one kernel (the
     spatial-shard layout on a single device): each half compacts its own
@@ -617,6 +693,8 @@ def main() -> int:
         "splitb96": run_splitb96,
         "splitb192": run_splitb192,
         "splitb384": run_splitb384,
+        "splitb96tree": run_splitb96tree,
+        "splitb48tree": run_splitb48tree,
         "mega_nosort": run_mega_nosort,
         "raw_noup": run_raw_noup,
         "raw_blocksorted": run_raw_gather,  # reordered inputs (see main)
