@@ -242,18 +242,10 @@ def _make_tree_merge_variant(K):
         F = fields.shape[0]
         Gk = fields.shape[1] // K
         Sk = Gk * cfg.slots_per_group
-        seg_words = [
-            _narrow_pipeline_words(
-                fields[:, k * Gk : (k + 1) * Gk], *args[1:], cfg, F
-            )
-            for k in range(K)
-        ]
-        seg_bases = [
-            fields[:, k * Gk, GG.G_EMITBASE].astype(jnp.uint32)
-            for k in range(K)
-        ]
+        words = _narrow_pipeline_words(fields, *args[1:], cfg, F)
+        seg_bases = fields[:, ::Gk, GG.G_EMITBASE].astype(jnp.uint32)
         seg_ops, counts_seg = _batched_split_sort(
-            seg_words, seg_bases, F, K, Sk
+            words, seg_bases, F, K, Sk
         )
         merged = _merge_tree(seg_ops, counts_seg, F)
         return _unpack_narrow_ops(

@@ -1022,34 +1022,47 @@ def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
         # residency: segment sorts that fit run dramatically faster
         # (PERFORMANCE.md).
         Gk = fields.shape[1] // K
+        Sk = Gk * cfg.slots_per_group
+        # ONE full-extent gather + words stage; a segment is one
+        # contiguous group-major chunk in EACH map half of the words
+        # slot axis ([D0 half | D1 half], emit_concat), so segmentation
+        # is a block transpose/slice of the words arrays — not K
+        # separate pipeline subgraphs (which multiplied the HLO by K,
+        # fragmented the megarow gather into K small gathers, and
+        # pushed the serialized executable past the backend's
+        # persistence limit)
+        words = _narrow_pipeline_words(
+            fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg, F
+        )
         if cfg.sort_split_batched:
             # ONE minor-axis sort over all (frame, segment) rows; u16
             # keys when the seg-local rank fits (see _batched_split_sort)
-            Sk = Gk * cfg.slots_per_group
-            seg_words = [
-                _narrow_pipeline_words(
-                    fields[:, k * Gk : (k + 1) * Gk], occ_t, geo0_t,
-                    geo1_t, ay_t, au_t, av_t, cfg, F,
-                )
-                for k in range(K)
-            ]
-            seg_bases = [
-                fields[:, k * Gk, G.G_EMITBASE].astype(jnp.uint32)
-                for k in range(K)
-            ]
+            seg_bases = fields[:, ::Gk, G.G_EMITBASE].astype(jnp.uint32)
             seg_ops, counts_seg = _batched_split_sort(
-                seg_words, seg_bases, F, K, Sk
+                words, seg_bases, F, K, Sk
             )
         else:
+            w0, zs, wc, valid, emi = words
+            # segment k = one contiguous chunk in EACH map half of the
+            # words slot axis (see _batched_split_sort)
+            h = S // 2
+            k2 = Sk // 2
+            sl = lambda a, k: (  # noqa: E731
+                None if a is None else jnp.concatenate(
+                    [a[:, k * k2 : (k + 1) * k2],
+                     a[:, h + k * k2 : h + (k + 1) * k2]], axis=1
+                )
+            )
             seg_ops = []
             seg_counts = []
             for k in range(K):
-                ops_k, counts_k = _narrow_pipeline_ops(
-                    fields[:, k * Gk : (k + 1) * Gk], occ_t, geo0_t,
-                    geo1_t, ay_t, au_t, av_t, cfg, F,
+                seg_ops.append(_narrow_sort_ops(
+                    sl(w0, k), sl(zs, k), sl(wc, k), sl(valid, k),
+                    sl(emi, k), F, Sk,
+                ))
+                seg_counts.append(
+                    sl(valid, k).sum(axis=1, dtype=jnp.int32)
                 )
-                seg_ops.append(ops_k)
-                seg_counts.append(counts_k)
             counts_seg = jnp.stack(seg_counts, axis=1)  # (F, K)
         merged = _merge_sorted_segments(seg_ops, counts_seg, F)
         return _unpack_narrow_ops(
@@ -1109,37 +1122,41 @@ def _narrow_pipeline_ops(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t,
     return ops, valid.sum(axis=1, dtype=jnp.int32)
 
 
-def _batched_split_sort(seg_words, seg_bases, F, K, Sk):
+def _batched_split_sort(words, seg_bases, F, K, Sk):
     """Sort all K emission-contiguous segments in ONE minor-axis
     ``lax.sort`` over ``(F*K, Sk)`` rows instead of K separate flat
-    sorts. The key drops the frame/segment bits the flat sort needed
-    (each row IS one frame-segment) and carries only the SEG-LOCAL
-    emission rank: segment k's valid slots own emission indices exactly
-    ``[base_k, base_k + Sk)`` where ``base_k`` is the segment's first
-    table row's G_EMITBASE (``seg_bases[k]``, per frame — block tables:
-    ``row * spb``; the row index is GLOBAL under spatial sharding, so
-    the base is read from the table rather than assumed ``k*Sk``), so
-    ``emi - base_k`` fits 15 bits whenever ``Sk <= 2^15`` and the whole
-    key narrows to u16 — 10 B of sort operands per element instead of
-    12. Invalid slots (incl. bucket-padding rows whose G_EMITBASE is
-    garbage here) mask into the upper key half, where order is
-    irrelevant (the merge overwrites invalid tails); a partially padded
-    segment's base is still its first LIVE row's (tables are
-    live-prefix), and an all-padding segment has no valid slots.
+    sorts. ``words`` are the FULL-extent narrow-pipeline arrays (each
+    ``(F, K*Sk)``); a segment is a contiguous slot range, so the row
+    layout is a reshape. The key drops the frame/segment bits the flat
+    sort needed (each row IS one frame-segment) and carries only the
+    SEG-LOCAL emission rank: segment k's valid slots own emission
+    indices exactly ``[base_k, base_k + Sk)`` where ``base_k`` is the
+    segment's first table row's G_EMITBASE (``seg_bases`` ``(F, K)`` —
+    block tables: ``row * spb``; the row index is GLOBAL under spatial
+    sharding, so the base is read from the table rather than assumed
+    ``k*Sk``), so ``emi - base_k`` fits 15 bits whenever ``Sk <= 2^15``
+    and the whole key narrows to u16 — 10 B of sort operands per
+    element instead of 12. Invalid slots (incl. bucket-padding rows
+    whose G_EMITBASE is garbage here) mask into the upper key half,
+    where order is irrelevant (the merge overwrites invalid tails); a
+    partially padded segment's base is still its first LIVE row's
+    (tables are live-prefix), and an all-padding segment has no valid
+    slots.
 
     Returns ``(seg_ops, counts_seg)`` shaped for
     :func:`_merge_sorted_segments`."""
-    has_zs = seg_words[0][1] is not None
-
-    def stk(i):
-        return jnp.stack([s[i] for s in seg_words], axis=1).reshape(
-            F * K, Sk
-        )
-
-    valid_b = stk(3)
-    emi_b = jnp.stack(
-        [s[4] - seg_bases[k][:, None] for k, s in enumerate(seg_words)],
-        axis=1,
+    w0, zs, wc, valid, emi = words
+    has_zs = zs is not None
+    # the words slot axis is [D0 half | D1 half], each half group-major
+    # (emit_concat) — so segment k's slots are one contiguous chunk in
+    # EACH half; the row layout is a (2, K) block transpose (fuses into
+    # the elementwise words producers)
+    rows = lambda a: (  # noqa: E731
+        a.reshape(F, 2, K, Sk // 2).swapaxes(1, 2).reshape(F * K, Sk)
+    )
+    valid_b = rows(valid)
+    emi_b = (
+        rows(emi).reshape(F, K, Sk) - seg_bases[:, :, None]
     ).reshape(F * K, Sk)
     inv = ~valid_b
     if Sk <= (1 << 15):
@@ -1150,7 +1167,7 @@ def _batched_split_sort(seg_words, seg_bases, F, K, Sk):
         key = (inv.astype(jnp.uint32) << 31) | (
             emi_b & jnp.uint32(0x7FFFFFFF)
         )
-    ops = [key, stk(0)] + ([stk(1)] if has_zs else []) + [stk(2)]
+    ops = [key, rows(w0)] + ([rows(zs)] if has_zs else []) + [rows(wc)]
     sorted_ops = jax.lax.sort(
         tuple(ops), dimension=1, num_keys=1, is_stable=False
     )
