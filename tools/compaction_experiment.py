@@ -244,9 +244,10 @@ def _make_tree_merge_variant(K):
         Sk = Gk * cfg.slots_per_group
         words = _narrow_pipeline_words(fields, *args[1:], cfg, F)
         seg_bases = fields[:, ::Gk, GG.G_EMITBASE].astype(jnp.uint32)
-        seg_ops, counts_seg = _batched_split_sort(
+        payload, counts_seg = _batched_split_sort(
             words, seg_bases, F, K, Sk
         )
+        seg_ops = [[p[:, k] for p in payload] for k in range(K)]
         merged = _merge_tree(seg_ops, counts_seg, F)
         return _unpack_narrow_ops(
             merged, counts_seg.sum(axis=1), F, K * Sk

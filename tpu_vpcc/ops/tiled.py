@@ -693,31 +693,62 @@ def _compact_narrow_triple(w0, zs, wc, valid, emi, F, S):
 
 def _merge_sorted_segments(seg_ops, counts_seg, F):
     """Concatenate K per-segment compacted prefixes on the SORTED FLAT
-    operands: K-1 dynamic row updates per frame per operand, on
-    lane-friendly (S_k,) arrays. Safe by construction — the cumulative
-    offset before segment k is at most the sum of earlier segment
-    capacities, so every update stays in bounds; each lands at the
-    running valid count, overwriting the previous segment's invalid
+    operands: sequential dynamic row updates on lane-friendly (S_k,)
+    arrays, one segment per ``lax.scan`` step. Safe by construction —
+    the cumulative offset before segment k is at most the sum of earlier
+    segment capacities, so every update stays in bounds; each lands at
+    the running valid count, overwriting the previous segment's invalid
     tail and leaving one contiguous valid prefix (tail garbage beyond
-    the total count is outside the API contract)."""
+    the total count is outside the API contract).
+
+    ``seg_ops`` is a list of K per-segment operand lists (each operand
+    ``(F, Sk)``); :func:`_merge_segment_stacks` is the stacked-input twin
+    the batched split-sort feeds directly."""
     K = len(seg_ops)
-    S = sum(ops[0].shape[1] for ops in seg_ops)
-    offs = jnp.cumsum(counts_seg, axis=1)  # (F, K)
-    merged = []
-    for j in range(len(seg_ops[0])):
-        rows = []
-        for f in range(F):
-            row = jnp.zeros((S,), seg_ops[0][j].dtype)
-            row = jax.lax.dynamic_update_slice(
-                row, seg_ops[0][j][f], (0,)
-            )
-            for k in range(1, K):
-                row = jax.lax.dynamic_update_slice(
-                    row, seg_ops[k][j][f], (offs[f, k - 1],)
+    n_ops = len(seg_ops[0])
+    payload = [
+        jnp.stack([seg_ops[k][j] for k in range(K)], axis=1)
+        for j in range(n_ops)
+    ]
+    return _merge_segment_stacks(payload, counts_seg, F)
+
+
+def _merge_segment_stacks(payload, counts_seg, F):
+    """Scan-based segment merge on stacked operands (each ``(F, K,
+    Sk)``). One ``lax.scan`` step per segment replaces a Python-unrolled
+    chain of K*F*n_ops separate dynamic_update_slice ops — measured
+    bandwidth-cheap but HLO-heavy: at K=96 the unrolled merge dominated
+    the program's op count, slowing every compile and pushing the
+    serialized executable past the backend's cache-persistence size
+    limit (see PERFORMANCE.md). The scan body carries the (F, S)
+    outputs in place; runtime is the same sequential in-place row-copy
+    chain."""
+    K = payload[0].shape[1]
+    S = K * payload[0].shape[2]
+    # (F, K) start offset of segment k = valid points in segments < k
+    offs = jnp.concatenate(
+        [
+            jnp.zeros((F, 1), counts_seg.dtype),
+            jnp.cumsum(counts_seg[:, :-1], axis=1),
+        ],
+        axis=1,
+    )
+
+    def body(carry, xs):
+        segs, off = xs[:-1], xs[-1]  # segs: per-op (F, Sk); off: (F,)
+        out = []
+        for dst, seg in zip(carry, segs):
+            for f in range(F):
+                dst = jax.lax.dynamic_update_slice(
+                    dst, seg[f][None], (f, off[f])
                 )
-            rows.append(row)
-        merged.append(jnp.stack(rows))
-    return merged
+            out.append(dst)
+        return tuple(out), None
+
+    init = tuple(jnp.zeros((F, S), p.dtype) for p in payload)
+    xs = tuple(p.swapaxes(0, 1) for p in payload) + (offs.T,)
+    merged, _ = jax.lax.scan(body, init, xs)
+    return list(merged)
 
 
 def _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg):
@@ -1038,8 +1069,12 @@ def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
             # ONE minor-axis sort over all (frame, segment) rows; u16
             # keys when the seg-local rank fits (see _batched_split_sort)
             seg_bases = fields[:, ::Gk, G.G_EMITBASE].astype(jnp.uint32)
-            seg_ops, counts_seg = _batched_split_sort(
+            payload, counts_seg = _batched_split_sort(
                 words, seg_bases, F, K, Sk
+            )
+            merged = _merge_segment_stacks(payload, counts_seg, F)
+            return _unpack_narrow_ops(
+                merged, counts_seg.sum(axis=1), F, S
             )
         else:
             w0, zs, wc, valid, emi = words
@@ -1143,8 +1178,8 @@ def _batched_split_sort(words, seg_bases, F, K, Sk):
     (tables are live-prefix), and an all-padding segment has no valid
     slots.
 
-    Returns ``(seg_ops, counts_seg)`` shaped for
-    :func:`_merge_sorted_segments`."""
+    Returns ``(payload, counts_seg)`` — stacked sorted operands (each
+    ``(F, K, Sk)``) shaped for :func:`_merge_segment_stacks`."""
     w0, zs, wc, valid, emi = words
     has_zs = zs is not None
     # the words slot axis is [D0 half | D1 half], each half group-major
@@ -1173,8 +1208,7 @@ def _batched_split_sort(words, seg_bases, F, K, Sk):
     )
     payload = [o.reshape(F, K, Sk) for o in sorted_ops[1:]]
     counts_seg = valid_b.reshape(F, K, Sk).sum(axis=2, dtype=jnp.int32)
-    seg_ops = [[p[:, k] for p in payload] for k in range(K)]
-    return seg_ops, counts_seg
+    return payload, counts_seg
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
