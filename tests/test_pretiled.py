@@ -596,3 +596,73 @@ def test_sort_split_batched_shard_offset():
     np.testing.assert_array_equal(
         np.asarray(a[1])[0][:na], np.asarray(b[1])[0][:na]
     )
+
+
+@pytest.mark.parametrize("split", [False, True])
+def test_packed_output_matches_unpacked(split):
+    """The packed dispatch (reconstruct_batch_pretiled_packed +
+    _fetch_prefixes_packed) yields byte-identical compacted prefixes to
+    the standard (F, S, 3) output path — pack30 on/off, split-sort
+    on/off, and both the raw and the exact-yuv10 color finalization.
+    This is the production single-device dispatch shape (the full-extent
+    minor-dim-3 unpack never materializes on device)."""
+    from dataclasses import replace
+
+    from tpu_vpcc.ops.tiled import reconstruct_batch_pretiled_packed
+    from tpu_vpcc.runtime.pipeline import (
+        _convert_colors_device,
+        _fetch_prefixes,
+        _fetch_prefixes_packed,
+    )
+
+    rng = np.random.default_rng(53)
+    sf = make_synthetic_frame(
+        rng, width=128, height=128, occupancy_resolution=16,
+        occupancy_precision=4, map_count=2, n_patches=5,
+    )
+    cfg = make_config(
+        width=128, height=128, occupancy_resolution=16,
+        occupancy_precision=4, map_count=2,
+    )
+    _, tiled = tiled_inputs(sf, 16)
+    for pk in (False, True):
+        base = replace(
+            cfg, pack30=pk,
+            sort_split=4 if split else 1, sort_split_batched=split,
+        )
+        pos, col16, cnt = reconstruct_batch_pretiled(*tiled, cfg=base)
+        cnt = np.asarray(cnt)
+        ops, cntp = reconstruct_batch_pretiled_packed(*tiled, cfg=base)
+        np.testing.assert_array_equal(cnt, np.asarray(cntp))
+        assert len(ops) == (2 if pk else 3)
+        for mode in ("raw", "yuv10"):
+            pa, ca = _fetch_prefixes(pos, col16, cnt, color_mode=mode)
+            pb, cb = _fetch_prefixes_packed(ops, cnt, color_mode=mode)
+            n = int(cnt[0])
+            assert n > 0
+            np.testing.assert_array_equal(pa[0][:n], pb[0][:n])
+            np.testing.assert_array_equal(ca[0][:n], cb[0][:n])
+
+
+def test_packed_output_rejects_wide_path():
+    """Packed output outside the narrow envelope (smoothing set) is a
+    dispatch bug and raises."""
+    from dataclasses import replace
+
+    from tpu_vpcc.ops.smoothing import SmoothingConfig
+    from tpu_vpcc.ops.tiled import reconstruct_batch_pretiled_packed
+
+    rng = np.random.default_rng(5)
+    sf = make_synthetic_frame(
+        rng, width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2, n_patches=3,
+    )
+    cfg = make_config(
+        width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2,
+    )
+    _, tiled = tiled_inputs(sf, 8)
+    with pytest.raises(ValueError, match="narrow path"):
+        reconstruct_batch_pretiled_packed(
+            *tiled, cfg=replace(cfg, smoothing=SmoothingConfig(8, 16, 10))
+        )

@@ -659,6 +659,18 @@ def _narrow_sort_ops(w0, zs, wc, valid, emi, F, S):
     return [a.reshape(F, S) for a in sorted_ops[1:]]
 
 
+def _unpack_ops_points(merged, F, S):
+    """(positions (F,S,3) u16, colors16 (F,S,3) u16) from sorted/merged
+    flat operands: 2 operands = pack30 layout, 3 = the split zs layout."""
+    if len(merged) == 2:
+        return _m10_triplet(merged[0], F, S), _m10_triplet(merged[1], F, S)
+    s0, sz, sc = merged
+    lo = lambda w: (w & 0xFFFF).astype(jnp.uint16)  # noqa: E731
+    hi = lambda w: (w >> 16).astype(jnp.uint16)  # noqa: E731
+    positions = jnp.stack([lo(s0), hi(s0), sz], axis=-1).reshape(F, S, 3)
+    return positions, _m10_triplet(sc, F, S)
+
+
 def _unpack_narrow_ops(merged, valid_or_counts, F, S):
     """Final unpack of (merged) sorted operands: 2 operands = pack30
     layout, 3 = the split zs layout. ``valid_or_counts`` is the (F, S)
@@ -667,16 +679,8 @@ def _unpack_narrow_ops(merged, valid_or_counts, F, S):
         counts = valid_or_counts.sum(axis=1, dtype=jnp.int32)
     else:
         counts = valid_or_counts
-    if len(merged) == 2:
-        return (
-            _m10_triplet(merged[0], F, S), _m10_triplet(merged[1], F, S),
-            counts,
-        )
-    s0, sz, sc = merged
-    lo = lambda w: (w & 0xFFFF).astype(jnp.uint16)  # noqa: E731
-    hi = lambda w: (w >> 16).astype(jnp.uint16)  # noqa: E731
-    positions = jnp.stack([lo(s0), hi(s0), sz], axis=-1).reshape(F, S, 3)
-    return positions, _m10_triplet(sc, F, S), counts
+    positions, colors16 = _unpack_ops_points(merged, F, S)
+    return positions, colors16, counts
 
 
 def _compact_narrow_triple(w0, zs, wc, valid, emi, F, S):
@@ -1013,7 +1017,8 @@ def _pretiled_gather_megaraw(fields_f, fid, occ_t, geo0_t, geo1_t, ay_t,
     return d0, d1, occ_bit, cy0, cy1, cu0, cu1, cv0, cv1
 
 
-def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
+def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg,
+                        _packed_out=False):
     """Flat-batch reconstruction from block-tiled planes.
 
     Identical math to :func:`_flat_tiled_impl`, but plane data arrives
@@ -1025,6 +1030,16 @@ def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
       occ_t: (F, nb, res/prec, res/prec) u8
       geo*_t: (F, nb, res, res) u16
       ay_t: (F, M, nb, res, res) u16 ; au_t/av_t: (F, M, nb, res/2, res/2)
+
+    ``_packed_out=True`` (narrow path only — the host gates on
+    :func:`narrow_emit_ok`) returns ``(ops, counts)`` with ``ops`` the
+    compacted sorted flat operands (2 for pack30, else 3), each
+    ``(F, S)`` and lane-friendly, INSTEAD of unpacking to the
+    (F, S, 3) minor-dim-3 point arrays at full slot extent: the
+    production dispatch defers the unpack to the prefix-fetch jit,
+    which materializes it at the much smaller compacted-prefix extent
+    (a 3-wide minor axis pads to the 128-lane tile on TPU — see
+    PERFORMANCE.md).
     """
     F = fields.shape[0]
     FG = F * fields.shape[1]
@@ -1073,6 +1088,8 @@ def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
                 words, seg_bases, F, K, Sk
             )
             merged = _merge_segment_stacks(payload, counts_seg, F)
+            if _packed_out:
+                return tuple(merged), counts_seg.sum(axis=1)
             return _unpack_narrow_ops(
                 merged, counts_seg.sum(axis=1), F, S
             )
@@ -1100,6 +1117,8 @@ def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
                 )
             counts_seg = jnp.stack(seg_counts, axis=1)  # (F, K)
         merged = _merge_sorted_segments(seg_ops, counts_seg, F)
+        if _packed_out:
+            return tuple(merged), counts_seg.sum(axis=1)
         return _unpack_narrow_ops(
             merged, counts_seg.sum(axis=1), F, S
         )
@@ -1107,7 +1126,13 @@ def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
         ops, counts = _narrow_pipeline_ops(
             fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg, F
         )
+        if _packed_out:
+            return tuple(ops), counts
         return _unpack_narrow_ops(ops, counts, F, S)
+    if _packed_out:
+        # the host gates packed dispatch on narrow_emit_ok; reaching the
+        # wide tail here is a dispatch bug
+        raise ValueError("packed output requested outside the narrow path")
     # one mega-row gather for the wide/smoothing tail too (round 4):
     # measured 3.8 ms/frame vs 7.4-8.1 for every other gather/emission
     # combination on the narrow path (see PERFORMANCE.md)
@@ -1214,6 +1239,22 @@ def _batched_split_sort(words, seg_bases, F, K, Sk):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def reconstruct_batch_pretiled(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
     return _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def reconstruct_batch_pretiled_packed(
+    fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg
+):
+    """Production narrow-path dispatch with PACKED outputs: returns
+    ``(ops, counts)`` where ``ops`` are the compacted sorted flat
+    operands (each (F, S), lane-friendly). The caller unpacks the
+    compacted prefix in the fetch jit (``runtime.pipeline``) — the
+    full-extent (F, S, 3) minor-dim-3 materialization never happens on
+    device. Host gate: :func:`narrow_emit_ok`."""
+    return _flat_pretiled_impl(
+        fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg,
+        _packed_out=True,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -583,6 +583,54 @@ def _take_prefix_jit():
 
 
 _take_prefix = None
+_take_prefix_packed = None
+
+
+def _take_prefix_packed_jit():
+    import functools
+
+    import jax
+
+    from ..ops.tiled import _unpack_ops_points
+
+    @functools.partial(jax.jit, static_argnames=("b", "color_mode"))
+    def take(ops, b, color_mode):
+        F = ops[0].shape[0]
+        sliced = [o[:, :b] for o in ops]
+        pos, col16 = _unpack_ops_points(sliced, F, b)
+        return pos, _convert_colors_device(col16, color_mode)
+
+    return take
+
+
+def _prefix_bucket(counts, S: int) -> int:
+    """Power-of-two fetch bucket covering the batch's max point count."""
+    n_max = int(counts.max()) if counts.size else 0
+    if n_max == 0:
+        return 0
+    bucket = 1
+    while bucket < n_max:
+        bucket *= 2
+    return min(bucket, S)
+
+
+def _fetch_prefixes_packed(ops, counts, color_mode: str = "raw"):
+    """Device→host fetch for the PACKED narrow dispatch: the compacted
+    sorted operands stay lane-friendly (F, S) u32/u16 on device; the
+    prefix-slice jit unpacks positions/colors at the fetch bucket extent
+    (the only place the 3-wide minor axis — which pads to the 128-lane
+    tile on TPU — ever materializes) and the color conversion rides the
+    same dispatch."""
+    global _take_prefix_packed
+    bucket = _prefix_bucket(counts, ops[0].shape[1])
+    if bucket == 0:
+        z = np.empty((counts.shape[0], 0, 3), dtype=np.uint16)
+        cz = z if color_mode == "raw" else z.astype(np.uint8)
+        return z, cz
+    if _take_prefix_packed is None:
+        _take_prefix_packed = _take_prefix_packed_jit()
+    p, c = _take_prefix_packed(tuple(ops), b=bucket, color_mode=color_mode)
+    return np.asarray(p), np.asarray(c)
 
 
 def _fetch_prefixes(positions, colors16, counts, color_mode: str = "raw"):
@@ -593,16 +641,11 @@ def _fetch_prefixes(positions, colors16, counts, color_mode: str = "raw"):
     links; transfer volume dominates on PCIe — this bounds both. The
     final color conversion rides the same dispatch (u8 on the wire)."""
     global _take_prefix
-    n_max = int(counts.max()) if counts.size else 0
-    S = positions.shape[1]
-    if n_max == 0:
+    bucket = _prefix_bucket(counts, positions.shape[1])
+    if bucket == 0:
         z = np.empty((counts.shape[0], 0, 3), dtype=np.uint16)
         cz = z if color_mode == "raw" else z.astype(np.uint8)
         return z, cz
-    bucket = 1
-    while bucket < n_max:
-        bucket *= 2
-    bucket = min(bucket, S)
     if _take_prefix is None:
         _take_prefix = _take_prefix_jit()
     p, c = _take_prefix(positions, colors16, b=bucket, color_mode=color_mode)
@@ -1053,6 +1096,24 @@ def _dispatch_device(di: DeviceInputs, mesh=None, stats=None):
     # extra eager transfer round trip read slightly slower), so the
     # simpler implicit path stays
     if di.use_tiled:
+        from ..ops.tiled import narrow_emit_ok, reconstruct_batch_pretiled_packed
+
+        F = di.arrays[0].shape[0]
+        if narrow_emit_ok(di.cfg, F, di.slot_cap):
+            # packed dispatch: compacted sorted operands stay (F, S)
+            # lane-friendly on device; the prefix-fetch jit unpacks at
+            # the bucket extent (see _fetch_prefixes_packed)
+            ops, counts = reconstruct_batch_pretiled_packed(
+                *di.arrays, di.cfg
+            )
+            counts = np.asarray(counts)
+            pos_all, col_all = _fetch_prefixes_packed(
+                ops, counts, color_mode=color_mode
+            )
+            return [
+                (pos_all[k, : counts[k]], col_all[k, : counts[k]])
+                for k in range(di.n_frames)
+            ]
         positions, colors16, counts = reconstruct_batch_pretiled(
             *di.arrays, di.cfg
         )
