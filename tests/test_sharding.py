@@ -171,3 +171,68 @@ def test_pretiled_sharded_smoothing_matches_single_device():
         assert gpos.shape[0] == n
         np.testing.assert_array_equal(gpos, rpos[k, :n])
         np.testing.assert_array_equal(gcol, rcol[k, :n])
+
+
+@pytest.mark.parametrize("pack30", [False, True])
+def test_pretiled_spatial_packed_matches_single_device(pack30):
+    """The PACKED sharded dispatch (per-shard compacted sorted operands
+    + the per-shard prefix unpack in _fetch_sharded_packed) stitches to
+    the identical global point list as the single-device kernel."""
+    from dataclasses import replace
+
+    from tpu_vpcc.parallel.spatial import (
+        reconstruct_gof_spatial_pretiled_packed,
+    )
+    from tpu_vpcc.runtime.pipeline import _fetch_sharded_packed
+
+    frames, cfg, batch = make_batch(4, seed=7)
+    cfg = replace(cfg, pack30=pack30)
+    mesh = make_mesh(data=4, space=2)
+    ops, cnt, totals = reconstruct_gof_spatial_pretiled_packed(
+        mesh, *tile_batch(cfg, batch), cfg
+    )
+    assert len(ops) == (2 if pack30 else 3)
+    n_space = mesh.shape["space"]
+    s_loc = cfg.s_cap // n_space
+    per_frame = _fetch_sharded_packed(ops, cnt, n_space, s_loc)
+    expected = reference_outputs(frames, cfg, batch)
+    for k, (epos, ecol) in enumerate(expected):
+        gpos, gcol = per_frame[k]
+        np.testing.assert_array_equal(gpos, epos)
+        np.testing.assert_array_equal(gcol, ecol)
+        assert int(np.asarray(totals)[k, 0]) == epos.shape[0]
+
+
+def test_mesh_decoder_roundtrip_uses_packed_path():
+    """A mesh-configured Decoder over a real fixture stream matches the
+    meshless decode byte-for-byte (the dispatch now routes the sharded
+    narrow path through the packed fetch)."""
+    from tpu_vpcc.runtime.pipeline import Decoder, Params
+    from tpu_vpcc.utils.fixtures import build_fixture_stream
+    from tpu_vpcc.video import encoder_supports
+
+    if not (encoder_supports(8) and encoder_supports(10)):
+        pytest.skip("libx265 unavailable")
+    rng = np.random.default_rng(11)
+    frames = [
+        make_synthetic_frame(
+            rng, width=128, height=128, occupancy_resolution=16,
+            occupancy_precision=4, n_patches=4, frame_index=i,
+        )
+        for i in range(2)
+    ]
+    stream = build_fixture_stream(frames)
+    mesh = make_mesh(data=4, space=2)
+    dec = Decoder(Params(stream, mesh=mesh))
+    dec.start()
+    sharded = list(dec)
+    ref = Decoder(Params(stream))
+    ref.start()
+    plain = list(ref)
+    assert len(sharded) == len(plain) == 2
+    # the sharded dispatch really ran on the mesh (no silent fallback),
+    # i.e. the packed sharded branch was exercised
+    assert not dec.stats.counter_totals().get("mesh_fallback_dispatches")
+    for a, b in zip(sharded, plain):
+        np.testing.assert_array_equal(a.positions, b.positions)
+        np.testing.assert_array_equal(a.colors, b.colors)

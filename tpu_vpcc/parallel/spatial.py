@@ -150,6 +150,49 @@ def reconstruct_gof_spatial_pretiled(
     return jax.jit(fn)(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t)
 
 
+def reconstruct_gof_spatial_pretiled_packed(
+    mesh: Mesh,
+    fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t,
+    cfg: FrameConfig,
+):
+    """The PACKED-OUTPUT twin of :func:`reconstruct_gof_spatial_pretiled`
+    (narrow path only — the caller gates on ``narrow_emit_ok`` at the
+    per-shard extent): each shard returns its compacted sorted flat
+    operands (2–3 lane-friendly ``(F, s_loc)`` words) + counts, and the
+    host-side fetch unpacks minor-dim-3 points only at the per-shard
+    prefix extent (``runtime.pipeline._fetch_sharded_packed``). Returns
+    ``(ops, counts (F, n_space), totals (F, 1))`` with each op globally
+    ``(F, s_cap)``, slot axis sharded over ``space``."""
+    from ..ops.tiled import _flat_pretiled_impl
+
+    n_space = mesh.shape["space"]
+    g_tot = fields.shape[1]
+    if (g_tot // n_space) * n_space != g_tot:
+        raise ValueError("the group axis must divide by the space axis")
+    if cfg.smoothing is not None or cfg.attr_smoothing is not None:
+        raise ValueError("packed sharded dispatch requires the narrow path")
+    n_ops = 2 if cfg.pack30 else 3
+
+    def shard_fn(fields_b, occ_b, g0_b, g1_b, ay_b, au_b, av_b):
+        ops, cnt = _flat_pretiled_impl(
+            fields_b, occ_b, g0_b, g1_b, ay_b, au_b, av_b, cfg,
+            _packed_out=True,
+        )
+        total = jax.lax.psum(cnt, "space")
+        return (*ops, cnt[:, None], total[:, None])
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("data", "space"),) + (P("data"),) * 6,
+        out_specs=(P("data", "space"),) * n_ops
+        + (P("data", "space"), P("data", None)),
+        check_vma=False,
+    )
+    out = jax.jit(fn)(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t)
+    return out[:n_ops], out[n_ops], out[n_ops + 1]
+
+
 def stitch_spatial(
     positions: np.ndarray, colors16: np.ndarray, counts: np.ndarray, s_loc: int
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -974,6 +974,60 @@ def _gof_device_inputs(
 _take_shard_prefix = None
 
 
+_take_shard_prefix_packed = None
+
+
+def _fetch_sharded_packed(ops, counts, n_space: int, s_loc: int,
+                          color_mode: str = "raw"):
+    """Prefix fetch + host stitch for the PACKED mesh-sharded layout:
+    each op is globally (F, s_cap) with the slot axis sharded over
+    'space'; shard d's compacted prefix occupies rows
+    [d*s_loc, d*s_loc + counts[f, d]). The fetch jit slices every
+    shard's prefix bucket and unpacks minor-dim-3 points at that
+    extent only (cf. _fetch_prefixes_packed)."""
+    import functools
+
+    import jax
+
+    global _take_shard_prefix_packed
+    counts = np.asarray(counts)  # (F, n_space)
+    n_max = int(counts.max()) if counts.size else 0
+    if n_max == 0:
+        z = np.empty((0, 3), dtype=np.uint16)
+        cz = z if color_mode == "raw" else z.astype(np.uint8)
+        return [(z, cz) for _ in range(counts.shape[0])]
+    bucket = 1
+    while bucket < n_max:
+        bucket *= 2
+    bucket = min(bucket, s_loc)
+    if _take_shard_prefix_packed is None:
+        from ..ops.tiled import _unpack_ops_points
+
+        @functools.partial(jax.jit, static_argnames=("ns", "b", "color_mode"))
+        def take(ops, ns, b, color_mode):
+            F, S = ops[0].shape
+            sliced = [o.reshape(F, ns, S // ns)[:, :, :b] for o in ops]
+            flat = [s.reshape(F * ns, b) for s in sliced]
+            pos, col16 = _unpack_ops_points(flat, F * ns, b)
+            pos = pos.reshape(F, ns, b, 3)
+            col = _convert_colors_device(col16, color_mode).reshape(
+                F, ns, b, -1
+            )
+            return pos, col
+
+        _take_shard_prefix_packed = take
+    p, c = _take_shard_prefix_packed(
+        tuple(ops), ns=n_space, b=bucket, color_mode=color_mode
+    )
+    p, c = np.asarray(p), np.asarray(c)  # (F, n_space, bucket, 3)
+    per_frame = []
+    for f in range(counts.shape[0]):
+        parts_p = [p[f, d, : counts[f, d]] for d in range(n_space)]
+        parts_c = [c[f, d, : counts[f, d]] for d in range(n_space)]
+        per_frame.append((np.concatenate(parts_p), np.concatenate(parts_c)))
+    return per_frame
+
+
 def _fetch_sharded(
     positions, colors16, counts, n_space: int, s_loc: int,
     color_mode: str = "raw",
@@ -1043,11 +1097,25 @@ def _dispatch_device(di: DeviceInputs, mesh=None, stats=None):
         data = mesh.shape["data"]
         n_space = mesh.shape["space"]
         if di.group_cap % n_space == 0:
+            from ..ops.tiled import narrow_emit_ok
+
             arrays = [pad_batch(a, data) for a in di.arrays]
+            s_loc = di.slot_cap // n_space
+            f_shard = arrays[0].shape[0] // data
+            if narrow_emit_ok(di.cfg, f_shard, s_loc):
+                from ..parallel.spatial import (
+                    reconstruct_gof_spatial_pretiled_packed,
+                )
+
+                ops, cnt, _ = reconstruct_gof_spatial_pretiled_packed(
+                    mesh, *arrays, di.cfg
+                )
+                return _fetch_sharded_packed(
+                    ops, cnt, n_space, s_loc, color_mode=color_mode
+                )[: di.n_frames]
             pos, col, cnt, _ = reconstruct_gof_spatial_pretiled(
                 mesh, *arrays, di.cfg
             )
-            s_loc = di.slot_cap // n_space
             return _fetch_sharded(
                 pos, col, cnt, n_space, s_loc, color_mode=color_mode
             )[: di.n_frames]
