@@ -666,3 +666,109 @@ def test_packed_output_rejects_wide_path():
         reconstruct_batch_pretiled_packed(
             *tiled, cfg=replace(cfg, smoothing=SmoothingConfig(8, 16, 10))
         )
+
+@pytest.mark.parametrize("seed,res,prec,mc", [
+    (0, 16, 4, 2), (3, 16, 4, 2), (5, 16, 4, 1),
+])
+def test_shift_compact_path_bit_identical(seed, res, prec, mc):
+    """The sort-free Pallas shift-compact path (cfg.shift_compact)
+    produces the identical compacted prefix to the sort path."""
+    from dataclasses import replace
+
+    rng = np.random.default_rng(seed)
+    width = 128
+    sf = make_synthetic_frame(
+        rng, width=width, height=width, occupancy_resolution=res,
+        occupancy_precision=prec, map_count=mc, n_patches=5,
+    )
+    cfg = make_config(
+        width=width, height=width, occupancy_resolution=res,
+        occupancy_precision=prec, map_count=mc,
+    )
+    _, tiled = tiled_inputs(sf, res)
+    S = cfg.g_cap * cfg.slots_per_block
+    from tpu_vpcc.ops.shift_compact import shift_supported
+    assert shift_supported(S, 8192), S
+    p1, c1, n1 = reconstruct_batch_pretiled(*tiled, cfg=cfg)
+    p2, c2, n2 = reconstruct_batch_pretiled(
+        *tiled, cfg=replace(cfg, shift_compact=8192)
+    )
+    n1, n2 = int(n1[0]), int(n2[0])
+    assert n1 == n2 and n1 > 0
+    np.testing.assert_array_equal(np.asarray(p1)[0][:n1], np.asarray(p2)[0][:n1])
+    np.testing.assert_array_equal(np.asarray(c1)[0][:n1], np.asarray(c2)[0][:n1])
+
+
+def test_shift_compact_with_swap_orientation():
+    """shift-compact composes with SWAP-family orientations: the
+    gathered tiles are transposed to patch order so the elementwise
+    destination cumsum sees the emission raster."""
+    from dataclasses import replace as dreplace
+
+    from tpu_vpcc.atlas.patches import Patch
+    from tpu_vpcc.v3c.syntax import PatchOrientation
+
+    p0 = Patch(uv0=(0, 0), size_uv0=(3, 2), uv1=(8, 16),
+               occupancy_resolution=8,
+               patch_orientation=PatchOrientation.SWAP)
+    p0.set_view_id(0)
+    p0.d1 = 50
+    p0.size_d = 255
+    p1 = Patch(uv0=(4, 3), size_uv0=(2, 2), uv1=(4, 4),
+               occupancy_resolution=8,
+               patch_orientation=PatchOrientation.MROT270)
+    p1.set_view_id(2)
+    p1.d1 = 10
+    p1.size_d = 255
+    rng = np.random.default_rng(9)
+    sf = make_synthetic_frame(
+        rng, width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2,
+        patches=[dreplace(p0), dreplace(p1)],
+    )
+    cfg = make_config(
+        width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2,
+    )
+    _, tiled = tiled_inputs(sf, 8)
+    S = cfg.g_cap * cfg.slots_per_block
+    assert S == 8192
+    p1_, c1_, n1_ = reconstruct_batch_pretiled(*tiled, cfg=cfg)
+    p2_, c2_, n2_ = reconstruct_batch_pretiled(
+        *tiled, cfg=dreplace(cfg, shift_compact=8192)
+    )
+    n1_, n2_ = int(n1_[0]), int(n2_[0])
+    assert n1_ == n2_ and n1_ > 0
+    np.testing.assert_array_equal(
+        np.asarray(p1_)[0][:n1_], np.asarray(p2_)[0][:n1_])
+    np.testing.assert_array_equal(
+        np.asarray(c1_)[0][:n1_], np.asarray(c2_)[0][:n1_])
+
+
+def test_shift_compact_pack30_packed_out():
+    """pack30 x shift_compact through the PACKED dispatch (2 operands)."""
+    from dataclasses import replace
+
+    from tpu_vpcc.ops.tiled import reconstruct_batch_pretiled_packed
+
+    rng = np.random.default_rng(7)
+    sf = make_synthetic_frame(
+        rng, width=128, height=128, occupancy_resolution=16,
+        occupancy_precision=4, map_count=2, n_patches=5,
+    )
+    cfg = make_config(
+        width=128, height=128, occupancy_resolution=16,
+        occupancy_precision=4, map_count=2, pack30=True,
+    )
+    _, tiled = tiled_inputs(sf, 16)
+    ops1, n1 = reconstruct_batch_pretiled_packed(*tiled, cfg=cfg)
+    ops2, n2 = reconstruct_batch_pretiled_packed(
+        *tiled, cfg=replace(cfg, shift_compact=8192)
+    )
+    assert len(ops1) == 2 and len(ops2) == 2
+    n1, n2 = int(n1[0]), int(n2[0])
+    assert n1 == n2 and n1 > 0
+    for a, b in zip(ops1, ops2):
+        np.testing.assert_array_equal(
+            np.asarray(a)[0][:n1], np.asarray(b)[0][:n1]
+        )

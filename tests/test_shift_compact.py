@@ -1,0 +1,135 @@
+"""Shift-network compaction (ops/shift_compact) vs the narrow
+unique-key sort: identical compacted prefixes on the same words.
+
+The kernel runs in interpret mode on the CPU test backend; the real
+Mosaic lowering is exercised on TPU by tools/shift_bench.py and the
+production dispatch (bench.py tpu_parity certifies it on-chip).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu_vpcc.ops.shift_compact import (
+    DEFAULT_EXTENT,
+    LANES,
+    shift_compact_ops,
+    shift_supported,
+)
+from tpu_vpcc.ops.tiled import _narrow_sort_ops
+
+
+def _patch_order_emi(F, S):
+    half = S // 2
+    iota = np.arange(half, dtype=np.uint32)
+    return jnp.asarray(
+        np.concatenate([2 * iota, 2 * iota + 1])[None, :].repeat(F, 0)
+    )
+
+
+def _run_both(w0, zs, wc, valid, F, S, extent):
+    sort_ops = _narrow_sort_ops(
+        jnp.asarray(w0),
+        None if zs is None else jnp.asarray(zs),
+        jnp.asarray(wc),
+        jnp.asarray(valid),
+        _patch_order_emi(F, S),
+        F,
+        S,
+    )
+    ops, counts = shift_compact_ops(
+        jnp.asarray(w0),
+        None if zs is None else jnp.asarray(zs),
+        jnp.asarray(wc),
+        jnp.asarray(valid),
+        F,
+        S,
+        extent=extent,
+        interpret=True,
+    )
+    return sort_ops, ops, np.asarray(counts)
+
+
+@pytest.mark.parametrize(
+    "F,S,extent,density",
+    [
+        (1, 16384, 8192, 0.6),
+        (2, 32768, 8192, 0.5),
+        (1, 32768, 16384, 0.95),
+        (2, 16384, 8192, 0.0),
+        (1, 16384, 8192, 1.0),
+        (3, 24576, 8192, 0.3),
+        (1, 16384, 16384, 0.61),  # single-chunk frame
+    ],
+)
+def test_prefix_matches_sort(F, S, extent, density):
+    r = np.random.default_rng(S * 7 + F)
+    w0 = r.integers(0, 1 << 32, (F, S), dtype=np.uint32)
+    wc = r.integers(0, 1 << 32, (F, S), dtype=np.uint32)
+    valid = r.random((F, S)) < density
+    sort_ops, ops, counts = _run_both(w0, None, wc, valid, F, S, extent)
+    for f in range(F):
+        n = counts[f]
+        assert n == valid[f].sum()
+        for a, b in zip(sort_ops, ops):
+            np.testing.assert_array_equal(
+                np.asarray(a)[f, :n], np.asarray(b)[f, :n]
+            )
+
+
+def test_zs_operand_rides_along():
+    """Non-pack30 layout: the u16 zs operand must compact identically."""
+    F, S, extent = 2, 16384, 8192
+    r = np.random.default_rng(3)
+    w0 = r.integers(0, 1 << 32, (F, S), dtype=np.uint32)
+    zs = r.integers(0, 1 << 16, (F, S), dtype=np.uint16)
+    wc = r.integers(0, 1 << 32, (F, S), dtype=np.uint32)
+    valid = r.random((F, S)) < 0.55
+    sort_ops, ops, counts = _run_both(w0, zs, wc, valid, F, S, extent)
+    assert len(ops) == 3
+    assert ops[1].dtype == jnp.uint16
+    for f in range(F):
+        n = counts[f]
+        for a, b in zip(sort_ops, ops):
+            np.testing.assert_array_equal(
+                np.asarray(a)[f, :n], np.asarray(b)[f, :n]
+            )
+
+
+def test_degenerate_validity_patterns():
+    """Window-boundary stress: validity concentrated in single chunks,
+    runs of length 1, and alternating D0/D1-only pixels."""
+    F, S, extent = 1, 32768, 8192
+    half = S // 2
+    r = np.random.default_rng(11)
+    w0 = r.integers(0, 1 << 32, (F, S), dtype=np.uint32)
+    wc = r.integers(0, 1 << 32, (F, S), dtype=np.uint32)
+    patterns = []
+    # only the last chunk valid
+    v = np.zeros((F, S), bool)
+    v[:, half - extent // 2 :] = True
+    patterns.append(v.copy())
+    # exactly one valid slot per chunk-half (boundary pendings of 1)
+    v = np.zeros((F, S), bool)
+    v[:, :: extent // 2] = True
+    patterns.append(v.copy())
+    # D0-only and D1-only alternating pixels
+    v = np.zeros((F, S), bool)
+    v[:, 0:half:2] = True
+    v[:, half + 1 :: 2] = True
+    patterns.append(v.copy())
+    for valid in patterns:
+        sort_ops, ops, counts = _run_both(w0, None, wc, valid, F, S, extent)
+        for f in range(F):
+            n = counts[f]
+            assert n == valid[f].sum()
+            for a, b in zip(sort_ops, ops):
+                np.testing.assert_array_equal(
+                    np.asarray(a)[f, :n], np.asarray(b)[f, :n]
+                )
+
+
+def test_shift_supported_gate():
+    assert shift_supported(3072 * 512, DEFAULT_EXTENT)
+    assert not shift_supported(3072 * 512 + LANES, DEFAULT_EXTENT)
+    assert not shift_supported(1 << 20, 1 << 16)  # extent above budget
+    assert not shift_supported(1 << 20, 4096)  # below 2*ALIGN granularity

@@ -89,6 +89,14 @@ class FrameConfig:
     # 2.66-2.78 ms vs 2.02 sequential: the level-wise buffer
     # materializations dominate; see tools/compaction_experiment.py.)
     sort_split_batched: bool = False
+    # SORT-FREE compaction (round 5): route the narrow-path words
+    # through the Pallas merge + shift-network kernel
+    # (ops/shift_compact.py) instead of the batched split-sort. The
+    # value is the chunk extent in slots (0 = off). Requires patch-
+    # order gathered tiles (SWAP tiles transposed at the gather), a
+    # block table (emission-ordered), and S % extent == 0 — the host
+    # dispatch gates via shift_compact.shift_supported.
+    shift_compact: int = 0
 
     @property
     def slots_per_block(self) -> int:

@@ -1,0 +1,325 @@
+"""Sort-free compaction: Pallas merge + shift-network partition kernel.
+
+Replaces the batched split-sort + segment merge (the ~1.2 ms/frame
+dominating the 1.9 ms round-5 kernel; ``tiled._batched_split_sort``)
+with a destination-driven data movement pass. The insight: once the
+gathered tiles are in PATCH memory order (SWAP-family tiles transposed
+at the gather), every slot's final compacted position is computable
+ELEMENTWISE — ``dest = excl-cumsum of per-pixel validity`` over the
+frame's patch-raster pixel order (+``v0`` for the D1 slot of a pixel)
+— so no comparison sort is needed to discover the permutation, only a
+mover that routes each element to its known destination:
+
+  1. XLA computes ``dest`` (one cumsum) and per-chunk window scalars,
+     and lays each chunk's operands out as ``[garbage row | D0 rows |
+     D1 rows]`` — the D0/D1 interleave is NEVER materialized (Mosaic
+     has no lane-interleave primitive; stack/reshape does not lower,
+     measured: tools/pallas_probe*.py).
+  2. Each half-run is dest-sorted by construction, so a Batcher
+     ODD-EVEN MERGE (static masks, log2(run)+1 compare-exchange
+     passes built from flat-order rolls + selects) produces a fully
+     dest-sorted chunk window. Bitonic would need a reversal
+     (``lax.rev`` does not lower); Batcher merges two ascending runs.
+  3. A DOWN-SHIFT network (log2(extent)+1 passes) moves every valid
+     element down by its remaining shift ``pos - dest - delta``: in
+     pass b, elements whose remaining shift has bit b move down 2^b.
+     Monotone nondecreasing shifts cannot collide (see
+     PERFORMANCE.md); a cell whose element departs without a
+     replacement is marked inert (shift 0) so stale copies never
+     travel and can never overwrite a live element.
+  4. ``delta = base % LANES`` offsets every destination so each
+     chunk's output window starts on a DMA row boundary; the
+     sequential grid writes OVERLAPPING full windows (chunk k+1's
+     window starts at the row containing the running point count and
+     overwrites chunk k's garbage tail) and a carried pending-row
+     scratch re-merges the partially-filled boundary row — together
+     replacing the segment-merge stage entirely.
+
+Bit-exactness contract: identical compacted prefix to the narrow
+unique-key sort (``tiled._compact_narrow_triple``) fed the same words
+with patch-order emission indices; pinned by tests/test_shift_compact.py.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# lane width of every in-kernel array (one DMA row = LANES u32 words)
+LANES = 512
+# HBM refs are (8, 128)-tiled: dynamic row slices must be 8-row blocks,
+# so output windows align to 8-row granularity = ALIGN slots
+ALIGN_ROWS = 8
+ALIGN = ALIGN_ROWS * LANES  # 4096
+_LOG_ALIGN = 12
+# default chunk extent in slots (one grid step's window; power of two)
+DEFAULT_EXTENT = 16384
+MAX_EXTENT = 32768  # chunk-local dest key: (dest << 1 | v) stays well in i32
+
+
+def shift_supported(S: int, extent: int = DEFAULT_EXTENT) -> bool:
+    """Host gate: the frame slot extent divides into whole chunks."""
+    return (
+        extent <= MAX_EXTENT
+        and ALIGN <= extent
+        and extent % (2 * ALIGN) == 0
+        and S % extent == 0
+    )
+
+
+# --------------------------------------------------------------------------
+# flat-order shifts on (R, LANES) blocks (row-major linear semantics)
+# --------------------------------------------------------------------------
+
+
+def _rollm(x, k, axis):
+    """np.roll(x, -k, axis) via pltpu.roll (shift must be >= 0)."""
+    n = x.shape[axis]
+    return pltpu.roll(x, shift=(n - (k % n)) % n, axis=axis)
+
+
+def _fsd(x, k, lane_iota):
+    """Flat shift DOWN: out[p] = x[p + k]; wrapped tail is garbage
+    (callers mask with in-bounds predicates)."""
+    L = x.shape[1]
+    if k % L == 0:
+        return _rollm(x, k // L, 0)
+    assert k < L
+    xr = _rollm(x, k, 1)
+    xrr = _rollm(xr, 1, 0)
+    return jnp.where(lane_iota < L - k, xr, xrr)
+
+
+def _fsu(x, k, lane_iota):
+    """Flat shift UP: out[p] = x[p - k]; wrapped head is garbage."""
+    L = x.shape[1]
+    if k % L == 0:
+        return pltpu.roll(x, shift=k // L, axis=0)
+    assert k < L
+    xr = pltpu.roll(x, shift=k, axis=1)
+    xrr = pltpu.roll(xr, shift=1, axis=0)
+    return jnp.where(lane_iota >= k, xr, xrr)
+
+
+def _log2(n: int) -> int:
+    assert n & (n - 1) == 0
+    return n.bit_length() - 1
+
+
+# --------------------------------------------------------------------------
+# the kernel
+# --------------------------------------------------------------------------
+
+
+def _make_kernel(nops: int, Rh: int):
+    """Kernel for ``nops`` payload operands; one grid step per chunk.
+
+    Ref layout after the 3 scalar-prefetch refs:
+      [key_in, op_in x nops] [op_out_hbm x nops]
+      [pend_scratch x nops, out_scratch x nops, dma_sems]
+    """
+    W_rows = 2 * Rh + ALIGN_ROWS
+    M = Rh * LANES  # run length: slots per map half per chunk
+
+    def kern(row0_ref, delta_ref, pend_ref, *refs):
+        key_ref = refs[0]
+        in_refs = refs[1 : 1 + nops]
+        out_hbm = refs[1 + nops : 1 + 2 * nops]
+        pend = refs[1 + 2 * nops : 1 + 3 * nops]
+        outs = refs[1 + 3 * nops : 1 + 4 * nops]
+        sems = refs[1 + 4 * nops]
+
+        i = pl.program_id(0)
+        W = W_rows * LANES
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (W_rows, LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (W_rows, LANES), 0)
+        flat = row * LANES + lane  # window-local linear position
+
+        key = key_ref[0]
+        ops = [r[0] for r in in_refs]
+
+        # --- phase 1: odd-even merge of the two dest-sorted runs ----------
+        # runs live after the ALIGN garbage rows; j = in-window index.
+        # Masks are STATIC iota predicates (validated in tools + tests).
+        j = flat - ALIGN
+        k = M
+        while k >= 1:
+            if k == M:
+                lo_mask = (j >= 0) & (j < M)
+                hi_mask = (j >= M) & (j < 2 * M)
+            else:
+                lo_mask = (j >= 0) & ((j % (2 * k)) >= k) & (j + k < 2 * M)
+                jk = j - k
+                hi_mask = (jk >= 0) & ((jk % (2 * k)) >= k) & (j < 2 * M)
+            kd = _fsd(key, k, lane)
+            ku = _fsu(key, k, lane)
+            swap_lo = lo_mask & (kd < key)
+            swap_hi = hi_mask & (ku > key)
+            ops = [
+                jnp.where(swap_lo, _fsd(x, k, lane),
+                          jnp.where(swap_hi, _fsu(x, k, lane), x))
+                for x in ops
+            ]
+            key = jnp.where(swap_lo, kd, jnp.where(swap_hi, ku, key))
+            k //= 2
+
+        # --- phase 2: down-shift network ----------------------------------
+        delta = delta_ref[i]
+        dest = key >> 1
+        validf = (key & 1) == 1
+        sh = jnp.where(validf, flat - dest - delta, 0)
+        nbits = _log2(2 * M) + 1  # max sh < extent + LANES <= 2^nbits
+        for b in range(nbits):
+            step = 1 << b
+            s_in = _fsd(sh, step, lane)
+            move_in = (((s_in >> b) & 1) == 1) & (flat + step < W)
+            self_mv = ((sh >> b) & 1) == 1
+            ops = [jnp.where(move_in, _fsd(x, step, lane), x) for x in ops]
+            sh = jnp.where(move_in, s_in, jnp.where(self_mv, 0, sh))
+
+        # --- phase 3: pending merge, pending update, window DMA -----------
+        # positions [0, delta) of the window belong to the PREVIOUS
+        # chunks' output (the pending block carries them); delta spans
+        # up to ALIGN_ROWS rows.
+        pr = pend_ref[i]  # 8-aligned window row block holding delta+n_k
+        row0 = pl.multiple_of(row0_ref[i] * ALIGN_ROWS, ALIGN_ROWS)
+        boundary = (flat < delta)[:ALIGN_ROWS]
+        cps = []
+        for n in range(nops):
+            outs[n][:] = ops[n]
+            outs[n][0:ALIGN_ROWS, :] = jnp.where(
+                boundary, pend[n][:], ops[n][:ALIGN_ROWS]
+            )
+            # (dynamic_slice on a traced VALUE does not lower in Mosaic;
+            # the new pending block is read back from the scratch ref)
+            pend[n][:] = outs[n][
+                pl.ds(pl.multiple_of(pr * ALIGN_ROWS, ALIGN_ROWS),
+                      ALIGN_ROWS), :,
+            ]
+            cp = pltpu.make_async_copy(
+                outs[n], out_hbm[n].at[pl.ds(row0, W_rows)], sems.at[n]
+            )
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
+
+    return kern
+
+
+# --------------------------------------------------------------------------
+# XLA-side preparation + call wrapper
+# --------------------------------------------------------------------------
+
+
+def shift_compact_ops(w0, zs, wc, valid, F: int, S: int,
+                      extent: int = DEFAULT_EXTENT,
+                      interpret: bool | None = None):
+    """Compact the narrow-path words to their emission prefix WITHOUT a
+    sort.
+
+    Inputs are the ``emit_concat`` (F, S) arrays of the narrow words
+    stage in PATCH memory order ([D0 half | D1 half], each half in
+    frame patch-raster pixel order — the caller transposed SWAP tiles
+    at the gather): ``w0`` u32, ``zs`` u16 or None (pack30), ``wc``
+    u32, ``valid`` bool. Returns ``(ops, counts)`` shaped exactly like
+    ``tiled._narrow_sort_ops`` + per-frame counts: ops = [w0c(, zsc),
+    wcc], each (F, S) with the compacted prefix in emission order
+    (tail garbage beyond the count, as with the sort).
+    """
+    assert shift_supported(S, extent), (S, extent)
+    half = S // 2
+    ch_half = extent // 2  # pixels per chunk
+    K = S // extent
+    Rh = ch_half // LANES
+    W_rows = 2 * Rh + ALIGN_ROWS
+    rows_per_frame = S // LANES
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    v0 = valid[:, :half]
+    v1 = valid[:, half:]
+    s01 = v0.astype(jnp.int32) + v1.astype(jnp.int32)
+    incl = jnp.cumsum(s01, axis=1)
+    dest0 = incl - s01  # (F, half) exclusive: valids before this pixel
+    counts = incl[:, -1]
+
+    # per-chunk window scalars (8-row = ALIGN-slot granularity: HBM
+    # refs are (8,128)-tiled and dynamic row slices must be 8-aligned)
+    base = dest0[:, ::ch_half]  # (F, K) valid count before the chunk
+    delta = (base & (ALIGN - 1)).astype(jnp.int32)
+    row0_blk = (
+        jax.lax.broadcasted_iota(jnp.int32, (F, K), 0)
+        * (rows_per_frame // ALIGN_ROWS)
+        + (base >> _LOG_ALIGN)
+    ).astype(jnp.int32)
+    nxt = jnp.concatenate([base[:, 1:], counts[:, None]], axis=1)
+    pendrow = ((delta + (nxt - base)) >> _LOG_ALIGN).astype(jnp.int32)
+
+    # chunk-local dest keys: (dest - base) << 1 | valid  — valid slots
+    # sort AFTER invalids sharing their dest, keeping each run
+    # nondecreasing; the merge orders by dest with that tiebreak.
+    base_b = jnp.broadcast_to(
+        base[:, :, None], (F, K, ch_half)
+    ).reshape(F, half)
+    d0l = dest0 - base_b
+    key0 = (d0l << 1) | v0.astype(jnp.int32)
+    key1 = ((d0l + v0.astype(jnp.int32)) << 1) | v1.astype(jnp.int32)
+
+    def blocks(a0, a1):
+        z = jnp.zeros((F, K, ALIGN_ROWS, LANES), a0.dtype)
+        return jnp.concatenate(
+            [z, a0.reshape(F, K, Rh, LANES), a1.reshape(F, K, Rh, LANES)],
+            axis=2,
+        ).reshape(F * K, W_rows, LANES)
+
+    key_b = blocks(key0, key1)
+    op_halves = [(w0[:, :half], w0[:, half:])]
+    dtypes = [jnp.uint32]
+    if zs is not None:
+        op_halves.append((zs[:, :half].astype(jnp.uint32),
+                          zs[:, half:].astype(jnp.uint32)))
+        dtypes.append(jnp.uint32)
+    op_halves.append((wc[:, :half], wc[:, half:]))
+    dtypes.append(jnp.uint32)
+    nops = len(op_halves)
+    op_blocks = [blocks(a0, a1) for a0, a1 in op_halves]
+
+    total_rows = F * rows_per_frame + W_rows  # slack for the last window
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(F * K,),
+        in_specs=[
+            pl.BlockSpec((1, W_rows, LANES), lambda i, r, d, p: (i, 0, 0))
+        ]
+        * (1 + nops),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * nops,
+        scratch_shapes=(
+            [pltpu.VMEM((ALIGN_ROWS, LANES), dt) for dt in dtypes]
+            + [pltpu.VMEM((W_rows, LANES), dt) for dt in dtypes]
+            + [pltpu.SemaphoreType.DMA((nops,))]
+        ),
+    )
+    outs = pl.pallas_call(
+        _make_kernel(nops, Rh),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((total_rows, LANES), dt) for dt in dtypes
+        ),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        row0_blk.reshape(-1),
+        delta.reshape(-1),
+        pendrow.reshape(-1),
+        key_b,
+        *op_blocks,
+    )
+    ops = [o[: F * rows_per_frame].reshape(F, S) for o in outs]
+    if zs is not None:
+        ops[1] = ops[1].astype(jnp.uint16)
+    return ops, counts.astype(jnp.int32)

@@ -140,7 +140,7 @@ def _flat_tiled_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
 
 def _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg,
                     _fix_orientation=True, _color=True,
-                    _narrow_emit=False):
+                    _narrow_emit=False, _patch_order=False):
     """Steps 3-6 of the tail: orientation fix, unpack, point/color
     compute, optional smoothing, u32 payload packing — everything up to
     (but not including) compaction. Returns ``(w0, w1, w2, valid)``,
@@ -162,7 +162,11 @@ def _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg,
     # and lets the compaction sort land every slot at its emission rank
     # (the sort key embeds a slot index anyway, so ordering by emission
     # rank costs nothing — the transpose rides the sort for free).
-    if _fix_orientation and not _narrow_emit:
+    # The shift-compact path (``_patch_order``) needs PATCH memory order
+    # (its elementwise destination cumsum runs over the emission pixel
+    # raster), so it transposes the three gathered tile batches like the
+    # wide path — but at the bucketed extent, not the canvas.
+    if _fix_orientation and (not _narrow_emit or _patch_order):
         fix = lambda t: jnp.where(sw, t.transpose(0, 2, 1), t)  # noqa: E731
         t_a = fix(t_a)
         t_b = fix(t_b)
@@ -187,11 +191,12 @@ def _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg,
     return _grids_to_words(
         fields_f, fid,
         (d0, d1, occ_bit_t, cy0, cy1, cu0, cu1, cv0, cv1),
-        F, FG, S, cfg, _narrow_emit=_narrow_emit,
+        F, FG, S, cfg, _narrow_emit=_narrow_emit, _patch_order=_patch_order,
     )
 
 
-def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False):
+def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False,
+                    _patch_order=False):
     """Steps 5-6 on unpacked slot grids ``(d0, d1, occ_bit, cy0, cy1,
     cu0, cu1, cv0, cv1)``, each [FG, tile, tile] int32 in CANVAS memory
     order (the packed-tile path unpacks into these; the raw-gather path
@@ -225,10 +230,11 @@ def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False):
     else:
         v1 = flat // tile
         u1 = flat - v1 * tile
-    if _narrow_emit:
+    if _narrow_emit and not _patch_order:
         # canvas memory order: a SWAP-family slot at memory (row, col)
         # is patch-space (u, v) = (row, col) — swap the iotas instead of
-        # transposing the data tiles
+        # transposing the data tiles. (_patch_order: the tiles were
+        # transposed at the gather, so plain iotas ARE patch coords.)
         u1, v1 = jnp.where(sw, v1, u1), jnp.where(sw, u1, v1)
 
     d1_patch = bcast(G.G_D1)
@@ -1051,6 +1057,30 @@ def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg,
         # the host gates cell tables on exactly these conditions
         # (_cell_mode_ok); reaching here is a dispatch bug
         raise ValueError("cell-groups dispatch outside the narrow envelope")
+    if (
+        cfg.shift_compact
+        and narrow_ok
+        and not cfg.cell_groups
+        and not cfg.raw_gather
+    ):
+        # SORT-FREE compaction (round 5): gathered tiles transposed to
+        # patch order, destinations from one validity cumsum, and the
+        # Pallas merge + shift-network kernel moves every element to
+        # its known rank (ops/shift_compact.py). Bit-exact twin of the
+        # sort path (tests/test_shift_compact.py + test_pretiled.py).
+        from .shift_compact import shift_compact_ops, shift_supported
+
+        assert shift_supported(S, cfg.shift_compact), (S, cfg.shift_compact)
+        w0, zs, wc, valid, _emi = _narrow_pipeline_words(
+            fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg, F,
+            _patch_order=True,
+        )
+        ops, counts = shift_compact_ops(
+            w0, zs, wc, valid, F, S, extent=cfg.shift_compact
+        )
+        if _packed_out:
+            return tuple(ops), counts
+        return _unpack_narrow_ops(ops, counts, F, S)
     K = cfg.sort_split
     if (
         K > 1
@@ -1143,7 +1173,7 @@ def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg,
 
 
 def _narrow_pipeline_words(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t,
-                           cfg, F):
+                           cfg, F, _patch_order=False):
     """The narrow path UP TO the compaction sort for one (segment of a)
     dispatch: gather (megarow, or raw for cell/experimental configs)
     plus the words stage. Returns ``(w0, zs, wc, valid, emi)``, each
@@ -1154,6 +1184,7 @@ def _narrow_pipeline_words(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t,
     fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
     fid = lambda idx: fields_f[:, idx]  # noqa: E731
     if cfg.raw_gather or cfg.cell_groups:
+        assert not _patch_order  # shift-compact dispatch gates these off
         grids = _pretiled_gather_raw(
             fields_f, fid, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg, F
         )
@@ -1164,7 +1195,8 @@ def _narrow_pipeline_words(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t,
         fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg
     )
     return _tiles_to_words(
-        fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg, _narrow_emit=True
+        fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg, _narrow_emit=True,
+        _patch_order=_patch_order,
     )
 
 
