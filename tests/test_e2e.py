@@ -306,3 +306,33 @@ def test_e2e_full_32_frame_gof(tmp_path):
     for a, b in zip(dev, orc):
         assert format_ply(a) == format_ply(b)
     assert len(d1.stats.gofs) == 1 and d1.stats.gofs[0].frame_count == 32
+
+
+def test_e2e_shift_compact_matches_oracle(tmp_path, monkeypatch):
+    """Full streaming Decoder with the shift-compact kernel forced on
+    (the TPU production default; interpreted here) — byte-identical
+    PLYs to the oracle path. The fixture is sized so the bucketed slot
+    extent actually divides a supported chunk extent (asserted), or the
+    policy would silently fall back to the sort."""
+    monkeypatch.setenv("TPU_VPCC_SHIFT", "1")
+    frames, path = make_fixture(
+        tmp_path, n_frames=2, seed=57, res=16, width=256, height=256,
+        n_patches=8,
+    )
+    # precondition: the dispatch policy will pick the shift kernel
+    from tpu_vpcc.atlas.groups import bucket_group_count, build_group_table
+    from tpu_vpcc.ops.tiled import choose_compaction
+
+    gt = build_group_table(frames[0].meta)
+    bucket = bucket_group_count(gt.n_groups, 16 * 16)
+    shift_extent, _, _ = choose_compaction(bucket, 512, False)
+    assert shift_extent > 0, (gt.n_groups, bucket)
+
+    expected = oracle_frames(frames)
+    decoder = Decoder(Params(path, use_device=True))
+    decoder.start()
+    decoded = list(decoder)
+    assert len(decoded) == len(expected)
+    for got, want in zip(decoded, expected):
+        np.testing.assert_array_equal(got.positions, want.positions)
+        np.testing.assert_array_equal(got.colors, want.colors)

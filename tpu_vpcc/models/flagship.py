@@ -129,14 +129,15 @@ def bucket_flagship_inputs(raw, fcfg):
         )
         for k in range(raw[0].shape[0])
     )
-    from ..ops.tiled import choose_sort_split
+    from ..ops.tiled import choose_compaction
 
-    _split_k, _split_batched = choose_sort_split(
+    _shift, _split_k, _split_batched = choose_compaction(
         g_bucket, fcfg.slots_per_group, fcfg.cell_groups
     )
     fcfg = replace(
         fcfg,
         pack30=pack30,
+        shift_compact=_shift,
         sort_split=_split_k,
         sort_split_batched=_split_batched,
     )

@@ -491,6 +491,44 @@ def choose_sort_split(g_bucket: int, slots_per_group: int,
     return 1, False
 
 
+def choose_compaction(g_bucket: int, slots_per_group: int,
+                      cell_groups: bool) -> "tuple[int, int, bool]":
+    """Host-side compaction policy for a dispatch: returns
+    ``(shift_extent, sort_split_K, sort_split_batched)``.
+
+    Production default (round 5): the Pallas shift-compact kernel
+    whenever a supported chunk extent divides the dispatch slot extent
+    — full-graph A/B measured 1.363 vs 1.917 ms/frame (733.7 vs 521.7
+    fps) at the 1280² bucketed extent (PERFORMANCE.md). The sort path
+    remains for cell tables, non-dividing extents, mesh shards, and
+    the TPU_VPCC_NO_SHIFT=1 A/B knob. On non-TPU backends the kernel
+    only runs interpreted (slow), so the default stays the sort there;
+    TPU_VPCC_SHIFT=1 forces it on (CPU e2e coverage in the tests)."""
+    import os
+
+    import jax
+
+    S = g_bucket * slots_per_group
+    want_default = jax.default_backend() == "tpu" or bool(
+        os.environ.get("TPU_VPCC_SHIFT")
+    )
+    if (
+        not cell_groups
+        and want_default
+        and not os.environ.get("TPU_VPCC_NO_SHIFT")
+    ):
+        from .shift_compact import DEFAULT_EXTENT, shift_supported
+
+        # on-chip extent sweep at the 1280² bucketed shape: 32768 =
+        # 0.873, 16384 = 0.893, 8192 = 0.919 ms per chained stage run
+        # (fewer grid steps win; see PERFORMANCE.md) — prefer larger
+        for extent in (32768, DEFAULT_EXTENT, 8192):
+            if shift_supported(S, extent):
+                return extent, 1, False
+    k, b = choose_sort_split(g_bucket, slots_per_group, cell_groups)
+    return 0, k, b
+
+
 def narrow_emit_ok(cfg, F: int, S: int) -> bool:
     """FULL eligibility for the emission-rank narrow path — the single
     source of truth shared by the kernels and the host dispatch gates

@@ -880,13 +880,18 @@ def _gof_device_inputs(
     # one GOF still share a config/compile)
     from dataclasses import replace as _replace
 
-    from ..ops.tiled import choose_sort_split
+    from ..ops.tiled import choose_compaction
 
-    _split_k, _split_batched = choose_sort_split(
+    _shift, _split_k, _split_batched = choose_compaction(
         g_bucket, cfg.slots_per_group, cfg.cell_groups
     )
+    if space_multiple > 1:
+        # spatial sharding slices the group axis: the shard-local slot
+        # extent differs from S, so mesh dispatches keep the sort path
+        _shift = 0
     cfg = _replace(
-        cfg, sort_split=_split_k, sort_split_batched=_split_batched
+        cfg, shift_compact=_shift,
+        sort_split=_split_k, sort_split_batched=_split_batched,
     )
     fields = np.zeros((len(tables), g_bucket, N_GROUP_FIELDS), np.int32)
     for k, t in enumerate(tables):
