@@ -236,3 +236,31 @@ def test_mesh_decoder_roundtrip_uses_packed_path():
     for a, b in zip(sharded, plain):
         np.testing.assert_array_equal(a.positions, b.positions)
         np.testing.assert_array_equal(a.colors, b.colors)
+
+
+def test_pretiled_spatial_shift_compact_matches_sort():
+    """The shift-compact kernel inside shard_map (per-shard compaction,
+    shard-local destinations) stitches to the same output as the
+    per-shard sort."""
+    from dataclasses import replace
+
+    from tpu_vpcc.parallel.spatial import (
+        reconstruct_gof_spatial_pretiled_packed,
+    )
+    from tpu_vpcc.runtime.pipeline import _fetch_sharded_packed
+
+    frames, cfg, batch = make_batch(4, seed=5, width=128, height=128, res=16)
+    mesh = make_mesh(data=4, space=2)
+    n_space = 2
+    s_loc = cfg.s_cap // n_space
+    assert s_loc == 16384  # shard-local extent supports the 8192 chunk
+    outs = []
+    for c in (cfg, replace(cfg, shift_compact=8192)):
+        ops, cnt, _ = reconstruct_gof_spatial_pretiled_packed(
+            mesh, *tile_batch(cfg, batch), c
+        )
+        outs.append(_fetch_sharded_packed(ops, cnt, n_space, s_loc))
+    for (p0, c0), (p1, c1) in zip(*outs):
+        assert p0.shape[0] > 0
+        np.testing.assert_array_equal(p0, p1)
+        np.testing.assert_array_equal(c0, c1)

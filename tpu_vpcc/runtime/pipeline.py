@@ -886,9 +886,14 @@ def _gof_device_inputs(
         g_bucket, cfg.slots_per_group, cfg.cell_groups
     )
     if space_multiple > 1:
-        # spatial sharding slices the group axis: the shard-local slot
-        # extent differs from S, so mesh dispatches keep the sort path
-        _shift = 0
+        # spatial sharding slices the group axis: the policy must hold
+        # for the SHARD-LOCAL slot extent (per-shard compaction with
+        # shard-local destinations is exactly per-shard sort semantics
+        # — tests/test_sharding.py pins the stitch)
+        _shift, _, _ = choose_compaction(
+            g_bucket // space_multiple, cfg.slots_per_group,
+            cfg.cell_groups,
+        )
     cfg = _replace(
         cfg, shift_compact=_shift,
         sort_split=_split_k, sort_split_batched=_split_batched,
