@@ -1,0 +1,327 @@
+"""Rank the shift-compact pipeline's non-kernel costs in the FULL
+production graph (round-5 follow-up to PERFORMANCE.md's "next probe
+targets": the bucketed tile transposes, the [garbage|D0|D1] block
+concat, the dest cumsum, plus the pack/gather front end).
+
+Methodology — the only one this backend trusts (CLAUDE.md): substitute
+ONE stage with a same-shape fake inside the production dispatch
+(`_flat_pretiled_impl`, packed out, shift-compact policy), time the
+chained K-vs-1 differential, and read the delta vs the unmodified
+graph. Stage-isolated microbenchmarks mislead (XLA fuses truncated
+graphs differently); every fake consumes the same inputs and produces
+the same shapes/dtypes so the surrounding fusion landscape survives.
+
+Variants:
+  full     production graph (baseline)
+  notr     skip the three [FG,res,res] tile transposes (orientation fix)
+  nocs     replace the dest cumsum with an elementwise fake
+  noker    replace the Pallas kernel call with slice+reshape of its
+           input blocks (measures everything-but-kernel)
+  nopack   replace the canvas-extent u32 plane pack with casts
+  nogather replace the megarow row gather with a static slice
+
+Usage: python tools/integration_probe.py [--variants full,notr,...]
+       [--n 8] [--k 9] [--batch 1]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+_CACHE = os.path.join(_REPO, ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
+
+
+def build_patches():
+    """Variant-name -> {hook-name: fake} table (module-scope for the
+    trace-only shape test in tests/tools checks)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_vpcc.ops import shift_compact as SC
+    from tpu_vpcc.ops import tiled
+
+    orig_ttw = tiled._tiles_to_words
+
+    def fake_ttw_no_transpose(*a, **kw):
+        kw["_fix_orientation"] = False
+        return orig_ttw(*a, **kw)
+
+    def fake_pack(occ, geo0, geo1, ay, au, av, cfg_):
+        u32 = lambda t: t.astype(jnp.uint32)  # noqa: E731
+        return u32(geo0) | (u32(geo1) << 10), u32(ay[:, 0]), u32(ay[:, 1])
+
+    def fake_mega(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg_):
+        r = cfg_.occupancy_resolution
+        T2 = r * r
+        Gc = fields.shape[1]
+        F = fields.shape[0]
+        FG = F * Gc
+        planes = tiled._pack_u32_planes(
+            occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg_
+        )
+        nb = cfg_.block_h * cfg_.block_w
+        cat = jnp.concatenate([p.reshape(F * nb, T2) for p in planes], axis=1)
+        rows = jax.lax.dynamic_slice_in_dim(cat, 0, FG, 0)  # no gather
+        return (
+            rows[:, :T2].reshape(FG, r, r),
+            rows[:, T2 : 2 * T2].reshape(FG, r, r),
+            rows[:, 2 * T2 :].reshape(FG, r, r),
+        )
+
+    def make_fake_sco(fake_cumsum=False, fake_kernel=False):
+        def fake(w0, zs, wc, valid, F, S, extent=SC.DEFAULT_EXTENT,
+                 interpret=None):
+            half = S // 2
+            ch_half = extent // 2
+            K = S // extent
+            Rh = ch_half // SC.LANES
+            W_rows = 2 * Rh + SC.ALIGN_ROWS
+            rows_per_frame = S // SC.LANES
+            if interpret is None:
+                interpret = jax.default_backend() != "tpu"
+            v0 = valid[:, :half]
+            v1 = valid[:, half:]
+            s01 = v0.astype(jnp.int32) + v1.astype(jnp.int32)
+            if fake_cumsum:
+                incl = s01 + jax.lax.broadcasted_iota(jnp.int32, s01.shape, 1)
+            else:
+                incl = jnp.cumsum(s01, axis=1)
+            dest0 = incl - s01
+            counts = incl[:, -1]
+            base = dest0[:, ::ch_half]
+            delta = (base & (SC.ALIGN - 1)).astype(jnp.int32)
+            row0_blk = (
+                jax.lax.broadcasted_iota(jnp.int32, (F, K), 0)
+                * (rows_per_frame // SC.ALIGN_ROWS)
+                + (base >> SC._LOG_ALIGN)
+            ).astype(jnp.int32)
+            nxt = jnp.concatenate([base[:, 1:], counts[:, None]], axis=1)
+            pendrow = ((delta + (nxt - base)) >> SC._LOG_ALIGN).astype(
+                jnp.int32
+            )
+            base_b = jnp.broadcast_to(
+                base[:, :, None], (F, K, ch_half)
+            ).reshape(F, half)
+            d0l = dest0 - base_b
+            key0 = (d0l << 1) | v0.astype(jnp.int32)
+            key1 = ((d0l + v0.astype(jnp.int32)) << 1) | v1.astype(jnp.int32)
+
+            def blocks(a0, a1):
+                z = jnp.zeros((F, K, SC.ALIGN_ROWS, SC.LANES), a0.dtype)
+                return jnp.concatenate(
+                    [
+                        z,
+                        a0.reshape(F, K, Rh, SC.LANES),
+                        a1.reshape(F, K, Rh, SC.LANES),
+                    ],
+                    axis=2,
+                ).reshape(F * K, W_rows, SC.LANES)
+
+            key_b = blocks(key0, key1)
+            op_halves = [(w0[:, :half], w0[:, half:])]
+            dtypes = [jnp.uint32]
+            if zs is not None:
+                op_halves.append(
+                    (zs[:, :half].astype(jnp.uint32),
+                     zs[:, half:].astype(jnp.uint32))
+                )
+                dtypes.append(jnp.uint32)
+            op_halves.append((wc[:, :half], wc[:, half:]))
+            dtypes.append(jnp.uint32)
+            op_blocks = [blocks(a0, a1) for a0, a1 in op_halves]
+
+            if fake_kernel:
+                ops = [
+                    (b[:, SC.ALIGN_ROWS:, :]
+                     + key_b[:, SC.ALIGN_ROWS:, :].astype(b.dtype))
+                    .reshape(F, S)
+                    for b in op_blocks
+                ]
+            else:
+                nops = len(op_blocks)
+                from jax.experimental import pallas as pl
+                from jax.experimental.pallas import tpu as pltpu
+
+                total_rows = F * rows_per_frame + W_rows
+                grid_spec = pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=3,
+                    grid=(F * K,),
+                    in_specs=[
+                        pl.BlockSpec(
+                            (1, W_rows, SC.LANES),
+                            lambda i, r, d, p: (i, 0, 0),
+                        )
+                    ]
+                    * (1 + nops),
+                    out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * nops,
+                    scratch_shapes=(
+                        [pltpu.VMEM((SC.ALIGN_ROWS, SC.LANES), dt)
+                         for dt in dtypes]
+                        + [pltpu.VMEM((W_rows, SC.LANES), dt) for dt in dtypes]
+                        + [pltpu.SemaphoreType.DMA((nops,))]
+                    ),
+                )
+                outs = pl.pallas_call(
+                    SC._make_kernel(nops, Rh),
+                    out_shape=tuple(
+                        jax.ShapeDtypeStruct((total_rows, SC.LANES), dt)
+                        for dt in dtypes
+                    ),
+                    grid_spec=grid_spec,
+                    compiler_params=pltpu.CompilerParams(
+                        has_side_effects=True
+                    ),
+                    interpret=interpret,
+                )(
+                    row0_blk.reshape(-1),
+                    delta.reshape(-1),
+                    pendrow.reshape(-1),
+                    key_b,
+                    *op_blocks,
+                )
+                ops = [o[: F * rows_per_frame].reshape(F, S) for o in outs]
+            if zs is not None:
+                ops[1] = ops[1].astype(jnp.uint16)
+            return ops, counts.astype(jnp.int32)
+
+        return fake
+
+    return {
+        "full": {},
+        "notr": {"ttw": fake_ttw_no_transpose},
+        "nocs": {"sco": make_fake_sco(fake_cumsum=True)},
+        "noker": {"sco": make_fake_sco(fake_kernel=True)},
+        "nopack": {"pack": fake_pack},
+        "nogather": {"mega": fake_mega},
+    }
+
+
+def apply_patch(p):
+    from tpu_vpcc.ops import shift_compact as SC
+    from tpu_vpcc.ops import tiled
+
+    if not hasattr(apply_patch, "_orig"):
+        apply_patch._orig = {
+            "ttw": tiled._tiles_to_words,
+            "pack": tiled._pack_u32_planes,
+            "mega": tiled._pretiled_gather_megarow,
+            "sco": SC.shift_compact_ops,
+        }
+    o = apply_patch._orig
+    tiled._tiles_to_words = p.get("ttw", o["ttw"])
+    tiled._pack_u32_planes = p.get("pack", o["pack"])
+    tiled._pretiled_gather_megarow = p.get("mega", o["mega"])
+    # tiled imports shift_compact_ops inside the dispatch branch, so
+    # patching the source module attribute covers it
+    SC.shift_compact_ops = p.get("sco", o["sco"])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--variants", default="full,notr,nocs,noker,nopack,nogather"
+    )
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--k", type=int, default=9)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.setdefault("TPU_VPCC_SHIFT", "1")
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    import jax.numpy as jnp
+
+    from tpu_vpcc.models.flagship import (
+        FlagshipConfig,
+        bucket_flagship_inputs,
+        example_batch_inputs,
+    )
+    from tpu_vpcc.ops import tiled
+    from tpu_vpcc.ops.tiled import narrow_emit_ok, tile_plane
+
+    cfg = FlagshipConfig(batch=args.batch)
+    fcfg = cfg.frame_config()
+    raw = example_batch_inputs(cfg, occupancy_fill=0.7, n_patches=48)
+    res = fcfg.occupancy_resolution
+    raw, fcfg, g_bucket, n_live = bucket_flagship_inputs(raw, fcfg)
+    host_inputs = (
+        raw[0],
+        tile_plane(raw[1], res // fcfg.occupancy_precision),
+        tile_plane(raw[2], res),
+        tile_plane(raw[3], res),
+        tile_plane(raw[4], res),
+        tile_plane(raw[5], res // 2),
+        tile_plane(raw[6], res // 2),
+    )
+    dev = jax.devices()[0]
+    inputs = [jax.device_put(a, dev) for a in host_inputs]
+    S_cap = g_bucket * fcfg.slots_per_group
+    assert narrow_emit_ok(fcfg, args.batch, S_cap)
+    assert fcfg.shift_compact, "probe requires the shift-compact policy"
+    print(
+        f"batch={args.batch} g_bucket={g_bucket} live={n_live} "
+        f"S={S_cap} extent={fcfg.shift_compact} pack30={fcfg.pack30}"
+    )
+
+    patches = build_patches()
+    results = {}
+    for name in args.variants.split(","):
+        apply_patch(patches[name])
+
+        @jax.jit
+        def chained(n, fields, occ, geo0, geo1, ay, au, av):
+            def body(i, carry):
+                c = carry
+                bump = jnp.where(c < 0, 1, 0)
+                ops, cnt = tiled._flat_pretiled_impl(
+                    fields, occ + bump.astype(occ.dtype), geo0, geo1,
+                    ay + bump.astype(ay.dtype), au, av, fcfg,
+                    _packed_out=True,
+                )
+                probe = sum(o[0, 0].astype(jnp.int32) for o in ops)
+                return c + cnt.sum() + probe
+
+            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+        n_long = np.int32(args.n * args.k)
+        n_short = np.int32(args.n)
+        t0 = time.perf_counter()
+        _ = np.asarray(chained(n_long, *inputs))
+        compile_s = time.perf_counter() - t0
+        dts_l, dts_s = [], []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _ = np.asarray(chained(n_long, *inputs))
+            dts_l.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _ = np.asarray(chained(n_short, *inputs))
+            dts_s.append(time.perf_counter() - t0)
+        net = (min(dts_l) - min(dts_s)) / (args.n * (args.k - 1))
+        ms = net * 1e3 / args.batch
+        results[name] = ms
+        print(f"{name}: {ms:.3f} ms/frame  (compile {compile_s:.0f}s)",
+              flush=True)
+
+    apply_patch(patches["full"])
+    if "full" in results:
+        base = results["full"]
+        for name, ms in results.items():
+            if name != "full":
+                print(f"  delta {name}: {base - ms:+.3f} ms")
+
+
+if __name__ == "__main__":
+    main()
