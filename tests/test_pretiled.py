@@ -745,6 +745,56 @@ def test_shift_compact_with_swap_orientation():
         np.asarray(c1_)[0][:n1_], np.asarray(c2_)[0][:n1_])
 
 
+def test_shift_compact_mxu_variants_bit_identical(monkeypatch):
+    """The MXU data-movement formulations (matmul tile transpose +
+    blockwise matmul destination cumsum — the TPU defaults) produce the
+    identical compacted output through the full shift-compact dispatch,
+    including SWAP-family orientations (the transpose actually fires)."""
+    from dataclasses import replace as dreplace
+
+    from tpu_vpcc.atlas.patches import Patch
+    from tpu_vpcc.v3c.syntax import PatchOrientation
+
+    p0 = Patch(uv0=(0, 0), size_uv0=(3, 2), uv1=(8, 16),
+               occupancy_resolution=8,
+               patch_orientation=PatchOrientation.SWAP)
+    p0.set_view_id(0)
+    p0.d1 = 50
+    p0.size_d = 255
+    p1 = Patch(uv0=(4, 3), size_uv0=(2, 2), uv1=(4, 4),
+               occupancy_resolution=8,
+               patch_orientation=PatchOrientation.ROT90)
+    p1.set_view_id(2)
+    p1.d1 = 10
+    p1.size_d = 255
+    rng = np.random.default_rng(13)
+    sf = make_synthetic_frame(
+        rng, width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2,
+        patches=[dreplace(p0), dreplace(p1)],
+    )
+    cfg = make_config(
+        width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2,
+    )
+    _, tiled = tiled_inputs(sf, 8)
+    scfg = dreplace(cfg, shift_compact=8192)
+    monkeypatch.setenv("TPU_VPCC_NO_MM_TR", "1")
+    monkeypatch.setenv("TPU_VPCC_NO_MM_CS", "1")
+    p_ref, c_ref, n_ref = reconstruct_batch_pretiled(*tiled, cfg=scfg)
+    monkeypatch.setenv("TPU_VPCC_MM_TR", "1")
+    monkeypatch.setenv("TPU_VPCC_MM_CS", "1")
+    monkeypatch.delenv("TPU_VPCC_NO_MM_TR")
+    monkeypatch.delenv("TPU_VPCC_NO_MM_CS")
+    p_mm, c_mm, n_mm = reconstruct_batch_pretiled(*tiled, cfg=scfg)
+    n_ref, n_mm = int(n_ref[0]), int(n_mm[0])
+    assert n_ref == n_mm and n_ref > 0
+    np.testing.assert_array_equal(
+        np.asarray(p_ref)[0][:n_ref], np.asarray(p_mm)[0][:n_ref])
+    np.testing.assert_array_equal(
+        np.asarray(c_ref)[0][:n_ref], np.asarray(c_mm)[0][:n_ref])
+
+
 def test_shift_compact_pack30_packed_out():
     """pack30 x shift_compact through the PACKED dispatch (2 operands)."""
     from dataclasses import replace

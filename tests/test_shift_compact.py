@@ -128,6 +128,47 @@ def test_degenerate_validity_patterns():
                 )
 
 
+def test_mxu_cumsum_matches_jnp(monkeypatch):
+    """The blockwise MXU scan (_dest_cumsum) is bit-exact vs jnp.cumsum
+    for every lane-divisible extent (s01 in {0,1,2} is bf16-exact; row
+    sums are f32-exact — see the docstring's exactness argument)."""
+    from tpu_vpcc.ops.shift_compact import _dest_cumsum
+
+    r = np.random.default_rng(21)
+    for F, half in [(1, LANES), (3, LANES * 7), (2, LANES * 16)]:
+        s01 = r.integers(0, 3, (F, half)).astype(np.int32)
+        monkeypatch.setenv("TPU_VPCC_MM_CS", "1")
+        monkeypatch.delenv("TPU_VPCC_NO_MM_CS", raising=False)
+        mm = np.asarray(_dest_cumsum(jnp.asarray(s01), F, half))
+        np.testing.assert_array_equal(mm, np.cumsum(s01, axis=1))
+    # non-divisible extent falls back to jnp.cumsum
+    s01 = r.integers(0, 3, (1, LANES + 64)).astype(np.int32)
+    out = np.asarray(_dest_cumsum(jnp.asarray(s01), 1, LANES + 64))
+    np.testing.assert_array_equal(out, np.cumsum(s01, axis=1))
+
+
+def test_mxu_tile_transpose_matches_select(monkeypatch):
+    """The MXU matmul orientation fix (tiled._tile_transpose_mm) is
+    bit-exact vs where(sw, transpose, t) over the full packed-plane
+    bit range (21-bit plane A, 30-bit planes B/C)."""
+    from tpu_vpcc.ops.tiled import _tile_transpose_mm
+
+    r = np.random.default_rng(22)
+    for FG, tile in [(5, 16), (64, 16), (9, 4)]:
+        ta = r.integers(0, 1 << 21, (FG, tile, tile)).astype(np.uint32)
+        tb = r.integers(0, 1 << 30, (FG, tile, tile)).astype(np.uint32)
+        tc = r.integers(0, 1 << 30, (FG, tile, tile)).astype(np.uint32)
+        sw = (r.integers(0, 2, (FG,)) == 1)[:, None, None]
+        outs = _tile_transpose_mm(
+            jnp.asarray(ta), jnp.asarray(tb), jnp.asarray(tc),
+            jnp.asarray(sw), tile,
+        )
+        for t, o in zip((ta, tb, tc), outs):
+            np.testing.assert_array_equal(
+                np.asarray(o), np.where(sw, t.transpose(0, 2, 1), t)
+            )
+
+
 def test_shift_supported_gate():
     assert shift_supported(3072 * 512, DEFAULT_EXTENT)
     assert not shift_supported(3072 * 512 + LANES, DEFAULT_EXTENT)

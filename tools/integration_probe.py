@@ -200,7 +200,38 @@ def build_patches():
         "noker": {"sco": make_fake_sco(fake_kernel=True)},
         "nopack": {"pack": fake_pack},
         "nogather": {"mega": fake_mega},
+        # REAL-implementation A/B variants (bit-exact, via the
+        # trace-time env policy knobs): base = where-transpose +
+        # jnp.cumsum; mmtr / mmcs switch ONE stage to the MXU matmul
+        # formulation; mmboth = the TPU default
+        "base": {},
+        "mmtr": {},
+        "mmcs": {},
+        "mmboth": {},
     }
+
+
+# env-knob sets for the real-implementation variants (None = not an
+# env variant: leave the TPU defaults in place)
+ENV_VARIANTS = {
+    "base": {"TPU_VPCC_NO_MM_TR": "1", "TPU_VPCC_NO_MM_CS": "1"},
+    "mmtr": {"TPU_VPCC_NO_MM_CS": "1"},
+    "mmcs": {"TPU_VPCC_NO_MM_TR": "1"},
+    "mmboth": {},
+}
+_ENV_KEYS = (
+    "TPU_VPCC_NO_MM_TR", "TPU_VPCC_NO_MM_CS",
+    "TPU_VPCC_MM_TR", "TPU_VPCC_MM_CS",
+)
+
+
+def set_env_variant(name):
+    env = ENV_VARIANTS.get(name)
+    if env is None:
+        return
+    for k in _ENV_KEYS:
+        os.environ.pop(k, None)
+    os.environ.update(env)
 
 
 def apply_patch(p):
@@ -232,6 +263,8 @@ def main():
     ap.add_argument("--k", type=int, default=9)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--parity", action="store_true",
+                    help="byte-compare env-variant dispatch outputs")
     args = ap.parse_args()
 
     if args.cpu:
@@ -278,8 +311,10 @@ def main():
 
     patches = build_patches()
     results = {}
+    parity_ops = {}
     for name in args.variants.split(","):
         apply_patch(patches[name])
+        set_env_variant(name)
 
         @jax.jit
         def chained(n, fields, occ, geo0, geo1, ay, au, av):
@@ -315,12 +350,38 @@ def main():
         print(f"{name}: {ms:.3f} ms/frame  (compile {compile_s:.0f}s)",
               flush=True)
 
+        if args.parity and name in ENV_VARIANTS:
+            @jax.jit
+            def once(fields, occ, geo0, geo1, ay, au, av):
+                return tiled._flat_pretiled_impl(
+                    fields, occ, geo0, geo1, ay, au, av, fcfg,
+                    _packed_out=True,
+                )
+            ops, cnt = once(*inputs)
+            parity_ops[name] = (
+                [np.asarray(o) for o in ops], np.asarray(cnt)
+            )
+
     apply_patch(patches["full"])
+    set_env_variant("mmboth")
     if "full" in results:
         base = results["full"]
         for name, ms in results.items():
             if name != "full":
                 print(f"  delta {name}: {base - ms:+.3f} ms")
+    if len(parity_ops) > 1:
+        names = list(parity_ops)
+        ref_ops, ref_cnt = parity_ops[names[0]]
+        for name in names[1:]:
+            ops, cnt = parity_ops[name]
+            ok = np.array_equal(cnt, ref_cnt) and all(
+                np.array_equal(a[f, : ref_cnt[f]], b[f, : ref_cnt[f]])
+                for a, b in zip(ops, ref_ops)
+                for f in range(len(ref_cnt))
+            )
+            print(f"parity {name} vs {names[0]}: "
+                  f"{'ok' if ok else 'MISMATCH'}")
+            assert ok
 
 
 if __name__ == "__main__":

@@ -214,6 +214,37 @@ def _make_kernel(nops: int, Rh: int):
 # --------------------------------------------------------------------------
 
 
+def _dest_cumsum(s01, F: int, half: int):
+    """Inclusive validity cumsum over the pixel raster — the ONE scan
+    that replaces the compaction sort.
+
+    On TPU, ``jnp.cumsum`` over (F, ~0.8M) lowered at 0.281 ms/frame in
+    the round-5 integration probe (the second-largest non-kernel cost).
+    Blockwise MXU scan instead: within-row inclusive prefix =
+    ``s @ triu(ones)`` on (F*R, LANES) rows — ``s01`` in {0, 1, 2} is
+    bf16-exact and row sums <= 2*LANES are f32-exact, so the DEFAULT
+    one-pass bf16 dot is bit-exact — plus a tiny (F, R) row-base
+    cumsum. Policy mirrors :func:`tiled._mxu_policy` (TPU default; A/B
+    knobs TPU_VPCC_MM_CS / TPU_VPCC_NO_MM_CS)."""
+    from .tiled import _mxu_policy
+
+    if half % LANES == 0 and _mxu_policy(
+        "TPU_VPCC_MM_CS", "TPU_VPCC_NO_MM_CS"
+    ):
+        R = half // LANES
+        s = s01.reshape(F * R, LANES).astype(jnp.float32)
+        U = jnp.triu(jnp.ones((LANES, LANES), jnp.float32))
+        incl_r = (
+            jax.lax.dot(s, U, preferred_element_type=jnp.float32)
+            .astype(jnp.int32)
+            .reshape(F, R, LANES)
+        )
+        rowsum = incl_r[:, :, -1]
+        rowbase = jnp.cumsum(rowsum, axis=1) - rowsum
+        return (incl_r + rowbase[:, :, None]).reshape(F, half)
+    return jnp.cumsum(s01, axis=1)
+
+
 def shift_compact_ops(w0, zs, wc, valid, F: int, S: int,
                       extent: int = DEFAULT_EXTENT,
                       interpret: bool | None = None):
@@ -243,7 +274,7 @@ def shift_compact_ops(w0, zs, wc, valid, F: int, S: int,
     v0 = valid[:, :half]
     v1 = valid[:, half:]
     s01 = v0.astype(jnp.int32) + v1.astype(jnp.int32)
-    incl = jnp.cumsum(s01, axis=1)
+    incl = _dest_cumsum(s01, F, half)
     dest0 = incl - s01  # (F, half) exclusive: valids before this pixel
     counts = incl[:, -1]
 

@@ -138,6 +138,75 @@ def _flat_tiled_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
     return _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg)
 
 
+def _mxu_policy(on_env: str, off_env: str) -> bool:
+    """Trace-time policy for the MXU data-movement variants: default ON
+    for the TPU backend (measured wins, PERFORMANCE.md round-5 probe),
+    opt-in elsewhere via ``on_env=1`` (CPU parity coverage in tests),
+    force-off via ``off_env=1`` (A/B knob)."""
+    import os
+
+    if os.environ.get(off_env):
+        return False
+    if os.environ.get(on_env):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _tile_transpose_mm(t_a, t_b, t_c, sw, tile: int):
+    """Orientation fix (transpose SWAP-family tiles) as ONE MXU matmul.
+
+    ``t.transpose(0, 2, 1)`` on (FG, tile, tile) u32 is a STATIC
+    permutation of the tile*tile minor elements — XLA lowers the
+    transpose+select as a relayout through (8,128)-padded tiles that
+    the round-5 integration probe measured at 0.505 ms/frame, the
+    single largest non-kernel cost. A permutation is a 0/1 matmul:
+    ``out = rows @ P`` with ``P[src, j] = 1`` puts exactly ONE term in
+    every output, so any precision that represents the INPUTS exactly
+    is bit-exact. Plane A packs 21 bits (f32-exact); planes B/C pack 30
+    bits and are split into 15-bit halves (f32-exact). One
+    (5*FG, T2) @ (T2, T2) HIGHEST-precision f32 dot runs on the MXU at
+    ~2 GFLOP — noise next to the 0.5 ms relayout.
+
+    ``sw``: (FG, 1, 1) bool — per-group select, as in the where-based
+    fix. Bit-exact twin pinned by tests/test_pretiled.py.
+    """
+    FG = t_a.shape[0]
+    T2 = tile * tile
+    # P[src, j] = 1 where src = (j % tile) * tile + j // tile
+    # (out[r, c] = in[c, r] with j = r * tile + c)
+    j = jnp.arange(T2)
+    src = (j % tile) * tile + j // tile
+    P = (src[:, None] == jnp.arange(T2)[None, :]).astype(jnp.float32)
+    a = t_a.reshape(FG, T2)
+    b = t_b.reshape(FG, T2)
+    c = t_c.reshape(FG, T2)
+    M15 = jnp.uint32(0x7FFF)
+    rows = jnp.concatenate(
+        [
+            a.astype(jnp.float32),
+            (b & M15).astype(jnp.float32),
+            (b >> 15).astype(jnp.float32),
+            (c & M15).astype(jnp.float32),
+            (c >> 15).astype(jnp.float32),
+        ],
+        axis=0,
+    )
+    tt = jax.lax.dot(
+        rows, P,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    u = lambda k: tt[k * FG : (k + 1) * FG].astype(jnp.uint32)  # noqa: E731
+    aT = u(0)
+    bT = u(1) | (u(2) << 15)
+    cT = u(3) | (u(4) << 15)
+    sel = sw.reshape(FG, 1)
+    out = lambda t, tT: jnp.where(sel, tT, t.reshape(FG, T2)).reshape(  # noqa: E731
+        FG, tile, tile
+    )
+    return out(t_a, aT), out(t_b, bT), out(t_c, cT)
+
+
 def _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg,
                     _fix_orientation=True, _color=True,
                     _narrow_emit=False, _patch_order=False):
@@ -167,10 +236,13 @@ def _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg,
     # raster), so it transposes the three gathered tile batches like the
     # wide path — but at the bucketed extent, not the canvas.
     if _fix_orientation and (not _narrow_emit or _patch_order):
-        fix = lambda t: jnp.where(sw, t.transpose(0, 2, 1), t)  # noqa: E731
-        t_a = fix(t_a)
-        t_b = fix(t_b)
-        t_c = fix(t_c)
+        if _mxu_policy("TPU_VPCC_MM_TR", "TPU_VPCC_NO_MM_TR"):
+            t_a, t_b, t_c = _tile_transpose_mm(t_a, t_b, t_c, sw, res)
+        else:
+            fix = lambda t: jnp.where(sw, t.transpose(0, 2, 1), t)  # noqa: E731
+            t_a = fix(t_a)
+            t_b = fix(t_b)
+            t_c = fix(t_c)
 
     # --- 4. unpack to slot grids [FG, res, res] ---------------------------
     M10 = 0x3FF
