@@ -265,6 +265,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--parity", action="store_true",
                     help="byte-compare env-variant dispatch outputs")
+    ap.add_argument("--extent", type=int, default=0,
+                    help="override the shift-compact chunk extent")
     args = ap.parse_args()
 
     if args.cpu:
@@ -304,6 +306,13 @@ def main():
     S_cap = g_bucket * fcfg.slots_per_group
     assert narrow_emit_ok(fcfg, args.batch, S_cap)
     assert fcfg.shift_compact, "probe requires the shift-compact policy"
+    if args.extent:
+        from dataclasses import replace as _dreplace
+
+        from tpu_vpcc.ops.shift_compact import shift_supported
+
+        assert shift_supported(S_cap, args.extent), (S_cap, args.extent)
+        fcfg = _dreplace(fcfg, shift_compact=args.extent)
     print(
         f"batch={args.batch} g_bucket={g_bucket} live={n_live} "
         f"S={S_cap} extent={fcfg.shift_compact} pack30={fcfg.pack30}"

@@ -143,16 +143,15 @@ def _make_kernel(nops: int, Rh: int):
         # --- phase 1: odd-even merge of the two dest-sorted runs ----------
         # runs live after the ALIGN garbage rows; j = in-window index.
         # Masks are STATIC iota predicates (validated in tools + tests).
+        # The network's k=M pass compares each pixel's D0 key against
+        # its OWN D1 key, and key1 - key0 = v0 + v1 >= 0 by
+        # construction (same d0l), so that pass never swaps — skipped.
         j = flat - ALIGN
-        k = M
+        k = M // 2
         while k >= 1:
-            if k == M:
-                lo_mask = (j >= 0) & (j < M)
-                hi_mask = (j >= M) & (j < 2 * M)
-            else:
-                lo_mask = (j >= 0) & ((j % (2 * k)) >= k) & (j + k < 2 * M)
-                jk = j - k
-                hi_mask = (jk >= 0) & ((jk % (2 * k)) >= k) & (j < 2 * M)
+            lo_mask = (j >= 0) & ((j % (2 * k)) >= k) & (j + k < 2 * M)
+            jk = j - k
+            hi_mask = (jk >= 0) & ((jk % (2 * k)) >= k) & (j < 2 * M)
             kd = _fsd(key, k, lane)
             ku = _fsu(key, k, lane)
             swap_lo = lo_mask & (kd < key)
