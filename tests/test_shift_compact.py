@@ -132,18 +132,18 @@ def test_mxu_cumsum_matches_jnp(monkeypatch):
     """The blockwise MXU scan (_dest_cumsum) is bit-exact vs jnp.cumsum
     for every lane-divisible extent (s01 in {0,1,2} is bf16-exact; row
     sums are f32-exact — see the docstring's exactness argument)."""
-    from tpu_vpcc.ops.shift_compact import _dest_cumsum
+    from tpu_vpcc.ops.shift_compact import _CS_LANES, _dest_cumsum
 
     r = np.random.default_rng(21)
-    for F, half in [(1, LANES), (3, LANES * 7), (2, LANES * 16)]:
+    for F, half in [(1, _CS_LANES), (3, _CS_LANES * 7), (2, _CS_LANES * 16)]:
         s01 = r.integers(0, 3, (F, half)).astype(np.int32)
         monkeypatch.setenv("TPU_VPCC_MM_CS", "1")
         monkeypatch.delenv("TPU_VPCC_NO_MM_CS", raising=False)
         mm = np.asarray(_dest_cumsum(jnp.asarray(s01), F, half))
         np.testing.assert_array_equal(mm, np.cumsum(s01, axis=1))
     # non-divisible extent falls back to jnp.cumsum
-    s01 = r.integers(0, 3, (1, LANES + 64)).astype(np.int32)
-    out = np.asarray(_dest_cumsum(jnp.asarray(s01), 1, LANES + 64))
+    s01 = r.integers(0, 3, (1, _CS_LANES + 64)).astype(np.int32)
+    out = np.asarray(_dest_cumsum(jnp.asarray(s01), 1, _CS_LANES + 64))
     np.testing.assert_array_equal(out, np.cumsum(s01, axis=1))
 
 
@@ -173,4 +173,4 @@ def test_shift_supported_gate():
     assert shift_supported(3072 * 512, DEFAULT_EXTENT)
     assert not shift_supported(3072 * 512 + LANES, DEFAULT_EXTENT)
     assert not shift_supported(1 << 20, 1 << 16)  # extent above budget
-    assert not shift_supported(1 << 20, 4096)  # below 2*ALIGN granularity
+    assert not shift_supported(1 << 20, 1024)  # below 2*ALIGN granularity

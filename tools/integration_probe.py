@@ -219,6 +219,25 @@ ENV_VARIANTS = {
     "mmcs": {"TPU_VPCC_NO_MM_TR": "1"},
     "mmboth": {},
 }
+
+# kernel lane-width variants: the shift_compact module constants are
+# read at TRACE time, so patching them re-shapes the whole kernel
+# (window (2Rh+8, LANES); narrower lanes turn more merge/shift passes
+# into row-multiple rolls). Sweep result (extent 32768, full graph):
+# 128 -> 0.586 ms/frame, 256 -> 0.737, 512 -> 0.720; 128 = the native
+# (8, 128) register width is now the module default.
+LANE_VARIANTS = {"l128": 128, "l256": 256, "l512": 512}
+
+
+def set_lane_variant(name):
+    from tpu_vpcc.ops import shift_compact as SC
+
+    if not hasattr(set_lane_variant, "_default"):
+        set_lane_variant._default = SC.LANES
+    lanes = LANE_VARIANTS.get(name, set_lane_variant._default)
+    SC.LANES = lanes
+    SC.ALIGN = SC.ALIGN_ROWS * lanes
+    SC._LOG_ALIGN = SC.ALIGN.bit_length() - 1
 _ENV_KEYS = (
     "TPU_VPCC_NO_MM_TR", "TPU_VPCC_NO_MM_CS",
     "TPU_VPCC_MM_TR", "TPU_VPCC_MM_CS",
@@ -322,8 +341,9 @@ def main():
     results = {}
     parity_ops = {}
     for name in args.variants.split(","):
-        apply_patch(patches[name])
+        apply_patch(patches.get(name, {}))
         set_env_variant(name)
+        set_lane_variant(name)
 
         @jax.jit
         def chained(n, fields, occ, geo0, geo1, ay, au, av):

@@ -46,13 +46,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# lane width of every in-kernel array (one DMA row = LANES u32 words)
-LANES = 512
+# lane width of every in-kernel array (one DMA row = LANES u32 words).
+# 128 = the native (8, 128) vector-register/tile width: lane rolls stay
+# within one register. On-chip lane sweep in the full production graph
+# (extent 32768): 128 -> 0.586 ms/frame, 256 -> 0.737, 512 -> 0.720.
+LANES = 128
 # HBM refs are (8, 128)-tiled: dynamic row slices must be 8-row blocks,
 # so output windows align to 8-row granularity = ALIGN slots
 ALIGN_ROWS = 8
-ALIGN = ALIGN_ROWS * LANES  # 4096
-_LOG_ALIGN = 12
+ALIGN = ALIGN_ROWS * LANES  # 1024
+_LOG_ALIGN = 10
+# block width of the MXU destination-cumsum matmul (independent of the
+# kernel lane width; 512 measured best)
+_CS_LANES = 512
 # default chunk extent in slots (one grid step's window; power of two)
 DEFAULT_EXTENT = 16384
 MAX_EXTENT = 32768  # chunk-local dest key: (dest << 1 | v) stays well in i32
@@ -227,16 +233,16 @@ def _dest_cumsum(s01, F: int, half: int):
     knobs TPU_VPCC_MM_CS / TPU_VPCC_NO_MM_CS)."""
     from .tiled import _mxu_policy
 
-    if half % LANES == 0 and _mxu_policy(
+    if half % _CS_LANES == 0 and _mxu_policy(
         "TPU_VPCC_MM_CS", "TPU_VPCC_NO_MM_CS"
     ):
-        R = half // LANES
-        s = s01.reshape(F * R, LANES).astype(jnp.float32)
-        U = jnp.triu(jnp.ones((LANES, LANES), jnp.float32))
+        R = half // _CS_LANES
+        s = s01.reshape(F * R, _CS_LANES).astype(jnp.float32)
+        U = jnp.triu(jnp.ones((_CS_LANES, _CS_LANES), jnp.float32))
         incl_r = (
             jax.lax.dot(s, U, preferred_element_type=jnp.float32)
             .astype(jnp.int32)
-            .reshape(F, R, LANES)
+            .reshape(F, R, _CS_LANES)
         )
         rowsum = incl_r[:, :, -1]
         rowbase = jnp.cumsum(rowsum, axis=1) - rowsum
