@@ -61,7 +61,13 @@ _LOG_ALIGN = 10
 _CS_LANES = 512
 # default chunk extent in slots (one grid step's window; power of two)
 DEFAULT_EXTENT = 16384
-MAX_EXTENT = 32768  # chunk-local dest key: (dest << 1 | v) stays well in i32
+# chunk-local dest key (dest << 1 | v) and shift bound (< 2*extent +
+# ALIGN) stay far inside i32 at any plausible extent; the cap is the
+# VMEM window budget (~6 live (2Rh+8, LANES) u32 arrays) and the
+# on-chip sweep (PERFORMANCE.md round-6: at LANES=128 both 65536 and
+# 131072 lose to 32768 — the extra merge/shift passes outweigh the
+# saved grid steps)
+MAX_EXTENT = 131072
 
 
 def shift_supported(S: int, extent: int = DEFAULT_EXTENT) -> bool:
