@@ -172,5 +172,5 @@ def test_mxu_tile_transpose_matches_select(monkeypatch):
 def test_shift_supported_gate():
     assert shift_supported(3072 * 512, DEFAULT_EXTENT)
     assert not shift_supported(3072 * 512 + LANES, DEFAULT_EXTENT)
-    assert not shift_supported(1 << 20, 1 << 16)  # extent above budget
+    assert not shift_supported(1 << 20, 1 << 18)  # extent above budget
     assert not shift_supported(1 << 20, 1024)  # below 2*ALIGN granularity
