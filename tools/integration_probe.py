@@ -193,8 +193,63 @@ def build_patches():
 
         return fake
 
+    def mm_transpose_bf16(t_a, t_b, t_c, sw, tile):
+        """8-bit-chunked single-pass bf16 variant of _tile_transpose_mm
+        (chunks <= 255 are bf16-exact; one term per output => exact)."""
+        FG = t_a.shape[0]
+        T2 = tile * tile
+        j = jnp.arange(T2)
+        src = (j % tile) * tile + j // tile
+        P = (src[:, None] == jnp.arange(T2)[None, :]).astype(jnp.bfloat16)
+        a = t_a.reshape(FG, T2)
+        b = t_b.reshape(FG, T2)
+        c = t_c.reshape(FG, T2)
+        M8 = jnp.uint32(0xFF)
+        chunks = [a & M8, (a >> 8) & M8, a >> 16,
+                  b & M8, (b >> 8) & M8, (b >> 16) & M8, b >> 24,
+                  c & M8, (c >> 8) & M8, (c >> 16) & M8, c >> 24]
+        rows = jnp.concatenate(
+            [ch.astype(jnp.bfloat16) for ch in chunks], axis=0
+        )
+        tt = jax.lax.dot(rows, P, preferred_element_type=jnp.float32)
+        u = lambda k: tt[k * FG : (k + 1) * FG].astype(jnp.uint32)  # noqa: E731
+        aT = u(0) | (u(1) << 8) | (u(2) << 16)
+        bT = u(3) | (u(4) << 8) | (u(5) << 16) | (u(6) << 24)
+        cT = u(7) | (u(8) << 8) | (u(9) << 16) | (u(10) << 24)
+        sel = sw.reshape(FG, 1)
+        out = lambda t, tT: jnp.where(  # noqa: E731
+            sel, tT, t.reshape(FG, T2)
+        ).reshape(FG, tile, tile)
+        return out(t_a, aT), out(t_b, bT), out(t_c, cT)
+
+    def dest_cumsum_lean(s01, F, half):
+        """All-f32 variant: no i32 intermediates, rowbase via a second
+        (tiny) HIGHEST-precision triu matmul instead of jnp.cumsum."""
+        W = 512
+        if half % W:
+            return jnp.cumsum(s01, axis=1)
+        R = half // W
+        s = s01.reshape(F * R, W).astype(jnp.float32)
+        U = jnp.triu(jnp.ones((W, W), jnp.float32))
+        incl_r = jax.lax.dot(s, U, preferred_element_type=jnp.float32)
+        rowsum = incl_r[:, W - 1].reshape(F, R)
+        UR = jnp.triu(jnp.ones((R, R), jnp.float32), k=1)
+        # exclusive row base: rowsum @ strict-lower?? want base[r] =
+        # sum_{q<r} rowsum[q] = rowsum @ L with L[q, r] = 1 for q < r
+        rowbase = jax.lax.dot(
+            rowsum, UR,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return (
+            incl_r.reshape(F, R, W) + rowbase[:, :, None]
+        ).astype(jnp.int32).reshape(F, half)
+
     return {
         "full": {},
+        "tr8": {"mmtr": mm_transpose_bf16},
+        "cs2": {"csum": dest_cumsum_lean},
+        "trcs": {"mmtr": mm_transpose_bf16, "csum": dest_cumsum_lean},
         "notr": {"ttw": fake_ttw_no_transpose},
         "nocs": {"sco": make_fake_sco(fake_cumsum=True)},
         "noker": {"sco": make_fake_sco(fake_kernel=True)},
@@ -263,11 +318,15 @@ def apply_patch(p):
             "pack": tiled._pack_u32_planes,
             "mega": tiled._pretiled_gather_megarow,
             "sco": SC.shift_compact_ops,
+            "mmtr": tiled._tile_transpose_mm,
+            "csum": SC._dest_cumsum,
         }
     o = apply_patch._orig
     tiled._tiles_to_words = p.get("ttw", o["ttw"])
     tiled._pack_u32_planes = p.get("pack", o["pack"])
     tiled._pretiled_gather_megarow = p.get("mega", o["mega"])
+    tiled._tile_transpose_mm = p.get("mmtr", o["mmtr"])
+    SC._dest_cumsum = p.get("csum", o["csum"])
     # tiled imports shift_compact_ops inside the dispatch branch, so
     # patching the source module attribute covers it
     SC.shift_compact_ops = p.get("sco", o["sco"])
@@ -379,7 +438,9 @@ def main():
         print(f"{name}: {ms:.3f} ms/frame  (compile {compile_s:.0f}s)",
               flush=True)
 
-        if args.parity and name in ENV_VARIANTS:
+        if args.parity and (
+            name in ENV_VARIANTS or name in ("full", "tr8", "cs2", "trcs")
+        ):
             @jax.jit
             def once(fields, occ, geo0, geo1, ay, au, av):
                 return tiled._flat_pretiled_impl(

@@ -310,6 +310,11 @@ def shift_compact_ops(w0, zs, wc, valid, F: int, S: int,
     d0l = dest0 - base_b
     key0 = (d0l << 1) | v0.astype(jnp.int32)
     key1 = ((d0l + v0.astype(jnp.int32)) << 1) | v1.astype(jnp.int32)
+    # MEASURED NEGATIVE (round 6): u16 keys/shifts (they fit whenever
+    # extent <= 32768) do NOT lower — Mosaic's tpu.dynamic_rotate is
+    # "not implemented: Rotate with non-32-bit data", so every roll
+    # would need a widen/narrow pair and the density win evaporates.
+    # Keys stay i32.
 
     def blocks(a0, a1):
         z = jnp.zeros((F, K, ALIGN_ROWS, LANES), a0.dtype)
