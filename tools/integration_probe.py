@@ -397,9 +397,90 @@ def main():
     )
 
     patches = build_patches()
+
+    if "dualhost" in args.variants:
+        # HYPOTHESIS variant: the host (or an untimed pass) supplies the
+        # three packed u32 planes in BOTH orientations, concatenated
+        # along the block axis; the megarow gather picks the per-group
+        # orientation by row offset, deleting the orientation-fix stage
+        # AND the device pack from the timed graph. Built here once
+        # with the production pack + mm-transpose (untimed).
+        import jax.numpy as jnp
+
+        from tpu_vpcc.atlas import groups as G
+        from tpu_vpcc.ops import tiled as T
+
+        @jax.jit
+        def build_dual(occ, geo0, geo1, ay, au, av):
+            pa, pb, pc = T._pack_u32_planes(occ, geo0, geo1, ay, au, av, fcfg)
+            nb = fcfg.block_h * fcfg.block_w
+            T2 = res * res
+            Fb = occ.shape[0]
+            cat = jnp.concatenate(
+                [p.reshape(Fb * nb, T2) for p in (pa, pb, pc)], axis=1
+            )
+            catT = jnp.concatenate(
+                [
+                    p.reshape(Fb * nb, res, res)
+                    .transpose(0, 2, 1)
+                    .reshape(Fb * nb, T2)
+                    for p in (pa, pb, pc)
+                ],
+                axis=1,
+            )
+            # [normal blocks | transposed blocks] per frame, so the row
+            # index is f*(2nb) + blockid + sw*nb
+            return jnp.concatenate(
+                [
+                    jnp.stack([cat.reshape(Fb, nb, 3 * T2)[f],
+                               catT.reshape(Fb, nb, 3 * T2)[f]])
+                    .reshape(2 * nb, 3 * T2)
+                    for f in range(Fb)
+                ],
+                axis=0,
+            )
+
+        dual_cat = jax.device_put(
+            np.asarray(build_dual(*inputs[1:])), dev
+        )
+
+        def dual_mega(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t,
+                      cfg_):
+            r = cfg_.occupancy_resolution
+            T2 = r * r
+            Gc = fields.shape[1]
+            F = fields.shape[0]
+            FG = F * Gc
+            nb = cfg_.block_h * cfg_.block_w
+            ff = fields.reshape(FG, G.N_GROUP_FIELDS)
+            f_of_g = jax.lax.broadcasted_iota(
+                jnp.int32, (F, Gc), 0
+            ).reshape(FG)
+            sw = (ff[:, G.G_SWAP] == 1).astype(jnp.int32)
+            # occ_t carries the dual-packed plane (+ the timing loop's
+            # perturbation riding on it)
+            rows = occ_t[f_of_g * (2 * nb) + ff[:, G.G_BLOCKID] + sw * nb]
+            return (
+                rows[:, :T2].reshape(FG, r, r),
+                rows[:, T2 : 2 * T2].reshape(FG, r, r),
+                rows[:, 2 * T2 :].reshape(FG, r, r),
+            )
+
+        def dual_ttw(*a, **kw):
+            kw["_fix_orientation"] = False
+            return apply_patch._orig["ttw"](*a, **kw)
+
+        patches["dualhost"] = {"mega": dual_mega, "ttw": dual_ttw}
+
     results = {}
     parity_ops = {}
     for name in args.variants.split(","):
+        if name == "dualhost":
+            run_inputs = [inputs[0], dual_cat] + [
+                jnp.zeros((1,), i.dtype) for i in inputs[2:]
+            ]
+        else:
+            run_inputs = inputs
         apply_patch(patches.get(name, {}))
         set_env_variant(name)
         set_lane_variant(name)
@@ -422,15 +503,15 @@ def main():
         n_long = np.int32(args.n * args.k)
         n_short = np.int32(args.n)
         t0 = time.perf_counter()
-        _ = np.asarray(chained(n_long, *inputs))
+        _ = np.asarray(chained(n_long, *run_inputs))
         compile_s = time.perf_counter() - t0
         dts_l, dts_s = [], []
         for _ in range(5):
             t0 = time.perf_counter()
-            _ = np.asarray(chained(n_long, *inputs))
+            _ = np.asarray(chained(n_long, *run_inputs))
             dts_l.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
-            _ = np.asarray(chained(n_short, *inputs))
+            _ = np.asarray(chained(n_short, *run_inputs))
             dts_s.append(time.perf_counter() - t0)
         net = (min(dts_l) - min(dts_s)) / (args.n * (args.k - 1))
         ms = net * 1e3 / args.batch
@@ -439,7 +520,8 @@ def main():
               flush=True)
 
         if args.parity and (
-            name in ENV_VARIANTS or name in ("full", "tr8", "cs2", "trcs")
+            name in ENV_VARIANTS
+            or name in ("full", "tr8", "cs2", "trcs", "dualhost")
         ):
             @jax.jit
             def once(fields, occ, geo0, geo1, ay, au, av):
@@ -447,7 +529,7 @@ def main():
                     fields, occ, geo0, geo1, ay, au, av, fcfg,
                     _packed_out=True,
                 )
-            ops, cnt = once(*inputs)
+            ops, cnt = once(*run_inputs)
             parity_ops[name] = (
                 [np.asarray(o) for o in ops], np.asarray(cnt)
             )
