@@ -786,6 +786,12 @@ def test_shift_compact_mxu_variants_bit_identical(monkeypatch):
     monkeypatch.setenv("TPU_VPCC_MM_CS", "1")
     monkeypatch.delenv("TPU_VPCC_NO_MM_TR")
     monkeypatch.delenv("TPU_VPCC_NO_MM_CS")
+    # the env knobs are read at TRACE time; without this the second
+    # call hits the jit cache (same avals, same static cfg) and the
+    # test compares the reference path to itself
+    import jax
+
+    jax.clear_caches()
     p_mm, c_mm, n_mm = reconstruct_batch_pretiled(*tiled, cfg=scfg)
     n_ref, n_mm = int(n_ref[0]), int(n_mm[0])
     assert n_ref == n_mm and n_ref > 0

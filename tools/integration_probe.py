@@ -92,7 +92,10 @@ def build_patches():
             if fake_cumsum:
                 incl = s01 + jax.lax.broadcasted_iota(jnp.int32, s01.shape, 1)
             else:
-                incl = jnp.cumsum(s01, axis=1)
+                # the PRODUCTION cumsum (possibly patched by the csum
+                # hook) — a hardcoded jnp.cumsum here once skewed the
+                # noker delta after _dest_cumsum went MXU
+                incl = SC._dest_cumsum(s01, F, half)
             dest0 = incl - s01
             counts = incl[:, -1]
             base = dest0[:, ::ch_half]
@@ -138,10 +141,19 @@ def build_patches():
             op_blocks = [blocks(a0, a1) for a0, a1 in op_halves]
 
             if fake_kernel:
+                # force FULL consumption of every operand block: the
+                # real kernel's side-effecting DMA pins all inputs,
+                # and without the reductions the corner-element probe
+                # lets XLA slice the payload/color path to points
+                # (probe-hole classes of rounds 3/4)
+                red = sum(
+                    b.astype(jnp.uint32).sum() for b in op_blocks
+                ) + key_b.astype(jnp.uint32).sum()
                 ops = [
                     (b[:, SC.ALIGN_ROWS:, :]
                      + key_b[:, SC.ALIGN_ROWS:, :].astype(b.dtype))
                     .reshape(F, S)
+                    + red.astype(b.dtype)
                     for b in op_blocks
                 ]
             else:

@@ -232,11 +232,11 @@ def _dest_cumsum(s01, F: int, half: int):
     On TPU, ``jnp.cumsum`` over (F, ~0.8M) lowered at 0.281 ms/frame in
     the round-5 integration probe (the second-largest non-kernel cost).
     Blockwise MXU scan instead: within-row inclusive prefix =
-    ``s @ triu(ones)`` on (F*R, LANES) rows — ``s01`` in {0, 1, 2} is
-    bf16-exact and row sums <= 2*LANES are f32-exact, so the DEFAULT
-    one-pass bf16 dot is bit-exact — plus a tiny (F, R) row-base
-    cumsum. Policy mirrors :func:`tiled._mxu_policy` (TPU default; A/B
-    knobs TPU_VPCC_MM_CS / TPU_VPCC_NO_MM_CS)."""
+    ``s @ triu(ones)`` on (F*R, _CS_LANES) rows — ``s01`` in {0, 1, 2}
+    is bf16-exact and row sums <= 2*_CS_LANES = 1024 are f32-exact, so
+    the DEFAULT one-pass bf16 dot is bit-exact — plus a tiny (F, R)
+    row-base cumsum. Policy mirrors :func:`tiled._mxu_policy` (TPU
+    default; A/B knobs TPU_VPCC_MM_CS / TPU_VPCC_NO_MM_CS)."""
     from .tiled import _mxu_policy
 
     if half % _CS_LANES == 0 and _mxu_policy(
