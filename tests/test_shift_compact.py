@@ -59,6 +59,8 @@ def _run_both(w0, zs, wc, valid, F, S, extent):
         (1, 16384, 8192, 1.0),
         (3, 24576, 8192, 0.3),
         (1, 16384, 16384, 0.61),  # single-chunk frame
+        (1, 8192, 2048, 0.55),  # granularity floor: extent == 2*ALIGN
+        (2, 16384, 4096, 0.4),
     ],
 )
 def test_prefix_matches_sort(F, S, extent, density):
