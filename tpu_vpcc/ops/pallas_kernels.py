@@ -52,12 +52,13 @@ def _payload_kernel(cfg: FrameConfig, fields_ref, ta_ref, tb_ref, tc_ref,
     d0 = (t_a & M10).astype(jnp.int32) >> cfg.geo_shift
     d1 = ((t_a >> 10) & M10).astype(jnp.int32) >> cfg.geo_shift
     occ_bit = ((t_a >> 20) & 1).astype(jnp.int32)
+    # planes B/C are per-map color words: y | u<<10 | v<<20 (round 6)
     cy0 = (t_b & M10).astype(jnp.int32)
-    cy1 = ((t_b >> 10) & M10).astype(jnp.int32)
-    cu0 = ((t_b >> 20) & M10).astype(jnp.int32)
-    cv0 = (t_c & M10).astype(jnp.int32)
-    cv1 = ((t_c >> 10) & M10).astype(jnp.int32)
-    cu1 = ((t_c >> 20) & M10).astype(jnp.int32)
+    cu0 = ((t_b >> 10) & M10).astype(jnp.int32)
+    cv0 = ((t_b >> 20) & M10).astype(jnp.int32)
+    cy1 = (t_c & M10).astype(jnp.int32)
+    cu1 = ((t_c >> 10) & M10).astype(jnp.int32)
+    cv1 = ((t_c >> 20) & M10).astype(jnp.int32)
 
     v1 = jax.lax.broadcasted_iota(jnp.int32, (ch, res, res), 1)
     u1 = jax.lax.broadcasted_iota(jnp.int32, (ch, res, res), 2)

@@ -250,25 +250,31 @@ def _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg,
     d1 = ((t_a >> 10) & M10).astype(jnp.int32) >> cfg.geo_shift
     occ_bit_t = ((t_a >> 20) & 1).astype(jnp.int32)
     if _color:
+        # planes B/C carry per-map COLOR WORDS (y | u<<10 | v<<20);
+        # the narrow path forwards them packed (no unpack/repack) and
+        # only the wide/smoothing tail unpacks the fields
         cy0 = (t_b & M10).astype(jnp.int32)
-        cy1 = ((t_b >> 10) & M10).astype(jnp.int32)
-        cu0 = ((t_b >> 20) & M10).astype(jnp.int32)
-        cv0 = (t_c & M10).astype(jnp.int32)
-        cv1 = ((t_c >> 10) & M10).astype(jnp.int32)
-        cu1 = ((t_c >> 20) & M10).astype(jnp.int32)
+        cu0 = ((t_b >> 10) & M10).astype(jnp.int32)
+        cv0 = ((t_b >> 20) & M10).astype(jnp.int32)
+        cy1 = (t_c & M10).astype(jnp.int32)
+        cu1 = ((t_c >> 10) & M10).astype(jnp.int32)
+        cv1 = ((t_c >> 20) & M10).astype(jnp.int32)
+        packed_wc = (t_b, t_c)
     else:  # cost probe: drop the whole color path (t_b/t_c dead)
         cy0 = cy1 = cu0 = cv0 = cv1 = cu1 = jnp.zeros(
             (FG, res, res), jnp.int32
         )
+        packed_wc = None
     return _grids_to_words(
         fields_f, fid,
         (d0, d1, occ_bit_t, cy0, cy1, cu0, cu1, cv0, cv1),
         F, FG, S, cfg, _narrow_emit=_narrow_emit, _patch_order=_patch_order,
+        _packed_wc=packed_wc,
     )
 
 
 def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False,
-                    _patch_order=False):
+                    _patch_order=False, _packed_wc=None):
     """Steps 5-6 on unpacked slot grids ``(d0, d1, occ_bit, cy0, cy1,
     cu0, cu1, cv0, cv1)``, each [FG, tile, tile] int32 in CANVAS memory
     order (the packed-tile path unpacks into these; the raw-gather path
@@ -403,7 +409,13 @@ def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False,
                 u32(n) * zn + tan_u * zt + bit_u * zb
             ).astype(jnp.uint16)
             zs = emit_concat(zs_of(n0), zs_of(n1))
-        wc = emit_concat(wc_of(cy0, cu0, cv0), wc_of(cy1, cu1, cv1))
+        if _packed_wc is not None:
+            # planes B/C already ARE the per-map color words (the pack
+            # emits y | u<<10 | v<<20, upper 2 bits zero) — pure reshape
+            pb, pc = _packed_wc
+            wc = emit_concat(fl(pb), fl(pc))
+        else:
+            wc = emit_concat(wc_of(cy0, cu0, cv0), wc_of(cy1, cu1, cv1))
         valid = emit_concat(valid0, valid1)
         # per-slot EMISSION index within its frame: G_EMITBASE carries
         # the group's patch-space-origin slot index (block tables:
@@ -931,13 +943,18 @@ def _pack_u32_planes(occ, geo0, geo1, ay, au, av, cfg):
     """Dense upsample + bit-pack into the three u32 sample planes:
 
       plane A: d0 | d1 << 10 | occ_bit << 20      (raw 10-bit depths)
-      plane B: y0 | y1 << 10 | u0 << 20           (10-bit attr samples)
-      plane C: v0 | v1 << 10 | u1 << 20
+      plane B: y0 | u0 << 10 | v0 << 20           (map-0 COLOR WORD)
+      plane C: y1 | u1 << 10 | v1 << 20           (map-1 COLOR WORD)
 
-    Chroma and occupancy are upsampled nearest-neighbour (bit-identical
-    to the reference's index-division sampling). Shape-agnostic: works
-    on canvas planes ((F, H, W)) and block-tiled planes
-    ((F, nb, t, t)) alike — ``ay/au/av`` carry a map axis at position 1.
+    Planes B/C carry each map's samples already in the y|u<<10|v<<20
+    layout the emission consumes (``wc``), so the narrow path's color
+    stage is a pure reshape of the gathered tiles — no unpack/repack
+    (round 6; the old y0|y1|u0 / v0|v1|u1 split cost ~8 elementwise
+    passes in the words stage). Chroma and occupancy are upsampled
+    nearest-neighbour (bit-identical to the reference's index-division
+    sampling). Shape-agnostic: works on canvas planes ((F, H, W)) and
+    block-tiled planes ((F, nb, t, t)) alike — ``ay/au/av`` carry a
+    map axis at position 1.
     """
     mc = cfg.map_count
     up = _upsample2d
@@ -949,16 +966,16 @@ def _pack_u32_planes(occ, geo0, geo1, ay, au, av, cfg):
 
     cup = 1 << cfg.chroma_shift  # chroma upsample factor (4:2:0 -> 2)
     y0 = ay[:, 0].astype(jnp.uint32)
-    y1 = ay[:, 1].astype(jnp.uint32) if mc > 1 else y0
     u0p = up(au[:, 0], cup).astype(jnp.uint32)
     v0p = up(av[:, 0], cup).astype(jnp.uint32)
+    plane_b = y0 | (u0p << 10) | (v0p << 20)
     if mc > 1:
+        y1 = ay[:, 1].astype(jnp.uint32)
         u1p = up(au[:, 1], cup).astype(jnp.uint32)
         v1p = up(av[:, 1], cup).astype(jnp.uint32)
+        plane_c = y1 | (u1p << 10) | (v1p << 20)
     else:
-        u1p, v1p = u0p, v0p
-    plane_b = y0 | (y1 << 10) | (u0p << 20)
-    plane_c = v0p | (v1p << 10) | (u1p << 20)
+        plane_c = plane_b
     return plane_a, plane_b, plane_c
 
 
