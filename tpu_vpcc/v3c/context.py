@@ -97,13 +97,29 @@ class Context:
         self.atlas_hls.atlas_sequence_parameter_set.append(asps)
 
     def get_asps(self, set_id: int) -> AtlasSequenceParameterSet:
-        return self.atlas_hls.atlas_sequence_parameter_set[set_id]
+        sets = self.atlas_hls.atlas_sequence_parameter_set
+        if not 0 <= set_id < len(sets):
+            from ..bitio import BitstreamError
+
+            raise BitstreamError(
+                f"ASPS id {set_id} references a missing parameter set "
+                f"({len(sets)} parsed)"
+            )
+        return sets[set_id]
 
     def add_afps(self, afps: AtlasFrameParameterSet) -> None:
         self.atlas_hls.atlas_frame_parameter_set.append(afps)
 
     def get_afps(self, set_id: int) -> AtlasFrameParameterSet:
-        return self.atlas_hls.atlas_frame_parameter_set[set_id]
+        sets = self.atlas_hls.atlas_frame_parameter_set
+        if not 0 <= set_id < len(sets):
+            from ..bitio import BitstreamError
+
+            raise BitstreamError(
+                f"AFPS id {set_id} references a missing parameter set "
+                f"({len(sets)} parsed)"
+            )
+        return sets[set_id]
 
     # -- tile layers -------------------------------------------------------
 

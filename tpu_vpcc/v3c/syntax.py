@@ -16,7 +16,7 @@ import enum
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
-from ..bitio import Bitstream
+from ..bitio import Bitstream, BitstreamError
 
 
 class UnsupportedFeature(Exception):
@@ -677,6 +677,14 @@ class SeiGeometrySmoothing:
         for i in range(n):
             sei.instance_index[i] = bs.read(8)
             k = sei.instance_index[i]
+            if k >= n:
+                # corrupted stream: the instance id indexes arrays
+                # sized by instances_updated (the reference would
+                # panic on the same out-of-range Vec index)
+                raise BitstreamError(
+                    f"geometry-smoothing SEI instance index {k} >= "
+                    f"instances_updated {n}"
+                )
             sei.instance_cancel_flag[k] = bs.read(1) != 0
             if sei.instance_cancel_flag[k]:
                 continue
