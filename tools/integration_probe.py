@@ -57,6 +57,27 @@ def build_patches():
         u32 = lambda t: t.astype(jnp.uint32)  # noqa: E731
         return u32(geo0) | (u32(geo1) << 10), u32(ay[:, 0]), u32(ay[:, 1])
 
+    def fake_up(t, factor):
+        # same output shape/deps as _upsample2d, no relayout: slice the
+        # corner and broadcast it (values wrong — cost probe only)
+        if factor == 1:
+            return t
+        corner = t[..., :1, :1]
+        return jnp.broadcast_to(
+            corner, t.shape[:-2] + (t.shape[-2] * factor,
+                                    t.shape[-1] * factor)
+        )
+
+    def fake_pack_realup(occ, geo0, geo1, ay, au, av, cfg_):
+        orig_up = tiled._upsample2d
+        tiled._upsample2d = fake_up
+        try:
+            return apply_patch._orig["pack"](
+                occ, geo0, geo1, ay, au, av, cfg_
+            )
+        finally:
+            tiled._upsample2d = orig_up
+
     def fake_mega(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg_):
         r = cfg_.occupancy_resolution
         T2 = r * r
@@ -266,6 +287,7 @@ def build_patches():
         "nocs": {"sco": make_fake_sco(fake_cumsum=True)},
         "noker": {"sco": make_fake_sco(fake_kernel=True)},
         "nopack": {"pack": fake_pack},
+        "noup": {"pack": fake_pack_realup},
         "nogather": {"mega": fake_mega},
         # REAL-implementation A/B variants (bit-exact, via the
         # trace-time env policy knobs): base = where-transpose +

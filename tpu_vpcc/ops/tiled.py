@@ -60,13 +60,35 @@ def tiled_supported(cfg: FrameConfig) -> bool:
 
 
 def _upsample2d(t, factor: int):
-    """Nearest-neighbour 2x2-style upsample of the last two axes via
-    broadcast+reshape — bit-identical to jnp.repeat along -2 then -1,
-    but guaranteed to lower as a broadcast (repeat can lower as a
-    gather on TPU)."""
+    """Nearest-neighbour 2x2-style upsample of the last two axes —
+    bit-identical to jnp.repeat along -2 then -1.
+
+    On TPU this is yet another FIXED data movement (round 6): the
+    broadcast+reshape lowers as a minor-dim relayout that the
+    integration probe measured at ~0.08 ms/frame inside the pack
+    stage, while the equivalent 0/1 replication matmul
+    ``t_flat @ P_up`` ((N, h*w) @ (h*w, H*W), one term per output, so
+    any input-exact precision is bit-exact; values are <= 10-bit) is
+    MXU noise. Policy via :func:`_mxu_policy` (TPU default; knobs
+    TPU_VPCC_MM_UP / TPU_VPCC_NO_MM_UP); the broadcast form remains
+    for other backends."""
     if factor == 1:
         return t
     *lead, h, w = t.shape
+    if _mxu_policy("TPU_VPCC_MM_UP", "TPU_VPCC_NO_MM_UP"):
+        H, W = h * factor, w * factor
+        j = jnp.arange(H * W)
+        src = (j // W // factor) * w + (j % W) // factor
+        P = (src[None, :] == jnp.arange(h * w)[:, None]).astype(
+            jnp.float32
+        )
+        flat = t.reshape(-1, h * w).astype(jnp.float32)
+        up = jax.lax.dot(
+            flat, P,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return up.astype(t.dtype).reshape(*lead, H, W)
     t = jnp.broadcast_to(
         t[..., :, None, :, None], (*lead, h, factor, w, factor)
     )
