@@ -96,6 +96,28 @@ def build_patches():
             rows[:, 2 * T2 :].reshape(FG, r, r),
         )
 
+    def mega_g3(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg_):
+        """REAL alternative: three separate row gathers, no 3-plane
+        concat (tests whether the megarow cat materialization is the
+        nogather delta)."""
+        r = cfg_.occupancy_resolution
+        T2 = r * r
+        Gc = fields.shape[1]
+        F = fields.shape[0]
+        FG = F * Gc
+        nb = cfg_.block_h * cfg_.block_w
+        from tpu_vpcc.atlas import groups as G
+        planes = tiled._pack_u32_planes(
+            occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg_
+        )
+        ff = fields.reshape(FG, G.N_GROUP_FIELDS)
+        f_of_g = jax.lax.broadcasted_iota(jnp.int32, (F, Gc), 0).reshape(FG)
+        row_idx = f_of_g * nb + ff[:, G.G_BLOCKID]
+        return tuple(
+            p.reshape(F * nb, T2)[row_idx].reshape(FG, r, r)
+            for p in planes
+        )
+
     def make_fake_sco(fake_cumsum=False, fake_kernel=False):
         def fake(w0, zs, wc, valid, F, S, extent=SC.DEFAULT_EXTENT,
                  interpret=None):
@@ -288,6 +310,7 @@ def build_patches():
         "noker": {"sco": make_fake_sco(fake_kernel=True)},
         "nopack": {"pack": fake_pack},
         "noup": {"pack": fake_pack_realup},
+        "g3": {"mega": mega_g3},
         "nogather": {"mega": fake_mega},
         # REAL-implementation A/B variants (bit-exact, via the
         # trace-time env policy knobs): base = where-transpose +
@@ -555,7 +578,7 @@ def main():
 
         if args.parity and (
             name in ENV_VARIANTS
-            or name in ("full", "tr8", "cs2", "trcs", "dualhost")
+            or name in ("full", "tr8", "cs2", "trcs", "dualhost", "g3")
         ):
             @jax.jit
             def once(fields, occ, geo0, geo1, ay, au, av):
