@@ -22,6 +22,18 @@ from .syntax import (
     V3CUnitType,
     VideoType,
 )
+from ..bitio import BitstreamError
+
+
+def _checked_set(sets, set_id: int, name: str):
+    """Index a parameter-set list, surfacing a corrupted id as a clean
+    parse error (a raw IndexError leaked through the fuzz sweep)."""
+    if not 0 <= set_id < len(sets):
+        raise BitstreamError(
+            f"{name} id {set_id} references a missing parameter set "
+            f"({len(sets)} parsed)"
+        )
+    return sets[set_id]
 
 
 @dataclass
@@ -97,29 +109,17 @@ class Context:
         self.atlas_hls.atlas_sequence_parameter_set.append(asps)
 
     def get_asps(self, set_id: int) -> AtlasSequenceParameterSet:
-        sets = self.atlas_hls.atlas_sequence_parameter_set
-        if not 0 <= set_id < len(sets):
-            from ..bitio import BitstreamError
-
-            raise BitstreamError(
-                f"ASPS id {set_id} references a missing parameter set "
-                f"({len(sets)} parsed)"
-            )
-        return sets[set_id]
+        return _checked_set(
+            self.atlas_hls.atlas_sequence_parameter_set, set_id, "ASPS"
+        )
 
     def add_afps(self, afps: AtlasFrameParameterSet) -> None:
         self.atlas_hls.atlas_frame_parameter_set.append(afps)
 
     def get_afps(self, set_id: int) -> AtlasFrameParameterSet:
-        sets = self.atlas_hls.atlas_frame_parameter_set
-        if not 0 <= set_id < len(sets):
-            from ..bitio import BitstreamError
-
-            raise BitstreamError(
-                f"AFPS id {set_id} references a missing parameter set "
-                f"({len(sets)} parsed)"
-            )
-        return sets[set_id]
+        return _checked_set(
+            self.atlas_hls.atlas_frame_parameter_set, set_id, "AFPS"
+        )
 
     # -- tile layers -------------------------------------------------------
 
