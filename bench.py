@@ -496,7 +496,10 @@ def main() -> int:
         net = (min(dt_k) - min(dt_1)) / (loop_n * (K - 1))
         return net, min(dt_1)
 
-    dt_net, dt_1_min = measure(5)
+    # min-of-9: post-compile samples cost ~1-2 s each and the shared
+    # pool's congestion spikes distort any single sample (observed
+    # 1451 vs 1700 fps across otherwise-identical runs)
+    dt_net, dt_1_min = measure(9)
     differential_invalid = False
     if dt_net <= 0:
         # noise-inverted differential (congested tunnel): retry harder
