@@ -130,6 +130,69 @@ def test_degenerate_validity_patterns():
                 )
 
 
+@pytest.mark.parametrize(
+    "F,S,extent,density",
+    [
+        (1, 16384, 8192, 0.6),
+        (2, 32768, 16384, 0.35),
+        (1, 8192, 2048, 0.0),
+        (1, 16384, 16384, 1.0),
+        (3, 16384, 4096, 0.5),
+    ],
+)
+def test_full_order_prefix_matches_reference(F, S, extent, density):
+    """The merge-free full-order kernel (wide path: memory order IS
+    emission order) compacts to exactly the valid elements in order."""
+    from tpu_vpcc.ops.shift_compact import shift_compact_full_order
+
+    r = np.random.default_rng(S * 13 + F)
+    w0 = r.integers(0, 1 << 32, (F, S), dtype=np.uint32)
+    w1 = r.integers(0, 1 << 32, (F, S), dtype=np.uint32)
+    w2 = r.integers(0, 1 << 32, (F, S), dtype=np.uint32)
+    valid = r.random((F, S)) < density
+    ops, counts = shift_compact_full_order(
+        (jnp.asarray(w0), jnp.asarray(w1), jnp.asarray(w2)),
+        jnp.asarray(valid), F, S, extent=extent, interpret=True,
+    )
+    counts = np.asarray(counts)
+    for f in range(F):
+        n = counts[f]
+        assert n == valid[f].sum()
+        for w, o in zip((w0, w1, w2), ops):
+            np.testing.assert_array_equal(
+                np.asarray(o)[f, :n], w[f][valid[f]]
+            )
+
+
+def test_full_order_degenerate_patterns():
+    """Chunk-boundary stress for the merge-free layout."""
+    from tpu_vpcc.ops.shift_compact import shift_compact_full_order
+
+    F, S, extent = 1, 16384, 4096
+    r = np.random.default_rng(5)
+    w0 = r.integers(0, 1 << 32, (F, S), dtype=np.uint32)
+    patterns = []
+    v = np.zeros((F, S), bool)
+    v[:, S - extent:] = True  # only the last chunk valid
+    patterns.append(v.copy())
+    v = np.zeros((F, S), bool)
+    v[:, ::extent] = True  # one valid slot per chunk
+    patterns.append(v.copy())
+    v = np.zeros((F, S), bool)
+    v[:, : extent + 7] = True  # run crossing one chunk boundary
+    patterns.append(v.copy())
+    for valid in patterns:
+        ops, counts = shift_compact_full_order(
+            (jnp.asarray(w0),), jnp.asarray(valid), F, S,
+            extent=extent, interpret=True,
+        )
+        n = int(np.asarray(counts)[0])
+        assert n == valid.sum()
+        np.testing.assert_array_equal(
+            np.asarray(ops[0])[0, :n], w0[0][valid[0]]
+        )
+
+
 def test_mxu_cumsum_matches_jnp(monkeypatch):
     """The blockwise MXU scan (_dest_cumsum) is bit-exact vs jnp.cumsum
     for every lane-divisible extent (s01 in {0,1,2} is bf16-exact; row

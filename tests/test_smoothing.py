@@ -229,6 +229,32 @@ def test_e2e_attr_smoothing_device_matches_oracle():
 
 
 @needs_encoder
+def test_e2e_smoothing_full_order_shift_compact(monkeypatch):
+    """The wide (smoothing) path through the merge-free Pallas
+    compaction (TPU_VPCC_SHIFT=1 routes tiled._compact_words to
+    shift_compact_full_order; interpret mode on CPU) is byte-identical
+    to the oracle decode."""
+    import jax
+
+    stream = make_sei_stream(seed=9)
+    monkeypatch.setenv("TPU_VPCC_SHIFT", "1")
+    jax.clear_caches()  # env knob is trace-time
+    d1 = Decoder(Params(stream, use_device=True,
+                        apply_geo_smoothing_type=True))
+    d1.start()
+    dev = list(d1)
+    monkeypatch.delenv("TPU_VPCC_SHIFT")
+    d2 = Decoder(Params(stream, use_device=False,
+                        apply_geo_smoothing_type=True))
+    d2.start()
+    orc = list(d2)
+    jax.clear_caches()  # do not leak knob-traced jits to other tests
+    assert len(dev) == len(orc) == 2 and all(len(f) > 0 for f in dev)
+    for a, b in zip(dev, orc):
+        assert format_ply(a) == format_ply(b)
+
+
+@needs_encoder
 def test_e2e_geo_smoothing_changes_output_and_default_ignores_sei():
     stream = make_sei_stream(seed=6, threshold=1)
     on = Decoder(Params(stream, apply_geo_smoothing_type=True))

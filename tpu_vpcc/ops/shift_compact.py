@@ -124,12 +124,18 @@ def _log2(n: int) -> int:
 # --------------------------------------------------------------------------
 
 
-def _make_kernel(nops: int, Rh: int):
+def _make_kernel(nops: int, Rh: int, merge: bool = True):
     """Kernel for ``nops`` payload operands; one grid step per chunk.
 
     Ref layout after the 3 scalar-prefetch refs:
       [key_in, op_in x nops] [op_out_hbm x nops]
       [pend_scratch x nops, out_scratch x nops, dma_sems]
+
+    ``merge=False`` (the wide/full-order path): the window's 2*Rh data
+    rows are ONE dest-sorted run — memory order is already emission
+    order (maps interleaved per pixel, tiles transposed) — so the
+    odd-even merge phase is skipped entirely and the kernel is the
+    shift network + windowed DMA alone.
     """
     W_rows = 2 * Rh + ALIGN_ROWS
     M = Rh * LANES  # run length: slots per map half per chunk
@@ -159,7 +165,7 @@ def _make_kernel(nops: int, Rh: int):
         # its OWN D1 key, and key1 - key0 = v0 + v1 >= 0 by
         # construction (same d0l), so that pass never swaps — skipped.
         j = flat - ALIGN
-        k = M // 2
+        k = M // 2 if merge else 0
         while k >= 1:
             lo_mask = (j >= 0) & ((j % (2 * k)) >= k) & (j + k < 2 * M)
             jk = j - k
@@ -256,6 +262,109 @@ def _dest_cumsum(s01, F: int, half: int):
     return jnp.cumsum(s01, axis=1)
 
 
+def _chunk_scalars(dest0, counts, stride: int, rows_per_frame: int):
+    """Per-chunk window scalars (8-row = ALIGN-slot granularity: HBM
+    refs are (8,128)-tiled and dynamic row slices must be 8-aligned)."""
+    base = dest0[:, ::stride]  # (F, K) valid count before the chunk
+    delta = (base & (ALIGN - 1)).astype(jnp.int32)
+    row0_blk = (
+        jax.lax.broadcasted_iota(jnp.int32, base.shape, 0)
+        * (rows_per_frame // ALIGN_ROWS)
+        + (base >> _LOG_ALIGN)
+    ).astype(jnp.int32)
+    nxt = jnp.concatenate([base[:, 1:], counts[:, None]], axis=1)
+    pendrow = ((delta + (nxt - base)) >> _LOG_ALIGN).astype(jnp.int32)
+    return base, delta, row0_blk, pendrow
+
+
+def _launch(key_b, op_blocks, dtypes, row0_blk, delta, pendrow,
+            F: int, K: int, Rh: int, rows_per_frame: int,
+            merge: bool, interpret: bool):
+    """Common pallas_call plumbing for both window layouts."""
+    nops = len(op_blocks)
+    W_rows = 2 * Rh + ALIGN_ROWS
+    total_rows = F * rows_per_frame + W_rows  # slack for the last window
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(F * K,),
+        in_specs=[
+            pl.BlockSpec((1, W_rows, LANES), lambda i, r, d, p: (i, 0, 0))
+        ]
+        * (1 + nops),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * nops,
+        scratch_shapes=(
+            [pltpu.VMEM((ALIGN_ROWS, LANES), dt) for dt in dtypes]
+            + [pltpu.VMEM((W_rows, LANES), dt) for dt in dtypes]
+            + [pltpu.SemaphoreType.DMA((nops,))]
+        ),
+    )
+    outs = pl.pallas_call(
+        _make_kernel(nops, Rh, merge=merge),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((total_rows, LANES), dt) for dt in dtypes
+        ),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        row0_blk.reshape(-1),
+        delta.reshape(-1),
+        pendrow.reshape(-1),
+        key_b,
+        *op_blocks,
+    )
+    return [o[: F * rows_per_frame] for o in outs]
+
+
+def shift_compact_full_order(ops_in, valid, F: int, S: int,
+                             extent: int = DEFAULT_EXTENT,
+                             interpret: bool | None = None):
+    """Sort-free compaction of (F, S) operands whose MEMORY order IS
+    the emission order (the WIDE path: maps interleaved per pixel,
+    tiles already transposed — see tiled._compact_words).
+
+    Since dest = exclusive-cumsum(valid) is nondecreasing over the
+    flat order, the window's data rows form ONE dest-sorted run: the
+    kernel runs WITHOUT the merge phase (shift network + overlapping
+    windowed DMA only). Returns ``([compacted u32 ops], counts)`` with
+    the compacted prefix in emission order, bit-identical to the
+    unique-key sort's prefix."""
+    assert shift_supported(S, extent), (S, extent)
+    K = S // extent
+    Rh = (extent // 2) // LANES
+    W_rows = 2 * Rh + ALIGN_ROWS
+    rows_per_frame = S // LANES
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    v = valid.astype(jnp.int32)
+    incl = _dest_cumsum(v, F, S)
+    dest0 = incl - v
+    counts = incl[:, -1]
+    base, delta, row0_blk, pendrow = _chunk_scalars(
+        dest0, counts, extent, rows_per_frame
+    )
+    base_b = jnp.broadcast_to(
+        base[:, :, None], (F, K, extent)
+    ).reshape(F, S)
+    key = ((dest0 - base_b) << 1) | v
+
+    def blocks1(a):
+        z = jnp.zeros((F, K, ALIGN_ROWS, LANES), a.dtype)
+        return jnp.concatenate(
+            [z, a.reshape(F, K, 2 * Rh, LANES)], axis=2
+        ).reshape(F * K, W_rows, LANES)
+
+    op_list = [o.astype(jnp.uint32) for o in ops_in]
+    dtypes = [jnp.uint32] * len(op_list)
+    outs = _launch(
+        blocks1(key), [blocks1(o) for o in op_list], dtypes,
+        row0_blk, delta, pendrow, F, K, Rh, rows_per_frame,
+        merge=False, interpret=interpret,
+    )
+    return [o.reshape(F, S) for o in outs], counts.astype(jnp.int32)
+
+
 def shift_compact_ops(w0, zs, wc, valid, F: int, S: int,
                       extent: int = DEFAULT_EXTENT,
                       interpret: bool | None = None):
@@ -288,18 +397,9 @@ def shift_compact_ops(w0, zs, wc, valid, F: int, S: int,
     incl = _dest_cumsum(s01, F, half)
     dest0 = incl - s01  # (F, half) exclusive: valids before this pixel
     counts = incl[:, -1]
-
-    # per-chunk window scalars (8-row = ALIGN-slot granularity: HBM
-    # refs are (8,128)-tiled and dynamic row slices must be 8-aligned)
-    base = dest0[:, ::ch_half]  # (F, K) valid count before the chunk
-    delta = (base & (ALIGN - 1)).astype(jnp.int32)
-    row0_blk = (
-        jax.lax.broadcasted_iota(jnp.int32, (F, K), 0)
-        * (rows_per_frame // ALIGN_ROWS)
-        + (base >> _LOG_ALIGN)
-    ).astype(jnp.int32)
-    nxt = jnp.concatenate([base[:, 1:], counts[:, None]], axis=1)
-    pendrow = ((delta + (nxt - base)) >> _LOG_ALIGN).astype(jnp.int32)
+    base, delta, row0_blk, pendrow = _chunk_scalars(
+        dest0, counts, ch_half, rows_per_frame
+    )
 
     # chunk-local dest keys: (dest - base) << 1 | valid  — valid slots
     # sort AFTER invalids sharing their dest, keeping each run
@@ -332,41 +432,13 @@ def shift_compact_ops(w0, zs, wc, valid, F: int, S: int,
         dtypes.append(jnp.uint32)
     op_halves.append((wc[:, :half], wc[:, half:]))
     dtypes.append(jnp.uint32)
-    nops = len(op_halves)
     op_blocks = [blocks(a0, a1) for a0, a1 in op_halves]
 
-    total_rows = F * rows_per_frame + W_rows  # slack for the last window
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(F * K,),
-        in_specs=[
-            pl.BlockSpec((1, W_rows, LANES), lambda i, r, d, p: (i, 0, 0))
-        ]
-        * (1 + nops),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * nops,
-        scratch_shapes=(
-            [pltpu.VMEM((ALIGN_ROWS, LANES), dt) for dt in dtypes]
-            + [pltpu.VMEM((W_rows, LANES), dt) for dt in dtypes]
-            + [pltpu.SemaphoreType.DMA((nops,))]
-        ),
+    outs = _launch(
+        key_b, op_blocks, dtypes, row0_blk, delta, pendrow,
+        F, K, Rh, rows_per_frame, merge=True, interpret=interpret,
     )
-    outs = pl.pallas_call(
-        _make_kernel(nops, Rh),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((total_rows, LANES), dt) for dt in dtypes
-        ),
-        grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(
-        row0_blk.reshape(-1),
-        delta.reshape(-1),
-        pendrow.reshape(-1),
-        key_b,
-        *op_blocks,
-    )
-    ops = [o[: F * rows_per_frame].reshape(F, S) for o in outs]
+    ops = [o.reshape(F, S) for o in outs]
     if zs is not None:
         ops[1] = ops[1].astype(jnp.uint16)
     return ops, counts.astype(jnp.int32)

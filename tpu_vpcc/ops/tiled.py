@@ -520,7 +520,23 @@ def _compact_words(w0, w1, w2, valid, F, S):
     alternatives (index sort +
     gathers, scatter partition, per-segment sorts) are preserved below
     and in PERFORMANCE.md.
+
+    Round 6: the wide path's memory order IS the emission order (maps
+    interleaved per pixel, tiles transposed), so the sort-free Pallas
+    compaction applies here too — and WITHOUT its merge phase (dest is
+    already nondecreasing over the flat order). Same policy knobs as
+    the narrow path (TPU default; TPU_VPCC_SHIFT / TPU_VPCC_NO_SHIFT);
+    sorts remain for non-dividing extents and non-TPU backends.
     """
+    if _mxu_policy("TPU_VPCC_SHIFT", "TPU_VPCC_NO_SHIFT"):
+        from .shift_compact import shift_compact_full_order, shift_supported
+
+        for extent in (32768, 16384, 8192):
+            if shift_supported(S, extent):
+                ops, _counts = shift_compact_full_order(
+                    (w0, w1, w2), valid, F, S, extent=extent
+                )
+                return _unpack_sorted(*ops, valid, F, S)
     if _narrow_sort_ok(F * S, F):
         return _compact_words_narrow_unique(w0, w1, w2, valid, F, S)
     return _compact_words_payload_sort(w0, w1, w2, valid, F, S)
