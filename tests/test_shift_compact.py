@@ -193,6 +193,66 @@ def test_full_order_degenerate_patterns():
         )
 
 
+@pytest.mark.parametrize(
+    "F,S,extent,density,with_zs",
+    [
+        (1, 16384, 8192, 0.6, False),
+        (2, 32768, 8192, 0.5, True),
+        (1, 16384, 16384, 1.0, False),
+        (2, 16384, 8192, 0.0, True),
+        (3, 24576, 8192, 0.3, False),
+        (1, 8192, 2048, 0.55, True),
+        (1, 32768, 16384, 0.95, False),
+    ],
+)
+def test_merge_free_interleave_matches_sort(
+    F, S, extent, density, with_zs, monkeypatch
+):
+    """Round 7: the MXU per-pixel interleave + merge-free kernel
+    (TPU_VPCC_MM_IL) compacts bit-identically to the unique-key sort.
+    Random FULL-32-bit words also certify the f32 split exactness (the
+    15/15 split's high half is 17 bits < 2^24)."""
+    monkeypatch.setenv("TPU_VPCC_MM_IL", "1")
+    monkeypatch.delenv("TPU_VPCC_NO_MM_IL", raising=False)
+    r = np.random.default_rng(S * 7 + F)
+    w0 = r.integers(0, 1 << 32, (F, S), dtype=np.uint32)
+    zs = (
+        r.integers(0, 1 << 16, (F, S), dtype=np.uint16) if with_zs else None
+    )
+    wc = r.integers(0, 1 << 32, (F, S), dtype=np.uint32)
+    valid = r.random((F, S)) < density
+    sort_ops, ops, counts = _run_both(w0, zs, wc, valid, F, S, extent)
+    if with_zs:
+        assert ops[1].dtype == jnp.uint16
+    for f in range(F):
+        n = counts[f]
+        assert n == valid[f].sum()
+        for a, b in zip(sort_ops, ops):
+            np.testing.assert_array_equal(
+                np.asarray(a)[f, :n], np.asarray(b)[f, :n]
+            )
+
+
+def test_interleave_pairs_mm_exactness():
+    """The 256x256 interleave permutation matmul is bit-exact for
+    <=24-bit operands (one term per output)."""
+    from tpu_vpcc.ops.shift_compact import _interleave_pairs_mm
+
+    r = np.random.default_rng(31)
+    F, half = 2, 1024
+    a0 = r.integers(0, 1 << 24, (F, half), dtype=np.uint32)
+    a1 = r.integers(0, 1 << 24, (F, half), dtype=np.uint32)
+    b0 = r.integers(0, 1 << 18, (F, half), dtype=np.uint32)
+    b1 = r.integers(0, 1 << 18, (F, half), dtype=np.uint32)
+    outs = _interleave_pairs_mm(
+        [(jnp.asarray(a0), jnp.asarray(a1)),
+         (jnp.asarray(b0), jnp.asarray(b1))], F, half
+    )
+    for (x0, x1), o in zip([(a0, a1), (b0, b1)], outs):
+        want = np.stack([x0, x1], axis=-1).reshape(F, 2 * half)
+        np.testing.assert_array_equal(np.asarray(o), want)
+
+
 def test_mxu_cumsum_matches_jnp(monkeypatch):
     """The blockwise MXU scan (_dest_cumsum) is bit-exact vs jnp.cumsum
     for every lane-divisible extent (s01 in {0,1,2} is bf16-exact; row

@@ -330,6 +330,10 @@ ENV_VARIANTS = {
     "mmtr": {"TPU_VPCC_NO_MM_CS": "1"},
     "mmcs": {"TPU_VPCC_NO_MM_TR": "1"},
     "mmboth": {},
+    # round 7: merge-free narrow kernel behind the MXU per-pixel
+    # interleave (il = TPU default) vs the odd-even-merge kernel
+    "il": {},
+    "noil": {"TPU_VPCC_NO_MM_IL": "1"},
 }
 
 # kernel lane-width variants: the shift_compact module constants are
@@ -353,6 +357,7 @@ def set_lane_variant(name):
 _ENV_KEYS = (
     "TPU_VPCC_NO_MM_TR", "TPU_VPCC_NO_MM_CS",
     "TPU_VPCC_MM_TR", "TPU_VPCC_MM_CS",
+    "TPU_VPCC_MM_IL", "TPU_VPCC_NO_MM_IL",
 )
 
 

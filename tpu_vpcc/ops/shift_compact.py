@@ -262,6 +262,53 @@ def _dest_cumsum(s01, F: int, half: int):
     return jnp.cumsum(s01, axis=1)
 
 
+def _interleave_pairs_mm(pairs, F: int, half: int):
+    """Per-pixel D0/D1 lane interleave as ONE 0/1 MXU permutation matmul.
+
+    ``out[:, 2p] = a0[:, p]; out[:, 2p+1] = a1[:, p]`` is a FIXED data
+    movement (round-6 rule): pair the halves' 128-lane rows into
+    (N, 256) blocks and multiply by the 256x256 interleave permutation
+    — one term per output, so any input-exact precision is bit-exact
+    (every operand here is <= 18 bits; callers split wider words).
+    The jnp.stack/reshape formulation materializes a minor-dim-2
+    intermediate (catastrophic lane padding, PERFORMANCE.md round 4)
+    and does not lower in Mosaic at all (round 5) — this matmul is
+    what finally makes the per-pixel interleave cheap enough to buy
+    the merge-free kernel for the narrow path.
+
+    ``pairs``: list of ``(a0, a1)`` (F, half) u32 arrays, each value
+    < 2^24. Returns the matching list of (F, 2*half) u32 arrays.
+    """
+    IL = 128  # pairing width — fixed, independent of the kernel LANES
+    assert half % IL == 0
+    N = (F * half) // IL
+    X = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [
+                    a0.reshape(N, IL).astype(jnp.float32),
+                    a1.reshape(N, IL).astype(jnp.float32),
+                ],
+                axis=1,
+            )
+            for a0, a1 in pairs
+        ],
+        axis=0,
+    )
+    j = jnp.arange(2 * IL)
+    src = (j // 2) + (j % 2) * IL
+    P = (src[None, :] == jnp.arange(2 * IL)[:, None]).astype(jnp.float32)
+    Y = jax.lax.dot(
+        X, P,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return [
+        Y[k * N : (k + 1) * N].astype(jnp.uint32).reshape(F, 2 * half)
+        for k in range(len(pairs))
+    ]
+
+
 def _chunk_scalars(dest0, counts, stride: int, rows_per_frame: int):
     """Per-chunk window scalars (8-row = ALIGN-slot granularity: HBM
     refs are (8,128)-tiled and dynamic row slices must be 8-aligned)."""
@@ -316,6 +363,16 @@ def _launch(key_b, op_blocks, dtypes, row0_blk, delta, pendrow,
     return [o[: F * rows_per_frame] for o in outs]
 
 
+def _blocks_full(a, F: int, K: int, Rh: int):
+    """Window layout for the merge-free kernel: [ALIGN garbage rows |
+    2*Rh data rows], data already in full (emission) order."""
+    W_rows = 2 * Rh + ALIGN_ROWS
+    z = jnp.zeros((F, K, ALIGN_ROWS, LANES), a.dtype)
+    return jnp.concatenate(
+        [z, a.reshape(F, K, 2 * Rh, LANES)], axis=2
+    ).reshape(F * K, W_rows, LANES)
+
+
 def shift_compact_full_order(ops_in, valid, F: int, S: int,
                              extent: int = DEFAULT_EXTENT,
                              interpret: bool | None = None):
@@ -349,16 +406,11 @@ def shift_compact_full_order(ops_in, valid, F: int, S: int,
     ).reshape(F, S)
     key = ((dest0 - base_b) << 1) | v
 
-    def blocks1(a):
-        z = jnp.zeros((F, K, ALIGN_ROWS, LANES), a.dtype)
-        return jnp.concatenate(
-            [z, a.reshape(F, K, 2 * Rh, LANES)], axis=2
-        ).reshape(F * K, W_rows, LANES)
-
     op_list = [o.astype(jnp.uint32) for o in ops_in]
     dtypes = [jnp.uint32] * len(op_list)
     outs = _launch(
-        blocks1(key), [blocks1(o) for o in op_list], dtypes,
+        _blocks_full(key, F, K, Rh),
+        [_blocks_full(o, F, K, Rh) for o in op_list], dtypes,
         row0_blk, delta, pendrow, F, K, Rh, rows_per_frame,
         merge=False, interpret=interpret,
     )
@@ -415,6 +467,59 @@ def shift_compact_ops(w0, zs, wc, valid, F: int, S: int,
     # "not implemented: Rotate with non-32-bit data", so every roll
     # would need a widen/narrow pair and the density win evaporates.
     # Keys stay i32.
+
+    from .tiled import _mxu_policy
+
+    if _mxu_policy("TPU_VPCC_MM_IL", "TPU_VPCC_NO_MM_IL"):
+        # MERGE-FREE narrow path (round 7): interleave the words into
+        # per-pixel emission order with the MXU permutation matmul —
+        # once memory order IS emission order, dest is nondecreasing
+        # over the flat window and the kernel's odd-even merge phase
+        # (log2(extent/2) of its ~29 VPU passes, existing solely to
+        # perform this interleave) disappears. Words wider than 24
+        # bits split into f32-exact halves around the matmul; the
+        # chunk-local keys (< 2*extent <= 2^18) ride directly.
+        u32 = lambda a: a.astype(jnp.uint32)  # noqa: E731
+        pairs = [(u32(key0), u32(key1))]
+        if zs is None:
+            M15 = jnp.uint32(0x7FFF)
+            pairs += [
+                (w0[:, :half] & M15, w0[:, half:] & M15),
+                (w0[:, :half] >> 15, w0[:, half:] >> 15),
+                (wc[:, :half] & M15, wc[:, half:] & M15),
+                (wc[:, :half] >> 15, wc[:, half:] >> 15),
+            ]
+            il = _interleave_pairs_mm(pairs, F, half)
+            key_i = il[0].astype(jnp.int32)
+            ops_i = [il[1] | (il[2] << 15), il[3] | (il[4] << 15)]
+        else:
+            M16 = jnp.uint32(0xFFFF)
+            M15 = jnp.uint32(0x7FFF)
+            pairs += [
+                (w0[:, :half] & M16, w0[:, half:] & M16),
+                (w0[:, :half] >> 16, w0[:, half:] >> 16),
+                (u32(zs[:, :half]), u32(zs[:, half:])),
+                (wc[:, :half] & M15, wc[:, half:] & M15),
+                (wc[:, :half] >> 15, wc[:, half:] >> 15),
+            ]
+            il = _interleave_pairs_mm(pairs, F, half)
+            key_i = il[0].astype(jnp.int32)
+            ops_i = [
+                il[1] | (il[2] << 16),
+                il[3],
+                il[4] | (il[5] << 15),
+            ]
+        dtypes = [jnp.uint32] * len(ops_i)
+        outs = _launch(
+            _blocks_full(key_i, F, K, Rh),
+            [_blocks_full(o, F, K, Rh) for o in ops_i], dtypes,
+            row0_blk, delta, pendrow, F, K, Rh, rows_per_frame,
+            merge=False, interpret=interpret,
+        )
+        ops = [o.reshape(F, S) for o in outs]
+        if zs is not None:
+            ops[1] = ops[1].astype(jnp.uint16)
+        return ops, counts.astype(jnp.int32)
 
     def blocks(a0, a1):
         z = jnp.zeros((F, K, ALIGN_ROWS, LANES), a0.dtype)
