@@ -233,6 +233,66 @@ def test_merge_free_interleave_matches_sort(
             )
 
 
+@pytest.mark.parametrize("pred", ["skip", "bits"])
+@pytest.mark.parametrize("mm_il", [False, True])
+def test_pred_variants_match_sort(pred, mm_il, monkeypatch):
+    """Round 7: the work-predicated kernels (TPU_VPCC_PRED=skip/bits)
+    compact bit-identically to the unique-key sort on both the merge
+    and MXU-interleave layouts, including EMPTY chunks (the skip path
+    must preserve the carried pending block by construction) and a
+    dense tail (the bits path's per-chunk shift bound must dominate
+    every realized shift)."""
+    monkeypatch.setenv("TPU_VPCC_PRED", pred)
+    if mm_il:
+        monkeypatch.setenv("TPU_VPCC_MM_IL", "1")
+        monkeypatch.delenv("TPU_VPCC_NO_MM_IL", raising=False)
+    else:
+        monkeypatch.setenv("TPU_VPCC_NO_MM_IL", "1")
+        monkeypatch.delenv("TPU_VPCC_MM_IL", raising=False)
+    F, S, extent = 2, 32768, 8192
+    half = S // 2
+    r = np.random.default_rng(41)
+    w0 = r.integers(0, 1 << 32, (F, S), dtype=np.uint32)
+    wc = r.integers(0, 1 << 32, (F, S), dtype=np.uint32)
+    # frame 0: empty middle chunks (bucket-padding shape), dense tail;
+    # frame 1: sparse random — mixed shbits across chunks
+    valid = np.zeros((F, S), bool)
+    valid[0, : extent // 4] = True
+    valid[0, half - extent // 2 :] = True  # fully dense final chunk
+    valid[1] = r.random(S) < 0.2
+    sort_ops, ops, counts = _run_both(w0, None, wc, valid, F, S, extent)
+    for f in range(F):
+        n = counts[f]
+        assert n == valid[f].sum()
+        for a, b in zip(sort_ops, ops):
+            np.testing.assert_array_equal(
+                np.asarray(a)[f, :n], np.asarray(b)[f, :n]
+            )
+
+
+@pytest.mark.parametrize("pred", ["skip", "bits"])
+def test_pred_variants_full_order(pred, monkeypatch):
+    """Predication on the merge-free full-order (wide-path) kernel."""
+    from tpu_vpcc.ops.shift_compact import shift_compact_full_order
+
+    monkeypatch.setenv("TPU_VPCC_PRED", pred)
+    F, S, extent = 1, 16384, 4096
+    r = np.random.default_rng(43)
+    w0 = r.integers(0, 1 << 32, (F, S), dtype=np.uint32)
+    valid = np.zeros((F, S), bool)
+    valid[:, :128] = True
+    valid[:, S - extent :] = True  # empty middle chunks, dense last
+    ops, counts = shift_compact_full_order(
+        (jnp.asarray(w0),), jnp.asarray(valid), F, S,
+        extent=extent, interpret=True,
+    )
+    n = int(np.asarray(counts)[0])
+    assert n == valid.sum()
+    np.testing.assert_array_equal(
+        np.asarray(ops[0])[0, :n], w0[0][valid[0]]
+    )
+
+
 def test_interleave_pairs_mm_exactness():
     """The 256x256 interleave permutation matmul is bit-exact for
     <=24-bit operands (one term per output)."""

@@ -118,135 +118,31 @@ def build_patches():
             for p in planes
         )
 
-    def make_fake_sco(fake_cumsum=False, fake_kernel=False):
-        def fake(w0, zs, wc, valid, F, S, extent=SC.DEFAULT_EXTENT,
-                 interpret=None):
-            half = S // 2
-            ch_half = extent // 2
-            K = S // extent
-            Rh = ch_half // SC.LANES
-            W_rows = 2 * Rh + SC.ALIGN_ROWS
-            rows_per_frame = S // SC.LANES
-            if interpret is None:
-                interpret = jax.default_backend() != "tpu"
-            v0 = valid[:, :half]
-            v1 = valid[:, half:]
-            s01 = v0.astype(jnp.int32) + v1.astype(jnp.int32)
-            if fake_cumsum:
-                incl = s01 + jax.lax.broadcasted_iota(jnp.int32, s01.shape, 1)
-            else:
-                # the PRODUCTION cumsum (possibly patched by the csum
-                # hook) — a hardcoded jnp.cumsum here once skewed the
-                # noker delta after _dest_cumsum went MXU
-                incl = SC._dest_cumsum(s01, F, half)
-            dest0 = incl - s01
-            counts = incl[:, -1]
-            base = dest0[:, ::ch_half]
-            delta = (base & (SC.ALIGN - 1)).astype(jnp.int32)
-            row0_blk = (
-                jax.lax.broadcasted_iota(jnp.int32, (F, K), 0)
-                * (rows_per_frame // SC.ALIGN_ROWS)
-                + (base >> SC._LOG_ALIGN)
-            ).astype(jnp.int32)
-            nxt = jnp.concatenate([base[:, 1:], counts[:, None]], axis=1)
-            pendrow = ((delta + (nxt - base)) >> SC._LOG_ALIGN).astype(
-                jnp.int32
-            )
-            base_b = jnp.broadcast_to(
-                base[:, :, None], (F, K, ch_half)
-            ).reshape(F, half)
-            d0l = dest0 - base_b
-            key0 = (d0l << 1) | v0.astype(jnp.int32)
-            key1 = ((d0l + v0.astype(jnp.int32)) << 1) | v1.astype(jnp.int32)
+    def fake_cumsum(s01, F, half):
+        # same shape/deps as _dest_cumsum, elementwise (values wrong)
+        return s01 + jax.lax.broadcasted_iota(jnp.int32, s01.shape, 1)
 
-            def blocks(a0, a1):
-                z = jnp.zeros((F, K, SC.ALIGN_ROWS, SC.LANES), a0.dtype)
-                return jnp.concatenate(
-                    [
-                        z,
-                        a0.reshape(F, K, Rh, SC.LANES),
-                        a1.reshape(F, K, Rh, SC.LANES),
-                    ],
-                    axis=2,
-                ).reshape(F * K, W_rows, SC.LANES)
-
-            key_b = blocks(key0, key1)
-            op_halves = [(w0[:, :half], w0[:, half:])]
-            dtypes = [jnp.uint32]
-            if zs is not None:
-                op_halves.append(
-                    (zs[:, :half].astype(jnp.uint32),
-                     zs[:, half:].astype(jnp.uint32))
-                )
-                dtypes.append(jnp.uint32)
-            op_halves.append((wc[:, :half], wc[:, half:]))
-            dtypes.append(jnp.uint32)
-            op_blocks = [blocks(a0, a1) for a0, a1 in op_halves]
-
-            if fake_kernel:
-                # force FULL consumption of every operand block: the
-                # real kernel's side-effecting DMA pins all inputs,
-                # and without the reductions the corner-element probe
-                # lets XLA slice the payload/color path to points
-                # (probe-hole classes of rounds 3/4)
-                red = sum(
-                    b.astype(jnp.uint32).sum() for b in op_blocks
-                ) + key_b.astype(jnp.uint32).sum()
-                ops = [
-                    (b[:, SC.ALIGN_ROWS:, :]
-                     + key_b[:, SC.ALIGN_ROWS:, :].astype(b.dtype))
-                    .reshape(F, S)
-                    + red.astype(b.dtype)
-                    for b in op_blocks
-                ]
-            else:
-                nops = len(op_blocks)
-                from jax.experimental import pallas as pl
-                from jax.experimental.pallas import tpu as pltpu
-
-                total_rows = F * rows_per_frame + W_rows
-                grid_spec = pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=3,
-                    grid=(F * K,),
-                    in_specs=[
-                        pl.BlockSpec(
-                            (1, W_rows, SC.LANES),
-                            lambda i, r, d, p: (i, 0, 0),
-                        )
-                    ]
-                    * (1 + nops),
-                    out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * nops,
-                    scratch_shapes=(
-                        [pltpu.VMEM((SC.ALIGN_ROWS, SC.LANES), dt)
-                         for dt in dtypes]
-                        + [pltpu.VMEM((W_rows, SC.LANES), dt) for dt in dtypes]
-                        + [pltpu.SemaphoreType.DMA((nops,))]
-                    ),
-                )
-                outs = pl.pallas_call(
-                    SC._make_kernel(nops, Rh),
-                    out_shape=tuple(
-                        jax.ShapeDtypeStruct((total_rows, SC.LANES), dt)
-                        for dt in dtypes
-                    ),
-                    grid_spec=grid_spec,
-                    compiler_params=pltpu.CompilerParams(
-                        has_side_effects=True
-                    ),
-                    interpret=interpret,
-                )(
-                    row0_blk.reshape(-1),
-                    delta.reshape(-1),
-                    pendrow.reshape(-1),
-                    key_b,
-                    *op_blocks,
-                )
-                ops = [o[: F * rows_per_frame].reshape(F, S) for o in outs]
-            if zs is not None:
-                ops[1] = ops[1].astype(jnp.uint16)
-            return ops, counts.astype(jnp.int32)
-
-        return fake
+    def fake_launch(key_b, op_blocks, dtypes, row0_blk, delta, pendrow,
+                    shbits, F, K, Rh, rows_per_frame, merge, interpret):
+        # everything-but-kernel: the production shift_compact_ops runs
+        # unmodified (including the round-7 interleave matmul when
+        # MM_IL is on) and only the pallas_call is replaced. Force
+        # FULL consumption of every operand block: the real kernel's
+        # side-effecting DMA pins all inputs, and without the
+        # reductions the corner-element probe lets XLA slice the
+        # payload/color path to points (probe-hole classes of rounds
+        # 3/4/6).
+        red = (
+            sum(b.astype(jnp.uint32).sum() for b in op_blocks)
+            + key_b.astype(jnp.uint32).sum()
+            + (row0_blk.sum() + delta.sum() + pendrow.sum()
+               + shbits.sum()).astype(jnp.uint32)
+        )
+        return [
+            b[:, SC.ALIGN_ROWS :, :].reshape(F * rows_per_frame, SC.LANES)
+            + red.astype(b.dtype)
+            for b in op_blocks
+        ]
 
     def mm_transpose_bf16(t_a, t_b, t_c, sw, tile):
         """8-bit-chunked single-pass bf16 variant of _tile_transpose_mm
@@ -306,8 +202,8 @@ def build_patches():
         "cs2": {"csum": dest_cumsum_lean},
         "trcs": {"mmtr": mm_transpose_bf16, "csum": dest_cumsum_lean},
         "notr": {"ttw": fake_ttw_no_transpose},
-        "nocs": {"sco": make_fake_sco(fake_cumsum=True)},
-        "noker": {"sco": make_fake_sco(fake_kernel=True)},
+        "nocs": {"csum": fake_cumsum},
+        "noker": {"launch": fake_launch},
         "nopack": {"pack": fake_pack},
         "noup": {"pack": fake_pack_realup},
         "g3": {"mega": mega_g3},
@@ -334,6 +230,12 @@ ENV_VARIANTS = {
     # interleave (il = TPU default) vs the odd-even-merge kernel
     "il": {},
     "noil": {"TPU_VPCC_NO_MM_IL": "1"},
+    # round 7: kernel work predication (see _make_kernel): off = every
+    # chunk runs all passes; skip = empty chunks skip the body; bits =
+    # additionally per-pass pl.when on the chunk's shift bound
+    "proff": {"TPU_VPCC_PRED": "off"},
+    "prskip": {"TPU_VPCC_PRED": "skip"},
+    "prbits": {"TPU_VPCC_PRED": "bits"},
 }
 
 # kernel lane-width variants: the shift_compact module constants are
@@ -357,7 +259,7 @@ def set_lane_variant(name):
 _ENV_KEYS = (
     "TPU_VPCC_NO_MM_TR", "TPU_VPCC_NO_MM_CS",
     "TPU_VPCC_MM_TR", "TPU_VPCC_MM_CS",
-    "TPU_VPCC_MM_IL", "TPU_VPCC_NO_MM_IL",
+    "TPU_VPCC_MM_IL", "TPU_VPCC_NO_MM_IL", "TPU_VPCC_PRED",
 )
 
 
@@ -382,6 +284,7 @@ def apply_patch(p):
             "sco": SC.shift_compact_ops,
             "mmtr": tiled._tile_transpose_mm,
             "csum": SC._dest_cumsum,
+            "launch": SC._launch,
         }
     o = apply_patch._orig
     tiled._tiles_to_words = p.get("ttw", o["ttw"])
@@ -389,6 +292,7 @@ def apply_patch(p):
     tiled._pretiled_gather_megarow = p.get("mega", o["mega"])
     tiled._tile_transpose_mm = p.get("mmtr", o["mmtr"])
     SC._dest_cumsum = p.get("csum", o["csum"])
+    SC._launch = p.get("launch", o["launch"])
     # tiled imports shift_compact_ops inside the dispatch branch, so
     # patching the source module attribute covers it
     SC.shift_compact_ops = p.get("sco", o["sco"])

@@ -124,104 +124,158 @@ def _log2(n: int) -> int:
 # --------------------------------------------------------------------------
 
 
-def _make_kernel(nops: int, Rh: int, merge: bool = True):
+def _make_kernel(nops: int, Rh: int, merge: bool = True,
+                 pred: str = "off"):
     """Kernel for ``nops`` payload operands; one grid step per chunk.
 
-    Ref layout after the 3 scalar-prefetch refs:
+    Ref layout after the 4 scalar-prefetch refs:
       [key_in, op_in x nops] [op_out_hbm x nops]
-      [pend_scratch x nops, out_scratch x nops, dma_sems]
+      [pend_scratch x nops, out_scratch x nops, sh_scratch, dma_sems]
 
-    ``merge=False`` (the wide/full-order path): the window's 2*Rh data
-    rows are ONE dest-sorted run — memory order is already emission
-    order (maps interleaved per pixel, tiles transposed) — so the
-    odd-even merge phase is skipped entirely and the kernel is the
-    shift network + windowed DMA alone.
+    ``merge=False`` (the full-order paths: wide, and narrow behind the
+    MXU interleave): the window's 2*Rh data rows are ONE dest-sorted
+    run — memory order is already emission order — so the odd-even
+    merge phase is skipped entirely and the kernel is the shift
+    network + windowed DMA alone.
+
+    ``pred`` (round 7, per-chunk work predication on the prefetched
+    ``shbits`` scalar = bit_length of the chunk's shift bound, 0 for
+    an empty chunk):
+      "off"  — every chunk runs all passes (values stay in registers/
+               whatever Mosaic chooses; no scratch round-trips).
+      "skip" — the whole body runs under pl.when(shbits > 0): chunks
+               with no valid element (bucket padding) do nothing (the
+               pending block is preserved by construction — the next
+               live chunk's window starts at the same output row).
+      "bits" — additionally, shift pass b runs under pl.when(b <
+               shbits): passes above the chunk's shift bound vanish.
+               Ops route through the out/sh VMEM scratch refs between
+               passes (pl.when regions cannot carry values).
     """
     W_rows = 2 * Rh + ALIGN_ROWS
     M = Rh * LANES  # run length: slots per map half per chunk
+    assert pred in ("off", "skip", "bits")
 
-    def kern(row0_ref, delta_ref, pend_ref, *refs):
+    def kern(row0_ref, delta_ref, pend_ref, shb_ref, *refs):
         key_ref = refs[0]
         in_refs = refs[1 : 1 + nops]
         out_hbm = refs[1 + nops : 1 + 2 * nops]
         pend = refs[1 + 2 * nops : 1 + 3 * nops]
         outs = refs[1 + 3 * nops : 1 + 4 * nops]
-        sems = refs[1 + 4 * nops]
+        shref = refs[1 + 4 * nops]
+        sems = refs[2 + 4 * nops]
 
         i = pl.program_id(0)
         W = W_rows * LANES
+        shb = shb_ref[i]
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (W_rows, LANES), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (W_rows, LANES), 0)
-        flat = row * LANES + lane  # window-local linear position
+        def body():
+            lane = jax.lax.broadcasted_iota(jnp.int32, (W_rows, LANES), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (W_rows, LANES), 0)
+            flat = row * LANES + lane  # window-local linear position
 
-        key = key_ref[0]
-        ops = [r[0] for r in in_refs]
+            key = key_ref[0]
+            ops = [r[0] for r in in_refs]
 
-        # --- phase 1: odd-even merge of the two dest-sorted runs ----------
-        # runs live after the ALIGN garbage rows; j = in-window index.
-        # Masks are STATIC iota predicates (validated in tools + tests).
-        # The network's k=M pass compares each pixel's D0 key against
-        # its OWN D1 key, and key1 - key0 = v0 + v1 >= 0 by
-        # construction (same d0l), so that pass never swaps — skipped.
-        j = flat - ALIGN
-        k = M // 2 if merge else 0
-        while k >= 1:
-            lo_mask = (j >= 0) & ((j % (2 * k)) >= k) & (j + k < 2 * M)
-            jk = j - k
-            hi_mask = (jk >= 0) & ((jk % (2 * k)) >= k) & (j < 2 * M)
-            kd = _fsd(key, k, lane)
-            ku = _fsu(key, k, lane)
-            swap_lo = lo_mask & (kd < key)
-            swap_hi = hi_mask & (ku > key)
-            ops = [
-                jnp.where(swap_lo, _fsd(x, k, lane),
-                          jnp.where(swap_hi, _fsu(x, k, lane), x))
-                for x in ops
-            ]
-            key = jnp.where(swap_lo, kd, jnp.where(swap_hi, ku, key))
-            k //= 2
+            # --- phase 1: odd-even merge of the two dest-sorted runs ------
+            # runs live after the ALIGN garbage rows; j = in-window index.
+            # Masks are STATIC iota predicates (validated in tools+tests).
+            # The network's k=M pass compares each pixel's D0 key against
+            # its OWN D1 key, and key1 - key0 = v0 + v1 >= 0 by
+            # construction (same d0l), so that pass never swaps — skipped.
+            j = flat - ALIGN
+            k = M // 2 if merge else 0
+            while k >= 1:
+                lo_mask = (j >= 0) & ((j % (2 * k)) >= k) & (j + k < 2 * M)
+                jk = j - k
+                hi_mask = (jk >= 0) & ((jk % (2 * k)) >= k) & (j < 2 * M)
+                kd = _fsd(key, k, lane)
+                ku = _fsu(key, k, lane)
+                swap_lo = lo_mask & (kd < key)
+                swap_hi = hi_mask & (ku > key)
+                ops_m = [
+                    jnp.where(swap_lo, _fsd(x, k, lane),
+                              jnp.where(swap_hi, _fsu(x, k, lane), x))
+                    for x in ops
+                ]
+                ops = ops_m
+                key = jnp.where(swap_lo, kd, jnp.where(swap_hi, ku, key))
+                k //= 2
 
-        # --- phase 2: down-shift network ----------------------------------
-        delta = delta_ref[i]
-        dest = key >> 1
-        validf = (key & 1) == 1
-        sh = jnp.where(validf, flat - dest - delta, 0)
-        nbits = _log2(2 * M) + 1  # max sh < extent + LANES <= 2^nbits
-        for b in range(nbits):
-            step = 1 << b
-            s_in = _fsd(sh, step, lane)
-            move_in = (((s_in >> b) & 1) == 1) & (flat + step < W)
-            self_mv = ((sh >> b) & 1) == 1
-            ops = [jnp.where(move_in, _fsd(x, step, lane), x) for x in ops]
-            sh = jnp.where(move_in, s_in, jnp.where(self_mv, 0, sh))
+            # --- phase 2: down-shift network ------------------------------
+            delta = delta_ref[i]
+            dest = key >> 1
+            validf = (key & 1) == 1
+            sh = jnp.where(validf, flat - dest - delta, 0)
+            nbits = _log2(2 * M) + 1  # max sh < extent + ALIGN <= 2^nbits
 
-        # --- phase 3: pending merge, pending update, window DMA -----------
-        # positions [0, delta) of the window belong to the PREVIOUS
-        # chunks' output (the pending block carries them); delta spans
-        # up to ALIGN_ROWS rows.
-        pr = pend_ref[i]  # 8-aligned window row block holding delta+n_k
-        row0 = pl.multiple_of(row0_ref[i] * ALIGN_ROWS, ALIGN_ROWS)
-        boundary = (flat < delta)[:ALIGN_ROWS]
-        cps = []
-        for n in range(nops):
-            outs[n][:] = ops[n]
-            outs[n][0:ALIGN_ROWS, :] = jnp.where(
-                boundary, pend[n][:], ops[n][:ALIGN_ROWS]
-            )
-            # (dynamic_slice on a traced VALUE does not lower in Mosaic;
-            # the new pending block is read back from the scratch ref)
-            pend[n][:] = outs[n][
-                pl.ds(pl.multiple_of(pr * ALIGN_ROWS, ALIGN_ROWS),
-                      ALIGN_ROWS), :,
-            ]
-            cp = pltpu.make_async_copy(
-                outs[n], out_hbm[n].at[pl.ds(row0, W_rows)], sems.at[n]
-            )
-            cp.start()
-            cps.append(cp)
-        for cp in cps:
-            cp.wait()
+            if pred == "bits":
+                shref[:] = sh
+                for n in range(nops):
+                    outs[n][:] = ops[n]
+                for b in range(nbits):
+                    @pl.when(b < shb)
+                    def _pass(b=b):
+                        step = 1 << b
+                        s = shref[:]
+                        s_in = _fsd(s, step, lane)
+                        move_in = ((((s_in >> b) & 1) == 1)
+                                   & (flat + step < W))
+                        self_mv = ((s >> b) & 1) == 1
+                        for n in range(nops):
+                            x = outs[n][:]
+                            outs[n][:] = jnp.where(
+                                move_in, _fsd(x, step, lane), x
+                            )
+                        shref[:] = jnp.where(
+                            move_in, s_in, jnp.where(self_mv, 0, s)
+                        )
+                ops = [outs[n][:] for n in range(nops)]
+            else:
+                for b in range(nbits):
+                    step = 1 << b
+                    s_in = _fsd(sh, step, lane)
+                    move_in = (((s_in >> b) & 1) == 1) & (flat + step < W)
+                    self_mv = ((sh >> b) & 1) == 1
+                    ops = [
+                        jnp.where(move_in, _fsd(x, step, lane), x)
+                        for x in ops
+                    ]
+                    sh = jnp.where(move_in, s_in, jnp.where(self_mv, 0, sh))
+
+            # --- phase 3: pending merge, pending update, window DMA -------
+            # positions [0, delta) of the window belong to the PREVIOUS
+            # chunks' output (the pending block carries them); delta
+            # spans up to ALIGN_ROWS rows.
+            pr = pend_ref[i]  # 8-aligned window row block with delta+n_k
+            row0 = pl.multiple_of(row0_ref[i] * ALIGN_ROWS, ALIGN_ROWS)
+            boundary = (flat < delta)[:ALIGN_ROWS]
+            cps = []
+            for n in range(nops):
+                merged_head = jnp.where(
+                    boundary, pend[n][:], ops[n][:ALIGN_ROWS]
+                )
+                outs[n][:] = ops[n]
+                outs[n][0:ALIGN_ROWS, :] = merged_head
+                # (dynamic_slice on a traced VALUE does not lower in
+                # Mosaic; the new pending block is read back from the
+                # scratch ref)
+                pend[n][:] = outs[n][
+                    pl.ds(pl.multiple_of(pr * ALIGN_ROWS, ALIGN_ROWS),
+                          ALIGN_ROWS), :,
+                ]
+                cp = pltpu.make_async_copy(
+                    outs[n], out_hbm[n].at[pl.ds(row0, W_rows)], sems.at[n]
+                )
+                cp.start()
+                cps.append(cp)
+            for cp in cps:
+                cp.wait()
+
+        if pred == "off":
+            body()
+        else:
+            pl.when(shb > 0)(body)
 
     return kern
 
@@ -309,9 +363,20 @@ def _interleave_pairs_mm(pairs, F: int, half: int):
     ]
 
 
-def _chunk_scalars(dest0, counts, stride: int, rows_per_frame: int):
+def _chunk_scalars(dest0, counts, stride: int, rows_per_frame: int,
+                   extent: int):
     """Per-chunk window scalars (8-row = ALIGN-slot granularity: HBM
-    refs are (8,128)-tiled and dynamic row slices must be 8-aligned)."""
+    refs are (8,128)-tiled and dynamic row slices must be 8-aligned).
+
+    ``shbits`` (round 7): per-chunk shift-pass count for the kernel's
+    work predication. A valid element's shift is ``ALIGN + p - dest -
+    delta`` and ``p - dest`` counts the invalid slots before it in the
+    chunk, so ``bound = ALIGN - delta + (extent - live)`` dominates
+    every shift; passes at bit >= bit_length(bound) are no-ops. An
+    empty chunk (live = 0, e.g. bucket padding) gets shbits = 0 and
+    the kernel skips its body entirely (the pending block is preserved
+    by construction). ``extent`` is the chunk's SLOT capacity (the
+    stride is in pixels on the narrow path)."""
     base = dest0[:, ::stride]  # (F, K) valid count before the chunk
     delta = (base & (ALIGN - 1)).astype(jnp.int32)
     row0_blk = (
@@ -320,11 +385,37 @@ def _chunk_scalars(dest0, counts, stride: int, rows_per_frame: int):
         + (base >> _LOG_ALIGN)
     ).astype(jnp.int32)
     nxt = jnp.concatenate([base[:, 1:], counts[:, None]], axis=1)
-    pendrow = ((delta + (nxt - base)) >> _LOG_ALIGN).astype(jnp.int32)
-    return base, delta, row0_blk, pendrow
+    live = (nxt - base).astype(jnp.int32)
+    pendrow = ((delta + live) >> _LOG_ALIGN).astype(jnp.int32)
+    bound = ALIGN - delta + (extent - live)
+    shbits = jnp.where(live > 0, 32 - jax.lax.clz(bound), 0).astype(
+        jnp.int32
+    )
+    return base, delta, row0_blk, pendrow, shbits
 
 
-def _launch(key_b, op_blocks, dtypes, row0_blk, delta, pendrow,
+def _pred_policy() -> str:
+    """Kernel work-predication level (see _make_kernel): default
+    "skip" on TPU, "off" elsewhere; A/B knob TPU_VPCC_PRED=off|skip|bits.
+
+    Round-7 on-chip A/B (full production graph, extent 32768, 70%
+    density, interleaved): skip ~= off (0.451 vs 0.453 mean of 4) with
+    near-zero bucket padding, and skip provably does strictly less
+    work when dead padding chunks exist (quarter-pow2 buckets leave up
+    to ~25% dead groups), so skip is the default. "bits" is a MEASURED
+    NEGATIVE (+0.03: 0.483-0.511 vs 0.446-0.474 over 4 interleaved
+    pairs): routing ops through VMEM scratch between predicated passes
+    costs more than the ~2 passes the shift bound skips at realistic
+    density — revisit only if Mosaic grows value-carrying conditionals."""
+    import os
+
+    env = os.environ.get("TPU_VPCC_PRED")
+    if env in ("off", "skip", "bits"):
+        return env
+    return "skip" if jax.default_backend() == "tpu" else "off"
+
+
+def _launch(key_b, op_blocks, dtypes, row0_blk, delta, pendrow, shbits,
             F: int, K: int, Rh: int, rows_per_frame: int,
             merge: bool, interpret: bool):
     """Common pallas_call plumbing for both window layouts."""
@@ -332,21 +423,23 @@ def _launch(key_b, op_blocks, dtypes, row0_blk, delta, pendrow,
     W_rows = 2 * Rh + ALIGN_ROWS
     total_rows = F * rows_per_frame + W_rows  # slack for the last window
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(F * K,),
         in_specs=[
-            pl.BlockSpec((1, W_rows, LANES), lambda i, r, d, p: (i, 0, 0))
+            pl.BlockSpec((1, W_rows, LANES),
+                         lambda i, r, d, p, s: (i, 0, 0))
         ]
         * (1 + nops),
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * nops,
         scratch_shapes=(
             [pltpu.VMEM((ALIGN_ROWS, LANES), dt) for dt in dtypes]
             + [pltpu.VMEM((W_rows, LANES), dt) for dt in dtypes]
+            + [pltpu.VMEM((W_rows, LANES), jnp.int32)]
             + [pltpu.SemaphoreType.DMA((nops,))]
         ),
     )
     outs = pl.pallas_call(
-        _make_kernel(nops, Rh, merge=merge),
+        _make_kernel(nops, Rh, merge=merge, pred=_pred_policy()),
         out_shape=tuple(
             jax.ShapeDtypeStruct((total_rows, LANES), dt) for dt in dtypes
         ),
@@ -357,6 +450,7 @@ def _launch(key_b, op_blocks, dtypes, row0_blk, delta, pendrow,
         row0_blk.reshape(-1),
         delta.reshape(-1),
         pendrow.reshape(-1),
+        shbits.reshape(-1),
         key_b,
         *op_blocks,
     )
@@ -398,8 +492,8 @@ def shift_compact_full_order(ops_in, valid, F: int, S: int,
     incl = _dest_cumsum(v, F, S)
     dest0 = incl - v
     counts = incl[:, -1]
-    base, delta, row0_blk, pendrow = _chunk_scalars(
-        dest0, counts, extent, rows_per_frame
+    base, delta, row0_blk, pendrow, shbits = _chunk_scalars(
+        dest0, counts, extent, rows_per_frame, extent
     )
     base_b = jnp.broadcast_to(
         base[:, :, None], (F, K, extent)
@@ -411,7 +505,7 @@ def shift_compact_full_order(ops_in, valid, F: int, S: int,
     outs = _launch(
         _blocks_full(key, F, K, Rh),
         [_blocks_full(o, F, K, Rh) for o in op_list], dtypes,
-        row0_blk, delta, pendrow, F, K, Rh, rows_per_frame,
+        row0_blk, delta, pendrow, shbits, F, K, Rh, rows_per_frame,
         merge=False, interpret=interpret,
     )
     return [o.reshape(F, S) for o in outs], counts.astype(jnp.int32)
@@ -449,8 +543,8 @@ def shift_compact_ops(w0, zs, wc, valid, F: int, S: int,
     incl = _dest_cumsum(s01, F, half)
     dest0 = incl - s01  # (F, half) exclusive: valids before this pixel
     counts = incl[:, -1]
-    base, delta, row0_blk, pendrow = _chunk_scalars(
-        dest0, counts, ch_half, rows_per_frame
+    base, delta, row0_blk, pendrow, shbits = _chunk_scalars(
+        dest0, counts, ch_half, rows_per_frame, extent
     )
 
     # chunk-local dest keys: (dest - base) << 1 | valid  — valid slots
@@ -513,7 +607,7 @@ def shift_compact_ops(w0, zs, wc, valid, F: int, S: int,
         outs = _launch(
             _blocks_full(key_i, F, K, Rh),
             [_blocks_full(o, F, K, Rh) for o in ops_i], dtypes,
-            row0_blk, delta, pendrow, F, K, Rh, rows_per_frame,
+            row0_blk, delta, pendrow, shbits, F, K, Rh, rows_per_frame,
             merge=False, interpret=interpret,
         )
         ops = [o.reshape(F, S) for o in outs]
@@ -540,7 +634,7 @@ def shift_compact_ops(w0, zs, wc, valid, F: int, S: int,
     op_blocks = [blocks(a0, a1) for a0, a1 in op_halves]
 
     outs = _launch(
-        key_b, op_blocks, dtypes, row0_blk, delta, pendrow,
+        key_b, op_blocks, dtypes, row0_blk, delta, pendrow, shbits,
         F, K, Rh, rows_per_frame, merge=True, interpret=interpret,
     )
     ops = [o.reshape(F, S) for o in outs]
