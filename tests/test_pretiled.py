@@ -801,6 +801,89 @@ def test_shift_compact_mxu_variants_bit_identical(monkeypatch):
         np.asarray(c_ref)[0][:n_ref], np.asarray(c_mm)[0][:n_ref])
 
 
+@pytest.mark.parametrize("seed,res,prec,mc", [
+    (0, 8, 4, 2), (2, 8, 2, 1), (3, 16, 4, 2),
+])
+def test_bpack_gather_twin_bit_identical(seed, res, prec, mc):
+    """_pretiled_gather_megaraw_pack (gather raw rows, then upsample +
+    u32-pack at the bucket extent) returns tiles bit-identical to
+    _pretiled_gather_megarow (pack at the canvas extent, then gather):
+    per-tile ops commute with the row gather."""
+    from tpu_vpcc.ops.tiled import (
+        _pretiled_gather_megaraw_pack,
+        _pretiled_gather_megarow,
+    )
+
+    rng = np.random.default_rng(seed)
+    width = 128 if res == 16 else 64
+    sf = make_synthetic_frame(
+        rng, width=width, height=width, occupancy_resolution=res,
+        occupancy_precision=prec, map_count=mc, n_patches=4,
+    )
+    cfg = make_config(
+        width=width, height=width, occupancy_resolution=res,
+        occupancy_precision=prec, map_count=mc,
+    )
+    _, tiled = tiled_inputs(sf, res)
+    fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t = tiled
+    import jax.numpy as jnp
+
+    args = tuple(jnp.asarray(a) for a in tiled)
+    ref = _pretiled_gather_megarow(*args, cfg)
+    got = _pretiled_gather_megaraw_pack(*args, cfg)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bpack_dispatch_bit_identical(monkeypatch):
+    """Full-dispatch parity across the bpack knob, including a SWAP
+    orientation (the post-gather transpose runs on bpack tiles too)."""
+    from dataclasses import replace as dreplace
+
+    from tpu_vpcc.atlas.patches import Patch
+    from tpu_vpcc.v3c.syntax import PatchOrientation
+
+    p0 = Patch(uv0=(0, 0), size_uv0=(3, 2), uv1=(8, 16),
+               occupancy_resolution=8,
+               patch_orientation=PatchOrientation.SWAP)
+    p0.set_view_id(0)
+    p0.d1 = 50
+    p0.size_d = 255
+    p1 = Patch(uv0=(4, 3), size_uv0=(2, 2), uv1=(4, 4),
+               occupancy_resolution=8,
+               patch_orientation=PatchOrientation.ROT90)
+    p1.set_view_id(2)
+    p1.d1 = 10
+    p1.size_d = 255
+    rng = np.random.default_rng(17)
+    sf = make_synthetic_frame(
+        rng, width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2,
+        patches=[dreplace(p0), dreplace(p1)],
+    )
+    cfg = make_config(
+        width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2,
+    )
+    _, tiled = tiled_inputs(sf, 8)
+    scfg = dreplace(cfg, shift_compact=8192)
+    monkeypatch.setenv("TPU_VPCC_NO_BPACK", "1")
+    p_ref, c_ref, n_ref = reconstruct_batch_pretiled(*tiled, cfg=scfg)
+    monkeypatch.setenv("TPU_VPCC_BPACK", "1")
+    monkeypatch.delenv("TPU_VPCC_NO_BPACK")
+    # the env knob is read at TRACE time (see the MXU variants test)
+    import jax
+
+    jax.clear_caches()
+    p_bp, c_bp, n_bp = reconstruct_batch_pretiled(*tiled, cfg=scfg)
+    n_ref, n_bp = int(n_ref[0]), int(n_bp[0])
+    assert n_ref == n_bp and n_ref > 0
+    np.testing.assert_array_equal(
+        np.asarray(p_ref)[0][:n_ref], np.asarray(p_bp)[0][:n_ref])
+    np.testing.assert_array_equal(
+        np.asarray(c_ref)[0][:n_ref], np.asarray(c_bp)[0][:n_ref])
+
+
 def test_shift_compact_pack30_packed_out():
     """pack30 x shift_compact through the PACKED dispatch (2 operands)."""
     from dataclasses import replace

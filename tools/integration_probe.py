@@ -236,6 +236,10 @@ ENV_VARIANTS = {
     "proff": {"TPU_VPCC_PRED": "off"},
     "prskip": {"TPU_VPCC_PRED": "skip"},
     "prbits": {"TPU_VPCC_PRED": "bits"},
+    # round 7: bucket-extent gather-then-pack vs canvas-extent
+    # pack-then-gather (bit-exact twins; see _bpack_policy)
+    "bpack": {"TPU_VPCC_BPACK": "1"},
+    "nobp": {"TPU_VPCC_NO_BPACK": "1"},
 }
 
 # kernel lane-width variants: the shift_compact module constants are
@@ -260,6 +264,7 @@ _ENV_KEYS = (
     "TPU_VPCC_NO_MM_TR", "TPU_VPCC_NO_MM_CS",
     "TPU_VPCC_MM_TR", "TPU_VPCC_MM_CS",
     "TPU_VPCC_MM_IL", "TPU_VPCC_NO_MM_IL", "TPU_VPCC_PRED",
+    "TPU_VPCC_BPACK", "TPU_VPCC_NO_BPACK",
 )
 
 

@@ -1188,6 +1188,109 @@ def _pretiled_gather_megaraw(fields_f, fid, occ_t, geo0_t, geo1_t, ay_t,
     return d0, d1, occ_bit, cy0, cy1, cu0, cu1, cv0, cv1
 
 
+def _bpack_policy() -> bool:
+    """Gather-then-pack (``_pretiled_gather_megaraw_pack``) vs
+    pack-then-gather (``_pretiled_gather_megarow``): MEASURED NEGATIVE
+    on-chip (+0.06-0.08 ms/frame over interleaved A/B pairs — bpack
+    0.515/0.537 vs 0.452/0.460; the 9-part raw concat + per-tile
+    upsample relayouts cost more than the canvas-extent pack they
+    replace, even at ~2x fewer touched blocks). Default OFF everywhere;
+    opt-in via TPU_VPCC_BPACK for re-measurement."""
+    import os
+
+    return bool(os.environ.get("TPU_VPCC_BPACK")) and not bool(
+        os.environ.get("TPU_VPCC_NO_BPACK")
+    )
+
+
+def _gather_tiles(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
+    """The production tile fetch: ONE mega-row gather, with the u32
+    pack before or after the gather per :func:`_bpack_policy` (the two
+    are bit-identical twins)."""
+    fn = (
+        _pretiled_gather_megaraw_pack if _bpack_policy()
+        else _pretiled_gather_megarow
+    )
+    return fn(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg)
+
+
+def _pretiled_gather_megaraw_pack(fields, occ_t, geo0_t, geo1_t, ay_t,
+                                  au_t, av_t, cfg):
+    """Bit-exact twin of :func:`_pretiled_gather_megarow` with the
+    upsample + u32 pack at the BUCKET extent instead of the canvas.
+
+    Hypothesis: the packed-plane path upsamples occupancy/chroma and
+    bit-packs ALL ``n_blocks`` canvas blocks before gathering the owned
+    rows; with the group axis bucketed to the live count that
+    preparation touches ~2x more blocks than the gather reads (the
+    round-7 integration probe ranked the pack the largest non-kernel
+    stage, ~0.14 ms/frame of ~0.455). Here the mega-row gather goes
+    straight at the decoder-emitted raw planes (one u16 row per group)
+    and the upsample/pack runs per GATHERED tile; per-tile ops commute
+    with the row gather, so (t_a, t_b, t_c) are bit-identical (pinned
+    by tests/test_pretiled.py). MEASURED NEGATIVE on-chip — see
+    :func:`_bpack_policy`; kept as a knob-gated variant for the
+    record."""
+    res = cfg.occupancy_resolution
+    T2 = res * res
+    rp = res // cfg.occupancy_precision
+    rc = res >> cfg.chroma_shift
+    P2 = rp * rp
+    C2 = rc * rc
+    Gc = fields.shape[1]
+    F = fields.shape[0]
+    FG = F * Gc
+    nb = cfg.block_h * cfg.block_w
+    mc = cfg.map_count
+    cup = 1 << cfg.chroma_shift
+    up = _upsample2d
+    u32 = lambda a: a.astype(jnp.uint32)  # noqa: E731
+
+    FN = F * nb
+    parts = [
+        occ_t.reshape(FN, P2).astype(jnp.uint16),
+        geo0_t.reshape(FN, T2),
+        ay_t[:, 0].reshape(FN, T2),
+        au_t[:, 0].reshape(FN, C2),
+        av_t[:, 0].reshape(FN, C2),
+    ]
+    if mc > 1:
+        parts += [
+            geo1_t.reshape(FN, T2),
+            ay_t[:, 1].reshape(FN, T2),
+            au_t[:, 1].reshape(FN, C2),
+            av_t[:, 1].reshape(FN, C2),
+        ]
+    cat = jnp.concatenate(parts, axis=1)
+    fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
+    f_of_g = jax.lax.broadcasted_iota(jnp.int32, (F, Gc), 0).reshape(FG)
+    rows = cat[f_of_g * nb + fields_f[:, G.G_BLOCKID]]
+
+    off = [0]
+    for p in parts:
+        off.append(off[-1] + p.shape[1])
+    cut = lambda k, n: rows[:, off[k] : off[k] + n * n].reshape(FG, n, n)  # noqa: E731,E501
+
+    occ_bit = u32(up(cut(0, rp), cfg.occupancy_precision) > 0)
+    g0 = u32(cut(1, res))
+    g1 = u32(cut(5, res)) if mc > 1 else g0
+    t_a = g0 | (g1 << 10) | (occ_bit << 20)
+    t_b = (
+        u32(cut(2, res))
+        | (u32(up(cut(3, rc), cup)) << 10)
+        | (u32(up(cut(4, rc), cup)) << 20)
+    )
+    if mc > 1:
+        t_c = (
+            u32(cut(6, res))
+            | (u32(up(cut(7, rc), cup)) << 10)
+            | (u32(up(cut(8, rc), cup)) << 20)
+        )
+    else:
+        t_c = t_b
+    return t_a, t_b, t_c
+
+
 def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg,
                         _packed_out=False):
     """Flat-batch reconstruction from block-tiled planes.
@@ -1331,7 +1434,7 @@ def _flat_pretiled_impl(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg,
     # one mega-row gather for the wide/smoothing tail too (round 4):
     # measured 3.8 ms/frame vs 7.4-8.1 for every other gather/emission
     # combination on the narrow path (see PERFORMANCE.md)
-    t_a, t_b, t_c = _pretiled_gather_megarow(
+    t_a, t_b, t_c = _gather_tiles(
         fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg
     )
     return _tiles_to_points(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg)
@@ -1356,7 +1459,7 @@ def _narrow_pipeline_words(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t,
         return _grids_to_words(
             fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=True
         )
-    t_a, t_b, t_c = _pretiled_gather_megarow(
+    t_a, t_b, t_c = _gather_tiles(
         fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg
     )
     return _tiles_to_words(
