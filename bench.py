@@ -401,8 +401,26 @@ def main() -> int:
         tile_plane(raw[6], res // 2),
     )
 
+    # HOST PACK (round 7, the production TPU default): the host emits
+    # the three u32 sample planes packed + concatenated (the native
+    # bridge can do this during its decode memcpy) and the device graph
+    # starts at the mega-row gather — exactly what the pipeline
+    # dispatches (runtime/pipeline._gof_device_inputs cat-mode).
+    from tpu_vpcc.ops.tiled import hostpack_policy, pack_planes_host
+
+    cat_mode = (
+        hostpack_policy()
+        and not fcfg.cell_groups
+        and not fcfg.raw_gather
+    )
+    if cat_mode:
+        cat = pack_planes_host(*host_inputs[1:], fcfg)
+        host_inputs = (host_inputs[0], cat, None, None, None, None, None)
+
     dev = jax.devices()[0]
-    inputs = [jax.device_put(a, dev) for a in host_inputs]
+    inputs = [
+        None if a is None else jax.device_put(a, dev) for a in host_inputs
+    ]
 
     # measure the PRODUCTION dispatch graph: the packed-output narrow
     # path (compacted sorted operands stay (F, S) lane-friendly; the
@@ -443,10 +461,13 @@ def main() -> int:
             # fusion, so overflow is prevented by bounding loop_n above.
             c = carry
             bump = jnp.where(c < 0, 1, 0)
+            # cat-mode: occ carries the packed cat — ALL three plane
+            # families ride it, so the one bump perturbs geometry,
+            # validity, and color alike (ay is None)
             out = _flat_pretiled_impl(
                 fields, occ + bump.astype(occ.dtype), geo0, geo1,
-                ay + bump.astype(ay.dtype), au, av, fcfg,
-                _packed_out=packed,
+                ay if ay is None else ay + bump.astype(ay.dtype),
+                au, av, fcfg, _packed_out=packed,
             )
             # consume every SORT OPERAND: cnt alone lets XLA dead-code
             # the compaction sort and the whole color path (round-3

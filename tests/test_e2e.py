@@ -89,6 +89,21 @@ def test_e2e_device_and_oracle_paths_agree(tmp_path):
         assert format_ply(a) == format_ply(b)
 
 
+def test_e2e_hostpack_matches_oracle(tmp_path, monkeypatch):
+    """Full decode with the host-side plane pack (the TPU production
+    default; opt-in on CPU): bit-identical to the oracle."""
+    monkeypatch.setenv("TPU_VPCC_HOSTPACK", "1")
+    frames, path = make_fixture(tmp_path, n_frames=2, seed=29)
+    expected = oracle_frames(frames)
+    decoder = Decoder(Params(path, use_device=True))
+    decoder.start()
+    decoded = list(decoder)
+    assert len(decoded) == len(expected)
+    for got, want in zip(decoded, expected):
+        np.testing.assert_array_equal(got.positions, want.positions)
+        np.testing.assert_array_equal(got.colors, want.colors)
+
+
 def test_e2e_decoder_on_mesh(tmp_path):
     """Production Decoder with a ('data','space') mesh: bit-identical
     output to the single-device path."""

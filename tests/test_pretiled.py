@@ -884,6 +884,107 @@ def test_bpack_dispatch_bit_identical(monkeypatch):
         np.asarray(c_ref)[0][:n_ref], np.asarray(c_bp)[0][:n_ref])
 
 
+@pytest.mark.parametrize("seed,res,prec,mc", [
+    (0, 8, 4, 2), (2, 8, 2, 1), (3, 16, 4, 2),
+])
+def test_pack_planes_host_matches_device(seed, res, prec, mc):
+    """The numpy host pack emits the exact cat the device pack+concat
+    produces (layout contract of the cat-mode dispatch)."""
+    import jax.numpy as jnp
+
+    from tpu_vpcc.ops.tiled import _pack_u32_planes, pack_planes_host
+
+    rng = np.random.default_rng(seed)
+    width = 128 if res == 16 else 64
+    sf = make_synthetic_frame(
+        rng, width=width, height=width, occupancy_resolution=res,
+        occupancy_precision=prec, map_count=mc, n_patches=4,
+    )
+    cfg = make_config(
+        width=width, height=width, occupancy_resolution=res,
+        occupancy_precision=prec, map_count=mc,
+    )
+    _, tiled = tiled_inputs(sf, res)
+    _, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t = tiled
+    host_cat = pack_planes_host(occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg)
+    planes = _pack_u32_planes(
+        *(jnp.asarray(a) for a in (occ_t, geo0_t, geo1_t, ay_t, au_t, av_t)),
+        cfg,
+    )
+    T2 = res * res
+    F, nb = occ_t.shape[0], occ_t.shape[1]
+    dev_cat = np.concatenate(
+        [np.asarray(p).reshape(F, nb, T2) for p in planes], axis=2
+    )
+    assert host_cat.shape == (F, nb, 3 * T2)
+    np.testing.assert_array_equal(host_cat, dev_cat)
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_hostpack_dispatch_bit_identical(packed):
+    """Cat-mode dispatch (fields, host-packed cat, None x 5) produces
+    the identical output to the plane dispatch, including SWAP/ROT90
+    orientations (the orientation fix runs on cat-gathered tiles)."""
+    from dataclasses import replace as dreplace
+
+    from tpu_vpcc.atlas.patches import Patch
+    from tpu_vpcc.ops.tiled import (
+        pack_planes_host,
+        reconstruct_batch_pretiled_packed,
+    )
+    from tpu_vpcc.v3c.syntax import PatchOrientation
+
+    p0 = Patch(uv0=(0, 0), size_uv0=(3, 2), uv1=(8, 16),
+               occupancy_resolution=8,
+               patch_orientation=PatchOrientation.SWAP)
+    p0.set_view_id(0)
+    p0.d1 = 50
+    p0.size_d = 255
+    p1 = Patch(uv0=(4, 3), size_uv0=(2, 2), uv1=(4, 4),
+               occupancy_resolution=8,
+               patch_orientation=PatchOrientation.ROT90)
+    p1.set_view_id(2)
+    p1.d1 = 10
+    p1.size_d = 255
+    rng = np.random.default_rng(23)
+    sf = make_synthetic_frame(
+        rng, width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2,
+        patches=[dreplace(p0), dreplace(p1)],
+    )
+    cfg = make_config(
+        width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2,
+    )
+    _, tiled = tiled_inputs(sf, 8)
+    fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t = tiled
+    cat = pack_planes_host(occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg)
+    scfg = dreplace(cfg, shift_compact=8192)
+    entry = reconstruct_batch_pretiled_packed if packed \
+        else reconstruct_batch_pretiled
+    for c in (cfg, scfg):
+        ref = entry(*tiled, cfg=c)
+        got = entry(fields, cat, None, None, None, None, None, cfg=c)
+        if packed:
+            ops_r, n_r = ref
+            ops_g, n_g = got
+            n_r, n_g = int(n_r[0]), int(n_g[0])
+            assert n_r == n_g and n_r > 0
+            for a, b in zip(ops_r, ops_g):
+                np.testing.assert_array_equal(
+                    np.asarray(a)[0][:n_r], np.asarray(b)[0][:n_r]
+                )
+        else:
+            p_r, c_r, n_r = ref
+            p_g, c_g, n_g = got
+            n_r, n_g = int(n_r[0]), int(n_g[0])
+            assert n_r == n_g and n_r > 0
+            np.testing.assert_array_equal(
+                np.asarray(p_r)[0][:n_r], np.asarray(p_g)[0][:n_r])
+            np.testing.assert_array_equal(
+                np.asarray(c_r)[0][:n_r], np.asarray(c_g)[0][:n_r])
+
+
 def test_shift_compact_pack30_packed_out():
     """pack30 x shift_compact through the PACKED dispatch (2 operands)."""
     from dataclasses import replace

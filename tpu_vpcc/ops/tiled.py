@@ -1206,12 +1206,98 @@ def _bpack_policy() -> bool:
 def _gather_tiles(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
     """The production tile fetch: ONE mega-row gather, with the u32
     pack before or after the gather per :func:`_bpack_policy` (the two
-    are bit-identical twins)."""
+    are bit-identical twins).
+
+    HOST-PACK mode (round 7, the production TPU default): when
+    ``geo0_t is None``, ``occ_t`` carries the pre-packed concatenated
+    planes (``(F, nb, 3*T2)`` u32 from :func:`pack_planes_host` — the
+    host emits them next to the tiled layout it already produces) and
+    the device graph starts at the row gather: the canvas-extent pack
+    (0.125 ms/frame, the largest non-kernel stage on the merge-free
+    graph) leaves the device entirely for ~1.2x H2D bytes. On-chip
+    interleaved A/B: -0.058/-0.059/-0.090/-0.043 ms/frame over four
+    pairs (tools/integration_probe.py hostpack variant)."""
+    if geo0_t is None:
+        res = cfg.occupancy_resolution
+        T2 = res * res
+        Gc = fields.shape[1]
+        F = fields.shape[0]
+        FG = F * Gc
+        nb = occ_t.shape[1]
+        fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
+        f_of_g = jax.lax.broadcasted_iota(jnp.int32, (F, Gc), 0).reshape(FG)
+        rows = occ_t.reshape(F * nb, 3 * T2)[
+            f_of_g * nb + fields_f[:, G.G_BLOCKID]
+        ]
+        return (
+            rows[:, :T2].reshape(FG, res, res),
+            rows[:, T2 : 2 * T2].reshape(FG, res, res),
+            rows[:, 2 * T2 :].reshape(FG, res, res),
+        )
     fn = (
         _pretiled_gather_megaraw_pack if _bpack_policy()
         else _pretiled_gather_megarow
     )
     return fn(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg)
+
+
+def hostpack_policy() -> bool:
+    """Host-side plane pack (``pack_planes_host`` + the cat-mode
+    dispatch): default ON for the TPU backend — the device graph drops
+    its largest non-kernel stage (see :func:`_gather_tiles`) for ~1.2x
+    H2D bytes (12 vs ~10 B/px; the tunnel stages either way, and on
+    real hosts the native bridge emits the packed layout during its
+    decode memcpy). Knobs TPU_VPCC_HOSTPACK / TPU_VPCC_NO_HOSTPACK."""
+    return _mxu_policy("TPU_VPCC_HOSTPACK", "TPU_VPCC_NO_HOSTPACK")
+
+
+def pack_planes_host(occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
+    """Host (numpy) twin of :func:`_pack_u32_planes` + row-wise concat:
+    returns the packed cat ``(F, nb, 3*res*res)`` u32 the cat-mode
+    dispatch gathers from (see :func:`_gather_tiles`).
+
+    Layout contract (bit-identical to the device pack, pinned by
+    tests/test_pretiled.py):
+
+      [:T2]    plane A: d0 | d1 << 10 | occ_bit << 20
+      [T2:2T2] plane B: y0 | u0 << 10 | v0 << 20
+      [2T2:]   plane C: y1 | u1 << 10 | v1 << 20  (== B when mc == 1)
+
+    In production the native video bridge can emit this layout during
+    its decode memcpy; this numpy form is the portable fallback the
+    pipeline uses (cost rides host_prepare, overlapped with the
+    previous GOF's device work)."""
+    import numpy as np
+
+    mc = cfg.map_count
+    T2 = cfg.occupancy_resolution * cfg.occupancy_resolution
+    F, nb = occ_t.shape[0], occ_t.shape[1]
+
+    def up(t, f):
+        return t if f == 1 else t.repeat(f, axis=-2).repeat(f, axis=-1)
+
+    occ_bit = (up(occ_t, cfg.occupancy_precision) > 0).astype(np.uint32)
+    d0 = geo0_t.astype(np.uint32)
+    d1 = geo1_t.astype(np.uint32) if mc > 1 else d0
+    plane_a = d0 | (d1 << 10) | (occ_bit << 20)
+
+    cup = 1 << cfg.chroma_shift
+
+    def color(m):
+        return (
+            ay_t[:, m].astype(np.uint32)
+            | (up(au_t[:, m], cup).astype(np.uint32) << 10)
+            | (up(av_t[:, m], cup).astype(np.uint32) << 20)
+        )
+
+    plane_b = color(0)
+    plane_c = color(1) if mc > 1 else plane_b
+    return np.ascontiguousarray(
+        np.concatenate(
+            [p.reshape(F, nb, T2) for p in (plane_a, plane_b, plane_c)],
+            axis=2,
+        )
+    )
 
 
 def _pretiled_gather_megaraw_pack(fields, occ_t, geo0_t, geo1_t, ay_t,
@@ -1453,6 +1539,7 @@ def _narrow_pipeline_words(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t,
     fid = lambda idx: fields_f[:, idx]  # noqa: E731
     if cfg.raw_gather or cfg.cell_groups:
         assert not _patch_order  # shift-compact dispatch gates these off
+        assert geo0_t is not None  # host gates cat-mode off these paths
         grids = _pretiled_gather_raw(
             fields_f, fid, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg, F
         )

@@ -53,7 +53,10 @@ def _concat_inputs(dis: List[DeviceInputs]) -> DeviceInputs:
     if len(dis) == 1:
         return dis[0]
     arrays = tuple(
-        np.concatenate([di.arrays[i] for di in dis]) for i in range(7)
+        None
+        if dis[0].arrays[i] is None  # host-pack cat-mode: (fields, cat,
+        else np.concatenate([di.arrays[i] for di in dis])  # None x 5)
+        for i in range(7)
     )
     return DeviceInputs(
         cfg=dis[0].cfg,
@@ -73,7 +76,9 @@ def _dispatch_chunked(di: DeviceInputs, mesh=None):
         sub = DeviceInputs(
             cfg=di.cfg,
             use_tiled=di.use_tiled,
-            arrays=tuple(a[i : i + chunk] for a in di.arrays),
+            arrays=tuple(
+                None if a is None else a[i : i + chunk] for a in di.arrays
+            ),
             n_frames=min(chunk, di.n_frames - i),
             color_mode=di.color_mode,
         )
@@ -150,6 +155,7 @@ def decode_streams_batched(
                 items.append((state, gof, _gof_device_inputs(
                     gof,
                     space_multiple=mesh.shape["space"] if mesh is not None else 1,
+                    allow_hostpack=mesh is None,
                 )))
                 pending.add(pool.submit(prep, state))
 

@@ -845,7 +845,7 @@ def _group_capacity(cfg) -> int:
 
 def _gof_device_inputs(
     gof: GofData, metas=None, space_multiple: int = 1,
-    prebuilt=None, g_bucket: int = None,
+    prebuilt=None, g_bucket: int = None, allow_hostpack: bool = True,
 ) -> DeviceInputs:
     """Build the device input arrays for (a chunk of) a GOF's frames.
 
@@ -859,7 +859,12 @@ def _gof_device_inputs(
     let the GOF driver share tables and pin ONE bucket across its
     chunks, so chunking never multiplies compile variants."""
     from ..atlas.groups import bucket_group_count
-    from ..ops.tiled import tile_plane, tiled_supported, untile_plane
+    from ..ops.tiled import (
+        hostpack_policy,
+        tile_plane,
+        tiled_supported,
+        untile_plane,
+    )
 
     from ..atlas.groups import N_GROUP_FIELDS
 
@@ -972,10 +977,32 @@ def _gof_device_inputs(
         if use_tiled:
             occ = tile_plane(occ, kt // cfg.occupancy_precision)
 
+    arrays = (fields, occ, geo0, geo1, ay, au, av)
+    if (
+        use_tiled
+        and not cfg.cell_groups
+        and not cfg.raw_gather
+        # mesh dispatches shard the raw planes (pack on device) — the
+        # callers pass allow_hostpack=False whenever a mesh is in play
+        and allow_hostpack
+        and space_multiple <= 1
+        and hostpack_policy()
+    ):
+        # HOST PACK (round 7): emit the three u32 sample planes packed
+        # and concatenated on the host — the device graph starts at the
+        # mega-row gather, dropping its largest non-kernel stage
+        # (~-0.06 ms/frame on-chip) for ~1.2x H2D bytes. The numpy
+        # pack rides host_prepare (overlapped with the previous GOF's
+        # device work); the native bridge can emit this layout directly
+        # on real hosts. Cat-mode dispatch: (fields, cat, None x5).
+        from ..ops.tiled import pack_planes_host
+
+        cat = pack_planes_host(occ, geo0, geo1, ay, au, av, cfg)
+        arrays = (fields, cat, None, None, None, None, None)
     return DeviceInputs(
         cfg=cfg,
         use_tiled=use_tiled,
-        arrays=(fields, occ, geo0, geo1, ay, au, av),
+        arrays=arrays,
         n_frames=len(metas),
         color_mode=_gof_color_mode(gof),
     )
@@ -1162,7 +1189,10 @@ def _dispatch_device(di: DeviceInputs, mesh=None, stats=None):
             sub = DeviceInputs(
                 cfg=di.cfg,
                 use_tiled=di.use_tiled,
-                arrays=tuple(a[i : i + DEVICE_BATCH] for a in di.arrays),
+                arrays=tuple(
+                    None if a is None else a[i : i + DEVICE_BATCH]
+                    for a in di.arrays
+                ),
                 n_frames=min(DEVICE_BATCH, di.n_frames - i),
                 color_mode=color_mode,
             )
@@ -1259,6 +1289,7 @@ def _reconstruct_gof_device(gof: GofData, mesh=None, stats=None) -> Iterator[Poi
             gof.metas[i : i + chunk],
             prebuilt=(cfg, tables[i : i + chunk]),
             g_bucket=g_bucket,
+            allow_hostpack=mesh is None,
         )
         for pos, col in _dispatch_device(di, mesh=mesh, stats=stats):
             yield _emit_pointset(pos, col, gof)
