@@ -985,6 +985,46 @@ def test_hostpack_dispatch_bit_identical(packed):
                 np.asarray(c_r)[0][:n_r], np.asarray(c_g)[0][:n_r])
 
 
+@pytest.mark.parametrize("occ_dt,attr_dt,mc,prec", [
+    ("uint8", "uint16", 2, 4),
+    ("uint8", "uint8", 1, 2),
+    ("uint16", "uint16", 2, 2),
+])
+def test_native_pack_planes_matches_numpy(occ_dt, attr_dt, mc, prec):
+    """The C pack (video/native/pack_planes.cc) is bit-identical to the
+    numpy twin across the decoded-plane dtype combinations (u8 for
+    8-bit streams, u16 for 10-bit)."""
+    from tpu_vpcc.ops.tiled import pack_planes_host
+    from tpu_vpcc.video.codec import native_pack_planes
+
+    cfg = make_config(
+        width=256, height=256, occupancy_resolution=16,
+        occupancy_precision=prec, map_count=mc,
+    )
+    rng = np.random.default_rng(41)
+    F, nb, res = 2, 256, 16
+    rp, rc = res // prec, res >> cfg.chroma_shift
+    occ = rng.integers(0, 2, (F, nb, rp, rp), dtype=occ_dt)
+    geo0 = rng.integers(0, 1024, (F, nb, res, res), dtype=np.uint16)
+    geo1 = rng.integers(0, 1024, (F, nb, res, res), dtype=np.uint16)
+    hi = 256 if attr_dt == "uint8" else 1024
+    ay = rng.integers(0, hi, (F, mc, nb, res, res), dtype=attr_dt)
+    au = rng.integers(0, hi, (F, mc, nb, rc, rc), dtype=attr_dt)
+    av = rng.integers(0, hi, (F, mc, nb, rc, rc), dtype=attr_dt)
+    nat = native_pack_planes(occ, geo0, geo1, ay, au, av, cfg)
+    if nat is None:
+        pytest.skip("native bridge unavailable")
+    import tpu_vpcc.video.codec as VC
+
+    orig = VC.native_pack_planes
+    VC.native_pack_planes = lambda *a: None  # force the numpy body
+    try:
+        ref = pack_planes_host(occ, geo0, geo1, ay, au, av, cfg)
+    finally:
+        VC.native_pack_planes = orig
+    np.testing.assert_array_equal(nat, ref)
+
+
 def test_shift_compact_pack30_packed_out():
     """pack30 x shift_compact through the PACKED dispatch (2 operands)."""
     from dataclasses import replace

@@ -1263,11 +1263,22 @@ def pack_planes_host(occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
       [T2:2T2] plane B: y0 | u0 << 10 | v0 << 20
       [2T2:]   plane C: y1 | u1 << 10 | v1 << 20  (== B when mc == 1)
 
-    In production the native video bridge can emit this layout during
-    its decode memcpy; this numpy form is the portable fallback the
-    pipeline uses (cost rides host_prepare, overlapped with the
-    previous GOF's device work)."""
+    The C twin in the native bridge (``video/native/pack_planes.cc``,
+    ~10x this numpy form on one core) is tried first; numpy is the
+    portable fallback. Either way the cost rides host_prepare,
+    overlapped with the previous GOF's device work."""
     import numpy as np
+
+    try:
+        from ..video.codec import native_pack_planes
+
+        cat = native_pack_planes(
+            occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg
+        )
+        if cat is not None:
+            return cat
+    except Exception:  # pragma: no cover - defensive: numpy is exact
+        pass
 
     mc = cfg.map_count
     T2 = cfg.occupancy_resolution * cfg.occupancy_resolution

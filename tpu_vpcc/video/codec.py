@@ -44,8 +44,9 @@ def _load() -> ctypes.CDLL:
     with _lib_lock:
         if _lib is not None:
             return _lib
-        src = _NATIVE_DIR / "video_codec.cc"
-        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < src.stat().st_mtime:
+        srcs = [_NATIVE_DIR / "video_codec.cc", _NATIVE_DIR / "pack_planes.cc"]
+        newest = max(s.stat().st_mtime for s in srcs if s.exists())
+        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < newest:
             log.info("building native video codec bridge")
             _build_native()
         lib = ctypes.CDLL(str(_LIB_PATH))
@@ -109,8 +110,57 @@ def _load() -> ctypes.CDLL:
         lib.venc_error.argtypes = [ctypes.c_void_p]
         lib.venc_close.restype = None
         lib.venc_close.argtypes = [ctypes.c_void_p]
+
+        lib.vpp_pack_planes.restype = ctypes.c_int
+        lib.vpp_pack_planes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,                   # occ, es
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,  # geo0/1, es
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int,                                    # ay/au/av, es
+            ctypes.c_void_p,                                 # out
+            ctypes.c_int64, ctypes.c_int64,                  # F, nb
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
         _lib = lib
         return lib
+
+
+def native_pack_planes(occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
+    """Native host pack into the cat-mode dispatch layout (the C twin of
+    ``ops.tiled.pack_planes_host`` — ~10x the numpy form on one core).
+    Returns the (F, nb, 3*res*res) u32 cat, or None when the native
+    library is unavailable (caller falls back to numpy)."""
+    try:
+        lib = _load()
+    except Exception:  # no toolchain / libavcodec — numpy fallback
+        return None
+
+    res = cfg.occupancy_resolution
+    F, nb = occ_t.shape[0], occ_t.shape[1]
+
+    def prep(a):
+        a = np.ascontiguousarray(a)
+        assert a.dtype in (np.uint8, np.uint16), a.dtype
+        return a, a.dtype.itemsize
+
+    occ, occ_es = prep(occ_t)
+    geo0, geo_es = prep(geo0_t)
+    geo1, geo_es2 = prep(geo1_t)
+    ay, attr_es = prep(ay_t)
+    au, attr_es2 = prep(au_t)
+    av, attr_es3 = prep(av_t)
+    if geo_es2 != geo_es or attr_es2 != attr_es or attr_es3 != attr_es:
+        return None  # mixed element sizes within a family: numpy handles it
+    out = np.empty((F, nb, 3 * res * res), dtype=np.uint32)
+    rc = lib.vpp_pack_planes(
+        occ.ctypes.data, occ_es,
+        geo0.ctypes.data, geo1.ctypes.data, geo_es,
+        ay.ctypes.data, au.ctypes.data, av.ctypes.data, attr_es,
+        out.ctypes.data,
+        F, nb, res, cfg.occupancy_precision, cfg.chroma_shift,
+        cfg.map_count,
+    )
+    return out if rc == 0 else None
 
 
 @dataclass
