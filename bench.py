@@ -406,7 +406,12 @@ def main() -> int:
     # bridge can do this during its decode memcpy) and the device graph
     # starts at the mega-row gather — exactly what the pipeline
     # dispatches (runtime/pipeline._gof_device_inputs cat-mode).
-    from tpu_vpcc.ops.tiled import hostpack_policy, pack_planes_host
+    from tpu_vpcc.ops.tiled import (
+        hostorient_policy,
+        hostpack_policy,
+        orient_cat_host,
+        pack_planes_host,
+    )
 
     cat_mode = (
         hostpack_policy()
@@ -415,6 +420,11 @@ def main() -> int:
     )
     if cat_mode:
         cat = pack_planes_host(*host_inputs[1:], fcfg)
+        if hostorient_policy():
+            from dataclasses import replace as _dreplace
+
+            cat = orient_cat_host(cat, host_inputs[0], res)
+            fcfg = _dreplace(fcfg, host_oriented=True)
         host_inputs = (host_inputs[0], cat, None, None, None, None, None)
 
     dev = jax.devices()[0]

@@ -90,9 +90,11 @@ def test_e2e_device_and_oracle_paths_agree(tmp_path):
 
 
 def test_e2e_hostpack_matches_oracle(tmp_path, monkeypatch):
-    """Full decode with the host-side plane pack (the TPU production
-    default; opt-in on CPU): bit-identical to the oracle."""
+    """Full decode with the host-side plane pack + orientation fix (the
+    TPU production defaults; opt-in on CPU): bit-identical to the
+    oracle."""
     monkeypatch.setenv("TPU_VPCC_HOSTPACK", "1")
+    monkeypatch.setenv("TPU_VPCC_HOSTORIENT", "1")
     frames, path = make_fixture(tmp_path, n_frames=2, seed=29)
     expected = oracle_frames(frames)
     decoder = Decoder(Params(path, use_device=True))

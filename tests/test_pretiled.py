@@ -985,6 +985,74 @@ def test_hostpack_dispatch_bit_identical(packed):
                 np.asarray(c_r)[0][:n_r], np.asarray(c_g)[0][:n_r])
 
 
+@pytest.mark.parametrize("packed", [False, True])
+def test_hostorient_dispatch_bit_identical(packed):
+    """Host-oriented cat (SWAP blocks transposed on the host +
+    cfg.host_oriented, which drops the device transpose AND the narrow
+    iota swap) matches the plane dispatch, across the sort and
+    shift-compact compaction paths."""
+    from dataclasses import replace as dreplace
+
+    from tpu_vpcc.atlas.patches import Patch
+    from tpu_vpcc.ops.tiled import (
+        orient_cat_host,
+        pack_planes_host,
+        reconstruct_batch_pretiled_packed,
+    )
+    from tpu_vpcc.v3c.syntax import PatchOrientation
+
+    p0 = Patch(uv0=(0, 0), size_uv0=(3, 2), uv1=(8, 16),
+               occupancy_resolution=8,
+               patch_orientation=PatchOrientation.SWAP)
+    p0.set_view_id(0)
+    p0.d1 = 50
+    p0.size_d = 255
+    p1 = Patch(uv0=(4, 3), size_uv0=(2, 2), uv1=(4, 4),
+               occupancy_resolution=8,
+               patch_orientation=PatchOrientation.MROT90)
+    p1.set_view_id(2)
+    p1.d1 = 10
+    p1.size_d = 255
+    rng = np.random.default_rng(31)
+    sf = make_synthetic_frame(
+        rng, width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2,
+        patches=[dreplace(p0), dreplace(p1)],
+    )
+    cfg = make_config(
+        width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2,
+    )
+    _, tiled = tiled_inputs(sf, 8)
+    fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t = tiled
+    cat = pack_planes_host(occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg)
+    cat = orient_cat_host(cat, np.asarray(fields), 8)
+    entry = reconstruct_batch_pretiled_packed if packed \
+        else reconstruct_batch_pretiled
+    for c in (cfg, dreplace(cfg, shift_compact=8192)):
+        ref = entry(*tiled, cfg=c)
+        got = entry(
+            fields, cat, None, None, None, None, None,
+            cfg=dreplace(c, host_oriented=True),
+        )
+        if packed:
+            (ops_r, n_r), (ops_g, n_g) = ref, got
+            n_r, n_g = int(n_r[0]), int(n_g[0])
+            assert n_r == n_g and n_r > 0
+            for a, b in zip(ops_r, ops_g):
+                np.testing.assert_array_equal(
+                    np.asarray(a)[0][:n_r], np.asarray(b)[0][:n_r]
+                )
+        else:
+            (p_r, c_r, n_r), (p_g, c_g, n_g) = ref, got
+            n_r, n_g = int(n_r[0]), int(n_g[0])
+            assert n_r == n_g and n_r > 0
+            np.testing.assert_array_equal(
+                np.asarray(p_r)[0][:n_r], np.asarray(p_g)[0][:n_r])
+            np.testing.assert_array_equal(
+                np.asarray(c_r)[0][:n_r], np.asarray(c_g)[0][:n_r])
+
+
 @pytest.mark.parametrize("occ_dt,attr_dt,mc,prec", [
     ("uint8", "uint16", 2, 4),
     ("uint8", "uint8", 1, 2),

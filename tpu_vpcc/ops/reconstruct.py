@@ -65,6 +65,11 @@ class FrameConfig:
     # instead of owned blocks: group tile = occupancy_precision, no
     # device occupancy test, sort extent ~ the emitted point count.
     cell_groups: bool = False
+    # host-pack cat-mode only: the host already transposed SWAP-family
+    # blocks in the cat (tiled.orient_cat_host), so gathered tiles
+    # arrive in PATCH memory order and the device skips both the
+    # orientation-fix transpose and the narrow path's iota swap.
+    host_oriented: bool = False
     # narrow path: pack all three coordinates into one u32 (10 bits
     # each), shrinking the compaction sort's payload from 10 B to 8 B.
     # Only legal when the HOST has proven every axis value < 1024 for

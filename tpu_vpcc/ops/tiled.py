@@ -257,7 +257,13 @@ def _tiles_to_words(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg,
     # (its elementwise destination cumsum runs over the emission pixel
     # raster), so it transposes the three gathered tile batches like the
     # wide path — but at the bucketed extent, not the canvas.
-    if _fix_orientation and (not _narrow_emit or _patch_order):
+    # ``cfg.host_oriented``: the host already transposed SWAP blocks in
+    # the packed cat (orient_cat_host) — tiles arrive in patch order.
+    if (
+        _fix_orientation
+        and not cfg.host_oriented
+        and (not _narrow_emit or _patch_order)
+    ):
         if _mxu_policy("TPU_VPCC_MM_TR", "TPU_VPCC_NO_MM_TR"):
             t_a, t_b, t_c = _tile_transpose_mm(t_a, t_b, t_c, sw, res)
         else:
@@ -330,11 +336,12 @@ def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False,
     else:
         v1 = flat // tile
         u1 = flat - v1 * tile
-    if _narrow_emit and not _patch_order:
+    if _narrow_emit and not _patch_order and not cfg.host_oriented:
         # canvas memory order: a SWAP-family slot at memory (row, col)
         # is patch-space (u, v) = (row, col) — swap the iotas instead of
-        # transposing the data tiles. (_patch_order: the tiles were
-        # transposed at the gather, so plain iotas ARE patch coords.)
+        # transposing the data tiles. (_patch_order / host_oriented: the
+        # tiles were transposed at the gather / on the host, so plain
+        # iotas ARE patch coords.)
         u1, v1 = jnp.where(sw, v1, u1), jnp.where(sw, u1, v1)
 
     d1_patch = bcast(G.G_D1)
@@ -1309,6 +1316,38 @@ def pack_planes_host(occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
             axis=2,
         )
     )
+
+
+def hostorient_policy() -> bool:
+    """Host-side orientation fix (``orient_cat_host``): default ON for
+    the TPU backend when the host pack is active — SWAP-family blocks
+    are transposed once in the packed cat (each canvas block is owned
+    by at most one patch, so the per-block transpose is well-defined),
+    deleting the device's orientation-fix stage AND the narrow path's
+    iota swap (``cfg.host_oriented``). Knobs TPU_VPCC_HOSTORIENT /
+    TPU_VPCC_NO_HOSTORIENT."""
+    return _mxu_policy("TPU_VPCC_HOSTORIENT", "TPU_VPCC_NO_HOSTORIENT")
+
+
+def orient_cat_host(cat, fields, res: int):
+    """Transpose SWAP-family owned blocks IN PLACE in the packed cat
+    ``(F, nb, 3*res*res)`` (see :func:`pack_planes_host`), putting every
+    gathered tile in PATCH memory order. Legal because each canvas
+    block is owned by at most one patch per frame
+    (``atlas.groups.build_group_table``); bucket-padding table rows are
+    all-zero (G_VALID=0) and excluded by the mask."""
+    import numpy as np
+
+    T2 = res * res
+    for f in range(fields.shape[0]):
+        m = (fields[f, :, G.G_SWAP] == 1) & (fields[f, :, G.G_VALID] > 0)
+        blk = fields[f, m, G.G_BLOCKID]
+        if blk.size:
+            t = cat[f, blk].reshape(-1, 3, res, res)
+            cat[f, blk] = np.ascontiguousarray(t.swapaxes(2, 3)).reshape(
+                -1, 3 * T2
+            )
+    return cat
 
 
 def _pretiled_gather_megaraw_pack(fields, occ_t, geo0_t, geo1_t, ay_t,

@@ -991,13 +991,23 @@ def _gof_device_inputs(
         # HOST PACK (round 7): emit the three u32 sample planes packed
         # and concatenated on the host — the device graph starts at the
         # mega-row gather, dropping its largest non-kernel stage
-        # (~-0.06 ms/frame on-chip) for ~1.2x H2D bytes. The numpy
-        # pack rides host_prepare (overlapped with the previous GOF's
-        # device work); the native bridge can emit this layout directly
-        # on real hosts. Cat-mode dispatch: (fields, cat, None x5).
-        from ..ops.tiled import pack_planes_host
+        # (~-0.06 ms/frame on-chip) for ~1.2x H2D bytes. The native
+        # pack (pack_planes.cc; numpy fallback) rides host_prepare,
+        # overlapped with the previous GOF's device work. Cat-mode
+        # dispatch: (fields, cat, None x5).
+        from ..ops.tiled import (
+            hostorient_policy,
+            orient_cat_host,
+            pack_planes_host,
+        )
 
         cat = pack_planes_host(occ, geo0, geo1, ay, au, av, cfg)
+        if hostorient_policy():
+            # HOST ORIENTATION (round 7): transpose SWAP-family blocks
+            # once in the cat — the device drops its orientation-fix
+            # stage and the narrow iota swap (cfg.host_oriented)
+            cat = orient_cat_host(cat, fields, cfg.occupancy_resolution)
+            cfg = _replace(cfg, host_oriented=True)
         arrays = (fields, cat, None, None, None, None, None)
     return DeviceInputs(
         cfg=cfg,
