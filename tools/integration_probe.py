@@ -286,6 +286,7 @@ def apply_patch(p):
             "ttw": tiled._tiles_to_words,
             "pack": tiled._pack_u32_planes,
             "mega": tiled._pretiled_gather_megarow,
+            "gt": tiled._gather_tiles,
             "sco": SC.shift_compact_ops,
             "mmtr": tiled._tile_transpose_mm,
             "csum": SC._dest_cumsum,
@@ -295,6 +296,7 @@ def apply_patch(p):
     tiled._tiles_to_words = p.get("ttw", o["ttw"])
     tiled._pack_u32_planes = p.get("pack", o["pack"])
     tiled._pretiled_gather_megarow = p.get("mega", o["mega"])
+    tiled._gather_tiles = p.get("gt", o["gt"])
     tiled._tile_transpose_mm = p.get("mmtr", o["mmtr"])
     SC._dest_cumsum = p.get("csum", o["csum"])
     SC._launch = p.get("launch", o["launch"])
@@ -316,6 +318,10 @@ def main():
                     help="byte-compare env-variant dispatch outputs")
     ap.add_argument("--extent", type=int, default=0,
                     help="override the shift-compact chunk extent")
+    ap.add_argument("--planes", action="store_true",
+                    help="stage raw tiled planes (pre-round-7 graph) "
+                    "instead of the production host-packed cat; required "
+                    "for the legacy pack/gather variants")
     args = ap.parse_args()
 
     if args.cpu:
@@ -350,24 +356,88 @@ def main():
         tile_plane(raw[5], res // 2),
         tile_plane(raw[6], res // 2),
     )
-    dev = jax.devices()[0]
-    inputs = [jax.device_put(a, dev) for a in host_inputs]
     S_cap = g_bucket * fcfg.slots_per_group
     assert narrow_emit_ok(fcfg, args.batch, S_cap)
     assert fcfg.shift_compact, "probe requires the shift-compact policy"
-    if args.extent:
-        from dataclasses import replace as _dreplace
+    from dataclasses import replace as _dreplace
 
+    if args.extent:
         from tpu_vpcc.ops.shift_compact import shift_supported
 
         assert shift_supported(S_cap, args.extent), (S_cap, args.extent)
         fcfg = _dreplace(fcfg, shift_compact=args.extent)
+    cat_mode = not args.planes
+    if cat_mode:
+        # PRODUCTION staging (round 7): host pack + host orientation —
+        # the device graph starts at the mega-row gather (cat-mode
+        # dispatch, see runtime/pipeline._gof_device_inputs)
+        from tpu_vpcc.ops.tiled import orient_cat_host, pack_planes_host
+
+        legacy = {"nopack", "noup", "notr", "g3", "hostpack", "dualhost",
+                  "bpack", "nobp"}
+        bad = legacy & set(args.variants.split(","))
+        assert not bad, f"variants {bad} need --planes (pre-round-7 graph)"
+        cat = pack_planes_host(*host_inputs[1:], fcfg)
+        cat = orient_cat_host(cat, host_inputs[0], res)
+        fcfg = _dreplace(fcfg, host_oriented=True)
+        host_inputs = (host_inputs[0], cat, None, None, None, None, None)
+    dev = jax.devices()[0]
+    inputs = [
+        None if a is None else jax.device_put(a, dev) for a in host_inputs
+    ]
     print(
         f"batch={args.batch} g_bucket={g_bucket} live={n_live} "
-        f"S={S_cap} extent={fcfg.shift_compact} pack30={fcfg.pack30}"
+        f"S={S_cap} extent={fcfg.shift_compact} pack30={fcfg.pack30} "
+        f"cat_mode={cat_mode}"
     )
 
     patches = build_patches()
+
+    if cat_mode:
+        import jax.numpy as jnp
+
+        def fake_gt_cat(fields, occ_t, *rest):
+            # same-shape tile fetch WITHOUT the row gather: a static
+            # slice of the cat (cost probe only — wrong groups)
+            cfg_ = rest[-1]
+            r = cfg_.occupancy_resolution
+            T2 = r * r
+            Gc = fields.shape[1]
+            F = fields.shape[0]
+            FG = F * Gc
+            rows = jax.lax.dynamic_slice_in_dim(
+                occ_t.reshape(-1, 3 * T2), 0, FG, 0
+            )
+            return (
+                rows[:, :T2].reshape(FG, r, r),
+                rows[:, T2 : 2 * T2].reshape(FG, r, r),
+                rows[:, 2 * T2 :].reshape(FG, r, r),
+            )
+
+        def fake_ttw_cheap(fields_f, fid, t_a, t_b, t_c, F, FG, S, cfg_,
+                           **kw):
+            # same-shape words WITHOUT the per-slot compute: reshape the
+            # gathered tiles (consumes all three; values wrong). The
+            # downstream cumsum/kernel run on ~bit-0 density.
+            h = S // 2
+            u32 = lambda a: a.astype(jnp.uint32)  # noqa: E731
+            fa = u32(t_a).reshape(F, h)
+            fb = u32(t_b).reshape(F, h)
+            fc = u32(t_c).reshape(F, h)
+            w0 = jnp.concatenate([fa, fb], axis=1)
+            wc = jnp.concatenate([fb, fc], axis=1)
+            valid = jnp.concatenate(
+                [(fa & 1) == 1, (fc & 1) == 1], axis=1
+            )
+            emi = jax.lax.broadcasted_iota(jnp.int32, (F, S), 1)
+            zs = (
+                None if cfg_.pack30
+                else jnp.concatenate([fa, fb], axis=1).astype(jnp.uint16)
+            )
+            return w0, zs, wc, valid, emi
+
+        patches["nogather"] = {"gt": fake_gt_cat}
+        patches["nowords"] = {"ttw": fake_ttw_cheap}
 
     if "hostpack" in args.variants:
         # HYPOTHESIS variant (round 7): the host (or an untimed pass)
@@ -514,8 +584,8 @@ def main():
                 bump = jnp.where(c < 0, 1, 0)
                 ops, cnt = tiled._flat_pretiled_impl(
                     fields, occ + bump.astype(occ.dtype), geo0, geo1,
-                    ay + bump.astype(ay.dtype), au, av, fcfg,
-                    _packed_out=True,
+                    ay if ay is None else ay + bump.astype(ay.dtype),
+                    au, av, fcfg, _packed_out=True,
                 )
                 probe = sum(o[0, 0].astype(jnp.int32) for o in ops)
                 return c + cnt.sum() + probe
