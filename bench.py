@@ -406,12 +406,7 @@ def main() -> int:
     # bridge can do this during its decode memcpy) and the device graph
     # starts at the mega-row gather — exactly what the pipeline
     # dispatches (runtime/pipeline._gof_device_inputs cat-mode).
-    from tpu_vpcc.ops.tiled import (
-        hostorient_policy,
-        hostpack_policy,
-        orient_cat_host,
-        pack_planes_host,
-    )
+    from tpu_vpcc.ops.tiled import hostpack_policy, stage_cat_inputs
 
     cat_mode = (
         hostpack_policy()
@@ -419,13 +414,7 @@ def main() -> int:
         and not fcfg.raw_gather
     )
     if cat_mode:
-        cat = pack_planes_host(*host_inputs[1:], fcfg)
-        if hostorient_policy():
-            from dataclasses import replace as _dreplace
-
-            cat = orient_cat_host(cat, host_inputs[0], res)
-            fcfg = _dreplace(fcfg, host_oriented=True)
-        host_inputs = (host_inputs[0], cat, None, None, None, None, None)
+        host_inputs, fcfg = stage_cat_inputs(*host_inputs, fcfg)
 
     dev = jax.devices()[0]
     inputs = [

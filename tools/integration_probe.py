@@ -308,7 +308,7 @@ def apply_patch(p):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--variants", default="full,notr,nocs,noker,nopack,nogather"
+        "--variants", default="full,noker,nocs,nogather,nowords"
     )
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--k", type=int, default=9)
@@ -368,19 +368,17 @@ def main():
         fcfg = _dreplace(fcfg, shift_compact=args.extent)
     cat_mode = not args.planes
     if cat_mode:
-        # PRODUCTION staging (round 7): host pack + host orientation —
-        # the device graph starts at the mega-row gather (cat-mode
-        # dispatch, see runtime/pipeline._gof_device_inputs)
-        from tpu_vpcc.ops.tiled import orient_cat_host, pack_planes_host
+        # PRODUCTION staging (round 7): the shared helper keeps the
+        # probe's staged graph in lockstep with the pipeline and bench
+        # (host pack + host orientation per the env policies; the
+        # device graph starts at the mega-row gather)
+        from tpu_vpcc.ops.tiled import stage_cat_inputs
 
         legacy = {"nopack", "noup", "notr", "g3", "hostpack", "dualhost",
                   "bpack", "nobp"}
         bad = legacy & set(args.variants.split(","))
         assert not bad, f"variants {bad} need --planes (pre-round-7 graph)"
-        cat = pack_planes_host(*host_inputs[1:], fcfg)
-        cat = orient_cat_host(cat, host_inputs[0], res)
-        fcfg = _dreplace(fcfg, host_oriented=True)
-        host_inputs = (host_inputs[0], cat, None, None, None, None, None)
+        host_inputs, fcfg = stage_cat_inputs(*host_inputs, fcfg)
     dev = jax.devices()[0]
     inputs = [
         None if a is None else jax.device_put(a, dev) for a in host_inputs

@@ -1144,41 +1144,16 @@ def _pretiled_gather_megaraw(fields_f, fid, occ_t, geo0_t, geo1_t, ay_t,
     copy); unpack + upsample happen per gathered tile (bucket-sized).
     Returns the slot grids of :func:`_grids_to_words`."""
     res = cfg.occupancy_resolution
-    T2 = res * res
     rp = res // cfg.occupancy_precision
     rc = res >> cfg.chroma_shift
-    P2 = rp * rp
-    C2 = rc * rc
-    nb = cfg.block_h * cfg.block_w
     mc = cfg.map_count
     cup = 1 << cfg.chroma_shift
-    FG = fields_f.shape[0]
     up = _upsample2d
     i32 = lambda a: a.astype(jnp.int32)  # noqa: E731
 
-    FN = F * nb
-    parts = [
-        occ_t.reshape(FN, P2).astype(jnp.uint16),
-        geo0_t.reshape(FN, T2),
-        ay_t[:, 0].reshape(FN, T2),
-        au_t[:, 0].reshape(FN, C2),
-        av_t[:, 0].reshape(FN, C2),
-    ]
-    if mc > 1:
-        parts += [
-            geo1_t.reshape(FN, T2),
-            ay_t[:, 1].reshape(FN, T2),
-            au_t[:, 1].reshape(FN, C2),
-            av_t[:, 1].reshape(FN, C2),
-        ]
-    cat = jnp.concatenate(parts, axis=1)
-    f_of_g = jax.lax.broadcasted_iota(jnp.int32, (F, FG // F), 0).reshape(FG)
-    rows = cat[f_of_g * nb + fid(G.G_BLOCKID)]
-
-    off = [0]
-    for p in parts:
-        off.append(off[-1] + p.shape[1])
-    cut = lambda k, n: rows[:, off[k] : off[k] + n * n].reshape(FG, n, n)  # noqa: E731,E501
+    cut = _megaraw_row_cut(
+        fields_f, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg, F
+    )
 
     occ_bit = i32(up(cut(0, rp), cfg.occupancy_precision) > 0)
     d0 = i32(cut(1, res)) >> cfg.geo_shift
@@ -1350,6 +1325,69 @@ def orient_cat_host(cat, fields, res: int):
     return cat
 
 
+def stage_cat_inputs(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
+    """The ONE host staging routine for the cat-mode dispatch — used by
+    the pipeline, bench.py, and tools/integration_probe.py so the
+    staged graph never drifts between them. Packs the tiled planes into
+    the cat (:func:`pack_planes_host`), applies the host orientation
+    fix per :func:`hostorient_policy`, and returns
+    ``((fields, cat, None x5), cfg)`` with ``cfg.host_oriented`` set
+    when the orientation moved to the host. Callers gate on
+    :func:`hostpack_policy` and their own mesh/cell/raw conditions."""
+    from dataclasses import replace
+
+    import numpy as np
+
+    cat = pack_planes_host(occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg)
+    if hostorient_policy():
+        cat = orient_cat_host(
+            cat, np.asarray(fields), cfg.occupancy_resolution
+        )
+        cfg = replace(cfg, host_oriented=True)
+    return (fields, cat, None, None, None, None, None), cfg
+
+
+def _megaraw_row_cut(fields_f, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t,
+                     cfg, F):
+    """Shared scaffold of the raw-plane mega-row gather: concatenate
+    the decoder-emitted raw planes row-wise, gather each owned group's
+    row, and return a ``cut(k, n)`` accessor over the gathered parts
+    (part order: occ, geo0, ay0, au0, av0[, geo1, ay1, au1, av1])."""
+    res = cfg.occupancy_resolution
+    T2 = res * res
+    rp = res // cfg.occupancy_precision
+    rc = res >> cfg.chroma_shift
+    P2 = rp * rp
+    C2 = rc * rc
+    nb = cfg.block_h * cfg.block_w
+    mc = cfg.map_count
+    FG = fields_f.shape[0]
+
+    FN = F * nb
+    parts = [
+        occ_t.reshape(FN, P2).astype(jnp.uint16),
+        geo0_t.reshape(FN, T2),
+        ay_t[:, 0].reshape(FN, T2),
+        au_t[:, 0].reshape(FN, C2),
+        av_t[:, 0].reshape(FN, C2),
+    ]
+    if mc > 1:
+        parts += [
+            geo1_t.reshape(FN, T2),
+            ay_t[:, 1].reshape(FN, T2),
+            au_t[:, 1].reshape(FN, C2),
+            av_t[:, 1].reshape(FN, C2),
+        ]
+    cat = jnp.concatenate(parts, axis=1)
+    f_of_g = jax.lax.broadcasted_iota(jnp.int32, (F, FG // F), 0).reshape(FG)
+    rows = cat[f_of_g * nb + fields_f[:, G.G_BLOCKID]]
+
+    off = [0]
+    for p in parts:
+        off.append(off[-1] + p.shape[1])
+    return lambda k, n: rows[:, off[k] : off[k] + n * n].reshape(FG, n, n)
+
+
 def _pretiled_gather_megaraw_pack(fields, occ_t, geo0_t, geo1_t, ay_t,
                                   au_t, av_t, cfg):
     """Bit-exact twin of :func:`_pretiled_gather_megarow` with the
@@ -1368,44 +1406,19 @@ def _pretiled_gather_megaraw_pack(fields, occ_t, geo0_t, geo1_t, ay_t,
     :func:`_bpack_policy`; kept as a knob-gated variant for the
     record."""
     res = cfg.occupancy_resolution
-    T2 = res * res
     rp = res // cfg.occupancy_precision
     rc = res >> cfg.chroma_shift
-    P2 = rp * rp
-    C2 = rc * rc
-    Gc = fields.shape[1]
     F = fields.shape[0]
-    FG = F * Gc
-    nb = cfg.block_h * cfg.block_w
+    FG = F * fields.shape[1]
     mc = cfg.map_count
     cup = 1 << cfg.chroma_shift
     up = _upsample2d
     u32 = lambda a: a.astype(jnp.uint32)  # noqa: E731
 
-    FN = F * nb
-    parts = [
-        occ_t.reshape(FN, P2).astype(jnp.uint16),
-        geo0_t.reshape(FN, T2),
-        ay_t[:, 0].reshape(FN, T2),
-        au_t[:, 0].reshape(FN, C2),
-        av_t[:, 0].reshape(FN, C2),
-    ]
-    if mc > 1:
-        parts += [
-            geo1_t.reshape(FN, T2),
-            ay_t[:, 1].reshape(FN, T2),
-            au_t[:, 1].reshape(FN, C2),
-            av_t[:, 1].reshape(FN, C2),
-        ]
-    cat = jnp.concatenate(parts, axis=1)
     fields_f = fields.reshape(FG, G.N_GROUP_FIELDS)
-    f_of_g = jax.lax.broadcasted_iota(jnp.int32, (F, Gc), 0).reshape(FG)
-    rows = cat[f_of_g * nb + fields_f[:, G.G_BLOCKID]]
-
-    off = [0]
-    for p in parts:
-        off.append(off[-1] + p.shape[1])
-    cut = lambda k, n: rows[:, off[k] : off[k] + n * n].reshape(FG, n, n)  # noqa: E731,E501
+    cut = _megaraw_row_cut(
+        fields_f, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg, F
+    )
 
     occ_bit = u32(up(cut(0, rp), cfg.occupancy_precision) > 0)
     g0 = u32(cut(1, res))

@@ -988,27 +988,19 @@ def _gof_device_inputs(
         and space_multiple <= 1
         and hostpack_policy()
     ):
-        # HOST PACK (round 7): emit the three u32 sample planes packed
-        # and concatenated on the host — the device graph starts at the
-        # mega-row gather, dropping its largest non-kernel stage
-        # (~-0.06 ms/frame on-chip) for ~1.2x H2D bytes. The native
-        # pack (pack_planes.cc; numpy fallback) rides host_prepare,
-        # overlapped with the previous GOF's device work. Cat-mode
-        # dispatch: (fields, cat, None x5).
-        from ..ops.tiled import (
-            hostorient_policy,
-            orient_cat_host,
-            pack_planes_host,
-        )
+        # HOST PACK + HOST ORIENTATION (round 7): emit the three u32
+        # sample planes packed + concatenated on the host with
+        # SWAP-family blocks pre-transposed — the device graph starts
+        # at the mega-row gather, dropping its largest non-kernel
+        # stage AND the orientation fix (~-0.12-0.16 ms/frame on-chip)
+        # for ~1.2x H2D bytes. The native pack (pack_planes.cc; numpy
+        # fallback) rides host_prepare, overlapped with the previous
+        # GOF's device work. Cat-mode dispatch: (fields, cat, None x5).
+        from ..ops.tiled import stage_cat_inputs
 
-        cat = pack_planes_host(occ, geo0, geo1, ay, au, av, cfg)
-        if hostorient_policy():
-            # HOST ORIENTATION (round 7): transpose SWAP-family blocks
-            # once in the cat — the device drops its orientation-fix
-            # stage and the narrow iota swap (cfg.host_oriented)
-            cat = orient_cat_host(cat, fields, cfg.occupancy_resolution)
-            cfg = _replace(cfg, host_oriented=True)
-        arrays = (fields, cat, None, None, None, None, None)
+        arrays, cfg = stage_cat_inputs(
+            fields, occ, geo0, geo1, ay, au, av, cfg
+        )
     return DeviceInputs(
         cfg=cfg,
         use_tiled=use_tiled,
