@@ -533,13 +533,14 @@ def decode_gof_frames(context: Context, params: Params) -> Iterator[PointSet3]:
         yield from _reconstruct_gof_oracle(gof)
 
 
-# frames per device dispatch. Honest round-4 sweep (megarow kernel,
-# bucketed, official harness): B=1 3.80 ms/frame device, B=2 4.43 — the
-# sort/working set grows with the flattened batch, so per-frame COMPUTE
-# is best at B=1. On THIS tunneled environment a dispatch costs ~31 ms
-# (B=1) vs ~19 ms/frame (B=2), so halving dispatches still wins
-# end-to-end and B=2 stays; on a host-attached chip (~50 us dispatch)
-# set this to 1.
+# frames per device dispatch. Re-swept each time the kernel changes
+# (round-4 megarow: B=1 3.80 vs B=2 4.43; round-7 merge-free + host
+# pack: B=1 0.346-0.349 vs B=2 0.438-0.442 ms/frame device) — the
+# compaction working set grows with the flattened batch, so per-frame
+# COMPUTE is always best at B=1. On THIS tunneled environment a
+# dispatch costs ~34 ms (B=1) vs ~17 ms/frame (B=2), so halving
+# dispatches still wins end-to-end and B=2 stays; on a host-attached
+# chip (~50 us dispatch) set this to 1.
 DEVICE_BATCH = 2
 
 # cell-granular dispatch (atlas.groups.build_cell_table): groups are
