@@ -31,9 +31,8 @@ def _oracle_points(sf):
     return ps
 
 
-@pytest.mark.parametrize("trial", range(12))
-def test_random_frames_device_equals_oracle(trial):
-    rng = np.random.default_rng(1000 + trial)
+def _run_trial(seed):
+    rng = np.random.default_rng(seed)
     res = int(rng.choice([8, 16]))
     prec = int(rng.choice([2, 4]))
     if res % prec:
@@ -77,3 +76,17 @@ def test_random_frames_device_equals_oracle(trial):
     # u8 RGB); run the oracle's f64 reference conversion to compare
     ps.convert_yuv16_to_rgb8()
     np.testing.assert_array_equal(col, ps.colors)
+
+
+@pytest.mark.parametrize("trial", range(12))
+def test_random_frames_device_equals_oracle(trial):
+    _run_trial(1000 + trial)
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_random_frames_hostpack_equals_oracle(trial, monkeypatch):
+    """The same randomized sweep through the HOST-PACKED, HOST-ORIENTED
+    cat-mode dispatch (the TPU production default; opt-in on CPU)."""
+    monkeypatch.setenv("TPU_VPCC_HOSTPACK", "1")
+    monkeypatch.setenv("TPU_VPCC_HOSTORIENT", "1")
+    _run_trial(2000 + trial)
