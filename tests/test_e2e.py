@@ -123,6 +123,26 @@ def test_e2e_decoder_on_mesh(tmp_path):
         assert format_ply(a) == format_ply(b)
 
 
+def test_e2e_decoder_on_mesh_hostpack(tmp_path, monkeypatch):
+    """Mesh decode through the cat-mode dispatch (host pack + host
+    orientation; the cat replicates over 'space' exactly like the
+    planes did): bit-identical to the meshless cat-mode decode."""
+    from tpu_vpcc.parallel.mesh import make_mesh
+
+    monkeypatch.setenv("TPU_VPCC_HOSTPACK", "1")
+    monkeypatch.setenv("TPU_VPCC_HOSTORIENT", "1")
+    _, path = make_fixture(tmp_path, n_frames=3, seed=35)
+    dm = Decoder(Params(path, mesh=make_mesh(data=4, space=2)))
+    dm.start()
+    sharded = list(dm)
+    d1 = Decoder(Params(path))
+    d1.start()
+    plain = list(d1)
+    assert len(sharded) == len(plain) > 0
+    for a, b in zip(sharded, plain):
+        assert format_ply(a) == format_ply(b)
+
+
 def test_e2e_rotated_orientations_res1(tmp_path):
     """Full bitstream round trip at log2_patch_packing_block_size=0 with
     rotated/mirrored patches — the inputs the reference itself decodes

@@ -155,7 +155,6 @@ def decode_streams_batched(
                 items.append((state, gof, _gof_device_inputs(
                     gof,
                     space_multiple=mesh.shape["space"] if mesh is not None else 1,
-                    allow_hostpack=mesh is None,
                 )))
                 pending.add(pool.submit(prep, state))
 

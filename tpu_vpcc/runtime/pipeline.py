@@ -983,10 +983,7 @@ def _gof_device_inputs(
         use_tiled
         and not cfg.cell_groups
         and not cfg.raw_gather
-        # mesh dispatches shard the raw planes (pack on device) — the
-        # callers pass allow_hostpack=False whenever a mesh is in play
         and allow_hostpack
-        and space_multiple <= 1
         and hostpack_policy()
     ):
         # HOST PACK + HOST ORIENTATION (round 7): emit the three u32
@@ -997,6 +994,8 @@ def _gof_device_inputs(
         # for ~1.2x H2D bytes. The native pack (pack_planes.cc; numpy
         # fallback) rides host_prepare, overlapped with the previous
         # GOF's device work. Cat-mode dispatch: (fields, cat, None x5).
+        # Mesh dispatches take it too: the cat replicates over 'space'
+        # exactly like the planes did (parallel/spatial.py in_specs).
         from ..ops.tiled import stage_cat_inputs
 
         arrays, cfg = stage_cat_inputs(
@@ -1139,7 +1138,10 @@ def _dispatch_device(di: DeviceInputs, mesh=None, stats=None):
         if di.group_cap % n_space == 0:
             from ..ops.tiled import narrow_emit_ok
 
-            arrays = [pad_batch(a, data) for a in di.arrays]
+            arrays = [
+                None if a is None else pad_batch(a, data)
+                for a in di.arrays
+            ]
             s_loc = di.slot_cap // n_space
             f_shard = arrays[0].shape[0] // data
             if narrow_emit_ok(di.cfg, f_shard, s_loc):
@@ -1292,7 +1294,6 @@ def _reconstruct_gof_device(gof: GofData, mesh=None, stats=None) -> Iterator[Poi
             gof.metas[i : i + chunk],
             prebuilt=(cfg, tables[i : i + chunk]),
             g_bucket=g_bucket,
-            allow_hostpack=mesh is None,
         )
         for pos, col in _dispatch_device(di, mesh=mesh, stats=stats):
             yield _emit_pointset(pos, col, gof)
