@@ -1093,6 +1093,46 @@ def test_native_pack_planes_matches_numpy(occ_dt, attr_dt, mc, prec):
     np.testing.assert_array_equal(nat, ref)
 
 
+def test_pack_planes_swap_folded_matches_orient_pass(monkeypatch):
+    """pack_planes_host(swap=mask) (the orientation fix folded into the
+    pack — free in the native per-pixel loop) equals pack-then-
+    orient_cat_host, through both the native and numpy implementations."""
+    import tpu_vpcc.video.codec as VC
+    from tpu_vpcc.ops.tiled import orient_cat_host, pack_planes_host
+
+    cfg = make_config(
+        width=128, height=128, occupancy_resolution=16,
+        occupancy_precision=4, map_count=2,
+    )
+    rng = np.random.default_rng(43)
+    F, nb, res = 2, 64, 16
+    occ = rng.integers(0, 2, (F, nb, 4, 4), dtype=np.uint8)
+    geo0 = rng.integers(0, 1024, (F, nb, res, res), dtype=np.uint16)
+    geo1 = rng.integers(0, 1024, (F, nb, res, res), dtype=np.uint16)
+    ay = rng.integers(0, 1024, (F, 2, nb, res, res), dtype=np.uint16)
+    au = rng.integers(0, 1024, (F, 2, nb, 8, 8), dtype=np.uint16)
+    av = rng.integers(0, 1024, (F, 2, nb, 8, 8), dtype=np.uint16)
+    swap = rng.integers(0, 2, (F, nb), dtype=np.uint8)
+    args = (occ, geo0, geo1, ay, au, av, cfg)
+
+    # reference: unswapped pack, then the standalone transpose pass
+    # (orient_cat_host takes a fields table; transpose directly here)
+    ref = pack_planes_host(*args)
+    T2 = res * res
+    for f in range(F):
+        blk = np.nonzero(swap[f])[0]
+        t = ref[f, blk].reshape(-1, 3, res, res)
+        ref[f, blk] = np.ascontiguousarray(t.swapaxes(2, 3)).reshape(
+            -1, 3 * T2
+        )
+
+    got = pack_planes_host(*args, swap=swap)  # native when available
+    np.testing.assert_array_equal(got, ref)
+    monkeypatch.setattr(VC, "native_pack_planes", lambda *a, **k: None)
+    got_np = pack_planes_host(*args, swap=swap)  # numpy fallback
+    np.testing.assert_array_equal(got_np, ref)
+
+
 def test_shift_compact_pack30_packed_out():
     """pack30 x shift_compact through the PACKED dispatch (2 operands)."""
     from dataclasses import replace

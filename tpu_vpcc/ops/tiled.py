@@ -1233,10 +1233,14 @@ def hostpack_policy() -> bool:
     return _mxu_policy("TPU_VPCC_HOSTPACK", "TPU_VPCC_NO_HOSTPACK")
 
 
-def pack_planes_host(occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
+def pack_planes_host(occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg,
+                     swap=None):
     """Host (numpy) twin of :func:`_pack_u32_planes` + row-wise concat:
     returns the packed cat ``(F, nb, 3*res*res)`` u32 the cat-mode
-    dispatch gathers from (see :func:`_gather_tiles`).
+    dispatch gathers from (see :func:`_gather_tiles`). ``swap``:
+    optional (F, nb) 0/1 mask of SWAP-family owned blocks — flagged
+    blocks are emitted TRANSPOSED (the host orientation fix; the
+    native pack folds it into its per-pixel write for free).
 
     Layout contract (bit-identical to the device pack, pinned by
     tests/test_pretiled.py):
@@ -1255,7 +1259,7 @@ def pack_planes_host(occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
         from ..video.codec import native_pack_planes
 
         cat = native_pack_planes(
-            occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg
+            occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg, swap=swap
         )
         if cat is not None:
             return cat
@@ -1285,12 +1289,22 @@ def pack_planes_host(occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
 
     plane_b = color(0)
     plane_c = color(1) if mc > 1 else plane_b
-    return np.ascontiguousarray(
+    cat = np.ascontiguousarray(
         np.concatenate(
             [p.reshape(F, nb, T2) for p in (plane_a, plane_b, plane_c)],
             axis=2,
         )
     )
+    if swap is not None:
+        res = cfg.occupancy_resolution
+        for f in range(F):
+            blk = np.nonzero(swap[f])[0]
+            if blk.size:
+                t = cat[f, blk].reshape(-1, 3, res, res)
+                cat[f, blk] = np.ascontiguousarray(
+                    t.swapaxes(2, 3)
+                ).reshape(-1, 3 * T2)
+    return cat
 
 
 def hostorient_policy() -> bool:
@@ -1304,19 +1318,34 @@ def hostorient_policy() -> bool:
     return _mxu_policy("TPU_VPCC_HOSTORIENT", "TPU_VPCC_NO_HOSTORIENT")
 
 
+def swap_mask_host(fields, nb: int):
+    """(F, nb) u8 mask of SWAP-family OWNED blocks, from the group
+    table. Legal to transpose exactly these once in the cat: each
+    canvas block is owned by at most one patch per frame
+    (``atlas.groups.build_group_table``); bucket-padding table rows are
+    all-zero (G_VALID=0) and excluded."""
+    import numpy as np
+
+    fields = np.asarray(fields)
+    m = np.zeros((fields.shape[0], nb), np.uint8)
+    for f in range(fields.shape[0]):
+        sel = (fields[f, :, G.G_SWAP] == 1) & (fields[f, :, G.G_VALID] > 0)
+        m[f, fields[f, sel, G.G_BLOCKID]] = 1
+    return m
+
+
 def orient_cat_host(cat, fields, res: int):
     """Transpose SWAP-family owned blocks IN PLACE in the packed cat
     ``(F, nb, 3*res*res)`` (see :func:`pack_planes_host`), putting every
-    gathered tile in PATCH memory order. Legal because each canvas
-    block is owned by at most one patch per frame
-    (``atlas.groups.build_group_table``); bucket-padding table rows are
-    all-zero (G_VALID=0) and excluded by the mask."""
+    gathered tile in PATCH memory order. The staging helper folds this
+    into the pack itself (``swap=`` — free in the native pack's
+    per-pixel loop); this standalone pass covers pre-packed cats."""
     import numpy as np
 
     T2 = res * res
+    swap = swap_mask_host(fields, cat.shape[1])
     for f in range(fields.shape[0]):
-        m = (fields[f, :, G.G_SWAP] == 1) & (fields[f, :, G.G_VALID] > 0)
-        blk = fields[f, m, G.G_BLOCKID]
+        blk = np.nonzero(swap[f])[0]
         if blk.size:
             t = cat[f, blk].reshape(-1, 3, res, res)
             cat[f, blk] = np.ascontiguousarray(t.swapaxes(2, 3)).reshape(
@@ -1336,14 +1365,13 @@ def stage_cat_inputs(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
     :func:`hostpack_policy` and their own mesh/cell/raw conditions."""
     from dataclasses import replace
 
-    import numpy as np
-
-    cat = pack_planes_host(occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg)
+    swap = None
     if hostorient_policy():
-        cat = orient_cat_host(
-            cat, np.asarray(fields), cfg.occupancy_resolution
-        )
+        swap = swap_mask_host(fields, occ_t.shape[1])
         cfg = replace(cfg, host_oriented=True)
+    cat = pack_planes_host(
+        occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg, swap=swap
+    )
     return (fields, cat, None, None, None, None, None), cfg
 
 

@@ -117,6 +117,7 @@ def _load() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,  # geo0/1, es
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int,                                    # ay/au/av, es
+            ctypes.c_void_p,                                 # swap mask
             ctypes.c_void_p,                                 # out
             ctypes.c_int64, ctypes.c_int64,                  # F, nb
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -125,11 +126,15 @@ def _load() -> ctypes.CDLL:
         return lib
 
 
-def native_pack_planes(occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
+def native_pack_planes(occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg,
+                       swap=None):
     """Native host pack into the cat-mode dispatch layout (the C twin of
     ``ops.tiled.pack_planes_host`` — ~10x the numpy form on one core).
-    Returns the (F, nb, 3*res*res) u32 cat, or None when the native
-    library is unavailable (caller falls back to numpy)."""
+    ``swap``: optional (F, nb) u8 mask; flagged blocks are written
+    TRANSPOSED (the host orientation fix folded into the pack's
+    per-pixel loop — free, unlike a separate transpose pass). Returns
+    the (F, nb, 3*res*res) u32 cat, or None when the native library is
+    unavailable (caller falls back to numpy)."""
     try:
         lib = _load()
     except Exception:  # no toolchain / libavcodec — numpy fallback
@@ -151,11 +156,15 @@ def native_pack_planes(occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
     av, attr_es3 = prep(av_t)
     if geo_es2 != geo_es or attr_es2 != attr_es or attr_es3 != attr_es:
         return None  # mixed element sizes within a family: numpy handles it
+    if swap is not None:
+        swap = np.ascontiguousarray(swap, dtype=np.uint8)
+        assert swap.shape == (F, nb), swap.shape
     out = np.empty((F, nb, 3 * res * res), dtype=np.uint32)
     rc = lib.vpp_pack_planes(
         occ.ctypes.data, occ_es,
         geo0.ctypes.data, geo1.ctypes.data, geo_es,
         ay.ctypes.data, au.ctypes.data, av.ctypes.data, attr_es,
+        None if swap is None else swap.ctypes.data,
         out.ctypes.data,
         F, nb, res, cfg.occupancy_precision, cfg.chroma_shift,
         cfg.map_count,

@@ -29,8 +29,9 @@ namespace {
 // branching form measured on the flagship shapes)
 template <typename O, typename Gt, typename A, bool TWO_MAPS>
 void pack_impl(const O* occ, const Gt* geo0, const Gt* geo1, const A* ay,
-               const A* au, const A* av, uint32_t* out, int64_t F,
-               int64_t nb, int res, int prec, int cshift, int mc) {
+               const A* au, const A* av, const uint8_t* swap,
+               uint32_t* out, int64_t F, int64_t nb, int res, int prec,
+               int cshift, int mc) {
   const int rp = res / prec;
   const int rc = res >> cshift;
   const int T2 = res * res;
@@ -56,6 +57,11 @@ void pack_impl(const O* occ, const Gt* geo0, const Gt* geo1, const A* ay,
       uint32_t* oa = out + tb * 3 * T2;
       uint32_t* ob = oa + T2;
       uint32_t* oc = ob + T2;
+      // host orientation fix folded into the pack: a SWAP-owned block
+      // writes transposed (out index x*res+y), which costs nothing in
+      // this per-pixel loop — no separate orientation pass needed
+      const bool tr = swap != nullptr && swap[tb] != 0;
+      const int ostep_x = tr ? res : 1;
       for (int y = 0; y < res; ++y) {
         const O* orow = o + (y / prec) * rp;
         const A* u0r = u0 + (y >> cshift) * rc;
@@ -63,21 +69,23 @@ void pack_impl(const O* occ, const Gt* geo0, const Gt* geo1, const A* ay,
         const A* u1r = u1 + (y >> cshift) * rc;
         const A* v1r = v1 + (y >> cshift) * rc;
         const int i0 = y * res;
+        const int o0 = tr ? y : i0;
         for (int x = 0; x < res; ++x) {
           const int i = i0 + x;
+          const int oi = o0 + x * ostep_x;
           const int cx = x >> cshift;
           const uint32_t occ_bit = orow[x / prec] > 0;
           const uint32_t d0 = g0[i];
           const uint32_t d1 = TWO_MAPS ? static_cast<uint32_t>(g1[i]) : d0;
-          oa[i] = d0 | (d1 << 10) | (occ_bit << 20);
+          oa[oi] = d0 | (d1 << 10) | (occ_bit << 20);
           const uint32_t pb = static_cast<uint32_t>(y0[i]) |
                               (static_cast<uint32_t>(u0r[cx]) << 10) |
                               (static_cast<uint32_t>(v0r[cx]) << 20);
-          ob[i] = pb;
-          oc[i] = TWO_MAPS ? (static_cast<uint32_t>(y1[i]) |
-                              (static_cast<uint32_t>(u1r[cx]) << 10) |
-                              (static_cast<uint32_t>(v1r[cx]) << 20))
-                           : pb;
+          ob[oi] = pb;
+          oc[oi] = TWO_MAPS ? (static_cast<uint32_t>(y1[i]) |
+                               (static_cast<uint32_t>(u1r[cx]) << 10) |
+                               (static_cast<uint32_t>(v1r[cx]) << 20))
+                            : pb;
         }
       }
     }
@@ -87,20 +95,20 @@ void pack_impl(const O* occ, const Gt* geo0, const Gt* geo1, const A* ay,
 template <typename O, typename Gt, typename A>
 void pack_maps(const void* occ, const void* geo0, const void* geo1,
                const void* ay, const void* au, const void* av,
-               uint32_t* out, int64_t F, int64_t nb, int res, int prec,
-               int cshift, int mc) {
+               const uint8_t* swap, uint32_t* out, int64_t F, int64_t nb,
+               int res, int prec, int cshift, int mc) {
   if (mc > 1)
     pack_impl<O, Gt, A, true>(
         static_cast<const O*>(occ), static_cast<const Gt*>(geo0),
         static_cast<const Gt*>(geo1), static_cast<const A*>(ay),
-        static_cast<const A*>(au), static_cast<const A*>(av), out, F, nb,
-        res, prec, cshift, mc);
+        static_cast<const A*>(au), static_cast<const A*>(av), swap, out,
+        F, nb, res, prec, cshift, mc);
   else
     pack_impl<O, Gt, A, false>(
         static_cast<const O*>(occ), static_cast<const Gt*>(geo0),
         static_cast<const Gt*>(geo1), static_cast<const A*>(ay),
-        static_cast<const A*>(au), static_cast<const A*>(av), out, F, nb,
-        res, prec, cshift, mc);
+        static_cast<const A*>(au), static_cast<const A*>(av), swap, out,
+        F, nb, res, prec, cshift, mc);
 }
 
 }  // namespace
@@ -112,6 +120,7 @@ extern "C" int vpp_pack_planes(
     const uint8_t* ay,                   // (F, mc, nb, res, res)
     const uint8_t* au,                   // (F, mc, nb, rc, rc)
     const uint8_t* av, int attr_es,      // (F, mc, nb, rc, rc)
+    const uint8_t* swap,                 // (F, nb) 0/1 or NULL
     uint32_t* out,                       // (F, nb, 3*res*res)
     int64_t F, int64_t nb, int res, int prec, int cshift, int mc) {
   if (res <= 0 || prec <= 0 || res % prec != 0 || cshift < 0 || mc < 1)
@@ -121,14 +130,14 @@ extern "C" int vpp_pack_planes(
     return -1;
   const int key = (occ_es == 2) << 2 | (geo_es == 2) << 1 | (attr_es == 2);
   switch (key) {
-    case 0: pack_maps<uint8_t, uint8_t, uint8_t>(occ, geo0, geo1, ay, au, av, out, F, nb, res, prec, cshift, mc); break;
-    case 1: pack_maps<uint8_t, uint8_t, uint16_t>(occ, geo0, geo1, ay, au, av, out, F, nb, res, prec, cshift, mc); break;
-    case 2: pack_maps<uint8_t, uint16_t, uint8_t>(occ, geo0, geo1, ay, au, av, out, F, nb, res, prec, cshift, mc); break;
-    case 3: pack_maps<uint8_t, uint16_t, uint16_t>(occ, geo0, geo1, ay, au, av, out, F, nb, res, prec, cshift, mc); break;
-    case 4: pack_maps<uint16_t, uint8_t, uint8_t>(occ, geo0, geo1, ay, au, av, out, F, nb, res, prec, cshift, mc); break;
-    case 5: pack_maps<uint16_t, uint8_t, uint16_t>(occ, geo0, geo1, ay, au, av, out, F, nb, res, prec, cshift, mc); break;
-    case 6: pack_maps<uint16_t, uint16_t, uint8_t>(occ, geo0, geo1, ay, au, av, out, F, nb, res, prec, cshift, mc); break;
-    default: pack_maps<uint16_t, uint16_t, uint16_t>(occ, geo0, geo1, ay, au, av, out, F, nb, res, prec, cshift, mc); break;
+    case 0: pack_maps<uint8_t, uint8_t, uint8_t>(occ, geo0, geo1, ay, au, av, swap, out, F, nb, res, prec, cshift, mc); break;
+    case 1: pack_maps<uint8_t, uint8_t, uint16_t>(occ, geo0, geo1, ay, au, av, swap, out, F, nb, res, prec, cshift, mc); break;
+    case 2: pack_maps<uint8_t, uint16_t, uint8_t>(occ, geo0, geo1, ay, au, av, swap, out, F, nb, res, prec, cshift, mc); break;
+    case 3: pack_maps<uint8_t, uint16_t, uint16_t>(occ, geo0, geo1, ay, au, av, swap, out, F, nb, res, prec, cshift, mc); break;
+    case 4: pack_maps<uint16_t, uint8_t, uint8_t>(occ, geo0, geo1, ay, au, av, swap, out, F, nb, res, prec, cshift, mc); break;
+    case 5: pack_maps<uint16_t, uint8_t, uint16_t>(occ, geo0, geo1, ay, au, av, swap, out, F, nb, res, prec, cshift, mc); break;
+    case 6: pack_maps<uint16_t, uint16_t, uint8_t>(occ, geo0, geo1, ay, au, av, swap, out, F, nb, res, prec, cshift, mc); break;
+    default: pack_maps<uint16_t, uint16_t, uint16_t>(occ, geo0, geo1, ay, au, av, swap, out, F, nb, res, prec, cshift, mc); break;
   }
   return 0;
 }
