@@ -558,6 +558,16 @@ def main():
 
         patches["dualhost"] = {"mega": dual_mega, "ttw": dual_ttw}
 
+    # a name not registered anywhere would silently run as the FULL
+    # graph (patches.get(name, {})) and print a ~0 delta — the probe-
+    # mirage class CLAUDE.md warns about; typos and mode-mismatched
+    # variants (e.g. 'nowords' under --planes) must error instead
+    known = set(patches) | set(ENV_VARIANTS) | set(LANE_VARIANTS)
+    unknown = [n for n in args.variants.split(",") if n not in known]
+    assert not unknown, (
+        f"unknown variants (typo, or wrong staging mode): {unknown}"
+    )
+
     results = {}
     parity_ops = {}
     for name in args.variants.split(","):

@@ -1296,14 +1296,24 @@ def pack_planes_host(occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg,
         )
     )
     if swap is not None:
-        res = cfg.occupancy_resolution
-        for f in range(F):
-            blk = np.nonzero(swap[f])[0]
-            if blk.size:
-                t = cat[f, blk].reshape(-1, 3, res, res)
-                cat[f, blk] = np.ascontiguousarray(
-                    t.swapaxes(2, 3)
-                ).reshape(-1, 3 * T2)
+        _transpose_swap_blocks(cat, swap, cfg.occupancy_resolution)
+    return cat
+
+
+def _transpose_swap_blocks(cat, swap, res: int):
+    """Transpose the masked blocks of a packed cat IN PLACE (the
+    layout's single transpose routine — the native pack folds the same
+    movement into its per-pixel write)."""
+    import numpy as np
+
+    T2 = res * res
+    for f in range(swap.shape[0]):
+        blk = np.nonzero(swap[f])[0]
+        if blk.size:
+            t = cat[f, blk].reshape(-1, 3, res, res)
+            cat[f, blk] = np.ascontiguousarray(t.swapaxes(2, 3)).reshape(
+                -1, 3 * T2
+            )
     return cat
 
 
@@ -1340,18 +1350,9 @@ def orient_cat_host(cat, fields, res: int):
     gathered tile in PATCH memory order. The staging helper folds this
     into the pack itself (``swap=`` — free in the native pack's
     per-pixel loop); this standalone pass covers pre-packed cats."""
-    import numpy as np
-
-    T2 = res * res
-    swap = swap_mask_host(fields, cat.shape[1])
-    for f in range(fields.shape[0]):
-        blk = np.nonzero(swap[f])[0]
-        if blk.size:
-            t = cat[f, blk].reshape(-1, 3, res, res)
-            cat[f, blk] = np.ascontiguousarray(t.swapaxes(2, 3)).reshape(
-                -1, 3 * T2
-            )
-    return cat
+    return _transpose_swap_blocks(
+        cat, swap_mask_host(fields, cat.shape[1]), res
+    )
 
 
 def stage_cat_inputs(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):

@@ -846,7 +846,7 @@ def _group_capacity(cfg) -> int:
 
 def _gof_device_inputs(
     gof: GofData, metas=None, space_multiple: int = 1,
-    prebuilt=None, g_bucket: int = None, allow_hostpack: bool = True,
+    prebuilt=None, g_bucket: int = None,
 ) -> DeviceInputs:
     """Build the device input arrays for (a chunk of) a GOF's frames.
 
@@ -983,7 +983,6 @@ def _gof_device_inputs(
         use_tiled
         and not cfg.cell_groups
         and not cfg.raw_gather
-        and allow_hostpack
         and hostpack_policy()
     ):
         # HOST PACK + HOST ORIENTATION (round 7): emit the three u32
