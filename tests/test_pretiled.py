@@ -1029,7 +1029,11 @@ def test_hostorient_dispatch_bit_identical(packed):
     cat = orient_cat_host(cat, np.asarray(fields), 8)
     entry = reconstruct_batch_pretiled_packed if packed \
         else reconstruct_batch_pretiled
-    for c in (cfg, dreplace(cfg, shift_compact=8192)):
+    for c in (
+        cfg,  # plain narrow sort
+        dreplace(cfg, shift_compact=8192),  # shift-compact
+        dreplace(cfg, sort_split=2, sort_split_batched=True),  # split-sort
+    ):
         ref = entry(*tiled, cfg=c)
         got = entry(
             fields, cat, None, None, None, None, None,
