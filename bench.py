@@ -406,14 +406,9 @@ def main() -> int:
     # bridge can do this during its decode memcpy) and the device graph
     # starts at the mega-row gather — exactly what the pipeline
     # dispatches (runtime/pipeline._gof_device_inputs cat-mode).
-    from tpu_vpcc.ops.tiled import hostpack_policy, stage_cat_inputs
+    from tpu_vpcc.ops.tiled import cat_mode_ok, stage_cat_inputs
 
-    cat_mode = (
-        hostpack_policy()
-        and not fcfg.cell_groups
-        and not fcfg.raw_gather
-    )
-    if cat_mode:
+    if cat_mode_ok(fcfg):
         host_inputs, fcfg = stage_cat_inputs(*host_inputs, fcfg)
 
     dev = jax.devices()[0]

@@ -1355,6 +1355,16 @@ def orient_cat_host(cat, fields, res: int):
     )
 
 
+def cat_mode_ok(cfg) -> bool:
+    """Host-pack eligibility for a (tiled) dispatch config: the cat
+    layout carries block tables' packed planes only — cell tables and
+    the raw-gather debug path keep raw planes — and the policy knob
+    must be on. Callers add their own ``use_tiled`` condition."""
+    return (
+        not cfg.cell_groups and not cfg.raw_gather and hostpack_policy()
+    )
+
+
 def stage_cat_inputs(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
     """The ONE host staging routine for the cat-mode dispatch — used by
     the pipeline, bench.py, and tools/integration_probe.py so the
@@ -1363,7 +1373,7 @@ def stage_cat_inputs(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
     fix per :func:`hostorient_policy`, and returns
     ``((fields, cat, None x5), cfg)`` with ``cfg.host_oriented`` set
     when the orientation moved to the host. Callers gate on
-    :func:`hostpack_policy` and their own mesh/cell/raw conditions."""
+    :func:`cat_mode_ok` (+ their own ``use_tiled`` condition)."""
     from dataclasses import replace
 
     swap = None

@@ -861,7 +861,7 @@ def _gof_device_inputs(
     chunks, so chunking never multiplies compile variants."""
     from ..atlas.groups import bucket_group_count
     from ..ops.tiled import (
-        hostpack_policy,
+        cat_mode_ok,
         tile_plane,
         tiled_supported,
         untile_plane,
@@ -979,12 +979,7 @@ def _gof_device_inputs(
             occ = tile_plane(occ, kt // cfg.occupancy_precision)
 
     arrays = (fields, occ, geo0, geo1, ay, au, av)
-    if (
-        use_tiled
-        and not cfg.cell_groups
-        and not cfg.raw_gather
-        and hostpack_policy()
-    ):
+    if use_tiled and cat_mode_ok(cfg):
         # HOST PACK + HOST ORIENTATION (round 7): emit the three u32
         # sample planes packed + concatenated on the host with
         # SWAP-family blocks pre-transposed — the device graph starts
