@@ -250,16 +250,23 @@ ENV_VARIANTS = {
 # (8, 128) register width is now the module default.
 LANE_VARIANTS = {"l128": 128, "l256": 256, "l512": 512}
 
+# MXU destination-cumsum block width (_dest_cumsum's triu matmul rows;
+# independent of the kernel LANES). Wider rows = fewer rows but a
+# quadratically bigger triu operand; 512 won the round-5 sweep.
+CS_VARIANTS = {"cs256": 256, "cs512": 512, "cs1024": 1024}
+
 
 def set_lane_variant(name):
     from tpu_vpcc.ops import shift_compact as SC
 
     if not hasattr(set_lane_variant, "_default"):
         set_lane_variant._default = SC.LANES
+        set_lane_variant._cs_default = SC._CS_LANES
     lanes = LANE_VARIANTS.get(name, set_lane_variant._default)
     SC.LANES = lanes
     SC.ALIGN = SC.ALIGN_ROWS * lanes
     SC._LOG_ALIGN = SC.ALIGN.bit_length() - 1
+    SC._CS_LANES = CS_VARIANTS.get(name, set_lane_variant._cs_default)
 _ENV_KEYS = (
     "TPU_VPCC_NO_MM_TR", "TPU_VPCC_NO_MM_CS",
     "TPU_VPCC_MM_TR", "TPU_VPCC_MM_CS",
@@ -562,7 +569,10 @@ def main():
     # graph (patches.get(name, {})) and print a ~0 delta — the probe-
     # mirage class CLAUDE.md warns about; typos and mode-mismatched
     # variants (e.g. 'nowords' under --planes) must error instead
-    known = set(patches) | set(ENV_VARIANTS) | set(LANE_VARIANTS)
+    known = (
+        set(patches) | set(ENV_VARIANTS) | set(LANE_VARIANTS)
+        | set(CS_VARIANTS)
+    )
     unknown = [n for n in args.variants.split(",") if n not in known]
     assert not unknown, (
         f"unknown variants (typo, or wrong staging mode): {unknown}"
