@@ -1139,6 +1139,43 @@ def test_pack_planes_swap_folded_matches_orient_pass(monkeypatch):
     np.testing.assert_array_equal(got_np, ref)
 
 
+@pytest.mark.parametrize("mode", ["highest", "high", "chunk8"])
+@pytest.mark.parametrize("pack30", [False, True])
+def test_interleave_mm_precision_modes_bit_identical(mode, pack30,
+                                                     monkeypatch):
+    """All arithmetic modes of the interleave permutation matmul
+    (one term per output => any input-exact representation is exact)
+    produce the identical compacted output through the shift-compact
+    dispatch, for both the pack30 (5-pair) and zs (6-pair) operand
+    sets."""
+    from dataclasses import replace as dreplace
+
+    rng = np.random.default_rng(47)
+    sf = make_synthetic_frame(
+        rng, width=128, height=128, occupancy_resolution=16,
+        occupancy_precision=4, map_count=2, n_patches=5,
+    )
+    cfg = make_config(
+        width=128, height=128, occupancy_resolution=16,
+        occupancy_precision=4, map_count=2, pack30=pack30,
+    )
+    _, tiled = tiled_inputs(sf, 16)
+    scfg = dreplace(cfg, shift_compact=8192)
+    monkeypatch.setenv("TPU_VPCC_IL_PREC", "highest")
+    p_ref, c_ref, n_ref = reconstruct_batch_pretiled(*tiled, cfg=scfg)
+    monkeypatch.setenv("TPU_VPCC_IL_PREC", mode)
+    import jax
+
+    jax.clear_caches()  # the env knob is read at trace time
+    p_m, c_m, n_m = reconstruct_batch_pretiled(*tiled, cfg=scfg)
+    n_ref, n_m = int(n_ref[0]), int(n_m[0])
+    assert n_ref == n_m and n_ref > 0
+    np.testing.assert_array_equal(
+        np.asarray(p_ref)[0][:n_ref], np.asarray(p_m)[0][:n_ref])
+    np.testing.assert_array_equal(
+        np.asarray(c_ref)[0][:n_ref], np.asarray(c_m)[0][:n_ref])
+
+
 def test_shift_compact_pack30_packed_out():
     """pack30 x shift_compact through the PACKED dispatch (2 operands)."""
     from dataclasses import replace

@@ -122,6 +122,16 @@ def build_patches():
         # same shape/deps as _dest_cumsum, elementwise (values wrong)
         return s01 + jax.lax.broadcasted_iota(jnp.int32, s01.shape, 1)
 
+    def fake_ilmm(pairs, F, half, nbits=None):
+        # same shapes/deps as _interleave_pairs_mm WITHOUT the MXU
+        # permutation: a layout-preserving concat (values land in the
+        # wrong ORDER — cost probe only)
+        return [
+            jnp.concatenate([a0, a1], axis=1).astype(jnp.uint32)
+            for a0, a1 in pairs
+        ]
+
+
     def fake_launch(key_b, op_blocks, dtypes, row0_blk, delta, pendrow,
                     shbits, F, K, Rh, rows_per_frame, merge, interpret):
         # everything-but-kernel: the production shift_compact_ops runs
@@ -204,6 +214,7 @@ def build_patches():
         "notr": {"ttw": fake_ttw_no_transpose},
         "nocs": {"csum": fake_cumsum},
         "noker": {"launch": fake_launch},
+        "noilmm": {"ilmm": fake_ilmm},
         "nopack": {"pack": fake_pack},
         "noup": {"pack": fake_pack_realup},
         "g3": {"mega": mega_g3},
@@ -240,6 +251,11 @@ ENV_VARIANTS = {
     # pack-then-gather (bit-exact twins; see _bpack_policy)
     "bpack": {"TPU_VPCC_BPACK": "1"},
     "nobp": {"TPU_VPCC_NO_BPACK": "1"},
+    # round 7: interleave-matmul arithmetic (see _il_prec_policy; the
+    # noilmm probe showed the dot itself costs ~0.095 at HIGHEST)
+    "il6": {"TPU_VPCC_IL_PREC": "highest"},
+    "il3": {"TPU_VPCC_IL_PREC": "high"},
+    "il8": {"TPU_VPCC_IL_PREC": "chunk8"},
 }
 
 # kernel lane-width variants: the shift_compact module constants are
@@ -271,7 +287,7 @@ _ENV_KEYS = (
     "TPU_VPCC_NO_MM_TR", "TPU_VPCC_NO_MM_CS",
     "TPU_VPCC_MM_TR", "TPU_VPCC_MM_CS",
     "TPU_VPCC_MM_IL", "TPU_VPCC_NO_MM_IL", "TPU_VPCC_PRED",
-    "TPU_VPCC_BPACK", "TPU_VPCC_NO_BPACK",
+    "TPU_VPCC_BPACK", "TPU_VPCC_NO_BPACK", "TPU_VPCC_IL_PREC",
 )
 
 
@@ -298,6 +314,7 @@ def apply_patch(p):
             "mmtr": tiled._tile_transpose_mm,
             "csum": SC._dest_cumsum,
             "launch": SC._launch,
+            "ilmm": SC._interleave_pairs_mm,
         }
     o = apply_patch._orig
     tiled._tiles_to_words = p.get("ttw", o["ttw"])
@@ -307,6 +324,7 @@ def apply_patch(p):
     tiled._tile_transpose_mm = p.get("mmtr", o["mmtr"])
     SC._dest_cumsum = p.get("csum", o["csum"])
     SC._launch = p.get("launch", o["launch"])
+    SC._interleave_pairs_mm = p.get("ilmm", o["ilmm"])
     # tiled imports shift_compact_ops inside the dispatch branch, so
     # patching the source module attribute covers it
     SC.shift_compact_ops = p.get("sco", o["sco"])

@@ -316,7 +316,34 @@ def _dest_cumsum(s01, F: int, half: int):
     return jnp.cumsum(s01, axis=1)
 
 
-def _interleave_pairs_mm(pairs, F: int, half: int):
+def _il_prec_policy() -> str:
+    """Arithmetic mode of the interleave permutation matmul — the dot
+    IS the cost here (round-7 noilmm probe: 0.095 ms/frame of ~0.35 at
+    HIGHEST), unlike the transpose/upsample matmuls where round 6
+    measured the dots ~free. One term per output means any
+    input-exact representation is bit-exact, so cheaper modes are
+    available:
+      highest — 6-pass f32-exact dot (the conservative round-7 form)
+      high    — 3-pass bf16x3 (exact for integers < 2^24: each 8-bit
+                chunk of the significand is bf16-exact). ADOPTED TPU
+                default: il3 0.324-0.339 vs il6 0.346-0.366 over four
+                interleaved on-chip pairs, parity ok twice.
+      chunk8  — split every operand into 8-bit chunks and run ONE
+                single-pass DEFAULT-precision dot. MEASURED NEGATIVE
+                (+0.045: 0.389-0.399 vs il6): the chunk extraction +
+                shift/or reassembly passes cost more than the matmul
+                passes they save — the f32 staging traffic, not the
+                dot, dominates the noilmm delta.
+    Knob TPU_VPCC_IL_PREC; default high on TPU, highest elsewhere."""
+    import os
+
+    env = os.environ.get("TPU_VPCC_IL_PREC")
+    if env in ("highest", "high", "chunk8"):
+        return env
+    return "high" if jax.default_backend() == "tpu" else "highest"
+
+
+def _interleave_pairs_mm(pairs, F: int, half: int, nbits=None):
     """Per-pixel D0/D1 lane interleave as ONE 0/1 MXU permutation matmul.
 
     ``out[:, 2p] = a0[:, p]; out[:, 2p+1] = a1[:, p]`` is a FIXED data
@@ -331,30 +358,61 @@ def _interleave_pairs_mm(pairs, F: int, half: int):
     the merge-free kernel for the narrow path.
 
     ``pairs``: list of ``(a0, a1)`` (F, half) u32 arrays, each value
-    < 2^24. Returns the matching list of (F, 2*half) u32 arrays.
+    < 2^24. ``nbits``: per-pair value-width bounds (bits; defaults to
+    24) — the chunk8 mode emits ceil(nbits/8) chunk rows per pair.
+    Returns the matching list of (F, 2*half) u32 arrays.
     """
     IL = 128  # pairing width — fixed, independent of the kernel LANES
     assert half % IL == 0
     N = (F * half) // IL
-    X = jnp.concatenate(
-        [
-            jnp.concatenate(
-                [
-                    a0.reshape(N, IL).astype(jnp.float32),
-                    a1.reshape(N, IL).astype(jnp.float32),
-                ],
-                axis=1,
-            )
-            for a0, a1 in pairs
-        ],
-        axis=0,
-    )
+    mode = _il_prec_policy()
+    if nbits is None:
+        nbits = [24] * len(pairs)
+
     j = jnp.arange(2 * IL)
     src = (j // 2) + (j % 2) * IL
-    P = (src[None, :] == jnp.arange(2 * IL)[:, None]).astype(jnp.float32)
+    peq = src[None, :] == jnp.arange(2 * IL)[:, None]
+
+    def rows(a0, a1, dtype):
+        return jnp.concatenate(
+            [a0.reshape(N, IL).astype(dtype),
+             a1.reshape(N, IL).astype(dtype)],
+            axis=1,
+        )
+
+    if mode == "chunk8":
+        # 8-bit chunks are bf16-exact, so ONE single-pass DEFAULT dot
+        # carries everything; the chunk shifts fold back elementwise
+        M8 = jnp.uint32(0xFF)
+        chunks = []  # (pair index, shift)
+        parts = []
+        for k, (a0, a1) in enumerate(pairs):
+            for s in range(0, nbits[k], 8):
+                chunks.append((k, s))
+                parts.append(rows((a0 >> s) & M8, (a1 >> s) & M8,
+                                  jnp.bfloat16))
+        X = jnp.concatenate(parts, axis=0)
+        Y = jax.lax.dot(
+            X, peq.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        out = [jnp.zeros((N, 2 * IL), jnp.uint32)] * len(pairs)
+        for i, (k, s) in enumerate(chunks):
+            out[k] = out[k] | (
+                Y[i * N : (i + 1) * N].astype(jnp.uint32) << s
+            )
+        return [o.reshape(F, 2 * half) for o in out]
+
+    prec = (
+        jax.lax.Precision.HIGH if mode == "high"
+        else jax.lax.Precision.HIGHEST
+    )
+    X = jnp.concatenate(
+        [rows(a0, a1, jnp.float32) for a0, a1 in pairs], axis=0
+    )
     Y = jax.lax.dot(
-        X, P,
-        precision=jax.lax.Precision.HIGHEST,
+        X, peq.astype(jnp.float32),
+        precision=prec,
         preferred_element_type=jnp.float32,
     )
     return [
@@ -575,6 +633,10 @@ def shift_compact_ops(w0, zs, wc, valid, F: int, S: int,
         # chunk-local keys (< 2*extent <= 2^18) ride directly.
         u32 = lambda a: a.astype(jnp.uint32)  # noqa: E731
         pairs = [(u32(key0), u32(key1))]
+        # chunk-local key < 2*extent (see above); the split halves are
+        # 15/16-bit by construction — the bounds feed chunk8's per-pair
+        # chunk counts (see _interleave_pairs_mm)
+        kb = extent.bit_length() + 1
         if zs is None:
             M15 = jnp.uint32(0x7FFF)
             pairs += [
@@ -583,7 +645,9 @@ def shift_compact_ops(w0, zs, wc, valid, F: int, S: int,
                 (wc[:, :half] & M15, wc[:, half:] & M15),
                 (wc[:, :half] >> 15, wc[:, half:] >> 15),
             ]
-            il = _interleave_pairs_mm(pairs, F, half)
+            il = _interleave_pairs_mm(
+                pairs, F, half, nbits=[kb, 15, 15, 15, 15]
+            )
             key_i = il[0].astype(jnp.int32)
             ops_i = [il[1] | (il[2] << 15), il[3] | (il[4] << 15)]
         else:
@@ -596,7 +660,9 @@ def shift_compact_ops(w0, zs, wc, valid, F: int, S: int,
                 (wc[:, :half] & M15, wc[:, half:] & M15),
                 (wc[:, :half] >> 15, wc[:, half:] >> 15),
             ]
-            il = _interleave_pairs_mm(pairs, F, half)
+            il = _interleave_pairs_mm(
+                pairs, F, half, nbits=[kb, 16, 16, 16, 15, 15]
+            )
             key_i = il[0].astype(jnp.int32)
             ops_i = [
                 il[1] | (il[2] << 16),
