@@ -173,6 +173,29 @@ class Patch:
 
 
 @dataclass
+class RawPatch:
+    """Decoded raw-patch record (framework extension; 23090-5 §8.3.7.7).
+
+    The reference comments the struct out and panics on the ASPS flag
+    (``reader.rs:2042-2057``). Region coordinates are in patch-packing-
+    block units (pixels = value * occupancy_resolution). ``n_points``
+    raw points are stored IN the geometry video over the region's pixel
+    raster as three consecutive runs (all x values, then all y, then
+    all z); attributes carry one pixel per point from the region origin.
+    See ``reconstruction/raw_points.py`` for the read-back."""
+
+    u0: int = 0
+    v0: int = 0
+    size_u0: int = 0  # blocks
+    size_v0: int = 0
+    u1: int = 0  # 3D offsets added to the decoded values
+    v1: int = 0
+    d1: int = 0
+    n_points: int = 0
+    occupancy_resolution: int = 16
+
+
+@dataclass
 class FrameMeta:
     """Per-frame (single-tile) reconstruction metadata — the distilled
     ``TileContext`` (``context.rs:394-439``)."""
@@ -185,10 +208,14 @@ class FrameMeta:
     left_top_in_frame: Tuple[int, int] = (0, 0)
     patches: List[Patch] = field(default_factory=list)
     tile_type: TileType = TileType.I
+    # framework extension: raw patches (the reference panics on them);
+    # kept OUT of `patches` so block-to-patch ownership, group tables,
+    # and inter/merge patch indexing see only regular patches
+    raw_patches: List[RawPatch] = field(default_factory=list)
 
 
 def _patch_type(tile_type: TileType, patch_mode: int) -> str:
-    """``src/decoder.rs:676-692``."""
+    """``src/decoder.rs:676-692`` (+ the raw modes the reference omits)."""
     if tile_type == TileType.SKIP:
         return "skip"
     if tile_type == TileType.P:
@@ -197,9 +224,13 @@ def _patch_type(tile_type: TileType, patch_mode: int) -> str:
             int(PatchModePTile.INTER): "inter",
             int(PatchModePTile.MERGE): "merge",
             int(PatchModePTile.SKIP): "skip",
+            int(PatchModePTile.RAW): "raw",
         }.get(patch_mode, "error")
     if tile_type == TileType.I:
-        return {int(PatchModeITile.INTRA): "intra"}.get(patch_mode, "error")
+        return {
+            int(PatchModeITile.INTRA): "intra",
+            int(PatchModeITile.RAW): "raw",
+        }.get(patch_mode, "error")
     return "error"
 
 
@@ -464,6 +495,7 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
             # on non-I tiles, ``decoder.rs:403-407``)
             ref = ref_frame(0)
             meta.patches = [replace(p) for p in ref.patches]
+            meta.raw_patches = [replace(p) for p in ref.raw_patches]
             by_afoc[atl.atlas_frame_order_count_val] = meta
             frames.append(meta)
             continue
@@ -471,6 +503,50 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
         pred_index = 0  # inter-patch index predictor (TMC2 predIndex)
         for cur_idx, pid in enumerate(atl.patch_information_data):
             ptype = _patch_type(ath.tile_type, pid.patch_mode)
+            # merge/skip copy the same-index REGULAR patch of the
+            # reference frame; raw patches live in a separate list
+            # (as in TMC2) so the index is the regular-patch count
+            reg_idx = len(meta.patches)
+            if ptype == "raw":
+                pdu = pid.patch_data_unit
+                rp = RawPatch(
+                    u0=pdu.pos_2d[0],
+                    v0=pdu.pos_2d[1],
+                    size_u0=pdu.size_2d_minus1[0] + 1,
+                    size_v0=pdu.size_2d_minus1[1] + 1,
+                    u1=pdu.pos_3d_offset_u,
+                    v1=pdu.pos_3d_offset_v,
+                    d1=pdu.pos_3d_offset_d,
+                    n_points=pdu.raw_points_minus1 + 1,
+                    occupancy_resolution=packing_block_size,
+                )
+                res = packing_block_size
+                w_pix = rp.size_u0 * res
+                h_pix = rp.size_v0 * res
+                if (
+                    rp.u0 * res + w_pix > meta.width
+                    or rp.v0 * res + h_pix > meta.height
+                ):
+                    raise UnsupportedFeature(
+                        f"raw patch region {rp.size_u0}x{rp.size_v0} at "
+                        f"({rp.u0},{rp.v0}) blocks leaves the "
+                        f"{meta.width}x{meta.height} canvas"
+                    )
+                if 3 * rp.n_points > w_pix * h_pix:
+                    raise UnsupportedFeature(
+                        f"raw patch carries {rp.n_points} points but its "
+                        f"{w_pix}x{h_pix} region holds only "
+                        f"{w_pix * h_pix} geometry samples (need 3/point)"
+                    )
+                meta.raw_patches.append(rp)
+                if log.isEnabledFor(logging.DEBUG):
+                    log.debug(
+                        "frame %d patch %d/raw: u0v0=(%d,%d) size=(%d,%d) "
+                        "offsets=(%d,%d,%d) n=%d",
+                        frame_index, cur_idx, rp.u0, rp.v0, rp.size_u0,
+                        rp.size_v0, rp.u1, rp.v1, rp.d1, rp.n_points,
+                    )
+                continue
             if ptype == "intra":
                 pdu: IntraPatchDataUnit = pid.patch_data_unit
                 patch = Patch(
@@ -514,12 +590,12 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
             elif ptype == "merge":
                 pdu = pid.patch_data_unit
                 ref = ref_frame(pdu.ref_index)
-                if cur_idx >= len(ref.patches):
+                if reg_idx >= len(ref.patches):
                     raise UnsupportedFeature(
-                        f"merge patch index {cur_idx} beyond reference list"
+                        f"merge patch index {reg_idx} beyond reference list"
                     )
                 patch = _derive_merge_patch(
-                    pdu, ref.patches[cur_idx], min_level,
+                    pdu, ref.patches[reg_idx], min_level,
                     geometry_bitdepth_3d, packing_block_size,
                 )
                 _check_orientation_in_range(patch, meta.width, meta.height)
@@ -527,13 +603,13 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
             elif ptype == "skip":
                 # P_SKIP: verbatim copy of the same-index reference patch
                 ref = ref_frame(0)
-                if cur_idx >= len(ref.patches):
+                if reg_idx >= len(ref.patches):
                     raise UnsupportedFeature(
-                        f"skip patch index {cur_idx} beyond reference list"
+                        f"skip patch index {reg_idx} beyond reference list"
                     )
                 meta.patches.append(
                     replace(
-                        ref.patches[cur_idx],
+                        ref.patches[reg_idx],
                         occupancy_resolution=packing_block_size,
                     )
                 )

@@ -30,6 +30,7 @@ from ..runtime.pipeline import (
     DeviceInputs,
     Params,
     _check_post_processing_gates,
+    _append_raw_points,
     _dispatch_device,
     _emit_pointset,
     _gof_device_inputs,
@@ -166,10 +167,14 @@ def decode_streams_batched(
                 results = _dispatch_chunked(merged, mesh=mesh)
                 offset = 0
                 for state, gof, di in group:
-                    for pos, col in results[offset : offset + di.n_frames]:
-                        yield state.index, state.next_frame, _emit_pointset(
-                            pos, col, gof
-                        )
+                    for j, (pos, col) in enumerate(
+                        results[offset : offset + di.n_frames]
+                    ):
+                        ps = _emit_pointset(pos, col, gof)
+                        meta = gof.metas[j]
+                        if meta.raw_patches:
+                            _append_raw_points(ps, gof, meta)
+                        yield state.index, state.next_frame, ps
                         state.next_frame += 1
                     offset += di.n_frames
 

@@ -653,6 +653,47 @@ def _fetch_prefixes(positions, colors16, counts, color_mode: str = "raw"):
     return np.asarray(p), np.asarray(c)
 
 
+def _append_raw_points(ps: PointSet3, gof: GofData, meta) -> None:
+    """Append the frame's raw-patch points (framework extension — the
+    reference panics on raw patches, ``reader.rs:1068``) AFTER the
+    regular points and after smoothing/color conversion: raw coordinates
+    are verbatim outliers, not projected surface, so smoothing never
+    touches them and their colors convert through the same exact chain
+    (host f64 == device jit, ops/color.py). Host-side NumPy by design —
+    raw patches are a tiny tail, far below device-dispatch scale."""
+    from ..reconstruction.pointset import convert_yuv10_to_rgb8
+    from ..reconstruction.raw_points import raw_points_for_frame
+
+    base = meta.frame_index * gof.map_count
+    attr = gof.attr_planes[base] if gof.attribute_count > 0 else None
+    pos_r, col_r = raw_points_for_frame(
+        meta.raw_patches,
+        gof.geo_planes[base],
+        attr,
+        gof.geo_shift,
+        gof.attr_chroma_shift,
+        meta.width,
+        tile_size=gof.tile_size if gof.tiled else 0,
+        left_top=meta.left_top_in_frame,
+    )
+    if pos_r.shape[0] == 0:
+        return
+    ps.positions = np.concatenate([ps.positions, pos_r])
+    if gof.attribute_count > 0:
+        rgb = (
+            (col_r & 0xFF).astype(np.uint8)
+            if gof.attr_is_rgb444
+            else convert_yuv10_to_rgb8(col_r)
+        )
+        ps.colors = np.concatenate([ps.colors, rgb])
+        if ps.colors16bit.shape[0]:
+            ps.colors16bit = np.concatenate([ps.colors16bit, col_r])
+    else:
+        ps.colors = np.concatenate(
+            [ps.colors, np.full((pos_r.shape[0], 3), 127, np.uint8)]
+        )
+
+
 def _reconstruct_gof_oracle(gof: GofData) -> Iterator[PointSet3]:
     from ..reconstruction.oracle import GeneratePointCloudParams, generate_point_cloud
 
@@ -709,6 +750,8 @@ def _reconstruct_gof_oracle(gof: GofData) -> Iterator[PointSet3]:
                 ps.copy_rgb16_to_rgb8()
             else:
                 ps.convert_yuv16_to_rgb8()
+        if meta.raw_patches:
+            _append_raw_points(ps, gof, meta)
         yield ps
 
 
@@ -1289,5 +1332,9 @@ def _reconstruct_gof_device(gof: GofData, mesh=None, stats=None) -> Iterator[Poi
             prebuilt=(cfg, tables[i : i + chunk]),
             g_bucket=g_bucket,
         )
-        for pos, col in _dispatch_device(di, mesh=mesh, stats=stats):
-            yield _emit_pointset(pos, col, gof)
+        for j, (pos, col) in enumerate(_dispatch_device(di, mesh=mesh, stats=stats)):
+            ps = _emit_pointset(pos, col, gof)
+            meta = gof.metas[i + j]
+            if meta.raw_patches:
+                _append_raw_points(ps, gof, meta)
+            yield ps

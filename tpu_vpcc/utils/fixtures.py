@@ -13,7 +13,7 @@ from typing import List
 
 import numpy as np
 
-from ..atlas.patches import Patch
+from ..atlas.patches import Patch, RawPatch
 from ..utils.synthetic import SyntheticFrame
 from ..v3c import writer as w3c
 from ..v3c.syntax import (
@@ -31,6 +31,7 @@ from ..v3c.syntax import (
     PatchInformationData,
     PatchModeITile,
     PatchModePTile,
+    RawPatchDataUnit,
     RefListStruct,
     SkipPatchDataUnit,
     TileType,
@@ -134,6 +135,18 @@ def patch_to_merge_pdu(
         override_3d_params_flag=True,
         pos_3d_offset=(patch.uv1[0] - ref.uv1[0], patch.uv1[1] - ref.uv1[1]),
         pos_3d_offset_d=dd,
+    )
+
+
+def raw_patch_to_pdu(rp: RawPatch) -> RawPatchDataUnit:
+    """Invert the raw-patch construction (framework extension)."""
+    return RawPatchDataUnit(
+        pos_2d=(rp.u0, rp.v0),
+        size_2d_minus1=(rp.size_u0 - 1, rp.size_v0 - 1),
+        pos_3d_offset_u=rp.u1,
+        pos_3d_offset_v=rp.v1,
+        pos_3d_offset_d=rp.d1,
+        raw_points_minus1=rp.n_points - 1,
     )
 
 
@@ -277,7 +290,22 @@ def build_fixture_stream(
             )
         ]
 
+    # raw patches (framework extension): explicit AFPS offset-bitcount
+    # mode with the widest expressible count (the 3-bit field caps
+    # minus1 at 7 → 8-bit offsets; the implicit derivation wraps to an
+    # unreadable 256-bit field when the 2D/3D bitdepths are equal)
+    has_raw = any(f.meta.raw_patches for f in frames)
+    raw_bitcount_minus1 = 7
+    if has_raw:
+        asps.raw_patch_enabled_flag = True
+        assert all(
+            max(rp.u1, rp.v1, rp.d1) < (1 << (raw_bitcount_minus1 + 1))
+            for f in frames
+            for rp in f.meta.raw_patches
+        ), "raw 3D offsets exceed the 8-bit explicit coding range"
+
     afps = AtlasFrameParameterSet()
+    afps.raw_3d_offset_bitcount_explicit_mode_flag = has_raw
     if p_modes is not None:
         # default active ref count covers the whole list, so multi-entry
         # lists code ref_index on inter/merge units
@@ -330,6 +358,8 @@ def build_fixture_stream(
         ath = AtlasTileHeader()
         ath.atlas_frame_order_count_lsb = sf.meta.frame_index
         ath.pos_min_d_quantizer = pos_min_d_quantizer
+        if has_raw:
+            ath.raw_3d_offset_axis_bitcount_minus1 = raw_bitcount_minus1
         ath.ref_atlas_frame_list_sps_flag = p_modes is not None
         # one flag per long-term entry (parsed for every tile type)
         ath.additional_afoc_lsb_present_flag = [False] * n_ltr
@@ -403,6 +433,21 @@ def build_fixture_stream(
                 else:
                     raise ValueError(f"unknown p-mode {mode!r}")
                 atl.patch_information_data.append(pid)
+        if ath.tile_type != TileType.SKIP:
+            # raw patches follow the regular patches (SKIP tiles
+            # replicate the reference frame's raw list implicitly)
+            raw_mode = (
+                PatchModeITile.RAW
+                if ath.tile_type == TileType.I
+                else PatchModePTile.RAW
+            )
+            for rp in sf.meta.raw_patches:
+                atl.patch_information_data.append(
+                    PatchInformationData(
+                        patch_mode=int(raw_mode),
+                        patch_data_unit=raw_patch_to_pdu(rp),
+                    )
+                )
         nalus.append(
             w3c.wrap_nal_unit(
                 nal_type,

@@ -16,7 +16,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..atlas.patches import FrameMeta, Patch
+from ..atlas.patches import FrameMeta, Patch, RawPatch
 from ..v3c.syntax import PatchOrientation
 
 
@@ -121,6 +121,63 @@ def make_synthetic_frame(
         rng, meta, width, height, occupancy_precision, res, map_count,
         occupancy_fill,
     )
+
+
+def plant_raw_patch(
+    rng: np.random.Generator,
+    sf: SyntheticFrame,
+    region_blocks: tuple,
+    n_points: int,
+    offsets: tuple = (0, 0, 0),
+    geo_shift: int = 2,
+) -> RawPatch:
+    """Author one raw patch on a synthetic frame (framework extension).
+
+    Plants ``3 * n_points`` coordinate samples into the map-0 geometry
+    plane over the region's pixel raster (three consecutive runs: x, y,
+    z — the layout ``reconstruction/raw_points.py`` reads back) and one
+    attribute pixel per point, then appends the :class:`RawPatch` to
+    ``sf.meta.raw_patches``. ``region_blocks`` = (u0, v0, size_u0,
+    size_v0) in block units; the caller keeps it off regular patches.
+    Values are stored MSB-aligned (``<< geo_shift``), so coordinates
+    span ``[0, 2**(10 - geo_shift))`` before the 3D offset. Occupancy
+    over the used pixels is set to 1 (as a real encoder would) — the
+    decoder must ignore occupied blocks no patch owns.
+    """
+    u0, v0, su0, sv0 = region_blocks
+    res = sf.occupancy_resolution
+    x0, y0, w, h = u0 * res, v0 * res, su0 * res, sv0 * res
+    assert 3 * n_points <= w * h, "region too small"
+    cmax = 1 << (10 - geo_shift)
+    coords = rng.integers(0, cmax, (3, n_points)).astype(np.uint16)
+
+    geo = sf.geo_planes[0]
+    flat = coords.reshape(-1) << geo_shift  # [x run | y run | z run]
+    idx = np.arange(3 * n_points)
+    px, py = x0 + idx % w, y0 + idx // w
+    geo[py, px] = flat
+    # occupancy 1 over every used geometry/attribute pixel
+    prec = sf.occupancy_precision
+    sf.occ_plane[py // prec, px // prec] = 1
+
+    ay, au, av = sf.attr_planes[0]
+    csh = 0 if au.shape == ay.shape else 1
+    pxa, pya = px[:n_points], py[:n_points]
+    ay[pya, pxa] = rng.integers(0, 1024, n_points).astype(np.uint16)
+    au[pya >> csh, pxa >> csh] = rng.integers(0, 1024, n_points).astype(
+        np.uint16
+    )
+    av[pya >> csh, pxa >> csh] = rng.integers(0, 1024, n_points).astype(
+        np.uint16
+    )
+
+    rp = RawPatch(
+        u0=u0, v0=v0, size_u0=su0, size_v0=sv0,
+        u1=offsets[0], v1=offsets[1], d1=offsets[2],
+        n_points=n_points, occupancy_resolution=res,
+    )
+    sf.meta.raw_patches.append(rp)
+    return rp
 
 
 def _fill_planes(

@@ -185,15 +185,26 @@ class PatchOrientation(enum.IntEnum):
 
 
 class PatchModeITile(enum.IntEnum):
+    """23090-5 Table 7-4. The reference enumerates only INTRA/END and
+    comments RAW/EOM out (``reader.rs:1740-1753``); RAW decode is a
+    framework extension (EOM parses but reconstruction is gated)."""
+
     INTRA = 0
+    RAW = 1
+    EOM = 2
     END = 14
 
 
 class PatchModePTile(enum.IntEnum):
+    """23090-5 Table 7-5 (``reader.rs:1755-1773``; RAW/EOM commented
+    out there — see :class:`PatchModeITile`)."""
+
     SKIP = 0
     MERGE = 1
     INTER = 2
     INTRA = 3
+    RAW = 4
+    EOM = 5
     END = 14
 
 
@@ -541,10 +552,19 @@ class AtlasSequenceParameterSet:
             raise UnsupportedFeature("pixel deinterleaving not supported (rec0)")
         asps.raw_patch_enabled_flag = bs.read(1) != 0
         asps.eom_patch_enabled_flag = bs.read(1) != 0
+        # FRAMEWORK EXTENSION: raw patches decode here (in the geometry/
+        # attribute video; see reconstruction/raw_points.py). The
+        # reference asserts both flags false (``reader.rs:1066-1069``).
+        if asps.eom_patch_enabled_flag and asps.map_count_minus1 == 0:
+            asps.eom_fix_bit_count_minus1 = bs.read(4)
         if asps.raw_patch_enabled_flag or asps.eom_patch_enabled_flag:
-            raise UnsupportedFeature("raw/EOM patches not supported (rec0)")
-        # eom_fix_bit_count / auxiliary_video reads are gated on the flags
-        # above (``reader.rs:1071-1076``) and thus never taken here.
+            asps.auxiliary_video_enabled_flag = bs.read(1) != 0
+        if asps.eom_patch_enabled_flag:
+            raise UnsupportedFeature("EOM patches not supported")
+        if asps.auxiliary_video_enabled_flag:
+            # a separate auxiliary video sub-stream (V3C AD units) is out
+            # of this decoder's envelope; in-video raw patches are not
+            raise UnsupportedFeature("auxiliary video not supported")
         asps.plr_enabled_flag = bs.read(1) != 0
         if asps.plr_enabled_flag:
             raise UnsupportedFeature("PLR not supported (rec0)")
@@ -1144,6 +1164,56 @@ class SkipPatchDataUnit:
 
 
 @dataclass
+class RawPatchDataUnit:
+    """8.3.7.7 raw patch data unit (23090-5).
+
+    FRAMEWORK EXTENSION: the reference comments this struct out and
+    asserts the ASPS flag false (``reader.rs:2042-2057``, ``:1068``).
+    2D position/size are in patch-packing-block units, like the intra
+    PDU's; the 3D offsets are coded with
+    ``ath.raw_3d_offset_axis_bitcount_minus1 + 1`` bits. The reference's
+    commented-out sketch also lists a ``pos_3d_range_d`` field, but
+    23090-5 (and TMC2's working RawPatchDataUnit) carry no range for
+    raw patches — the spec form is used here."""
+
+    patch_in_auxiliary_video_flag: bool = False
+    pos_2d: Tuple[int, int] = (0, 0)
+    size_2d_minus1: Tuple[int, int] = (0, 0)
+    pos_3d_offset_u: int = 0
+    pos_3d_offset_v: int = 0
+    pos_3d_offset_d: int = 0
+    raw_points_minus1: int = 0
+
+    @classmethod
+    def parse(cls, bs: Bitstream, context, ath: "AtlasTileHeader") -> "RawPatchDataUnit":
+        afps = context.get_afps(ath.atlas_frame_parameter_set_id)
+        asps = context.get_asps(afps.atlas_sequence_parameter_set_id)
+        pdu = cls()
+        if asps.auxiliary_video_enabled_flag:
+            # unreachable today (the ASPS parse rejects aux video), kept
+            # for syntax completeness
+            pdu.patch_in_auxiliary_video_flag = bs.read(1) != 0
+        pdu.pos_2d = (bs.read_uvlc(), bs.read_uvlc())
+        pdu.size_2d_minus1 = (bs.read_uvlc(), bs.read_uvlc())
+        bitcount = ath.raw_3d_offset_axis_bitcount_minus1 + 1
+        if bitcount > 32:
+            # the implicit bitcount derivation wraps mod 256 when the 2D
+            # and 3D geometry bitdepths are equal (the reference's u8
+            # arithmetic quirk, ``reader.rs:1675-1678``) — a stream
+            # coding raw patches that way is unreadable; real encoders
+            # use the explicit AFPS mode
+            raise UnsupportedFeature(
+                f"raw 3D offset bitcount {bitcount} (wrapped implicit "
+                f"derivation; use afps raw_3d_offset explicit mode)"
+            )
+        pdu.pos_3d_offset_u = bs.read(bitcount)
+        pdu.pos_3d_offset_v = bs.read(bitcount)
+        pdu.pos_3d_offset_d = bs.read(bitcount)
+        pdu.raw_points_minus1 = bs.read_uvlc()
+        return pdu
+
+
+@dataclass
 class PatchInformationData:
     """8.3.7.2 patch information data (``reader.rs:1775-1849``)."""
 
@@ -1158,11 +1228,14 @@ class PatchInformationData:
             mode = PatchModePTile(patch_mode)
             if mode == PatchModePTile.END:
                 return None
+            if mode == PatchModePTile.EOM:
+                raise UnsupportedFeature("EOM patches not supported")
             unit = {
                 PatchModePTile.MERGE: MergePatchDataUnit,
                 PatchModePTile.INTER: InterPatchDataUnit,
                 PatchModePTile.INTRA: IntraPatchDataUnit,
                 PatchModePTile.SKIP: SkipPatchDataUnit,
+                PatchModePTile.RAW: RawPatchDataUnit,
             }[mode]
             pdu = (
                 SkipPatchDataUnit()
@@ -1174,9 +1247,16 @@ class PatchInformationData:
             mode = PatchModeITile(patch_mode)
             if mode == PatchModeITile.END:
                 return None
+            if mode == PatchModeITile.EOM:
+                raise UnsupportedFeature("EOM patches not supported")
+            unit = (
+                RawPatchDataUnit
+                if mode == PatchModeITile.RAW
+                else IntraPatchDataUnit
+            )
             return cls(
                 patch_mode=patch_mode,
-                patch_data_unit=IntraPatchDataUnit.parse(bs, context, ath),
+                patch_data_unit=unit.parse(bs, context, ath),
             )
         raise UnsupportedFeature("patch data in SKIP tile")
 

@@ -23,6 +23,7 @@ from .syntax import (
     NalUnitType,
     PatchModeITile,
     ProfileTierLevel,
+    RawPatchDataUnit,
     RefListStruct,
     SkipPatchDataUnit,
     TileType,
@@ -156,6 +157,10 @@ def write_asps(asps: AtlasSequenceParameterSet) -> bytes:
     w.write(int(asps.pixel_deinterleaving_flag), 1)
     w.write(int(asps.raw_patch_enabled_flag), 1)
     w.write(int(asps.eom_patch_enabled_flag), 1)
+    if asps.eom_patch_enabled_flag and asps.map_count_minus1 == 0:
+        w.write(asps.eom_fix_bit_count_minus1, 4)
+    if asps.raw_patch_enabled_flag or asps.eom_patch_enabled_flag:
+        w.write(int(asps.auxiliary_video_enabled_flag), 1)
     w.write(int(asps.plr_enabled_flag), 1)
     w.write(int(asps.vui_parameters_present_flag), 1)
     w.write(int(asps.extension_flag), 1)
@@ -329,6 +334,18 @@ def write_atlas_tile_layer(
                     raise NotImplementedError(
                         "merge patches with normal_axis_max_delta"
                     )
+        elif isinstance(pdu, RawPatchDataUnit):
+            if asps.auxiliary_video_enabled_flag:
+                w.write(int(pdu.patch_in_auxiliary_video_flag), 1)
+            w.write_uvlc(pdu.pos_2d[0])
+            w.write_uvlc(pdu.pos_2d[1])
+            w.write_uvlc(pdu.size_2d_minus1[0])
+            w.write_uvlc(pdu.size_2d_minus1[1])
+            rb = ath.raw_3d_offset_axis_bitcount_minus1 + 1
+            w.write(pdu.pos_3d_offset_u, rb)
+            w.write(pdu.pos_3d_offset_v, rb)
+            w.write(pdu.pos_3d_offset_d, rb)
+            w.write_uvlc(pdu.raw_points_minus1)
         elif isinstance(pdu, SkipPatchDataUnit):
             pass  # P_SKIP carries no fields
         else:
