@@ -252,6 +252,51 @@ def test_raw_capacity_violation_fails_cleanly(tmp_path):
         list(decoder)
 
 
+def test_raw_lod_bit_flips_fail_cleanly(tmp_path):
+    """Bit flips across the header/atlas region of a raw+LoD stream
+    either reparse or raise cleanly (no hang, no crash) through patch-
+    frame construction — the raw capacity/canvas checks run there."""
+    import time
+
+    from tpu_vpcc.atlas.patches import create_patch_frames
+    from tpu_vpcc.v3c.context import Context
+    from tpu_vpcc.v3c.stream import SampleStreamV3CUnit
+
+    rng = np.random.default_rng(3)
+    frames = []
+    for i in range(2):
+        sf = make_synthetic_frame(rng, width=64, height=64,
+                                  occupancy_resolution=8,
+                                  occupancy_precision=4, map_count=2,
+                                  n_patches=2, frame_index=i)
+        sf.meta.patches[0].level_of_detail = (2, 2)
+        u0, v0 = free_block_rect(sf, 2, 1)
+        plant_raw_patch(rng, sf, (u0, v0, 2, 1), 20, offsets=(1, 2, 3))
+        frames.append(sf)
+    stream = bytearray(build_fixture_stream(frames))
+
+    def full_decode(data):
+        ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(bytes(data)))
+        while ssvu.get_v3c_unit_count() > 0:
+            ctx = Context()
+            ssvu.decode_gof(ctx)
+            create_patch_frames(ctx)
+
+    full_decode(stream)  # baseline must decode
+    t0 = time.monotonic()
+    outcomes = {"ok": 0, "raised": 0}
+    for i in range(0, 300, 5):
+        mutated = bytearray(stream)
+        mutated[i] ^= 0xFF
+        try:
+            full_decode(mutated)
+            outcomes["ok"] += 1
+        except Exception:
+            outcomes["raised"] += 1
+    assert outcomes["raised"] > 0
+    assert time.monotonic() - t0 < 60
+
+
 def test_eom_flag_rejected():
     asps = AtlasSequenceParameterSet()
     asps.eom_patch_enabled_flag = True

@@ -562,6 +562,13 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                     patch_orientation=pdu.orientation_index,
                 )
                 patch.set_view_id(pdu.projection_id)
+                if pdu.lod_enabled_flag:
+                    # LoDScaleY floor is 2 when LoDScaleX stays 1: the
+                    # (1,1) identity is never coded with the flag on
+                    # (23090-5 §9.2.5 derivation, TMC2 v18 setLodScaleY)
+                    sx = pdu.lod_scale_x_minus1 + 1
+                    sy = pdu.lod_scale_y_idc + (1 if sx > 1 else 2)
+                    patch.level_of_detail = (sx, sy)
                 if patch.projection_mode == 0:
                     patch.d1 = pdu.pos_3d_offset_d * min_level
                 else:

@@ -61,7 +61,7 @@ def patch_to_pdu(
     else:
         offset_d = ((1 << geometry_bitdepth_3d) - patch.d1) // min_level
     range_d = 0 if patch.size_d == 0 else (patch.size_d + 1) // min_level
-    return IntraPatchDataUnit(
+    pdu = IntraPatchDataUnit(
         projection_id=view_id,
         orientation_index=patch.patch_orientation,
         pos_2d=patch.uv0,
@@ -70,6 +70,15 @@ def patch_to_pdu(
         pos_3d_offset_d=offset_d,
         pos_3d_range_d=range_d,
     )
+    sx, sy = patch.level_of_detail
+    if (sx, sy) != (1, 1):
+        # invert the LoD derivation (atlas.patches; sy floor is 2 when
+        # sx == 1 — (1, sy<2) and (sx>1, 0) are not bitstream-expressible)
+        pdu.lod_enabled_flag = True
+        pdu.lod_scale_x_minus1 = sx - 1
+        pdu.lod_scale_y_idc = sy - (1 if sx > 1 else 2)
+        assert pdu.lod_scale_y_idc >= 0, f"LoD {patch.level_of_detail}"
+    return pdu
 
 
 def patch_to_inter_pdu(
@@ -306,6 +315,11 @@ def build_fixture_stream(
 
     afps = AtlasFrameParameterSet()
     afps.raw_3d_offset_bitcount_explicit_mode_flag = has_raw
+    # LoD-scaled patches (framework extension; the reference
+    # `unimplemented!`s on this AFPS flag, ``reader.rs:1915``)
+    afps.lod_mode_enable_flag = any(
+        p.level_of_detail != (1, 1) for f in frames for p in f.meta.patches
+    )
     if p_modes is not None:
         # default active ref count covers the whole list, so multi-entry
         # lists code ref_index on inter/merge units

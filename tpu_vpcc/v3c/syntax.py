@@ -1049,6 +1049,8 @@ class IntraPatchDataUnit:
     projection_id: int = 0
     orientation_index: PatchOrientation = PatchOrientation.DEFAULT
     lod_enabled_flag: bool = False
+    lod_scale_x_minus1: int = 0
+    lod_scale_y_idc: int = 0
     pos_2d: Tuple[int, int] = (0, 0)
     size_2d_minus1: Tuple[int, int] = (0, 0)
     pos_3d_offset: Tuple[int, int] = (0, 0)
@@ -1080,7 +1082,15 @@ class IntraPatchDataUnit:
             bs.read(3 if asps.use_eight_orientations_flag else 1)
         )
         if afps.lod_mode_enable_flag:
-            raise UnsupportedFeature("lod mode not supported")
+            # FRAMEWORK EXTENSION: LoD-scaled patches (23090-5 8.3.7.3;
+            # the reference `unimplemented!`s here, ``reader.rs:1915``).
+            # The whole reconstruction stack already carries
+            # level_of_detail (G_LODX/G_LODY in the group tables, the
+            # oracle's generate_point) — only this parse was missing.
+            pdu.lod_enabled_flag = bs.read(1) != 0
+            if pdu.lod_enabled_flag:
+                pdu.lod_scale_x_minus1 = bs.read_uvlc()
+                pdu.lod_scale_y_idc = bs.read_uvlc()
         if asps.plr_enabled_flag:
             raise UnsupportedFeature("PLR not supported")
         return pdu

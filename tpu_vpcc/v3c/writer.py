@@ -299,6 +299,11 @@ def write_atlas_tile_layer(
                 w.write(pdu.pos_3d_range_d, bitcount_max_depth)
             w.write(pdu.projection_id, ceil_log2(asps.max_number_projections_minus1 + 1))
             w.write(int(pdu.orientation_index), 3 if asps.use_eight_orientations_flag else 1)
+            if afps.lod_mode_enable_flag:
+                w.write(int(pdu.lod_enabled_flag), 1)
+                if pdu.lod_enabled_flag:
+                    w.write_uvlc(pdu.lod_scale_x_minus1)
+                    w.write_uvlc(pdu.lod_scale_y_idc)
         elif isinstance(pdu, InterPatchDataUnit):
             if asps.normal_axis_max_delta_value_enabled_flag:
                 raise NotImplementedError(
