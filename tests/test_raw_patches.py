@@ -297,12 +297,20 @@ def test_raw_lod_bit_flips_fail_cleanly(tmp_path):
     assert time.monotonic() - t0 < 60
 
 
-def test_eom_flag_rejected():
+def test_single_map_eom_rejected():
+    """Two-map EOM decodes (tests/test_eom.py); the single-map form
+    (d1 derived from the fix-bit-count codeword) stays cleanly gated."""
     asps = AtlasSequenceParameterSet()
     asps.eom_patch_enabled_flag = True
+    asps.map_count_minus1 = 0
     payload = w3c.write_asps(asps)
-    with pytest.raises(UnsupportedFeature, match="EOM"):
+    with pytest.raises(UnsupportedFeature, match="single-map EOM"):
         AtlasSequenceParameterSet.parse(Bitstream(payload))
+
+    asps.map_count_minus1 = 1
+    payload = w3c.write_asps(asps)
+    parsed = AtlasSequenceParameterSet.parse(Bitstream(payload))
+    assert parsed.eom_patch_enabled_flag
 
 
 def test_auxiliary_video_rejected():

@@ -196,6 +196,29 @@ class RawPatch:
 
 
 @dataclass
+class EomPatch:
+    """Decoded EOM-patch record (framework extension; 23090-5 §8.3.7.8).
+
+    The reference comments the struct out and panics on the ASPS flag
+    and the patch mode (``reader.rs:2059-2076``, ``decoder.rs:499-501``).
+    Region coordinates are in patch-packing-block units. The region of
+    the ATTRIBUTE video holds the colors of the member patches' EOM
+    (in-between) points, one pixel per point over the region's pixel
+    raster, in EOM emission order (member patches in list order, each
+    patch's pixels in its block-major emission order, codeword bits
+    ascending). See ``reconstruction/eom_points.py`` for the decode and
+    the occupancy codeword convention."""
+
+    u0: int = 0
+    v0: int = 0
+    size_u0: int = 0  # blocks
+    size_v0: int = 0
+    member_patches: List[int] = field(default_factory=list)
+    member_points: List[int] = field(default_factory=list)
+    occupancy_resolution: int = 16
+
+
+@dataclass
 class FrameMeta:
     """Per-frame (single-tile) reconstruction metadata — the distilled
     ``TileContext`` (``context.rs:394-439``)."""
@@ -212,6 +235,8 @@ class FrameMeta:
     # kept OUT of `patches` so block-to-patch ownership, group tables,
     # and inter/merge patch indexing see only regular patches
     raw_patches: List[RawPatch] = field(default_factory=list)
+    # framework extension: EOM patches (same reasoning as raw_patches)
+    eom_patches: List[EomPatch] = field(default_factory=list)
 
 
 def _patch_type(tile_type: TileType, patch_mode: int) -> str:
@@ -225,11 +250,13 @@ def _patch_type(tile_type: TileType, patch_mode: int) -> str:
             int(PatchModePTile.MERGE): "merge",
             int(PatchModePTile.SKIP): "skip",
             int(PatchModePTile.RAW): "raw",
+            int(PatchModePTile.EOM): "eom",
         }.get(patch_mode, "error")
     if tile_type == TileType.I:
         return {
             int(PatchModeITile.INTRA): "intra",
             int(PatchModeITile.RAW): "raw",
+            int(PatchModeITile.EOM): "eom",
         }.get(patch_mode, "error")
     return "error"
 
@@ -496,6 +523,14 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
             ref = ref_frame(0)
             meta.patches = [replace(p) for p in ref.patches]
             meta.raw_patches = [replace(p) for p in ref.raw_patches]
+            meta.eom_patches = [
+                replace(
+                    p,
+                    member_patches=list(p.member_patches),
+                    member_points=list(p.member_points),
+                )
+                for p in ref.eom_patches
+            ]
             by_afoc[atl.atlas_frame_order_count_val] = meta
             frames.append(meta)
             continue
@@ -545,6 +580,44 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                         "offsets=(%d,%d,%d) n=%d",
                         frame_index, cur_idx, rp.u0, rp.v0, rp.size_u0,
                         rp.size_v0, rp.u1, rp.v1, rp.d1, rp.n_points,
+                    )
+                continue
+            if ptype == "eom":
+                pdu = pid.patch_data_unit
+                ep = EomPatch(
+                    u0=pdu.pos_2d[0],
+                    v0=pdu.pos_2d[1],
+                    size_u0=pdu.size_2d_minus1[0] + 1,
+                    size_v0=pdu.size_2d_minus1[1] + 1,
+                    member_patches=list(pdu.associated_patch_idx),
+                    member_points=list(pdu.points),
+                    occupancy_resolution=packing_block_size,
+                )
+                res = packing_block_size
+                w_pix = ep.size_u0 * res
+                h_pix = ep.size_v0 * res
+                if (
+                    ep.u0 * res + w_pix > meta.width
+                    or ep.v0 * res + h_pix > meta.height
+                ):
+                    raise UnsupportedFeature(
+                        f"EOM patch region {ep.size_u0}x{ep.size_v0} at "
+                        f"({ep.u0},{ep.v0}) blocks leaves the "
+                        f"{meta.width}x{meta.height} canvas"
+                    )
+                if sum(ep.member_points) > w_pix * h_pix:
+                    raise UnsupportedFeature(
+                        f"EOM patch declares {sum(ep.member_points)} "
+                        f"points but its {w_pix}x{h_pix} region holds "
+                        f"only {w_pix * h_pix} attribute samples"
+                    )
+                meta.eom_patches.append(ep)
+                if log.isEnabledFor(logging.DEBUG):
+                    log.debug(
+                        "frame %d patch %d/eom: u0v0=(%d,%d) size=(%d,%d) "
+                        "members=%s points=%s",
+                        frame_index, cur_idx, ep.u0, ep.v0, ep.size_u0,
+                        ep.size_v0, ep.member_patches, ep.member_points,
                     )
                 continue
             if ptype == "intra":
@@ -632,6 +705,15 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                     frame_index, cur_idx, ptype, p.uv0, p.size_uv0, p.uv1,
                     p.d1, p.axes, p.projection_mode, p.patch_orientation.name,
                 )
+        # EOM member indices may forward-reference regular patches, so
+        # validate against the tile's FINAL regular-patch list
+        for ep in meta.eom_patches:
+            for m in ep.member_patches:
+                if not 0 <= m < len(meta.patches):
+                    raise UnsupportedFeature(
+                        f"EOM member patch index {m} out of range "
+                        f"(tile has {len(meta.patches)} regular patches)"
+                    )
         by_afoc[atl.atlas_frame_order_count_val] = meta
         frames.append(meta)
 

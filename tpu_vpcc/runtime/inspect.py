@@ -73,7 +73,15 @@ def inspect(path, verbose: bool = False, out=sys.stdout) -> int:
                 f"orientations={'8' if asps.use_eight_orientations_flag else '2'}",
                 file=out,
             )
-        for vt in (VideoType.OCCUPANCY, VideoType.GEOMETRY, VideoType.ATTRIBUTE):
+        for vt in (
+            VideoType.OCCUPANCY,
+            VideoType.GEOMETRY,
+            VideoType.GEOMETRY_D0,
+            VideoType.GEOMETRY_D1,
+            VideoType.ATTRIBUTE,
+            VideoType.ATTRIBUTE_T0,
+            VideoType.ATTRIBUTE_T1,
+        ):
             vbs = context.get_video_bitstream(vt)
             if vbs is not None:
                 print(f"  {vt.name.lower()} video: {len(vbs.data)} bytes", file=out)

@@ -370,8 +370,14 @@ def prepare_gof(
         raise UnsupportedFeature("occupancy must be 8-bit, no msb align")
     if gi.geometry_msb_align_flag:
         raise UnsupportedFeature("geometry msb align")
-    if vps.multiple_map_streams_present_flag:
-        raise UnsupportedFeature("multiple map streams")
+    # FRAMEWORK EXTENSION: per-map video sub-streams decode (the
+    # reference rejects the VPS flag, ``reader.rs:278-283``); envelope
+    # is two maps with the map-0 predictor, like the interleaved form
+    multi_map = vps.map_count_minus1 > 0 and vps.multiple_map_streams_present_flag
+    if multi_map and vps.map_count_minus1 != 1:
+        raise UnsupportedFeature("multiple map streams beyond two maps")
+    if multi_map and any(vps.map_predictor_index_diff[1:]):
+        raise UnsupportedFeature("map predictor index diff")
     if ai.attribute_count != 1:
         raise UnsupportedFeature("exactly one attribute expected")
     if ai.attribute_dimension_partitions_minus1[0] + 1 != 1:
@@ -381,9 +387,19 @@ def prepare_gof(
     frame_count = max((m.frame_index for m in metas), default=-1) + 1
 
     occ_bs = context.get_video_bitstream(VideoType.OCCUPANCY)
-    geo_bs = context.get_video_bitstream(VideoType.GEOMETRY)
-    attr_bs = context.get_video_bitstream(VideoType.ATTRIBUTE)
-    if occ_bs is None or geo_bs is None or attr_bs is None:
+    if multi_map:
+        geo_bs_list = [
+            context.get_video_bitstream(VideoType.GEOMETRY_D0),
+            context.get_video_bitstream(VideoType.GEOMETRY_D1),
+        ]
+        attr_bs_list = [
+            context.get_video_bitstream(VideoType.ATTRIBUTE_T0),
+            context.get_video_bitstream(VideoType.ATTRIBUTE_T1),
+        ]
+    else:
+        geo_bs_list = [context.get_video_bitstream(VideoType.GEOMETRY)]
+        attr_bs_list = [context.get_video_bitstream(VideoType.ATTRIBUTE)]
+    if occ_bs is None or None in geo_bs_list or None in attr_bs_list:
         raise UnsupportedFeature("missing occupancy/geometry/attribute stream")
 
     occ_codec = codec_id_from_v3c(oi.occupancy_codec_id)
@@ -405,7 +421,8 @@ def prepare_gof(
         and not apply_geo_smoothing
         and not apply_attr_smoothing
     )
-    with ThreadPoolExecutor(max_workers=num_video_threads) as pool:
+    n_jobs = 1 + len(geo_bs_list) + len(attr_bs_list)
+    with ThreadPoolExecutor(max_workers=max(num_video_threads, n_jobs)) as pool:
         if cell:
             occ_frames = decompress_video(occ_bs.data, occ_codec)
             prec = (
@@ -418,12 +435,35 @@ def prepare_gof(
             occ_f = None
         else:
             occ_f = pool.submit(decompress_video, occ_bs.data, occ_codec)
-        geo_f = pool.submit(decompress_video, geo_bs.data, geo_codec, True, vtile)
-        attr_f = pool.submit(decompress_video, attr_bs.data, attr_codec, True, vtile)
+        geo_fs = [
+            pool.submit(decompress_video, b.data, geo_codec, True, vtile)
+            for b in geo_bs_list
+        ]
+        attr_fs = [
+            pool.submit(decompress_video, b.data, attr_codec, True, vtile)
+            for b in attr_bs_list
+        ]
         if occ_f is not None:
             occ_frames = occ_f.result()
-        geo_frames = geo_f.result()
-        attr_frames = attr_f.result()
+        geo_per_map = [f.result() for f in geo_fs]
+        attr_per_map = [f.result() for f in attr_fs]
+    if multi_map:
+        # interleave the per-map videos into the map-interleaved frame
+        # order every downstream consumer indexes by (frame*mc + map)
+        if (
+            len(set(len(v) for v in geo_per_map)) > 1
+            or len(set(len(v) for v in attr_per_map)) > 1
+        ):
+            raise UnsupportedFeature(
+                "per-map video sub-streams decoded to differing frame "
+                f"counts (geo={[len(v) for v in geo_per_map]}, "
+                f"attr={[len(v) for v in attr_per_map]})"
+            )
+        geo_frames = [f for pair in zip(*geo_per_map) for f in pair]
+        attr_frames = [f for pair in zip(*attr_per_map) for f in pair]
+    else:
+        geo_frames = geo_per_map[0]
+        attr_frames = attr_per_map[0]
 
     if not (occ_frames and geo_frames and attr_frames):
         raise UnsupportedFeature(
@@ -653,29 +693,12 @@ def _fetch_prefixes(positions, colors16, counts, color_mode: str = "raw"):
     return np.asarray(p), np.asarray(c)
 
 
-def _append_raw_points(ps: PointSet3, gof: GofData, meta) -> None:
-    """Append the frame's raw-patch points (framework extension — the
-    reference panics on raw patches, ``reader.rs:1068``) AFTER the
-    regular points and after smoothing/color conversion: raw coordinates
-    are verbatim outliers, not projected surface, so smoothing never
-    touches them and their colors convert through the same exact chain
-    (host f64 == device jit, ops/color.py). Host-side NumPy by design —
-    raw patches are a tiny tail, far below device-dispatch scale."""
+def _append_tail_points(ps: PointSet3, gof: GofData, pos_r, col_r) -> None:
+    """Append host-decoded tail points (raw/EOM patches) with the same
+    exact color-conversion chain the regular points took (host f64 ==
+    device jit, ops/color.py)."""
     from ..reconstruction.pointset import convert_yuv10_to_rgb8
-    from ..reconstruction.raw_points import raw_points_for_frame
 
-    base = meta.frame_index * gof.map_count
-    attr = gof.attr_planes[base] if gof.attribute_count > 0 else None
-    pos_r, col_r = raw_points_for_frame(
-        meta.raw_patches,
-        gof.geo_planes[base],
-        attr,
-        gof.geo_shift,
-        gof.attr_chroma_shift,
-        meta.width,
-        tile_size=gof.tile_size if gof.tiled else 0,
-        left_top=meta.left_top_in_frame,
-    )
     if pos_r.shape[0] == 0:
         return
     ps.positions = np.concatenate([ps.positions, pos_r])
@@ -692,6 +715,55 @@ def _append_raw_points(ps: PointSet3, gof: GofData, meta) -> None:
         ps.colors = np.concatenate(
             [ps.colors, np.full((pos_r.shape[0], 3), 127, np.uint8)]
         )
+
+
+def _append_raw_points(ps: PointSet3, gof: GofData, meta) -> None:
+    """Append the frame's raw-patch points (framework extension — the
+    reference panics on raw patches, ``reader.rs:1068``) AFTER the
+    regular points and after smoothing/color conversion: raw coordinates
+    are verbatim outliers, not projected surface, so smoothing never
+    touches them. Host-side NumPy by design — raw patches are a tiny
+    tail, far below device-dispatch scale."""
+    from ..reconstruction.raw_points import raw_points_for_frame
+
+    base = meta.frame_index * gof.map_count
+    attr = gof.attr_planes[base] if gof.attribute_count > 0 else None
+    pos_r, col_r = raw_points_for_frame(
+        meta.raw_patches,
+        gof.geo_planes[base],
+        attr,
+        gof.geo_shift,
+        gof.attr_chroma_shift,
+        meta.width,
+        tile_size=gof.tile_size if gof.tiled else 0,
+        left_top=meta.left_top_in_frame,
+    )
+    _append_tail_points(ps, gof, pos_r, col_r)
+
+
+def _append_eom_points(ps: PointSet3, gof: GofData, meta) -> None:
+    """Append the frame's EOM in-between points (framework extension —
+    the reference panics on EOM patches, ``reader.rs:1069``) AFTER the
+    regular points and after smoothing, BEFORE raw points. See
+    ``reconstruction/eom_points.py`` for the codeword convention and
+    why this is host-side."""
+    from ..reconstruction.eom_points import eom_points_for_frame
+
+    base = meta.frame_index * gof.map_count
+    attr = gof.attr_planes[base] if gof.attribute_count > 0 else None
+    pos_e, col_e = eom_points_for_frame(
+        meta,
+        gof.occ_planes[meta.frame_index],
+        gof.geo_planes[base],
+        attr,
+        gof.geo_shift,
+        gof.attr_chroma_shift,
+        meta.width,
+        gof.occupancy_precision,
+        tile_size=gof.tile_size if gof.tiled else 0,
+        left_top=meta.left_top_in_frame,
+    )
+    _append_tail_points(ps, gof, pos_e, col_e)
 
 
 def _reconstruct_gof_oracle(gof: GofData) -> Iterator[PointSet3]:
@@ -750,6 +822,8 @@ def _reconstruct_gof_oracle(gof: GofData) -> Iterator[PointSet3]:
                 ps.copy_rgb16_to_rgb8()
             else:
                 ps.convert_yuv16_to_rgb8()
+        if meta.eom_patches:
+            _append_eom_points(ps, gof, meta)
         if meta.raw_patches:
             _append_raw_points(ps, gof, meta)
         yield ps
@@ -1335,6 +1409,8 @@ def _reconstruct_gof_device(gof: GofData, mesh=None, stats=None) -> Iterator[Poi
         for j, (pos, col) in enumerate(_dispatch_device(di, mesh=mesh, stats=stats)):
             ps = _emit_pointset(pos, col, gof)
             meta = gof.metas[i + j]
+            if meta.eom_patches:
+                _append_eom_points(ps, gof, meta)
             if meta.raw_patches:
                 _append_raw_points(ps, gof, meta)
             yield ps

@@ -22,6 +22,7 @@ from ..v3c.syntax import (
     AtlasTileHeader,
     AtlasTileLayer,
     AttributeInformation,
+    EomPatchDataUnit,
     GeometryInformation,
     InterPatchDataUnit,
     IntraPatchDataUnit,
@@ -159,6 +160,16 @@ def raw_patch_to_pdu(rp: RawPatch) -> RawPatchDataUnit:
     )
 
 
+def eom_patch_to_pdu(ep) -> EomPatchDataUnit:
+    """Invert the EOM-patch construction (framework extension)."""
+    return EomPatchDataUnit(
+        pos_2d=(ep.u0, ep.v0),
+        size_2d_minus1=(ep.size_u0 - 1, ep.size_v0 - 1),
+        associated_patch_idx=list(ep.member_patches),
+        points=list(ep.member_points),
+    )
+
+
 def concat_streams(streams: List[bytes]) -> bytes:
     """Concatenate single-GOF sample streams into one multi-GOF file.
 
@@ -188,6 +199,8 @@ def build_fixture_stream(
     occ_synthesis_sei=None,
     suffix_sei=None,
     pos_min_d_quantizer: int = 0,
+    multi_map_streams: bool = False,
+    map1_absolute: bool = True,
 ) -> bytes:
     """Build a complete single-GOF V3C sample-stream file.
 
@@ -216,6 +229,13 @@ def build_fixture_stream(
     ``pos_min_d_quantizer`` codes depth offsets in units of
     ``min_level = 1 << q`` (patch d1 values must be exact multiples for
     the roundtrip to be lossless).
+
+    ``multi_map_streams`` (framework extension — the reference rejects
+    the VPS flag, ``reader.rs:278-283``) codes each map's geometry and
+    attribute in its OWN video sub-stream (GVD/AVD units with
+    map_index); needs two maps. ``map1_absolute=False`` additionally
+    codes the D1 geometry as deltas against D0
+    (``map_absolute_coding_enable_flag[1] = 0``).
     """
     f0 = frames[0]
     width, height = f0.meta.width, f0.meta.height
@@ -230,6 +250,12 @@ def build_fixture_stream(
     vps.map_count_minus1 = map_count - 1
     vps.map_absolute_coding_enable_flag = [True] * map_count
     vps.map_predictor_index_diff = [False] * map_count
+    if multi_map_streams:
+        assert map_count == 2, "multi-map-stream fixtures need two maps"
+        vps.multiple_map_streams_present_flag = True
+        vps.map_absolute_coding_enable_flag[1] = map1_absolute
+    else:
+        assert map1_absolute, "delta D1 coding needs multi_map_streams"
     vps.occupancy_video_present_flag = True
     vps.geometry_video_present_flag = True
     vps.attribute_video_present_flag = True
@@ -312,6 +338,12 @@ def build_fixture_stream(
             for f in frames
             for rp in f.meta.raw_patches
         ), "raw 3D offsets exceed the 8-bit explicit coding range"
+    # EOM patches (framework extension): two-map form only (the
+    # single-map form needs asps_eom_fix_bit_count, which the decoder
+    # rejects)
+    if any(f.meta.eom_patches for f in frames):
+        assert map_count >= 2, "EOM fixtures need two maps"
+        asps.eom_patch_enabled_flag = True
 
     afps = AtlasFrameParameterSet()
     afps.raw_3d_offset_bitcount_explicit_mode_flag = has_raw
@@ -462,6 +494,18 @@ def build_fixture_stream(
                         patch_data_unit=raw_patch_to_pdu(rp),
                     )
                 )
+            eom_mode = (
+                PatchModeITile.EOM
+                if ath.tile_type == TileType.I
+                else PatchModePTile.EOM
+            )
+            for ep in sf.meta.eom_patches:
+                atl.patch_information_data.append(
+                    PatchInformationData(
+                        patch_mode=int(eom_mode),
+                        patch_data_unit=eom_patch_to_pdu(ep),
+                    )
+                )
         nalus.append(
             w3c.wrap_nal_unit(
                 nal_type,
@@ -486,28 +530,53 @@ def build_fixture_stream(
         ]
         for sf in frames
     ]
-    geo_video = []
-    attr_video = []
     ch, cw = height // 2, width // 2
-    for sf in frames:
-        for m in range(map_count):
-            geo_video.append(
-                [
-                    sf.geo_planes[m],
-                    np.zeros((ch, cw), np.uint16),
-                    np.zeros((ch, cw), np.uint16),
-                ]
-            )
-            attr_video.append(sf.attr_planes[m])
 
-    occ_annexb = encode_yuv420(occ_video, bit_depth=8, lossless=lossless, qp=qp)
-    geo_annexb = encode_yuv420(geo_video, bit_depth=10, lossless=lossless, qp=qp)
+    def geo_frame(sf, m):
+        plane = sf.geo_planes[m]
+        if m == 1 and not map1_absolute:
+            # delta D1 coding: samples carry (d1 - d0) premultiplied by
+            # the same MSB alignment as the absolute planes
+            plane = (plane - sf.geo_planes[0]).astype(np.uint16)
+        return [
+            plane,
+            np.zeros((ch, cw), np.uint16),
+            np.zeros((ch, cw), np.uint16),
+        ]
+
     # chroma format auto-detects from the plane shapes: full-res chroma in
     # the synthetic frames -> a 4:4:4-coded attribute sub-stream
-    attr_444 = attr_video[0][1].shape == attr_video[0][0].shape
-    attr_annexb = encode_yuv420(
-        attr_video, bit_depth=10, lossless=lossless, qp=qp, chroma444=attr_444
-    )
+    attr_444 = frames[0].attr_planes[0][1].shape == frames[0].attr_planes[0][0].shape
+
+    if multi_map_streams:
+        geo_annexbs = [
+            encode_yuv420(
+                [geo_frame(sf, m) for sf in frames],
+                bit_depth=10, lossless=lossless, qp=qp,
+            )
+            for m in range(map_count)
+        ]
+        attr_annexbs = [
+            encode_yuv420(
+                [sf.attr_planes[m] for sf in frames],
+                bit_depth=10, lossless=lossless, qp=qp, chroma444=attr_444,
+            )
+            for m in range(map_count)
+        ]
+    else:
+        geo_video = [geo_frame(sf, m) for sf in frames for m in range(map_count)]
+        attr_video = [sf.attr_planes[m] for sf in frames for m in range(map_count)]
+        geo_annexbs = [
+            encode_yuv420(geo_video, bit_depth=10, lossless=lossless, qp=qp)
+        ]
+        attr_annexbs = [
+            encode_yuv420(
+                attr_video, bit_depth=10, lossless=lossless, qp=qp,
+                chroma444=attr_444,
+            )
+        ]
+
+    occ_annexb = encode_yuv420(occ_video, bit_depth=8, lossless=lossless, qp=qp)
 
     sw = w3c.V3CSampleStreamWriter()
     sw.add_unit(w3c.v3c_unit_header(V3CUnitType.VPS), w3c.write_vps(vps))
@@ -516,12 +585,18 @@ def build_fixture_stream(
         w3c.v3c_unit_header(V3CUnitType.OVD),
         w3c.annexb_to_length_prefixed(occ_annexb),
     )
-    sw.add_unit(
-        w3c.v3c_unit_header(V3CUnitType.GVD),
-        w3c.annexb_to_length_prefixed(geo_annexb),
-    )
-    sw.add_unit(
-        w3c.v3c_unit_header(V3CUnitType.AVD),
-        w3c.annexb_to_length_prefixed(attr_annexb),
-    )
+    for m, annexb in enumerate(geo_annexbs):
+        sw.add_unit(
+            w3c.v3c_unit_header(
+                V3CUnitType.GVD, map_index=m if multi_map_streams else 0
+            ),
+            w3c.annexb_to_length_prefixed(annexb),
+        )
+    for m, annexb in enumerate(attr_annexbs):
+        sw.add_unit(
+            w3c.v3c_unit_header(
+                V3CUnitType.AVD, map_index=m if multi_map_streams else 0
+            ),
+            w3c.annexb_to_length_prefixed(annexb),
+        )
     return sw.getvalue()

@@ -16,7 +16,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..atlas.patches import FrameMeta, Patch, RawPatch
+from ..atlas.patches import EomPatch, FrameMeta, Patch, RawPatch
 from ..v3c.syntax import PatchOrientation
 
 
@@ -178,6 +178,92 @@ def plant_raw_patch(
     )
     sf.meta.raw_patches.append(rp)
     return rp
+
+
+def plant_eom_patch(
+    rng: np.random.Generator,
+    sf: SyntheticFrame,
+    region_blocks: tuple,
+    member_patch_indices: List[int],
+    eom_fraction: float = 0.5,
+    geo_shift: int = 2,
+) -> EomPatch:
+    """Author one EOM patch on a synthetic frame (framework extension).
+
+    For each member patch, a random ``eom_fraction`` of its occupied
+    pixels with surface thickness ≥ 2 get an in-between point pattern
+    written into the occupancy plane as ``pattern + 1`` (the codeword
+    convention ``reconstruction/eom_points.py`` reads back: codeword =
+    occupancy value − 1, bit j → a point at depth d0 + j + 1, strictly
+    between the pixel's D0 and D1). One attribute pixel per EOM point
+    is planted over the region's raster, and the :class:`EomPatch`
+    (with the per-member counts) appends to ``sf.meta.eom_patches``.
+
+    Requires ``occupancy_precision == 1`` (per-pixel codewords) and two
+    maps. ``region_blocks`` = (u0, v0, size_u0, size_v0) in block
+    units; the caller keeps it off regular patches.
+    """
+    assert sf.occupancy_precision == 1, "EOM needs per-pixel occupancy"
+    assert sf.map_count >= 2, "EOM fixtures need the two-map form"
+    u0r, v0r, su0, sv0 = region_blocks
+    res = sf.occupancy_resolution
+    width, height = sf.meta.width, sf.meta.height
+    geo0, geo1 = sf.geo_planes[0], sf.geo_planes[1]
+    remaining = su0 * sv0 * res * res  # attribute capacity of the region
+    counts: List[int] = []
+    for pi in member_patch_indices:
+        patch = sf.meta.patches[pi]
+        n = 0
+        for v0 in range(patch.size_uv0[1]):
+            for u0 in range(patch.size_uv0[0]):
+                for v1 in range(res):
+                    for u1 in range(res):
+                        u, v = u0 * res + u1, v0 * res + v1
+                        x, y = patch.patch_to_canvas(u, v, width, height)
+                        if sf.occ_plane[y, x] == 0:
+                            continue
+                        d0 = int(geo0[y, x]) >> geo_shift
+                        d1 = int(geo1[y, x]) >> geo_shift
+                        nb = d1 - d0 - 1
+                        if nb <= 0 or rng.random() >= eom_fraction:
+                            continue
+                        pattern = int(rng.integers(1, 1 << nb))
+                        bits = bin(pattern).count("1")
+                        if bits > remaining:  # region full — as a real
+                            continue  # encoder, stop adding EOM points
+                        remaining -= bits
+                        sf.occ_plane[y, x] = pattern + 1
+                        n += bits
+        counts.append(n)
+
+    # attribute pixels over the region raster, one per point; occupancy
+    # 1 over the used pixels (as a real encoder would — the decoder must
+    # ignore occupied blocks no patch owns)
+    total = sum(counts)
+    x0, y0, w = u0r * res, v0r * res, su0 * res
+    assert total <= w * sv0 * res, "EOM region too small"
+    if total:
+        idx = np.arange(total)
+        px, py = x0 + idx % w, y0 + idx // w
+        sf.occ_plane[py, px] = 1
+        ay, au, av = sf.attr_planes[0]
+        csh = 0 if au.shape == ay.shape else 1
+        ay[py, px] = rng.integers(0, 1024, total).astype(np.uint16)
+        au[py >> csh, px >> csh] = rng.integers(0, 1024, total).astype(
+            np.uint16
+        )
+        av[py >> csh, px >> csh] = rng.integers(0, 1024, total).astype(
+            np.uint16
+        )
+
+    ep = EomPatch(
+        u0=u0r, v0=v0r, size_u0=su0, size_v0=sv0,
+        member_patches=list(member_patch_indices),
+        member_points=counts,
+        occupancy_resolution=res,
+    )
+    sf.meta.eom_patches.append(ep)
+    return ep
 
 
 def _fill_planes(

@@ -91,22 +91,36 @@ class V3CUnit:
             )
         elif self.unit_type == V3CUnitType.GVD:
             vps = context.get_vps()
+            vtype = VideoType.GEOMETRY
             if vps.map_count_minus1 > 0 and vps.multiple_map_streams_present_flag:
-                raise UnsupportedFeature("multiple map streams for GVD")
+                # FRAMEWORK EXTENSION: per-map geometry sub-streams (the
+                # reference panics, ``reader.rs:278-283``); the decode
+                # envelope is two maps, like the interleaved form
+                vuh = context.get_v3c_unit_header(V3CUnitType.GVD)
+                if vuh.map_index > vps.map_count_minus1 or vuh.map_index > 1:
+                    raise UnsupportedFeature(
+                        f"GVD map_index {vuh.map_index} (two-map envelope)"
+                    )
+                vtype = VideoType(VideoType.GEOMETRY_D0 + vuh.map_index)
             context.add_video_bitstream(
-                VideoBitstream(bs.read_slice(self.size - 4), VideoType.GEOMETRY)
+                VideoBitstream(bs.read_slice(self.size - 4), vtype)
             )
         elif self.unit_type == V3CUnitType.AVD:
             vps = context.get_vps()
             if vps.attribute_information.attribute_count == 0:
                 return
             vuh = context.get_v3c_unit_header(V3CUnitType.AVD)
-            if vps.map_count_minus1 > 0 and vps.multiple_map_streams_present_flag:
-                raise UnsupportedFeature("multiple map streams for AVD")
             if vuh.attribute_dimension_index != 0:
                 raise UnsupportedFeature("attribute_dimension_index > 0")
+            vtype = VideoType.ATTRIBUTE
+            if vps.map_count_minus1 > 0 and vps.multiple_map_streams_present_flag:
+                if vuh.map_index > vps.map_count_minus1 or vuh.map_index > 1:
+                    raise UnsupportedFeature(
+                        f"AVD map_index {vuh.map_index} (two-map envelope)"
+                    )
+                vtype = VideoType(VideoType.ATTRIBUTE_T0 + vuh.map_index)
             context.add_video_bitstream(
-                VideoBitstream(bs.read_slice(self.size - 4), VideoType.ATTRIBUTE)
+                VideoBitstream(bs.read_slice(self.size - 4), vtype)
             )
 
 

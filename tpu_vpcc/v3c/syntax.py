@@ -71,6 +71,11 @@ class VideoType(enum.IntEnum):
     GEOMETRY_D1 = 3
     GEOMETRY_RAW = 18
     ATTRIBUTE = 19
+    # per-map attribute sub-streams (multiple_map_streams mode; the
+    # reference's enum stops at Attribute, ``src/bitstream.rs:295-335`` —
+    # it panics before ever demuxing one)
+    ATTRIBUTE_T0 = 20
+    ATTRIBUTE_T1 = 21
 
 
 class NalUnitType(enum.IntEnum):
@@ -186,8 +191,9 @@ class PatchOrientation(enum.IntEnum):
 
 class PatchModeITile(enum.IntEnum):
     """23090-5 Table 7-4. The reference enumerates only INTRA/END and
-    comments RAW/EOM out (``reader.rs:1740-1753``); RAW decode is a
-    framework extension (EOM parses but reconstruction is gated)."""
+    comments RAW/EOM out (``reader.rs:1740-1753``); RAW and EOM decode
+    are framework extensions (reconstruction/raw_points.py,
+    reconstruction/eom_points.py)."""
 
     INTRA = 0
     RAW = 1
@@ -413,9 +419,10 @@ class V3CParameterSet:
         vps.map_absolute_coding_enable_flag = [True] * n_maps
         vps.map_predictor_index_diff = [False] * n_maps
         if vps.map_count_minus1 > 0:
+            # FRAMEWORK EXTENSION: per-map video sub-streams decode
+            # (runtime/pipeline.py interleaves them); the reference
+            # rejects the flag (``reader.rs:278-283``)
             vps.multiple_map_streams_present_flag = bs.read(1) != 0
-            if vps.multiple_map_streams_present_flag:
-                raise UnsupportedFeature("multiple map streams not supported")
         for k in range(1, n_maps):
             if vps.multiple_map_streams_present_flag:
                 vps.map_absolute_coding_enable_flag[k] = bs.read(1) != 0
@@ -552,15 +559,17 @@ class AtlasSequenceParameterSet:
             raise UnsupportedFeature("pixel deinterleaving not supported (rec0)")
         asps.raw_patch_enabled_flag = bs.read(1) != 0
         asps.eom_patch_enabled_flag = bs.read(1) != 0
-        # FRAMEWORK EXTENSION: raw patches decode here (in the geometry/
-        # attribute video; see reconstruction/raw_points.py). The
-        # reference asserts both flags false (``reader.rs:1066-1069``).
+        # FRAMEWORK EXTENSION: raw AND EOM patches decode here (in the
+        # geometry/attribute/occupancy video; see
+        # reconstruction/raw_points.py and reconstruction/eom_points.py).
+        # The reference asserts both flags false (``reader.rs:1066-1069``).
         if asps.eom_patch_enabled_flag and asps.map_count_minus1 == 0:
             asps.eom_fix_bit_count_minus1 = bs.read(4)
+            # single-map EOM (d1 derived from the codeword) is outside
+            # the reconstruction envelope; the two-map form is supported
+            raise UnsupportedFeature("single-map EOM not supported")
         if asps.raw_patch_enabled_flag or asps.eom_patch_enabled_flag:
             asps.auxiliary_video_enabled_flag = bs.read(1) != 0
-        if asps.eom_patch_enabled_flag:
-            raise UnsupportedFeature("EOM patches not supported")
         if asps.auxiliary_video_enabled_flag:
             # a separate auxiliary video sub-stream (V3C AD units) is out
             # of this decoder's envelope; in-video raw patches are not
@@ -1224,6 +1233,46 @@ class RawPatchDataUnit:
 
 
 @dataclass
+class EomPatchDataUnit:
+    """8.3.7.8 EOM patch data unit (23090-5).
+
+    FRAMEWORK EXTENSION: the reference comments the struct out and
+    panics on the enabling ASPS flag (``reader.rs:2059-2076``,
+    ``:1069``) and on the patch mode (``decoder.rs:499-501``). 2D
+    position/size are in patch-packing-block units like the intra
+    PDU's; the unit lists the regular patches whose in-between
+    (EOM-coded) points take their attribute samples from this patch's
+    2D region, with the per-patch point counts. See
+    ``reconstruction/eom_points.py`` for the decode."""
+
+    patch_in_auxiliary_video_flag: bool = False
+    pos_2d: Tuple[int, int] = (0, 0)
+    size_2d_minus1: Tuple[int, int] = (0, 0)
+    associated_patch_idx: List[int] = field(default_factory=list)
+    points: List[int] = field(default_factory=list)
+
+    @classmethod
+    def parse(cls, bs: Bitstream, context, ath: "AtlasTileHeader") -> "EomPatchDataUnit":
+        afps = context.get_afps(ath.atlas_frame_parameter_set_id)
+        asps = context.get_asps(afps.atlas_sequence_parameter_set_id)
+        pdu = cls()
+        if asps.auxiliary_video_enabled_flag:
+            # unreachable today (the ASPS parse rejects aux video), kept
+            # for syntax completeness
+            pdu.patch_in_auxiliary_video_flag = bs.read(1) != 0
+        pdu.pos_2d = (bs.read_uvlc(), bs.read_uvlc())
+        pdu.size_2d_minus1 = (bs.read_uvlc(), bs.read_uvlc())
+        patch_count = bs.read_uvlc() + 1
+        if patch_count > 1 << 16:
+            # a corrupt count must not drive the parse loop unbounded
+            raise BitstreamError(f"EOM member patch count {patch_count}")
+        for _ in range(patch_count):
+            pdu.associated_patch_idx.append(bs.read_uvlc())
+            pdu.points.append(bs.read_uvlc())
+        return pdu
+
+
+@dataclass
 class PatchInformationData:
     """8.3.7.2 patch information data (``reader.rs:1775-1849``)."""
 
@@ -1238,14 +1287,13 @@ class PatchInformationData:
             mode = PatchModePTile(patch_mode)
             if mode == PatchModePTile.END:
                 return None
-            if mode == PatchModePTile.EOM:
-                raise UnsupportedFeature("EOM patches not supported")
             unit = {
                 PatchModePTile.MERGE: MergePatchDataUnit,
                 PatchModePTile.INTER: InterPatchDataUnit,
                 PatchModePTile.INTRA: IntraPatchDataUnit,
                 PatchModePTile.SKIP: SkipPatchDataUnit,
                 PatchModePTile.RAW: RawPatchDataUnit,
+                PatchModePTile.EOM: EomPatchDataUnit,
             }[mode]
             pdu = (
                 SkipPatchDataUnit()
@@ -1257,13 +1305,10 @@ class PatchInformationData:
             mode = PatchModeITile(patch_mode)
             if mode == PatchModeITile.END:
                 return None
-            if mode == PatchModeITile.EOM:
-                raise UnsupportedFeature("EOM patches not supported")
-            unit = (
-                RawPatchDataUnit
-                if mode == PatchModeITile.RAW
-                else IntraPatchDataUnit
-            )
+            unit = {
+                PatchModeITile.RAW: RawPatchDataUnit,
+                PatchModeITile.EOM: EomPatchDataUnit,
+            }.get(mode, IntraPatchDataUnit)
             return cls(
                 patch_mode=patch_mode,
                 patch_data_unit=unit.parse(bs, context, ath),

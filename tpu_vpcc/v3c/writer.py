@@ -23,6 +23,7 @@ from .syntax import (
     NalUnitType,
     PatchModeITile,
     ProfileTierLevel,
+    EomPatchDataUnit,
     RawPatchDataUnit,
     RefListStruct,
     SkipPatchDataUnit,
@@ -351,6 +352,17 @@ def write_atlas_tile_layer(
             w.write(pdu.pos_3d_offset_v, rb)
             w.write(pdu.pos_3d_offset_d, rb)
             w.write_uvlc(pdu.raw_points_minus1)
+        elif isinstance(pdu, EomPatchDataUnit):
+            if asps.auxiliary_video_enabled_flag:
+                w.write(int(pdu.patch_in_auxiliary_video_flag), 1)
+            w.write_uvlc(pdu.pos_2d[0])
+            w.write_uvlc(pdu.pos_2d[1])
+            w.write_uvlc(pdu.size_2d_minus1[0])
+            w.write_uvlc(pdu.size_2d_minus1[1])
+            w.write_uvlc(len(pdu.associated_patch_idx) - 1)
+            for idx, n in zip(pdu.associated_patch_idx, pdu.points):
+                w.write_uvlc(idx)
+                w.write_uvlc(n)
         elif isinstance(pdu, SkipPatchDataUnit):
             pass  # P_SKIP carries no fields
         else:
