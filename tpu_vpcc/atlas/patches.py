@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass, field, replace
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -50,6 +50,10 @@ class Patch:
     axes: Tuple[int, int, int] = (0, 2, 1)  # (normal, tangent, bitangent)
     axis_of_additional_plane: int = 0
     patch_orientation: PatchOrientation = PatchOrientation.DEFAULT
+    # FRAMEWORK EXTENSION (PLR, single-map streams): per-block mode
+    # index into the map's PlrInformation mode list, -1 where absent;
+    # patch-block raster order (v0 * size_u0 + u0). None: no PLR.
+    plr_modes: Optional[List[int]] = None
 
     # -- view id ----------------------------------------------------------
 
@@ -642,6 +646,32 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                     sx = pdu.lod_scale_x_minus1 + 1
                     sy = pdu.lod_scale_y_idc + (1 if sx > 1 else 2)
                     patch.level_of_detail = (sx, sy)
+                if pdu.plr_data:
+                    # normalize 8.3.7.9 plr_data to a per-block mode
+                    # list (single-map envelope: one present map)
+                    d = next((x for x in pdu.plr_data if x is not None), None)
+                    plri = next(
+                        (p for p in asps.plr_information if p.map_present_flag),
+                        None,
+                    )
+                    if d is not None and plri is not None:
+                        bc = patch.size_uv0[0] * patch.size_uv0[1]
+                        if d.level_flag:
+                            mode = d.mode_minus1 if d.present_flag else -1
+                            modes = [mode] * bc
+                        else:
+                            modes = [
+                                m if p else -1
+                                for p, m in zip(
+                                    d.block_present_flag, d.block_mode_minus1
+                                )
+                            ]
+                        if max(modes, default=-1) >= plri.number_of_modes:
+                            raise UnsupportedFeature(
+                                f"PLR mode {max(modes)} beyond the "
+                                f"{plri.number_of_modes}-entry mode table"
+                            )
+                        patch.plr_modes = modes
                 if patch.projection_mode == 0:
                     patch.d1 = pdu.pos_3d_offset_d * min_level
                 else:

@@ -273,6 +273,11 @@ class GofData:
     # the tiled kernels bit-pack samples into 10-bit u32 fields; wider
     # decoded samples must use the gather kernel (i32 end to end)
     packed10_ok: bool = True
+    # PLR (framework extension, single-map streams): the ASPS mode
+    # table as (interpolate, filling, minimum_depth, neighbour_minus1)
+    # tuples + the surface-thickness clamp; None when PLR is off
+    plr_table: Optional[tuple] = None
+    plr_thickness: int = 1
 
 
 def extract_geo_smoothing(context: Context, asps) -> Optional[object]:
@@ -504,6 +509,25 @@ def prepare_gof(
     tiled = tiled and bool(geo_frames) and geo_frames[0].planes[0].ndim == 3
     cell = cell and tiled
 
+    # PLR mode table (framework extension; the ASPS parse pins the
+    # single-map envelope)
+    plr_table = None
+    plr_thickness = 1
+    if asps.plr_enabled_flag:
+        plri = next(
+            (p for p in asps.plr_information if p.map_present_flag), None
+        )
+        if plri is not None:
+            plr_table = tuple(
+                zip(
+                    plri.interpolate_flag,
+                    plri.filling_flag,
+                    plri.minimum_depth_flag,
+                    plri.neighbour_minus1,
+                )
+            )
+            plr_thickness = asps.vpcc_extension.surface_thickness_minus1 + 1
+
     return GofData(
         metas=metas,
         occ_planes=np.stack([f.planes[0] for f in occ_frames]),
@@ -532,6 +556,8 @@ def prepare_gof(
         packed10_ok=(
             geo_bit_depth <= 10 and attr_frames[0].bit_depth <= 10
         ),
+        plr_table=plr_table,
+        plr_thickness=plr_thickness,
     )
 
 
@@ -741,6 +767,38 @@ def _append_raw_points(ps: PointSet3, gof: GofData, meta) -> None:
     _append_tail_points(ps, gof, pos_r, col_r)
 
 
+def _meta_has_plr(gof: GofData, meta) -> bool:
+    return gof.plr_table is not None and any(
+        p.plr_modes is not None for p in meta.patches
+    )
+
+
+def _append_plr_points(ps: PointSet3, gof: GofData, meta) -> None:
+    """Append the frame's PLR-derived far-surface points (framework
+    extension — the reference panics on the ASPS flag,
+    ``reader.rs:1082``) AFTER the regular points and after smoothing.
+    See ``reconstruction/plr_points.py`` for the mode semantics."""
+    from ..reconstruction.plr_points import plr_points_for_frame
+
+    base = meta.frame_index * gof.map_count
+    attr = gof.attr_planes[base] if gof.attribute_count > 0 else None
+    pos_p, col_p = plr_points_for_frame(
+        meta,
+        gof.occ_planes[meta.frame_index],
+        gof.geo_planes[base],
+        attr,
+        gof.geo_shift,
+        gof.attr_chroma_shift,
+        meta.width,
+        gof.occupancy_precision,
+        gof.plr_table,
+        gof.plr_thickness,
+        tile_size=gof.tile_size if gof.tiled else 0,
+        left_top=meta.left_top_in_frame,
+    )
+    _append_tail_points(ps, gof, pos_p, col_p)
+
+
 def _append_eom_points(ps: PointSet3, gof: GofData, meta) -> None:
     """Append the frame's EOM in-between points (framework extension —
     the reference panics on EOM patches, ``reader.rs:1069``) AFTER the
@@ -822,6 +880,8 @@ def _reconstruct_gof_oracle(gof: GofData) -> Iterator[PointSet3]:
                 ps.copy_rgb16_to_rgb8()
             else:
                 ps.convert_yuv16_to_rgb8()
+        if _meta_has_plr(gof, meta):
+            _append_plr_points(ps, gof, meta)
         if meta.eom_patches:
             _append_eom_points(ps, gof, meta)
         if meta.raw_patches:
@@ -1409,6 +1469,8 @@ def _reconstruct_gof_device(gof: GofData, mesh=None, stats=None) -> Iterator[Poi
         for j, (pos, col) in enumerate(_dispatch_device(di, mesh=mesh, stats=stats)):
             ps = _emit_pointset(pos, col, gof)
             meta = gof.metas[i + j]
+            if _meta_has_plr(gof, meta):
+                _append_plr_points(ps, gof, meta)
             if meta.eom_patches:
                 _append_eom_points(ps, gof, meta)
             if meta.raw_patches:

@@ -160,6 +160,28 @@ def raw_patch_to_pdu(rp: RawPatch) -> RawPatchDataUnit:
     )
 
 
+def plr_modes_to_plrd(modes, plri):
+    """Invert the PLR-data normalization (framework extension): a
+    per-block mode list (-1 = absent) back to 8.3.7.9 plr_data.
+    Uniform lists code patch-level; mixed lists need the block count
+    above the plri threshold (the level flag is only coded there)."""
+    from ..v3c.syntax import PlrData
+
+    d = PlrData()
+    if len(set(modes)) == 1:
+        d.level_flag = True
+        d.present_flag = modes[0] >= 0
+        d.mode_minus1 = max(modes[0], 0)
+    else:
+        assert len(modes) > plri.block_threshold_per_patch_minus1 + 1, (
+            "block-level PLR needs the block count above the threshold"
+        )
+        d.level_flag = False
+        d.block_present_flag = [m >= 0 for m in modes]
+        d.block_mode_minus1 = [max(m, 0) for m in modes]
+    return d
+
+
 def eom_patch_to_pdu(ep) -> EomPatchDataUnit:
     """Invert the EOM-patch construction (framework extension)."""
     return EomPatchDataUnit(
@@ -201,6 +223,7 @@ def build_fixture_stream(
     pos_min_d_quantizer: int = 0,
     multi_map_streams: bool = False,
     map1_absolute: bool = True,
+    plr=None,
 ) -> bytes:
     """Build a complete single-GOF V3C sample-stream file.
 
@@ -236,6 +259,13 @@ def build_fixture_stream(
     map_index); needs two maps. ``map1_absolute=False`` additionally
     codes the D1 geometry as deltas against D0
     (``map_absolute_coding_enable_flag[1] = 0``).
+
+    ``plr`` (framework extension — the reference panics,
+    ``reader.rs:1082``) is a ``(modes_table, surface_thickness)`` pair
+    for single-map PLR streams: ``modes_table`` lists (interpolate,
+    filling, minimum_depth, neighbour_minus1) tuples; each patch's
+    ``plr_modes`` (per-block mode list, -1 = absent, None = all
+    absent) is coded as 8.3.7.9 plr_data.
     """
     f0 = frames[0]
     width, height = f0.meta.width, f0.meta.height
@@ -345,6 +375,27 @@ def build_fixture_stream(
         assert map_count >= 2, "EOM fixtures need two maps"
         asps.eom_patch_enabled_flag = True
 
+    plri = None
+    if plr is not None:
+        from ..v3c.syntax import PlrInformation
+
+        modes_table, surface_thickness = plr
+        assert map_count == 1, "PLR fixtures are single-map"
+        assert p_modes is None, "PLR with P-tiles is outside the envelope"
+        asps.plr_enabled_flag = True
+        plri = PlrInformation(
+            map_present_flag=True,
+            interpolate_flag=[bool(m[0]) for m in modes_table],
+            filling_flag=[bool(m[1]) for m in modes_table],
+            minimum_depth_flag=[bool(m[2]) for m in modes_table],
+            neighbour_minus1=[int(m[3]) for m in modes_table],
+            block_threshold_per_patch_minus1=0,
+        )
+        asps.plr_information = [plri]
+        asps.extension_flag = True
+        asps.vpcc_extension_flag = True
+        asps.vpcc_extension.surface_thickness_minus1 = surface_thickness - 1
+
     afps = AtlasFrameParameterSet()
     afps.raw_3d_offset_bitcount_explicit_mode_flag = has_raw
     # LoD-scaled patches (framework extension; the reference
@@ -414,13 +465,24 @@ def build_fixture_stream(
             ath.tile_type = TileType.I
             nal_type = NalUnitType.IDR_N_LP
             for patch in sf.meta.patches:
+                pdu = patch_to_pdu(
+                    patch, geometry_bitdepth_3d,
+                    min_level=1 << pos_min_d_quantizer,
+                )
+                if plri is not None:
+                    blocks = patch.size_uv0[0] * patch.size_uv0[1]
+                    pdu.plr_data = [
+                        plr_modes_to_plrd(
+                            patch.plr_modes
+                            if patch.plr_modes is not None
+                            else [-1] * blocks,
+                            plri,
+                        )
+                    ]
                 atl.patch_information_data.append(
                     PatchInformationData(
                         patch_mode=int(PatchModeITile.INTRA),
-                        patch_data_unit=patch_to_pdu(
-                            patch, geometry_bitdepth_3d,
-                            min_level=1 << pos_min_d_quantizer,
-                        ),
+                        patch_data_unit=pdu,
                     )
                 )
         elif spec == "skip_tile":

@@ -488,6 +488,41 @@ class AspsVpccExtension:
 
 
 @dataclass
+class PlrInformation:
+    """8.3.6.1.2 PLR information, one per map (FRAMEWORK EXTENSION —
+    the reference comments the struct out and panics on the ASPS flag,
+    ``reader.rs:972``, ``:1082``). Each mode is an
+    (interpolate, filling, minimum_depth, neighbour) tuple driving the
+    point-local reconstruction in ``reconstruction/plr_points.py``."""
+
+    map_present_flag: bool = False
+    interpolate_flag: List[bool] = field(default_factory=list)
+    filling_flag: List[bool] = field(default_factory=list)
+    minimum_depth_flag: List[bool] = field(default_factory=list)
+    neighbour_minus1: List[int] = field(default_factory=list)
+    block_threshold_per_patch_minus1: int = 0
+
+    @property
+    def number_of_modes(self) -> int:
+        return len(self.interpolate_flag)
+
+    @classmethod
+    def parse(cls, bs: Bitstream) -> "PlrInformation":
+        plri = cls()
+        plri.map_present_flag = bs.read(1) != 0
+        if not plri.map_present_flag:
+            return plri
+        n_modes = bs.read(4) + 1
+        for _ in range(n_modes):
+            plri.interpolate_flag.append(bs.read(1) != 0)
+            plri.filling_flag.append(bs.read(1) != 0)
+            plri.minimum_depth_flag.append(bs.read(1) != 0)
+            plri.neighbour_minus1.append(bs.read(2))
+        plri.block_threshold_per_patch_minus1 = bs.read(6)
+        return plri
+
+
+@dataclass
 class AtlasSequenceParameterSet:
     """8.3.6.1 ASPS (``reader.rs:945-1117``), rec0 envelope enforced."""
 
@@ -516,6 +551,7 @@ class AtlasSequenceParameterSet:
     eom_fix_bit_count_minus1: int = 0
     auxiliary_video_enabled_flag: bool = False
     plr_enabled_flag: bool = False
+    plr_information: List[PlrInformation] = field(default_factory=list)
     vui_parameters_present_flag: bool = False
     extension_flag: bool = False
     vpcc_extension_flag: bool = False
@@ -576,7 +612,16 @@ class AtlasSequenceParameterSet:
             raise UnsupportedFeature("auxiliary video not supported")
         asps.plr_enabled_flag = bs.read(1) != 0
         if asps.plr_enabled_flag:
-            raise UnsupportedFeature("PLR not supported (rec0)")
+            # FRAMEWORK EXTENSION: point-local reconstruction (the
+            # reference panics here, ``reader.rs:1082``); the
+            # reconstruction envelope is the single-map form
+            # (reconstruction/plr_points.py)
+            if asps.map_count_minus1 != 0:
+                raise UnsupportedFeature("PLR with more than one map")
+            asps.plr_information = [
+                PlrInformation.parse(bs)
+                for _ in range(asps.map_count_minus1 + 1)
+            ]
         asps.vui_parameters_present_flag = bs.read(1) != 0
         if asps.vui_parameters_present_flag:
             raise UnsupportedFeature("VUI parameters not supported")
@@ -1060,6 +1105,9 @@ class IntraPatchDataUnit:
     lod_enabled_flag: bool = False
     lod_scale_x_minus1: int = 0
     lod_scale_y_idc: int = 0
+    # one PlrData per map (None where plri_map_present_flag is 0);
+    # empty when asps_plr_enabled_flag is 0
+    plr_data: List[Optional["PlrData"]] = field(default_factory=list)
     pos_2d: Tuple[int, int] = (0, 0)
     size_2d_minus1: Tuple[int, int] = (0, 0)
     pos_3d_offset: Tuple[int, int] = (0, 0)
@@ -1101,8 +1149,51 @@ class IntraPatchDataUnit:
                 pdu.lod_scale_x_minus1 = bs.read_uvlc()
                 pdu.lod_scale_y_idc = bs.read_uvlc()
         if asps.plr_enabled_flag:
-            raise UnsupportedFeature("PLR not supported")
+            # FRAMEWORK EXTENSION: 8.3.7.9 plr_data, one per
+            # PLR-present map (``reconstruction/plr_points.py``; the
+            # reference panics on the ASPS flag, ``reader.rs:1082``)
+            block_count = (pdu.size_2d_minus1[0] + 1) * (
+                pdu.size_2d_minus1[1] + 1
+            )
+            pdu.plr_data = [
+                PlrData.parse(bs, plri, block_count)
+                if plri.map_present_flag
+                else None
+                for plri in asps.plr_information
+            ]
         return pdu
+
+
+@dataclass
+class PlrData:
+    """8.3.7.9 point-local-reconstruction data, one per PLR-present map
+    (FRAMEWORK EXTENSION — the reference panics on the ASPS flag before
+    any PDU could carry this, ``reader.rs:1082``). ``*_mode_minus1``
+    indexes the map's :class:`PlrInformation` mode list (0-based);
+    a cleared present flag means no PLR points for the patch/block."""
+
+    level_flag: bool = True  # True: one patch-level mode; False: per-block
+    present_flag: bool = False
+    mode_minus1: int = 0
+    block_present_flag: List[bool] = field(default_factory=list)
+    block_mode_minus1: List[int] = field(default_factory=list)
+
+    @classmethod
+    def parse(cls, bs: Bitstream, plri: PlrInformation, block_count: int) -> "PlrData":
+        d = cls()
+        if block_count > plri.block_threshold_per_patch_minus1 + 1:
+            d.level_flag = bs.read(1) != 0
+        mode_bits = ceil_log2(plri.number_of_modes)
+        if d.level_flag:
+            d.present_flag = bs.read(1) != 0
+            if d.present_flag:
+                d.mode_minus1 = bs.read(mode_bits)
+        else:
+            for _ in range(block_count):
+                p = bs.read(1) != 0
+                d.block_present_flag.append(p)
+                d.block_mode_minus1.append(bs.read(mode_bits) if p else 0)
+        return d
 
 
 @dataclass

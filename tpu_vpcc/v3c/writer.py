@@ -163,6 +163,18 @@ def write_asps(asps: AtlasSequenceParameterSet) -> bytes:
     if asps.raw_patch_enabled_flag or asps.eom_patch_enabled_flag:
         w.write(int(asps.auxiliary_video_enabled_flag), 1)
     w.write(int(asps.plr_enabled_flag), 1)
+    if asps.plr_enabled_flag:
+        for plri in asps.plr_information:
+            w.write(int(plri.map_present_flag), 1)
+            if not plri.map_present_flag:
+                continue
+            w.write(plri.number_of_modes - 1, 4)
+            for i in range(plri.number_of_modes):
+                w.write(int(plri.interpolate_flag[i]), 1)
+                w.write(int(plri.filling_flag[i]), 1)
+                w.write(int(plri.minimum_depth_flag[i]), 1)
+                w.write(plri.neighbour_minus1[i], 2)
+            w.write(plri.block_threshold_per_patch_minus1, 6)
     w.write(int(asps.vui_parameters_present_flag), 1)
     w.write(int(asps.extension_flag), 1)
     if asps.extension_flag:
@@ -305,6 +317,29 @@ def write_atlas_tile_layer(
                 if pdu.lod_enabled_flag:
                     w.write_uvlc(pdu.lod_scale_x_minus1)
                     w.write_uvlc(pdu.lod_scale_y_idc)
+            if asps.plr_enabled_flag:
+                block_count = (pdu.size_2d_minus1[0] + 1) * (
+                    pdu.size_2d_minus1[1] + 1
+                )
+                for plri, d in zip(asps.plr_information, pdu.plr_data):
+                    if not plri.map_present_flag:
+                        continue
+                    mode_bits = ceil_log2(plri.number_of_modes)
+                    if block_count > plri.block_threshold_per_patch_minus1 + 1:
+                        w.write(int(d.level_flag), 1)
+                    else:
+                        assert d.level_flag, "block-level PLR under threshold"
+                    if d.level_flag:
+                        w.write(int(d.present_flag), 1)
+                        if d.present_flag:
+                            w.write(d.mode_minus1, mode_bits)
+                    else:
+                        for p, m in zip(
+                            d.block_present_flag, d.block_mode_minus1
+                        ):
+                            w.write(int(p), 1)
+                            if p:
+                                w.write(m, mode_bits)
         elif isinstance(pdu, InterPatchDataUnit):
             if asps.normal_axis_max_delta_value_enabled_flag:
                 raise NotImplementedError(
