@@ -536,14 +536,15 @@ def test_golden_afps():
 # ---------------------------------------------------------------------------
 
 
-def make_p_context_and_ath():
-    """Context + P-tile header with num_ref_idx_active = 2 and
-    normal_axis_max_delta disabled (the inter/merge parsers reject it,
-    mirroring the reference's unimplemented!)."""
+def make_p_context_and_ath(namd=False):
+    """Context + P-tile header with num_ref_idx_active = 2.
+    ``namd`` toggles normal_axis_max_delta: off matches the reference's
+    envelope (it `unimplemented!`s on the flag for inter/merge); on
+    exercises the framework's ipdu/mpdu_3d_range_d extension."""
     from tpu_vpcc.v3c.syntax import InterPatchDataUnit, MergePatchDataUnit
 
     ctx = make_context()
-    ctx.get_asps(0).normal_axis_max_delta_value_enabled_flag = False
+    ctx.get_asps(0).normal_axis_max_delta_value_enabled_flag = namd
     b = Bits()
     b.uvlc(0)        # afps id
     b.uvlc(0)        # aaps id
@@ -582,6 +583,56 @@ def test_golden_inter_pdu():
     assert pdu.delta_2d_size == (0, 1)
     assert pdu.pos_3d_offset == (-4, 5)
     assert pdu.pos_3d_offset_d == -2
+
+
+def test_golden_inter_pdu_with_normal_axis_max_delta():
+    """ipdu_3d_range_d (svlc) trails the offsets when the ASPS enables
+    normal_axis_max_delta — framework extension; the reference panics
+    on the flag (reader.rs:1963-1965)."""
+    from tpu_vpcc.v3c.syntax import InterPatchDataUnit
+
+    ctx, ath = make_p_context_and_ath(namd=True)
+    b = Bits()
+    b.uvlc(0)        # ipdu_ref_index
+    b.svlc(0)        # ipdu_ref_patch_index
+    b.svlc(0); b.svlc(0)   # 2d pos deltas
+    b.svlc(0); b.svlc(0)   # 2d size deltas
+    b.svlc(0); b.svlc(0)   # 3d offsets u/v
+    b.svlc(7)        # ipdu_3d_offset_d
+    b.svlc(-6)       # ipdu_3d_range_d
+    b.s += "0" * (-len(b.s) % 8)
+    pdu = InterPatchDataUnit.parse(Bitstream(b.data()), ctx, ath)
+    assert pdu.pos_3d_offset_d == 7
+    assert pdu.pos_3d_range_d == -6
+
+
+def test_golden_merge_pdu_3d_branch_with_normal_axis_max_delta():
+    """mpdu_3d_range_d (svlc) trails offset_d in the 3d branch — the
+    placement the reference's commented-out line shows
+    (reader.rs:2025-2027)."""
+    from tpu_vpcc.v3c.syntax import MergePatchDataUnit
+
+    ctx, ath = make_p_context_and_ath(namd=True)
+    b = Bits()
+    b.uvlc(0)        # mpdu_ref_index
+    b.u(0, 1)        # override_2d_params_flag
+    b.u(1, 1)        # override_3d_params_flag
+    b.svlc(1); b.svlc(-1)  # 3d offsets u/v
+    b.svlc(2)        # mpdu_3d_offset_d
+    b.svlc(3)        # mpdu_3d_range_d
+    b.s += "0" * (-len(b.s) % 8)
+    pdu = MergePatchDataUnit.parse(Bitstream(b.data()), ctx, ath)
+    assert pdu.override_3d_params_flag is True
+    assert pdu.pos_3d_offset_d == 2
+    assert pdu.pos_3d_range_d == 3
+    # NAMD off: the field is absent and parse records None
+    ctx0, ath0 = make_p_context_and_ath(namd=False)
+    b = Bits()
+    b.uvlc(0); b.u(0, 1); b.u(1, 1)
+    b.svlc(1); b.svlc(-1); b.svlc(2)
+    b.s += "0" * (-len(b.s) % 8)
+    pdu0 = MergePatchDataUnit.parse(Bitstream(b.data()), ctx0, ath0)
+    assert pdu0.pos_3d_range_d is None
 
 
 def test_golden_merge_pdu_2d_and_3d_branches():

@@ -386,3 +386,52 @@ def test_orientation_gate_matches_reference_panics():
         Patch(uv0=(2, 0), size_uv0=(2, 2), occupancy_resolution=4,
               patch_orientation=PatchOrientation.ROT90), W, H,
     )
+
+
+def test_p_tile_normal_axis_max_delta_size_d_derivation():
+    """ipdu/mpdu_3d_range_d (framework extension — the reference panics
+    when NAMD meets a P-tile, ``reader.rs:1963,2025``): the quantized
+    range delta reproduces each patch's size_d through the inter AND
+    merge-3d derivations, including shrink, growth, and the 255 clamp."""
+    rng = np.random.default_rng(31)
+    f0 = make_synthetic_frame(
+        rng, width=W, height=H, occupancy_resolution=RES,
+        occupancy_precision=PREC, n_patches=3, frame_index=0,
+    )
+    p0 = [replace(p, size_d=sd) for p, sd in zip(f0.meta.patches, (40, 64, 255))]
+    f0 = make_synthetic_frame(
+        rng, width=W, height=H, occupancy_resolution=RES,
+        occupancy_precision=PREC, frame_index=0, patches=p0,
+    )
+    # frame 1: inter shrinks 40 -> 24, merge3d grows 64 -> 100,
+    # inter keeps the 255 clamp
+    p1 = [
+        replace(shift_d1(p0[0], +1), size_d=24),
+        replace(p0[1], size_d=100, d1=p0[1].d1),
+        replace(p0[2]),
+    ]
+    f1 = make_synthetic_frame(
+        rng, width=W, height=H, occupancy_resolution=RES,
+        occupancy_precision=PREC, frame_index=1, patches=p1,
+    )
+    stream = build_fixture_stream(
+        [f0, f1], p_modes={1: [("inter", 0), "merge3d", ("inter", 2)]}
+    )
+    ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(stream))
+    ctx = Context()
+    ssvu.decode_gof(ctx)
+    assert ctx.get_asps(0).normal_axis_max_delta_value_enabled_flag
+    metas = create_patch_frames(ctx)
+    for got, want in zip(metas[0].patches, p0):
+        assert got.size_d == want.size_d
+    for got, want in zip(metas[1].patches, p1):
+        assert got.size_d == want.size_d
+        for f in GEOM_FIELDS:
+            assert getattr(got, f) == getattr(want, f), f
+    # the decode itself stays byte-identical device-vs-oracle
+    d1_ = Decoder(Params(stream, use_device=True))
+    d1_.start()
+    d2_ = Decoder(Params(stream, use_device=False))
+    d2_.start()
+    for a, b in zip(list(d1_), list(d2_)):
+        assert format_ply(a) == format_ply(b)

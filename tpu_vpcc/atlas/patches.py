@@ -446,6 +446,14 @@ def _derive_merge_patch(
             patch.d1 = max3d - (
                 pdu.pos_3d_offset_d + (max3d - ref.d1) // min_level
             ) * min_level
+        if pdu.pos_3d_range_d is not None:
+            # normal_axis_max_delta coded (mpdu_3d_range_d): the same
+            # quantized-range delta the inter derivation applies; None
+            # (ASPS flag off) keeps the inherited size_d
+            prev_dd = -(-ref.size_d // min_level)  # ceil
+            patch.size_d = min(
+                (pdu.pos_3d_range_d + prev_dd) * min_level, 255
+            )
     return patch
 
 

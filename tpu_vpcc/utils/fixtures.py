@@ -111,8 +111,26 @@ def patch_to_inter_pdu(
         ),
         pos_3d_offset=(patch.uv1[0] - ref.uv1[0], patch.uv1[1] - ref.uv1[1]),
         pos_3d_offset_d=dd,
-        pos_3d_range_d=0,
+        pos_3d_range_d=_range_d_delta(patch.size_d, ref.size_d, min_level),
     )
+
+
+def _range_d_delta(want: int, ref_size_d: int, min_level: int) -> int:
+    """Invert the inter/merge sizeD derivation
+    ``size_d = min((range + ceil(ref.size_d/min_level)) * min_level, 255)``
+    — the signed quantized-range delta that reproduces ``want``."""
+    prev_dd = -(-ref_size_d // min_level)  # ceil
+    if want >= 255:
+        rd = max(0, -(-(want + 1) // min_level) - prev_dd)
+    else:
+        assert want % min_level == 0, (
+            f"size_d {want} is not a multiple of min_level {min_level}: "
+            f"not expressible as an inter/merge range delta"
+        )
+        rd = want // min_level - prev_dd
+    got = min((rd + prev_dd) * min_level, 255)
+    assert got == want or (want >= 255 and got == 255), (want, got)
+    return rd
 
 
 def patch_to_merge_pdu(
@@ -145,6 +163,7 @@ def patch_to_merge_pdu(
         override_3d_params_flag=True,
         pos_3d_offset=(patch.uv1[0] - ref.uv1[0], patch.uv1[1] - ref.uv1[1]),
         pos_3d_offset_d=dd,
+        pos_3d_range_d=_range_d_delta(patch.size_d, ref.size_d, min_level),
     )
 
 
@@ -328,7 +347,10 @@ def build_fixture_stream(
     ), "orientation 8 (MROT270) cannot be coded in the 3-bit PDU field"
     asps.map_count_minus1 = map_count - 1
     asps.normal_axis_limits_quantization_enabled_flag = True
-    asps.normal_axis_max_delta_value_enabled_flag = p_modes is None
+    # P fixtures carry NAMD too now that the inter/merge parse and
+    # derivation consume ipdu/mpdu_3d_range_d (framework extension —
+    # the reference rejects the combination, ``reader.rs:1963,2025``)
+    asps.normal_axis_max_delta_value_enabled_flag = True
     n_ltr = 0
     if p_modes is not None:
         # one sps ref list: entry j is either short-term (int delta:

@@ -1227,7 +1227,12 @@ class InterPatchDataUnit:
         pdu.pos_3d_offset = (bs.read_svlc(), bs.read_svlc())
         pdu.pos_3d_offset_d = bs.read_svlc()
         if asps.normal_axis_max_delta_value_enabled_flag:
-            raise UnsupportedFeature("normal_axis_max_delta for inter patches")
+            # FRAMEWORK EXTENSION: ipdu_3d_range_d (23090-5 8.3.7.6), a
+            # signed delta against the reference patch's quantized depth
+            # range — the reference `unimplemented!`s here
+            # (``reader.rs:1963-1965``) though its commented-out struct
+            # sketch carries the field
+            pdu.pos_3d_range_d = bs.read_svlc()
         if asps.plr_enabled_flag:
             raise UnsupportedFeature("PLR not supported")
         return pdu
@@ -1244,6 +1249,9 @@ class MergePatchDataUnit:
     delta_2d_size: Tuple[int, int] = (0, 0)
     pos_3d_offset: Tuple[int, int] = (0, 0)
     pos_3d_offset_d: int = 0
+    # None when normal_axis_max_delta is disabled (the field is not in
+    # the bitstream); the derivation leaves size_d inherited then
+    pos_3d_range_d: Optional[int] = None
 
     @classmethod
     def parse(cls, bs: Bitstream, context, ath: AtlasTileHeader) -> "MergePatchDataUnit":
@@ -1262,7 +1270,10 @@ class MergePatchDataUnit:
             pdu.pos_3d_offset = (bs.read_svlc(), bs.read_svlc())
             pdu.pos_3d_offset_d = bs.read_svlc()
             if asps.normal_axis_max_delta_value_enabled_flag:
-                raise UnsupportedFeature("normal_axis_max_delta for merge patches")
+                # FRAMEWORK EXTENSION: mpdu_3d_range_d (23090-5 8.3.7.5)
+                # — the reference's commented-out line at
+                # ``reader.rs:2025-2027`` shows the svlc placement
+                pdu.pos_3d_range_d = bs.read_svlc()
         if asps.plr_enabled_flag:
             raise UnsupportedFeature("PLR not supported")
         return pdu

@@ -341,10 +341,6 @@ def write_atlas_tile_layer(
                             if p:
                                 w.write(m, mode_bits)
         elif isinstance(pdu, InterPatchDataUnit):
-            if asps.normal_axis_max_delta_value_enabled_flag:
-                raise NotImplementedError(
-                    "inter patches with normal_axis_max_delta (parser rejects them)"
-                )
             if num_ref_idx_active > 1:
                 w.write_uvlc(pdu.ref_index)
             w.write_svlc(pdu.ref_patch_index)
@@ -355,6 +351,8 @@ def write_atlas_tile_layer(
             w.write_svlc(pdu.pos_3d_offset[0])
             w.write_svlc(pdu.pos_3d_offset[1])
             w.write_svlc(pdu.pos_3d_offset_d)
+            if asps.normal_axis_max_delta_value_enabled_flag:
+                w.write_svlc(pdu.pos_3d_range_d)
         elif isinstance(pdu, MergePatchDataUnit):
             if num_ref_idx_active > 1:
                 w.write_uvlc(pdu.ref_index)
@@ -372,9 +370,9 @@ def write_atlas_tile_layer(
                 w.write_svlc(pdu.pos_3d_offset[1])
                 w.write_svlc(pdu.pos_3d_offset_d)
                 if asps.normal_axis_max_delta_value_enabled_flag:
-                    raise NotImplementedError(
-                        "merge patches with normal_axis_max_delta"
-                    )
+                    # None means "field not representable" only when the
+                    # ASPS disables it; with NAMD on a zero delta is coded
+                    w.write_svlc(pdu.pos_3d_range_d or 0)
         elif isinstance(pdu, RawPatchDataUnit):
             if asps.auxiliary_video_enabled_flag:
                 w.write(int(pdu.patch_in_auxiliary_video_flag), 1)
