@@ -139,6 +139,13 @@ class GroupTable:
     n_groups: int
     block_to_patch: np.ndarray  # (bh, bw) int32 — parity/debug
     tiled_ok: bool = True  # all orientations have block-aligned pixel tiles
+    # quantized patch extents (FRAMEWORK EXTENSION, patch size
+    # quantizer): per-group (lim_u, lim_v) — patch-space pixel limits
+    # within the block, in [1, res]; res = untrimmed. HOST-consumed
+    # only: the cat staging clears the packed occupancy bit past the
+    # limits (ops.tiled.stage_cat_inputs), so the device kernels never
+    # see the trim. None when no patch in the frame is quantized.
+    trim: np.ndarray = None  # (g_cap, 2) int32 or None
 
 
 # orientations whose pixel tile equals the canvas block at any resolution
@@ -260,6 +267,7 @@ def build_group_table(
     n_groups = 0
     tiled_ok = True
     fields = np.zeros((g_cap, N_GROUP_FIELDS), dtype=np.int32)
+    trim = None
     for pidx, patch in enumerate(meta.patches):
         u0g, v0g, bx, by = per_patch[pidx]
         owned = owner[by, bx] == pidx + 1  # (sv0, su0) mask in raster order
@@ -292,6 +300,15 @@ def build_group_table(
         fields[sl, G_BITANGENT] = patch.axes[2]
         fields[sl, G_BLOCKID] = by[owned] * bw + bx[owned]
         fields[sl, G_PATCH] = pidx
+        if patch.size_2d_in_pixel is not None:
+            # quantized extent: patch-space pixel limits of each owned
+            # block, clamped to the tile edge. size_uv0 = ceil(extent /
+            # res) guarantees lims >= 1 (no block is fully outside).
+            if trim is None:
+                trim = np.full((g_cap, 2), res, dtype=np.int32)
+            sx, sy = patch.size_2d_in_pixel
+            trim[sl, 0] = np.clip(sx - u0s * res_p, 1, res_p)
+            trim[sl, 1] = np.clip(sy - v0s * res_p, 1, res_p)
         fields[sl, G_EMITBASE] = (
             np.arange(sl.start, sl.stop) * (res * res * 2)
         )
@@ -306,7 +323,8 @@ def build_group_table(
             tiled_ok = False
 
     return GroupTable(
-        fields=fields, n_groups=n_groups, block_to_patch=owner, tiled_ok=tiled_ok
+        fields=fields, n_groups=n_groups, block_to_patch=owner,
+        tiled_ok=tiled_ok, trim=trim,
     )
 
 
@@ -351,6 +369,11 @@ def build_cell_table(
     prec = occ_precision
     if not bt.tiled_ok or res % prec != 0 or prec < 1:
         raise ValueError("cell tables need block-aligned patches and res % prec == 0")
+    if bt.trim is not None:
+        # the quantized-extent trim masks pixels of live cells; cell
+        # tables skip the occupancy test entirely, so callers must keep
+        # quantized frames on block tables
+        raise ValueError("cell tables cannot carry quantized patch extents")
     cpb = res // prec  # cells per block edge
     bw = meta.width // res
     cw = meta.width // prec  # cell-grid width (canvas)

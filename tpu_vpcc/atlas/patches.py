@@ -54,6 +54,11 @@ class Patch:
     # index into the map's PlrInformation mode list, -1 where absent;
     # patch-block raster order (v0 * size_u0 + u0). None: no PLR.
     plr_modes: Optional[List[int]] = None
+    # FRAMEWORK EXTENSION (patch size quantizer): the patch's exact
+    # extent in patch-space pixels, (size_2d_minus1+1) * 2^quantizer
+    # per axis; occupied pixels at or past it emit no point. None when
+    # the ASPS quantizer flag is off (sizes are block-exact then).
+    size_2d_in_pixel: Optional[Tuple[int, int]] = None
 
     # -- view id ----------------------------------------------------------
 
@@ -634,6 +639,29 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                 continue
             if ptype == "intra":
                 pdu: IntraPatchDataUnit = pid.patch_data_unit
+                if asps.patch_size_quantizer_present_flag:
+                    # FRAMEWORK EXTENSION: quantized patch sizes (the
+                    # reference's derivation sketch is dead code behind
+                    # its ASPS assert, ``decoder.rs:442-460``). The
+                    # coded size is in 2^quantizer pixel units; the
+                    # block footprint rounds it up and the exact pixel
+                    # extent gates point emission (TMC2 v18
+                    # enableSizeQuantization).
+                    qx = 1 << ath.patch_size_info_quantizer[0]
+                    qy = 1 << ath.patch_size_info_quantizer[1]
+                    px = (pdu.size_2d_minus1[0] + 1) * qx
+                    py = (pdu.size_2d_minus1[1] + 1) * qy
+                    size_uv0 = (
+                        -(-px // packing_block_size),
+                        -(-py // packing_block_size),
+                    )
+                    size_pix = (px, py)
+                else:
+                    size_uv0 = (
+                        pdu.size_2d_minus1[0] + 1,
+                        pdu.size_2d_minus1[1] + 1,
+                    )
+                    size_pix = None
                 patch = Patch(
                     occupancy_resolution=packing_block_size,
                     uv0=pdu.pos_2d,
@@ -643,7 +671,8 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                         if pdu.pos_3d_range_d == 0
                         else pdu.pos_3d_range_d * min_level - 1
                     ),
-                    size_uv0=(pdu.size_2d_minus1[0] + 1, pdu.size_2d_minus1[1] + 1),
+                    size_uv0=size_uv0,
+                    size_2d_in_pixel=size_pix,
                     patch_orientation=pdu.orientation_index,
                 )
                 patch.set_view_id(pdu.projection_id)

@@ -1355,6 +1355,40 @@ def orient_cat_host(cat, fields, res: int):
     )
 
 
+def trim_extent_bits(cat, fields, trims, res: int, host_oriented: bool):
+    """Clear the packed occupancy bit (plane A bit 20) of pixels past a
+    quantized patch's exact extent, IN PLACE (FRAMEWORK EXTENSION,
+    patch size quantizer; see ``atlas.groups.GroupTable.trim``).
+
+    ``trims``: (F, nb_groups, 2) patch-space pixel limits per group
+    (lim == res means untrimmed). The cat tile of a group is stored in
+    PATCH raster order when the host orientation fix ran
+    (``host_oriented``), else in canvas order — SWAP-family groups then
+    need the transposed mask. Only edge blocks of quantized patches are
+    touched, so the per-block python loop is cheap."""
+    import numpy as np
+
+    T2 = res * res
+    mask_bit = ~np.uint32(1 << 20)
+    fields = np.asarray(fields)
+    trims = np.asarray(trims)
+    for f in range(trims.shape[0]):
+        rows = np.nonzero(
+            (fields[f, :, G.G_VALID] > 0)
+            & ((trims[f, :, 0] < res) | (trims[f, :, 1] < res))
+        )[0]
+        for g in rows:
+            lu, lv = int(trims[f, g, 0]), int(trims[f, g, 1])
+            m = np.zeros((res, res), dtype=bool)  # (vp, up) patch order
+            m[:, lu:] = True
+            m[lv:, :] = True
+            if not host_oriented and fields[f, g, G.G_SWAP] == 1:
+                m = m.T  # stored canvas order: patch (up, vp) swapped
+            b = int(fields[f, g, G.G_BLOCKID])
+            cat[f, b, :T2][m.ravel()] &= mask_bit
+    return cat
+
+
 def cat_mode_ok(cfg) -> bool:
     """Host-pack eligibility for a (tiled) dispatch config: the cat
     layout carries block tables' packed planes only — cell tables and
@@ -1365,15 +1399,18 @@ def cat_mode_ok(cfg) -> bool:
     )
 
 
-def stage_cat_inputs(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
+def stage_cat_inputs(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg,
+                     trims=None):
     """The ONE host staging routine for the cat-mode dispatch — used by
     the pipeline, bench.py, and tools/integration_probe.py so the
     staged graph never drifts between them. Packs the tiled planes into
     the cat (:func:`pack_planes_host`), applies the host orientation
     fix per :func:`hostorient_policy`, and returns
     ``((fields, cat, None x5), cfg)`` with ``cfg.host_oriented`` set
-    when the orientation moved to the host. Callers gate on
-    :func:`cat_mode_ok` (+ their own ``use_tiled`` condition)."""
+    when the orientation moved to the host. ``trims``: optional
+    quantized patch extents (see :func:`trim_extent_bits`). Callers
+    gate on :func:`cat_mode_ok` (+ their own ``use_tiled``
+    condition)."""
     from dataclasses import replace
 
     swap = None
@@ -1383,6 +1420,11 @@ def stage_cat_inputs(fields, occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg):
     cat = pack_planes_host(
         occ_t, geo0_t, geo1_t, ay_t, au_t, av_t, cfg, swap=swap
     )
+    if trims is not None:
+        trim_extent_bits(
+            cat, fields, trims, cfg.occupancy_resolution,
+            host_oriented=swap is not None,
+        )
     return (fields, cat, None, None, None, None, None), cfg
 
 

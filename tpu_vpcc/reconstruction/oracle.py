@@ -152,6 +152,16 @@ def generate_point_cloud(
                         x, y = patch.patch_to_canvas(u, v, meta.width, meta.height)
                         if occupancy_map[y, x] == 0:
                             continue
+                        if patch.size_2d_in_pixel is not None and (
+                            u >= patch.size_2d_in_pixel[0]
+                            or v >= patch.size_2d_in_pixel[1]
+                        ):
+                            # FRAMEWORK EXTENSION (patch size quantizer,
+                            # TMC2 v18 enableSizeQuantization): the block
+                            # footprint rounds the quantized size up;
+                            # occupied pixels past the exact pixel
+                            # extent are not patch content
+                            continue
                         x_vid = x + meta.left_top_in_frame[0]
                         y_vid = y + meta.left_top_in_frame[1]
                         point0, point1 = _generate_points(

@@ -986,6 +986,10 @@ def _gof_frame_tables(gof: GofData, metas, allow_cell: bool = True):
         # kernels — tiled.narrow_emit_ok)
         and narrow_emit_ok(cfg, DEVICE_BATCH, cfg.s_cap)
         and all(t.tiled_ok for t in tables)
+        # quantized patch extents trim pixels of live cells; cell
+        # tables skip the occupancy test, so such frames stay on
+        # block tables (atlas.groups.build_cell_table raises)
+        and all(t.trim is None for t in tables)
     ):
         from ..atlas.groups import build_cell_table
 
@@ -1082,6 +1086,14 @@ def _gof_device_inputs(
         sort_split=_split_k, sort_split_batched=_split_batched,
     )
     fields = np.zeros((len(tables), g_bucket, N_GROUP_FIELDS), np.int32)
+    trims = None
+    if any(t.trim is not None for t in tables):
+        # quantized patch extents (patch size quantizer): per-group
+        # pixel limits, applied as a packed-occupancy-bit mask in the
+        # cat staging (ops.tiled.trim_extent_bits)
+        trims = np.full(
+            (len(tables), g_bucket, 2), cfg.occupancy_resolution, np.int32
+        )
     for k, t in enumerate(tables):
         # bucket_group_count guarantees bucket >= every live count for
         # the internal callers; a smaller explicit g_bucket would
@@ -1091,6 +1103,8 @@ def _gof_device_inputs(
                 f"g_bucket {g_bucket} < live group count {t.n_groups}"
             )
         fields[k, : t.n_groups] = t.fields[: t.n_groups]
+        if trims is not None and t.trim is not None:
+            trims[k, : t.n_groups] = t.trim[: t.n_groups]
     use_tiled = (
         tiled_supported(cfg)
         and gof.packed10_ok  # the tiled kernels pack samples into 10 bits
@@ -1156,7 +1170,17 @@ def _gof_device_inputs(
             occ = tile_plane(occ, kt // cfg.occupancy_precision)
 
     arrays = (fields, occ, geo0, geo1, ay, au, av)
-    if use_tiled and cat_mode_ok(cfg):
+    if trims is not None and not (use_tiled and not cfg.raw_gather):
+        # the quantized-extent trim is expressed as a packed-occupancy
+        # mask in the block-tiled cat; the gather fallback and the
+        # raw-gather debug path read occupancy at video precision where
+        # a sub-cell trim boundary cannot be represented
+        raise UnsupportedFeature(
+            "patch size quantizer needs the block-tiled dispatch "
+            "(rotated orientations / non-10-bit-packable streams are "
+            "outside the quantized-patch envelope)"
+        )
+    if use_tiled and (cat_mode_ok(cfg) or trims is not None):
         # HOST PACK + HOST ORIENTATION (round 7): emit the three u32
         # sample planes packed + concatenated on the host with
         # SWAP-family blocks pre-transposed — the device graph starts
@@ -1167,10 +1191,13 @@ def _gof_device_inputs(
         # GOF's device work. Cat-mode dispatch: (fields, cat, None x5).
         # Mesh dispatches take it too: the cat replicates over 'space'
         # exactly like the planes did (parallel/spatial.py in_specs).
+        # quantized frames FORCE the cat staging even when the hostpack
+        # policy knob is off: the trim only exists as a bit mask in the
+        # packed cat (numpy pack fallback works on every backend)
         from ..ops.tiled import stage_cat_inputs
 
         arrays, cfg = stage_cat_inputs(
-            fields, occ, geo0, geo1, ay, au, av, cfg
+            fields, occ, geo0, geo1, ay, au, av, cfg, trims=trims
         )
     return DeviceInputs(
         cfg=cfg,

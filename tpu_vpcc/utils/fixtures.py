@@ -53,20 +53,41 @@ _VIEW_FROM_AXES = {
 
 
 def patch_to_pdu(
-    patch: Patch, geometry_bitdepth_3d: int, min_level: int = 1
+    patch: Patch, geometry_bitdepth_3d: int, min_level: int = 1,
+    size_quantizer=None,
 ) -> IntraPatchDataUnit:
-    """Invert the patch-frame construction (``src/decoder.rs:421-509``)."""
+    """Invert the patch-frame construction (``src/decoder.rs:421-509``).
+
+    ``size_quantizer``: the ath's (log2 qx, log2 qy) when the ASPS
+    codes quantized patch sizes — the PDU size is then derived from
+    ``patch.size_2d_in_pixel`` (must be set, each axis a multiple of
+    its quantizer) instead of the block count."""
     view_id = _VIEW_FROM_AXES[(patch.axes, patch.projection_mode)]
     if patch.projection_mode == 0:
         offset_d = patch.d1 // min_level
     else:
         offset_d = ((1 << geometry_bitdepth_3d) - patch.d1) // min_level
     range_d = 0 if patch.size_d == 0 else (patch.size_d + 1) // min_level
+    if size_quantizer is not None:
+        qx, qy = 1 << size_quantizer[0], 1 << size_quantizer[1]
+        px, py = patch.size_2d_in_pixel
+        res = patch.occupancy_resolution
+        assert px % qx == 0 and py % qy == 0, (
+            f"extent {patch.size_2d_in_pixel} not expressible at "
+            f"quantizers {(qx, qy)}"
+        )
+        size_2d_minus1 = (px // qx - 1, py // qy - 1)
+        # the derivation must reproduce the block footprint
+        assert (-(-px // res), -(-py // res)) == tuple(patch.size_uv0), (
+            patch.size_2d_in_pixel, patch.size_uv0,
+        )
+    else:
+        size_2d_minus1 = (patch.size_uv0[0] - 1, patch.size_uv0[1] - 1)
     pdu = IntraPatchDataUnit(
         projection_id=view_id,
         orientation_index=patch.patch_orientation,
         pos_2d=patch.uv0,
-        size_2d_minus1=(patch.size_uv0[0] - 1, patch.size_uv0[1] - 1),
+        size_2d_minus1=size_2d_minus1,
         pos_3d_offset=patch.uv1,
         pos_3d_offset_d=offset_d,
         pos_3d_range_d=range_d,
@@ -243,6 +264,7 @@ def build_fixture_stream(
     multi_map_streams: bool = False,
     map1_absolute: bool = True,
     plr=None,
+    size_quantizer=None,
 ) -> bytes:
     """Build a complete single-GOF V3C sample-stream file.
 
@@ -251,9 +273,10 @@ def build_fixture_stream(
     list) or a per-patch mode list for a P-tile referencing the previous
     frame: ``"intra"``, ``("inter", ref_patch_idx)`` or
     ``("inter", ref_patch_idx, ref_index)``, ``"merge2d"``, ``"merge3d"``,
-    or ``"skip"``. Frames not in the map are coded as I-tiles. P-coded
-    streams disable normal_axis_max_delta (the parser rejects inter
-    patches with it, matching the reference). ``ref_deltas`` gives the
+    or ``"skip"``. Frames not in the map are coded as I-tiles. All
+    streams carry normal_axis_max_delta range deltas (framework
+    extension — the reference rejects them on P-tiles). ``ref_deltas``
+    gives the
     sps reference list's short-term AFOC deltas (entry j references the
     frame ``delta`` frames back); with more than one entry the default
     active ref count covers them all, so ``ref_index`` is coded.
@@ -285,6 +308,11 @@ def build_fixture_stream(
     filling, minimum_depth, neighbour_minus1) tuples; each patch's
     ``plr_modes`` (per-block mode list, -1 = absent, None = all
     absent) is coded as 8.3.7.9 plr_data.
+
+    ``size_quantizer`` (framework extension — the reference asserts the
+    ASPS flag false, ``reader.rs:1052``) is the ath's (log2 qx, log2 qy)
+    pair: patch sizes are coded from ``patch.size_2d_in_pixel`` in
+    quantized pixel units (I-tiles only; the parsers gate P-tiles).
     """
     f0 = frames[0]
     width, height = f0.meta.width, f0.meta.height
@@ -397,6 +425,13 @@ def build_fixture_stream(
         assert map_count >= 2, "EOM fixtures need two maps"
         asps.eom_patch_enabled_flag = True
 
+    if size_quantizer is not None:
+        # quantized patch sizes: I-tiles only, no PLR/EOM combos (the
+        # parsers gate those — keep fixtures inside the envelope)
+        assert p_modes is None, "quantized sizes are I-tile-only"
+        assert plr is None and not asps.eom_patch_enabled_flag
+        asps.patch_size_quantizer_present_flag = True
+
     plri = None
     if plr is not None:
         from ..v3c.syntax import PlrInformation
@@ -477,6 +512,8 @@ def build_fixture_stream(
         ath = AtlasTileHeader()
         ath.atlas_frame_order_count_lsb = sf.meta.frame_index
         ath.pos_min_d_quantizer = pos_min_d_quantizer
+        if size_quantizer is not None:
+            ath.patch_size_info_quantizer = tuple(size_quantizer)
         if has_raw:
             ath.raw_3d_offset_axis_bitcount_minus1 = raw_bitcount_minus1
         ath.ref_atlas_frame_list_sps_flag = p_modes is not None
@@ -490,6 +527,7 @@ def build_fixture_stream(
                 pdu = patch_to_pdu(
                     patch, geometry_bitdepth_3d,
                     min_level=1 << pos_min_d_quantizer,
+                    size_quantizer=size_quantizer,
                 )
                 if plri is not None:
                     blocks = patch.size_uv0[0] * patch.size_uv0[1]

@@ -586,9 +586,11 @@ class AtlasSequenceParameterSet:
         asps.normal_axis_max_delta_value_enabled_flag = bs.read(1) != 0
         asps.patch_precedence_order_flag = bs.read(1) != 0
         asps.log2_patch_packing_block_size = bs.read(3)
+        # FRAMEWORK EXTENSION: quantized patch sizes decode (the
+        # reference asserts the flag false, ``reader.rs:1052``); the
+        # tile header carries the two 3-bit quantizers and the intra
+        # derivation trims points past the patch's pixel extent
         asps.patch_size_quantizer_present_flag = bs.read(1) != 0
-        if asps.patch_size_quantizer_present_flag:
-            raise UnsupportedFeature("patch size quantizer not supported (rec0)")
         asps.map_count_minus1 = bs.read(4)
         asps.pixel_deinterleaving_flag = bs.read(1) != 0
         if asps.pixel_deinterleaving_flag:
@@ -622,6 +624,15 @@ class AtlasSequenceParameterSet:
                 PlrInformation.parse(bs)
                 for _ in range(asps.map_count_minus1 + 1)
             ]
+        if asps.patch_size_quantizer_present_flag and (
+            asps.plr_enabled_flag or asps.eom_patch_enabled_flag
+        ):
+            # PLR/EOM derive points from occupied pixels of regular
+            # patches; combining them with the quantized-extent trim is
+            # outside the reconstruction envelope
+            raise UnsupportedFeature(
+                "patch size quantizer combined with PLR/EOM patches"
+            )
         asps.vui_parameters_present_flag = bs.read(1) != 0
         if asps.vui_parameters_present_flag:
             raise UnsupportedFeature("VUI parameters not supported")
@@ -1218,6 +1229,13 @@ class InterPatchDataUnit:
     def parse(cls, bs: Bitstream, context, ath: AtlasTileHeader) -> "InterPatchDataUnit":
         afps = context.get_afps(ath.atlas_frame_parameter_set_id)
         asps = context.get_asps(afps.atlas_sequence_parameter_set_id)
+        if asps.patch_size_quantizer_present_flag:
+            # inter size deltas are coded in quantized units and the
+            # pixel-extent trim would need per-patch extent tracking
+            # across frames — quantized patches decode on I-tiles only
+            raise UnsupportedFeature(
+                "patch size quantizer with inter patches"
+            )
         num_ref_idx_active = context.get_num_ref_idx_active(ath)
         pdu = cls()
         pdu.ref_index = bs.read_uvlc() if num_ref_idx_active > 1 else 0
@@ -1257,6 +1275,12 @@ class MergePatchDataUnit:
     def parse(cls, bs: Bitstream, context, ath: AtlasTileHeader) -> "MergePatchDataUnit":
         afps = context.get_afps(ath.atlas_frame_parameter_set_id)
         asps = context.get_asps(afps.atlas_sequence_parameter_set_id)
+        if asps.patch_size_quantizer_present_flag:
+            # same envelope as inter patches: quantized sizes stay
+            # I-tile-only
+            raise UnsupportedFeature(
+                "patch size quantizer with merge patches"
+            )
         num_ref_idx_active = context.get_num_ref_idx_active(ath)
         pdu = cls()
         if num_ref_idx_active > 1:
