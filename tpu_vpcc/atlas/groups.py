@@ -157,8 +157,10 @@ _BLOCK_ALIGNED = frozenset(
 def _occupancy_gated_owner(meta: FrameMeta, per_patch, owner_shape,
                            occ_plane, occ_precision: int):
     """The reference's exact block ownership (``src/codec.rs:205-250``),
-    vectorized: owner[b] = last patch whose OWN pixels of patch block b
-    (quirked pixel transform) include a non-zero occupancy sample.
+    vectorized: owner[b] = last patch in PRECEDENCE order whose OWN
+    pixels of patch block b (quirked pixel transform) include a non-zero
+    occupancy sample (later patches win; reversed when
+    ``meta.patch_precedence``).
 
     Only used for frames where a non-block-aligned patch overlaps another
     patch — everywhere else the occupancy-ignored owner is provably
@@ -166,7 +168,12 @@ def _occupancy_gated_owner(meta: FrameMeta, per_patch, owner_shape,
     bh, bw = owner_shape
     owner = np.zeros((bh, bw), dtype=np.int32)
     occ = np.asarray(occ_plane)
-    for pidx, patch in enumerate(meta.patches):
+    order = (
+        range(len(meta.patches) - 1, -1, -1)
+        if meta.patch_precedence else range(len(meta.patches))
+    )
+    for pidx in order:
+        patch = meta.patches[pidx]
         u0g, v0g, bx, by = per_patch[pidx]
         res_p = patch.occupancy_resolution
         a, b, cxp, c, d, cyp = patch.orientation_coeffs(res_p)
@@ -247,8 +254,18 @@ def build_group_table(
         cover_cnt[by, bx] += 1  # a patch covers each of its blocks once
         if res > 1 and patch.patch_orientation not in _BLOCK_ALIGNED:
             nonaligned_cover[by, bx] = True
-        owner[by, bx] = pidx + 1  # later patches overwrite earlier ones
         per_patch.append((u0g, v0g, bx, by))
+
+    # contested-block precedence: flag off = later patches overwrite
+    # earlier ones (the reference's only mode); flag on = decoding
+    # order wins, so earlier patches overwrite (FrameMeta.patch_precedence)
+    owner_order = (
+        range(len(meta.patches) - 1, -1, -1)
+        if meta.patch_precedence else range(len(meta.patches))
+    )
+    for pidx in owner_order:
+        _, _, bx, by = per_patch[pidx]
+        owner[by, bx] = pidx + 1
 
     # hazard = some CONTESTED block is covered by a patch whose pixel
     # tile is not the canvas block; only there can the occupancy-ignored

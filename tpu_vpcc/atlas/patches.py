@@ -246,6 +246,13 @@ class FrameMeta:
     raw_patches: List[RawPatch] = field(default_factory=list)
     # framework extension: EOM patches (same reasoning as raw_patches)
     eom_patches: List[EomPatch] = field(default_factory=list)
+    # FRAMEWORK EXTENSION (asps_patch_precedence_order_flag; the
+    # reference asserts it false, ``codec.rs:340-347``): when True,
+    # patch precedence is the DECODING order (23090-5) — earlier
+    # patches win contested blocks, so block-ownership passes iterate
+    # patches in reverse so earlier ones overwrite. Emission order is
+    # unchanged (patches ascending, owned blocks in patch raster).
+    patch_precedence: bool = False
 
 
 def _patch_type(tile_type: TileType, patch_mode: int) -> str:
@@ -492,12 +499,6 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
         geometry_bitdepth_3d = asps.geometry_3d_bitdepth_minus1 + 1
         frame_index = ath.frame_index
 
-        if asps.patch_precedence_order_flag:
-            # reversed patch precedence changes block ownership and the
-            # emission order; the reference asserts it false
-            # (``codec.rs:340-347``)
-            raise UnsupportedFeature("patch_precedence_order_flag (rec0)")
-
         meta = FrameMeta(
             frame_index=frame_index,
             tile_index=ath.id,
@@ -505,6 +506,9 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
             width=asps.frame_width,
             height=asps.frame_height,
             tile_type=ath.tile_type,
+            # FRAMEWORK EXTENSION: decoding-order patch precedence
+            # (the reference asserts the flag false, codec.rs:340-347)
+            patch_precedence=asps.patch_precedence_order_flag,
         )
 
         min_level = 1 << ath.pos_min_d_quantizer

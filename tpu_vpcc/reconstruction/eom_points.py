@@ -53,8 +53,9 @@ from .raw_points import _extract_region
 
 def _block_owner_map(meta: FrameMeta, occ_canvas: np.ndarray) -> np.ndarray:
     """Vectorized twin of the oracle's ``generate_block_to_patch``
-    (``src/codec.rs:205-250``): later patches overwrite earlier ones,
-    ownership gated on any occupancy inside the canvas block."""
+    (``src/codec.rs:205-250``): later patches overwrite earlier ones
+    (reversed under ``meta.patch_precedence``), ownership gated on any
+    occupancy inside the canvas block."""
     res = meta.patches[0].occupancy_resolution if meta.patches else 1
     bw = meta.width // res
     bh = meta.height // res
@@ -65,7 +66,12 @@ def _block_owner_map(meta: FrameMeta, occ_canvas: np.ndarray) -> np.ndarray:
         .reshape(-1)
     )
     owner = np.zeros(bw * bh, dtype=np.int64)
-    for pi, patch in enumerate(meta.patches):
+    order = (
+        range(len(meta.patches) - 1, -1, -1)
+        if meta.patch_precedence else range(len(meta.patches))
+    )
+    for pi in order:
+        patch = meta.patches[pi]
         for v0 in range(patch.size_uv0[1]):
             for u0 in range(patch.size_uv0[0]):
                 bidx = patch.patch_block_to_canvas_block(u0, v0, bw, bh)

@@ -44,12 +44,19 @@ def generate_block_to_patch(
     occupancy_precision: int,
 ) -> np.ndarray:
     """``generate_block_to_patch_from_occupancy_map_video``
-    (``src/codec.rs:205-250``). Later patches overwrite earlier ones."""
+    (``src/codec.rs:205-250``). Later patches overwrite earlier ones —
+    reversed under decoding-order precedence (``meta.patch_precedence``,
+    framework extension)."""
     bw = meta.width // occupancy_resolution
     bh = meta.height // occupancy_resolution
     block_to_patch = np.zeros(bw * bh, dtype=np.int64)
     lt_x, lt_y = meta.left_top_in_frame
-    for patch_index, patch in enumerate(meta.patches):
+    order = (
+        range(len(meta.patches) - 1, -1, -1)
+        if meta.patch_precedence else range(len(meta.patches))
+    )
+    for patch_index in order:
+        patch = meta.patches[patch_index]
         for v0 in range(patch.size_uv0[1]):
             for u0 in range(patch.size_uv0[0]):
                 block_index = patch.patch_block_to_canvas_block(u0, v0, bw, bh)

@@ -265,6 +265,7 @@ def build_fixture_stream(
     map1_absolute: bool = True,
     plr=None,
     size_quantizer=None,
+    patch_precedence: bool = False,
 ) -> bytes:
     """Build a complete single-GOF V3C sample-stream file.
 
@@ -431,6 +432,10 @@ def build_fixture_stream(
         assert p_modes is None, "quantized sizes are I-tile-only"
         assert plr is None and not asps.eom_patch_enabled_flag
         asps.patch_size_quantizer_present_flag = True
+
+    # decoding-order patch precedence (framework extension — the
+    # reference asserts the flag false, ``codec.rs:340-347``)
+    asps.patch_precedence_order_flag = patch_precedence
 
     plri = None
     if plr is not None:
