@@ -11,9 +11,12 @@ every plausible fast-log2 family:
 Call-site reachability under the rec0 envelope (both decoders):
 
 1. ``reader.rs:1597`` ceil(log2(num_tiles_in_atlas_frame_minus1+1)) —
-   UNREACHABLE: single_tile_in_atlas_frame_flag is asserted true
-   (``reader.rs:1264-1267``; UnsupportedFeature here), so
-   num_tiles_minus1 == 0 and the guarding ``!= 0`` branch never runs.
+   UNREACHABLE in the reference: single_tile_in_atlas_frame_flag is
+   asserted true (``reader.rs:1264-1267``), so num_tiles_minus1 == 0
+   and the guarding ``!= 0`` branch never runs there. THIS framework
+   decodes multi-tile frames (framework extension, test_tiles.py), so
+   the site is live here — with no reference behavior to match, the
+   bit count is defined as the exact spec u(v) width.
 2. ``reader.rs:1632`` ceil(log2(num_ref_atlas_frame_lists_in_asps)) —
    reachable for n in 2..=64 (spec bound).
 3. ``reader.rs:1671`` floor(log2(geometry_3d_bitdepth_minus1+1)) —
@@ -160,20 +163,18 @@ def test_site4_insensitive_for_any_bounded_approximation():
         assert math.ceil(fn(6)) == 3
 
 
-def test_site1_unreachable_single_tile_enforced():
-    """reader.rs:1597 — our parser (like the reference's assert) rejects
-    multi-tile atlas frames, so num_tiles_in_atlas_frame_minus1 is
-    always 0 and the ceil_log2 branch in AtlasTileHeader.parse is dead."""
-    from tpu_vpcc.bitio import BitWriter, Bitstream
-    from tpu_vpcc.v3c.syntax import (
-        AtlasFrameTileInformation,
-        AtlasSequenceParameterSet,
-        UnsupportedFeature,
-    )
-
-    asps = AtlasSequenceParameterSet()
-    w = BitWriter()
-    w.write(0, 1)  # single_tile_in_atlas_frame_flag = false
-    w.write(0, 32)
-    with pytest.raises(UnsupportedFeature):
-        AtlasFrameTileInformation.parse(Bitstream(w.getvalue()), asps)
+def test_site1_multitile_id_bits_parity():
+    """reader.rs:1597 — UNREACHABLE in the reference (single-tile
+    asserted, ``reader.rs:1264-1267``), so there is no reference
+    behavior to match: multi-tile frames are a framework extension
+    (tests/test_tiles.py) and the ath.id bit count is DEFINED as exact
+    ``ceil_log2(num_tiles)`` — the V3C-spec u(v) width. Pin that the
+    writer and parser agree on the domain real AFTIs can produce, and
+    that every fast-log2 family agrees on the non-power-of-two part
+    (so even a hypothetical fast-math port diverges only at power-of-
+    two tile counts, where this framework follows the spec)."""
+    for n in range(2, 1025):
+        if n & (n - 1) != 0:
+            for fn in FAMILIES:
+                assert math.ceil(fn(n)) == ceil_log2(n), (fn.__name__, n)
+        assert (1 << ceil_log2(n)) >= n and (1 << ceil_log2(n)) < 2 * n

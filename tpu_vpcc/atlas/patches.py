@@ -488,7 +488,10 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
         atl.header.frame_index = val & 0xFF  # u8 cast in the reference
         frame_count = max(frame_count, val + 1)
 
-    by_afoc = {}  # decoded frames by AFOC val, for inter/merge/skip refs
+    # decoded tiles by (AFOC val, tile index), for inter/merge/skip refs
+    # — tiles predict only from the SAME tile of earlier frames
+    by_afoc = {}
+    canvas_dims = {}  # frame_index -> (atlas frame width, height)
     seen_block_sizes = set()  # one packing block size per GOF (ASPS const)
 
     for atgl_idx in range(context.atlas_tile_layer_len()):
@@ -499,12 +502,24 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
         geometry_bitdepth_3d = asps.geometry_3d_bitdepth_minus1 + 1
         frame_index = ath.frame_index
 
+        # FRAMEWORK EXTENSION (atlas frame partitioning; the reference
+        # is single-tile only, ``reader.rs:1266-1270``): each tile layer
+        # derives against its TILE rect — patch coordinates, orientation
+        # range checks, and ownership are tile-local — and the per-frame
+        # merge below folds tiles onto the atlas canvas.
+        afti = afps.atlas_frame_tile_information
+        tile_idx = afti.tile_index_of(ath.id)
+        tx, ty, tw, th = afti.tile_rect(
+            tile_idx, asps.frame_width, asps.frame_height
+        )
+        canvas_dims[frame_index] = (asps.frame_width, asps.frame_height)
         meta = FrameMeta(
             frame_index=frame_index,
-            tile_index=ath.id,
+            tile_index=tile_idx,
             atl_index=atgl_idx,
-            width=asps.frame_width,
-            height=asps.frame_height,
+            width=tw,
+            height=th,
+            left_top_in_frame=(tx, ty),
             tile_type=ath.tile_type,
             # FRAMEWORK EXTENSION: decoding-order patch precedence
             # (the reference asserts the flag false, codec.rs:340-347)
@@ -530,12 +545,13 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                     f"ref index {ref_index} beyond the active ref list"
                 )
             afoc = afocs[ref_index]
-            if afoc not in by_afoc:
+            if (afoc, tile_idx) not in by_afoc:
                 raise UnsupportedFeature(
-                    f"reference frame afoc={afoc} not decoded (GOFs are "
-                    f"independent; refs cannot cross a GOF boundary)"
+                    f"reference tile afoc={afoc} tile={tile_idx} not "
+                    f"decoded (GOFs are independent; refs cannot cross "
+                    f"a GOF boundary)"
                 )
-            return by_afoc[afoc]
+            return by_afoc[(afoc, tile_idx)]
 
         if ath.tile_type == TileType.SKIP:
             # SKIP tile: the whole patch list replicates the first
@@ -552,7 +568,7 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                 )
                 for p in ref.eom_patches
             ]
-            by_afoc[atl.atlas_frame_order_count_val] = meta
+            by_afoc[(atl.atlas_frame_order_count_val, tile_idx)] = meta
             frames.append(meta)
             continue
 
@@ -785,7 +801,97 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                         f"EOM member patch index {m} out of range "
                         f"(tile has {len(meta.patches)} regular patches)"
                     )
-        by_afoc[atl.atlas_frame_order_count_val] = meta
+        by_afoc[(atl.atlas_frame_order_count_val, tile_idx)] = meta
         frames.append(meta)
 
-    return frames
+    return _merge_tile_frames(frames, canvas_dims)
+
+
+def _merge_tile_frames(
+    frames: List[FrameMeta], canvas_dims
+) -> List[FrameMeta]:
+    """Fold each frame's tile metas onto the atlas canvas (FRAMEWORK
+    EXTENSION, atlas frame partitioning — the reference is single-tile
+    only, ``reader.rs:1266-1270``).
+
+    Tiles are disjoint canvas rects, so offsetting every patch by its
+    tile's block origin preserves ownership (contests only happen
+    within a tile) and reproduces TMC2's reconstruction order (tiles
+    ascending, patches in tile order). Downstream — oracle, group
+    tables, device kernels, raw/EOM/PLR — then sees ONE frame-sized
+    meta and needs no tile awareness."""
+    by_frame: dict = {}
+    order: List[int] = []
+    for m in frames:
+        if m.frame_index not in by_frame:
+            order.append(m.frame_index)
+            by_frame[m.frame_index] = []
+        by_frame[m.frame_index].append(m)
+
+    out: List[FrameMeta] = []
+    for fi in order:
+        tiles = by_frame[fi]
+        if (
+            len(tiles) == 1
+            and tiles[0].left_top_in_frame == (0, 0)
+            and (tiles[0].width, tiles[0].height) == canvas_dims[fi]
+        ):
+            # single tile covering the canvas: dims already match
+            out.append(tiles[0])
+            continue
+        seen = [t.tile_index for t in tiles]
+        if len(set(seen)) != len(seen):
+            raise UnsupportedFeature(
+                f"frame {fi} carries duplicate tile layers {sorted(seen)}"
+            )
+        tiles = sorted(tiles, key=lambda t: t.tile_index)
+        cw, ch = canvas_dims[fi]
+        merged = FrameMeta(
+            frame_index=fi,
+            tile_index=0,
+            atl_index=tiles[0].atl_index,
+            width=cw,
+            height=ch,
+            tile_type=tiles[0].tile_type,
+            patch_precedence=tiles[0].patch_precedence,
+        )
+        for t in tiles:
+            tx, ty = t.left_top_in_frame
+            res = (
+                t.patches[0].occupancy_resolution if t.patches
+                else t.raw_patches[0].occupancy_resolution if t.raw_patches
+                else t.eom_patches[0].occupancy_resolution if t.eom_patches
+                else None
+            )
+            if res is None:
+                continue  # empty tile contributes nothing
+            if tx % res != 0 or ty % res != 0:
+                raise UnsupportedFeature(
+                    f"tile origin ({tx},{ty}) px not aligned to the "
+                    f"{res}-px packing block (cannot fold tiles onto "
+                    f"the canvas block grid)"
+                )
+            bx0, by0 = tx // res, ty // res
+            base = len(merged.patches)
+            for p in t.patches:
+                merged.patches.append(
+                    replace(p, uv0=(p.uv0[0] + bx0, p.uv0[1] + by0))
+                )
+            for rp in t.raw_patches:
+                merged.raw_patches.append(
+                    replace(rp, u0=rp.u0 + bx0, v0=rp.v0 + by0)
+                )
+            for ep in t.eom_patches:
+                merged.eom_patches.append(
+                    replace(
+                        ep,
+                        u0=ep.u0 + bx0,
+                        v0=ep.v0 + by0,
+                        member_patches=[
+                            m + base for m in ep.member_patches
+                        ],
+                        member_points=list(ep.member_points),
+                    )
+                )
+        out.append(merged)
+    return out

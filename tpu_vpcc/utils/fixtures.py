@@ -18,6 +18,7 @@ from ..utils.synthetic import SyntheticFrame
 from ..v3c import writer as w3c
 from ..v3c.syntax import (
     AtlasFrameParameterSet,
+    AtlasFrameTileInformation,
     AtlasSequenceParameterSet,
     AtlasTileHeader,
     AtlasTileLayer,
@@ -40,6 +41,62 @@ from ..v3c.syntax import (
     V3CUnitType,
 )
 from ..video import encode_yuv420
+
+
+def _patch_block_bbox(p: Patch):
+    """Inclusive canvas-block bbox of a patch footprint (any
+    orientation), from the affine corner transform."""
+    a, b, cx, c, d, cy = p.orientation_coeffs(1)
+    su, sv = p.size_uv0
+    corners = [(u, v) for u in (0, su - 1) for v in (0, sv - 1)]
+    xs = [a * u + b * v + cx for u, v in corners]
+    ys = [c * u + d * v + cy for u, v in corners]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def _split_patches_by_tile(meta, afti, width: int, height: int):
+    """Per-tile (coded ath id, tile-local patches, tile-local raw
+    patches) views of a frame's canvas-coordinate patch lists — the
+    authoring inverse of ``atlas.patches._merge_tile_frames``."""
+    from dataclasses import replace
+
+    res = (
+        meta.patches[0].occupancy_resolution if meta.patches
+        else meta.raw_patches[0].occupancy_resolution if meta.raw_patches
+        else 16
+    )
+    views = []
+    n_assigned = 0
+    for t in range(afti.tile_count()):
+        tx, ty, tw, th = afti.tile_rect(t, width, height)
+        assert (
+            tx % res == 0 and ty % res == 0
+            and tw % res == 0 and th % res == 0
+        ), f"tile rect {(tx, ty, tw, th)} not {res}-px block aligned"
+        bx0, by0 = tx // res, ty // res
+        bx1, by1 = bx0 + tw // res, by0 + th // res
+        t_patches, t_raws = [], []
+        for p in meta.patches:
+            x0, y0, x1, y1 = _patch_block_bbox(p)
+            if bx0 <= x0 and x1 < bx1 and by0 <= y0 and y1 < by1:
+                t_patches.append(
+                    replace(p, uv0=(p.uv0[0] - bx0, p.uv0[1] - by0))
+                )
+                n_assigned += 1
+        for rp in meta.raw_patches:
+            if (
+                bx0 <= rp.u0 and rp.u0 + rp.size_u0 <= bx1
+                and by0 <= rp.v0 and rp.v0 + rp.size_v0 <= by1
+            ):
+                t_raws.append(replace(rp, u0=rp.u0 - bx0, v0=rp.v0 - by0))
+                n_assigned += 1
+        tid = afti.tile_id[t] if afti.signalled_tile_id_flag else t
+        views.append((tid, t_patches, t_raws))
+    assert n_assigned == len(meta.patches) + len(meta.raw_patches), (
+        "a patch straddles tile boundaries"
+    )
+    return views
+
 
 # Inverse of Patch.set_view_id for the six rec0 views
 _VIEW_FROM_AXES = {
@@ -266,6 +323,8 @@ def build_fixture_stream(
     plr=None,
     size_quantizer=None,
     patch_precedence: bool = False,
+    tiles=None,
+    tile_ids=None,
 ) -> bytes:
     """Build a complete single-GOF V3C sample-stream file.
 
@@ -314,6 +373,16 @@ def build_fixture_stream(
     ASPS flag false, ``reader.rs:1052``) is the ath's (log2 qx, log2 qy)
     pair: patch sizes are coded from ``patch.size_2d_in_pixel`` in
     quantized pixel units (I-tiles only; the parsers gate P-tiles).
+
+    ``tiles`` (framework extension — atlas frame partitioning, which
+    the reference asserts away at ``reader.rs:1266-1270``): either an
+    explicit :class:`AtlasFrameTileInformation` or an ``(n_cols,
+    n_rows)`` uniform-tile shorthand (partition size must be a 64-px
+    multiple). Each frame's patches are split per tile by their canvas
+    block footprint (every patch must lie inside exactly one tile) and
+    coded as one I-tile layer per tile, tile-local coordinates.
+    ``tile_ids``: optional explicit id list — codes the AFTI's
+    signalled-tile-id path (ids in tile-index order).
     """
     f0 = frames[0]
     width, height = f0.meta.width, f0.meta.height
@@ -460,6 +529,36 @@ def build_fixture_stream(
 
     afps = AtlasFrameParameterSet()
     afps.raw_3d_offset_bitcount_explicit_mode_flag = has_raw
+    if tiles is not None:
+        # atlas frame partitioning (framework extension): one I-tile
+        # layer per tile per frame, patches in tile-local coordinates
+        assert p_modes is None, "multi-tile fixtures are I-tile-only"
+        assert not any(f.meta.eom_patches for f in frames), (
+            "multi-tile fixtures do not carry EOM patches (member "
+            "index remapping not implemented)"
+        )
+        if isinstance(tiles, AtlasFrameTileInformation):
+            afti = tiles
+        else:
+            n_cols, n_rows = tiles
+            assert width % (n_cols * 64) == 0, (width, n_cols)
+            assert height % (n_rows * 64) == 0, (height, n_rows)
+            afti = AtlasFrameTileInformation(
+                single_tile_in_atlas_frame_flag=False,
+                uniform_partition_spacing_flag=True,
+                partition_cols_width_minus1=width // n_cols // 64 - 1,
+                partition_rows_height_minus1=height // n_rows // 64 - 1,
+                single_partition_per_tile_flag=True,
+                num_tiles_in_atlas_frame_minus1=n_cols * n_rows - 1,
+            )
+        if tile_ids is not None:
+            assert len(set(tile_ids)) == afti.tile_count()
+            afti.signalled_tile_id_flag = True
+            afti.signalled_tile_id_length_minus1 = max(
+                max(tile_ids).bit_length(), 1
+            ) - 1
+            afti.tile_id = list(tile_ids)
+        afps.atlas_frame_tile_information = afti
     # LoD-scaled patches (framework extension; the reference
     # `unimplemented!`s on this AFPS flag, ``reader.rs:1915``)
     afps.lod_mode_enable_flag = any(
@@ -514,131 +613,140 @@ def build_fixture_stream(
         if fi in sei_by_frame:
             nalus.append(sei_by_frame[fi])
         spec = (p_modes or {}).get(sf.meta.frame_index)
-        ath = AtlasTileHeader()
-        ath.atlas_frame_order_count_lsb = sf.meta.frame_index
-        ath.pos_min_d_quantizer = pos_min_d_quantizer
-        if size_quantizer is not None:
-            ath.patch_size_info_quantizer = tuple(size_quantizer)
-        if has_raw:
-            ath.raw_3d_offset_axis_bitcount_minus1 = raw_bitcount_minus1
-        ath.ref_atlas_frame_list_sps_flag = p_modes is not None
-        # one flag per long-term entry (parsed for every tile type)
-        ath.additional_afoc_lsb_present_flag = [False] * n_ltr
-        atl = AtlasTileLayer(header=ath)
-        if spec is None:
-            ath.tile_type = TileType.I
-            nal_type = NalUnitType.IDR_N_LP
-            for patch in sf.meta.patches:
-                pdu = patch_to_pdu(
-                    patch, geometry_bitdepth_3d,
-                    min_level=1 << pos_min_d_quantizer,
-                    size_quantizer=size_quantizer,
-                )
-                if plri is not None:
-                    blocks = patch.size_uv0[0] * patch.size_uv0[1]
-                    pdu.plr_data = [
-                        plr_modes_to_plrd(
-                            patch.plr_modes
-                            if patch.plr_modes is not None
-                            else [-1] * blocks,
-                            plri,
-                        )
-                    ]
-                atl.patch_information_data.append(
-                    PatchInformationData(
-                        patch_mode=int(PatchModeITile.INTRA),
-                        patch_data_unit=pdu,
-                    )
-                )
-        elif spec == "skip_tile":
-            ath.tile_type = TileType.SKIP
-            nal_type = NalUnitType.TRAIL_R
+        if tiles is not None:
+            # one tile layer per AFTI tile, patches in tile-local
+            # coordinates (I-tiles only; asserted above)
+            tile_views = _split_patches_by_tile(sf.meta, afti, width, height)
         else:
-            ath.tile_type = TileType.P
-            nal_type = NalUnitType.TRAIL_R
+            tile_views = [(0, sf.meta.patches, sf.meta.raw_patches)]
+        # per-tile layer authoring (a single iteration unless ``tiles``)
+        for tile_coded_id, reg_patches, raw_list in tile_views:
+            ath = AtlasTileHeader()
+            ath.id = tile_coded_id
+            ath.atlas_frame_order_count_lsb = sf.meta.frame_index
+            ath.pos_min_d_quantizer = pos_min_d_quantizer
+            if size_quantizer is not None:
+                ath.patch_size_info_quantizer = tuple(size_quantizer)
+            if has_raw:
+                ath.raw_3d_offset_axis_bitcount_minus1 = raw_bitcount_minus1
+            ath.ref_atlas_frame_list_sps_flag = p_modes is not None
+            # one flag per long-term entry (parsed for every tile type)
+            ath.additional_afoc_lsb_present_flag = [False] * n_ltr
+            atl = AtlasTileLayer(header=ath)
+            if spec is None:
+                ath.tile_type = TileType.I
+                nal_type = NalUnitType.IDR_N_LP
+                for patch in reg_patches:
+                    pdu = patch_to_pdu(
+                        patch, geometry_bitdepth_3d,
+                        min_level=1 << pos_min_d_quantizer,
+                        size_quantizer=size_quantizer,
+                    )
+                    if plri is not None:
+                        blocks = patch.size_uv0[0] * patch.size_uv0[1]
+                        pdu.plr_data = [
+                            plr_modes_to_plrd(
+                                patch.plr_modes
+                                if patch.plr_modes is not None
+                                else [-1] * blocks,
+                                plri,
+                            )
+                        ]
+                    atl.patch_information_data.append(
+                        PatchInformationData(
+                            patch_mode=int(PatchModeITile.INTRA),
+                            patch_data_unit=pdu,
+                        )
+                    )
+            elif spec == "skip_tile":
+                ath.tile_type = TileType.SKIP
+                nal_type = NalUnitType.TRAIL_R
+            else:
+                ath.tile_type = TileType.P
+                nal_type = NalUnitType.TRAIL_R
 
-            def ref_meta_for(ridx):
-                d = ref_deltas[ridx]
-                if isinstance(d, tuple) and d[0] == "lt":
-                    return frames[d[1]].meta  # fixture AFOC == frame index
-                return frames[fi - d].meta
+                def ref_meta_for(ridx):
+                    d = ref_deltas[ridx]
+                    if isinstance(d, tuple) and d[0] == "lt":
+                        return frames[d[1]].meta  # fixture AFOC == frame index
+                    return frames[fi - d].meta
 
-            ref_meta = ref_meta_for(0)
-            pred_index = 0
-            assert len(spec) == len(sf.meta.patches)
-            for i, (patch, mode) in enumerate(zip(sf.meta.patches, spec)):
-                if mode == "intra":
-                    pid = PatchInformationData(
-                        patch_mode=int(PatchModePTile.INTRA),
-                        patch_data_unit=patch_to_pdu(
-                            patch, geometry_bitdepth_3d,
-                            min_level=1 << pos_min_d_quantizer,
-                        ),
-                    )
-                elif isinstance(mode, tuple) and mode[0] == "inter":
-                    rpi = mode[1]
-                    ridx = mode[2] if len(mode) > 2 else 0
-                    pid = PatchInformationData(
-                        patch_mode=int(PatchModePTile.INTER),
-                        patch_data_unit=patch_to_inter_pdu(
-                            patch, ref_meta_for(ridx).patches[rpi], rpi,
-                            pred_index, geometry_bitdepth_3d,
-                            min_level=1 << pos_min_d_quantizer,
-                            ref_index=ridx,
-                        ),
-                    )
-                    pred_index = rpi + 1
-                elif mode in ("merge2d", "merge3d"):
-                    pid = PatchInformationData(
-                        patch_mode=int(PatchModePTile.MERGE),
-                        patch_data_unit=patch_to_merge_pdu(
-                            patch, ref_meta.patches[i], mode == "merge2d",
-                            geometry_bitdepth_3d,
-                            min_level=1 << pos_min_d_quantizer,
-                        ),
-                    )
-                elif mode == "skip":
-                    assert patch == ref_meta.patches[i], "skip needs identity"
-                    pid = PatchInformationData(
-                        patch_mode=int(PatchModePTile.SKIP),
-                        patch_data_unit=SkipPatchDataUnit(),
-                    )
-                else:
-                    raise ValueError(f"unknown p-mode {mode!r}")
-                atl.patch_information_data.append(pid)
-        if ath.tile_type != TileType.SKIP:
-            # raw patches follow the regular patches (SKIP tiles
-            # replicate the reference frame's raw list implicitly)
-            raw_mode = (
-                PatchModeITile.RAW
-                if ath.tile_type == TileType.I
-                else PatchModePTile.RAW
-            )
-            for rp in sf.meta.raw_patches:
-                atl.patch_information_data.append(
-                    PatchInformationData(
-                        patch_mode=int(raw_mode),
-                        patch_data_unit=raw_patch_to_pdu(rp),
-                    )
+                ref_meta = ref_meta_for(0)
+                pred_index = 0
+                assert len(spec) == len(reg_patches)
+                for i, (patch, mode) in enumerate(zip(reg_patches, spec)):
+                    if mode == "intra":
+                        pid = PatchInformationData(
+                            patch_mode=int(PatchModePTile.INTRA),
+                            patch_data_unit=patch_to_pdu(
+                                patch, geometry_bitdepth_3d,
+                                min_level=1 << pos_min_d_quantizer,
+                            ),
+                        )
+                    elif isinstance(mode, tuple) and mode[0] == "inter":
+                        rpi = mode[1]
+                        ridx = mode[2] if len(mode) > 2 else 0
+                        pid = PatchInformationData(
+                            patch_mode=int(PatchModePTile.INTER),
+                            patch_data_unit=patch_to_inter_pdu(
+                                patch, ref_meta_for(ridx).patches[rpi], rpi,
+                                pred_index, geometry_bitdepth_3d,
+                                min_level=1 << pos_min_d_quantizer,
+                                ref_index=ridx,
+                            ),
+                        )
+                        pred_index = rpi + 1
+                    elif mode in ("merge2d", "merge3d"):
+                        pid = PatchInformationData(
+                            patch_mode=int(PatchModePTile.MERGE),
+                            patch_data_unit=patch_to_merge_pdu(
+                                patch, ref_meta.patches[i], mode == "merge2d",
+                                geometry_bitdepth_3d,
+                                min_level=1 << pos_min_d_quantizer,
+                            ),
+                        )
+                    elif mode == "skip":
+                        assert patch == ref_meta.patches[i], "skip needs identity"
+                        pid = PatchInformationData(
+                            patch_mode=int(PatchModePTile.SKIP),
+                            patch_data_unit=SkipPatchDataUnit(),
+                        )
+                    else:
+                        raise ValueError(f"unknown p-mode {mode!r}")
+                    atl.patch_information_data.append(pid)
+            if ath.tile_type != TileType.SKIP:
+                # raw patches follow the regular patches (SKIP tiles
+                # replicate the reference frame's raw list implicitly)
+                raw_mode = (
+                    PatchModeITile.RAW
+                    if ath.tile_type == TileType.I
+                    else PatchModePTile.RAW
                 )
-            eom_mode = (
-                PatchModeITile.EOM
-                if ath.tile_type == TileType.I
-                else PatchModePTile.EOM
-            )
-            for ep in sf.meta.eom_patches:
-                atl.patch_information_data.append(
-                    PatchInformationData(
-                        patch_mode=int(eom_mode),
-                        patch_data_unit=eom_patch_to_pdu(ep),
+                for rp in raw_list:
+                    atl.patch_information_data.append(
+                        PatchInformationData(
+                            patch_mode=int(raw_mode),
+                            patch_data_unit=raw_patch_to_pdu(rp),
+                        )
                     )
+                eom_mode = (
+                    PatchModeITile.EOM
+                    if ath.tile_type == TileType.I
+                    else PatchModePTile.EOM
                 )
-        nalus.append(
-            w3c.wrap_nal_unit(
-                nal_type,
-                w3c.write_atlas_tile_layer(atl, asps, afps, nal_type),
+                for ep in sf.meta.eom_patches:
+                    atl.patch_information_data.append(
+                        PatchInformationData(
+                            patch_mode=int(eom_mode),
+                            patch_data_unit=eom_patch_to_pdu(ep),
+                        )
+                    )
+            nalus.append(
+                w3c.wrap_nal_unit(
+                    nal_type,
+                    w3c.write_atlas_tile_layer(atl, asps, afps, nal_type),
+                )
             )
-        )
         if fi == 0 and suffix_sei is not None:
             ptype, payload = suffix_sei
             nalus.append(

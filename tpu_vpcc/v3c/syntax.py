@@ -657,12 +657,33 @@ class AtlasSequenceParameterSet:
 
 @dataclass
 class AtlasFrameTileInformation:
-    """8.3.6.2.2 AFTI (``reader.rs:1217-1329``). Single-tile only."""
+    """8.3.6.2.2 AFTI (``reader.rs:1217-1329``).
+
+    FRAMEWORK EXTENSION: atlas frame partitioning decodes (the
+    reference asserts single-tile, ``reader.rs:1266-1270``, and keeps
+    every partition field commented out). Partition units are 64 pixels
+    (23090-5); the last column/row takes the frame remainder. Tile
+    rects come from :meth:`tile_rect`; each frame's tiles are folded
+    onto the atlas canvas by the patch-frame builder
+    (``atlas/patches.py``), so reconstruction sees one frame-sized
+    patch list."""
 
     single_tile_in_atlas_frame_flag: bool = True
+    uniform_partition_spacing_flag: bool = True
+    partition_cols_width_minus1: int = 0  # units of 64 px
+    partition_rows_height_minus1: int = 0
+    num_partition_columns_minus1: int = 0
+    num_partition_rows_minus1: int = 0
+    partition_column_width_minus1: List[int] = field(default_factory=list)
+    partition_row_height_minus1: List[int] = field(default_factory=list)
+    single_partition_per_tile_flag: bool = True
     num_tiles_in_atlas_frame_minus1: int = 0
+    top_left_partition_idx: List[int] = field(default_factory=list)
+    bottom_right_partition_column_offset: List[int] = field(default_factory=list)
+    bottom_right_partition_row_offset: List[int] = field(default_factory=list)
     signalled_tile_id_flag: bool = False
     signalled_tile_id_length_minus1: int = 0
+    tile_id: List[int] = field(default_factory=list)
     auxiliary_video_tile_row_width_minus1: int = 0
     auxiliary_video_tile_row_height: List[int] = field(default_factory=list)
     # partition sizes, set later by the patch-frame builder
@@ -670,19 +691,129 @@ class AtlasFrameTileInformation:
     col_width: int = 0
     row_height: int = 0
 
+    def partition_grid(self, frame_w: int, frame_h: int):
+        """Per-column widths and per-row heights in PIXELS. The frame
+        must cover every explicit partition; the last column/row is the
+        (positive) remainder."""
+        if self.single_tile_in_atlas_frame_flag:
+            return [frame_w], [frame_h]
+        if self.uniform_partition_spacing_flag:
+            w64 = (self.partition_cols_width_minus1 + 1) * 64
+            h64 = (self.partition_rows_height_minus1 + 1) * 64
+            ncols = max(1, -(-frame_w // w64))
+            nrows = max(1, -(-frame_h // h64))
+            cols = [w64] * (ncols - 1) + [frame_w - (ncols - 1) * w64]
+            rows = [h64] * (nrows - 1) + [frame_h - (nrows - 1) * h64]
+        else:
+            cols = [(v + 1) * 64 for v in self.partition_column_width_minus1]
+            rows = [(v + 1) * 64 for v in self.partition_row_height_minus1]
+            cols.append(frame_w - sum(cols))
+            rows.append(frame_h - sum(rows))
+        if cols[-1] <= 0 or rows[-1] <= 0:
+            raise UnsupportedFeature(
+                f"AFTI partitions exceed the {frame_w}x{frame_h} frame"
+            )
+        return cols, rows
+
+    def tile_count(self) -> int:
+        return self.num_tiles_in_atlas_frame_minus1 + 1
+
+    def tile_index_of(self, ath_id: int) -> int:
+        """ath_id -> tile index (identity unless ids are signalled)."""
+        if not self.signalled_tile_id_flag:
+            return ath_id
+        try:
+            return self.tile_id.index(ath_id)
+        except ValueError:
+            raise UnsupportedFeature(
+                f"tile id {ath_id} not in the signalled id list "
+                f"{self.tile_id}"
+            ) from None
+
+    def tile_rect(self, tile_idx: int, frame_w: int, frame_h: int):
+        """(x, y, w, h) pixel rect of a tile on the atlas canvas."""
+        if self.single_tile_in_atlas_frame_flag:
+            return 0, 0, frame_w, frame_h
+        cols, rows = self.partition_grid(frame_w, frame_h)
+        ncols = len(cols)
+        if tile_idx > self.num_tiles_in_atlas_frame_minus1:
+            raise UnsupportedFeature(
+                f"tile index {tile_idx} beyond the AFTI's "
+                f"{self.tile_count()} tiles"
+            )
+        if self.single_partition_per_tile_flag:
+            tl, brc, brr = tile_idx, 0, 0
+        else:
+            tl = self.top_left_partition_idx[tile_idx]
+            brc = self.bottom_right_partition_column_offset[tile_idx]
+            brr = self.bottom_right_partition_row_offset[tile_idx]
+        c0, r0 = tl % ncols, tl // ncols
+        if c0 + brc >= ncols or r0 + brr >= len(rows):
+            raise UnsupportedFeature(
+                f"tile {tile_idx} partition rect ({c0}+{brc}, {r0}+{brr}) "
+                f"leaves the {ncols}x{len(rows)} partition grid"
+            )
+        x = sum(cols[:c0])
+        y = sum(rows[:r0])
+        w = sum(cols[c0 : c0 + brc + 1])
+        h = sum(rows[r0 : r0 + brr + 1])
+        return x, y, w, h
+
     @classmethod
     def parse(cls, bs: Bitstream, asps: AtlasSequenceParameterSet) -> "AtlasFrameTileInformation":
         afti = cls(single_tile_in_atlas_frame_flag=bs.read(1) != 0)
         if not afti.single_tile_in_atlas_frame_flag:
-            raise UnsupportedFeature("atlas frame partitioning not supported")
-        afti.num_tiles_in_atlas_frame_minus1 = 0
+            afti.uniform_partition_spacing_flag = bs.read(1) != 0
+            if afti.uniform_partition_spacing_flag:
+                afti.partition_cols_width_minus1 = bs.read_uvlc()
+                afti.partition_rows_height_minus1 = bs.read_uvlc()
+            else:
+                afti.num_partition_columns_minus1 = bs.read_uvlc()
+                afti.num_partition_rows_minus1 = bs.read_uvlc()
+                afti.partition_column_width_minus1 = [
+                    bs.read_uvlc()
+                    for _ in range(afti.num_partition_columns_minus1)
+                ]
+                afti.partition_row_height_minus1 = [
+                    bs.read_uvlc()
+                    for _ in range(afti.num_partition_rows_minus1)
+                ]
+            cols, rows = afti.partition_grid(
+                asps.frame_width, asps.frame_height
+            )
+            n_partitions = len(cols) * len(rows)
+            afti.single_partition_per_tile_flag = bs.read(1) != 0
+            if not afti.single_partition_per_tile_flag:
+                afti.num_tiles_in_atlas_frame_minus1 = bs.read_uvlc()
+                idx_bits = ceil_log2(n_partitions)
+                for _ in range(afti.num_tiles_in_atlas_frame_minus1 + 1):
+                    afti.top_left_partition_idx.append(bs.read(idx_bits))
+                    afti.bottom_right_partition_column_offset.append(
+                        bs.read_uvlc()
+                    )
+                    afti.bottom_right_partition_row_offset.append(
+                        bs.read_uvlc()
+                    )
+            else:
+                afti.num_tiles_in_atlas_frame_minus1 = n_partitions - 1
+        else:
+            afti.num_tiles_in_atlas_frame_minus1 = 0
         if asps.auxiliary_video_enabled_flag:
             afti.auxiliary_video_tile_row_width_minus1 = bs.read_uvlc()
             for _ in range(afti.num_tiles_in_atlas_frame_minus1 + 1):
                 afti.auxiliary_video_tile_row_height.append(bs.read_uvlc())
         afti.signalled_tile_id_flag = bs.read(1) != 0
         if afti.signalled_tile_id_flag:
-            raise UnsupportedFeature("signalled tile ids not supported")
+            afti.signalled_tile_id_length_minus1 = bs.read_uvlc()
+            id_bits = afti.signalled_tile_id_length_minus1 + 1
+            afti.tile_id = [
+                bs.read(id_bits)
+                for _ in range(afti.num_tiles_in_atlas_frame_minus1 + 1)
+            ]
+            if len(set(afti.tile_id)) != len(afti.tile_id):
+                raise UnsupportedFeature(
+                    f"duplicate signalled tile ids {afti.tile_id}"
+                )
         return afti
 
 

@@ -194,11 +194,54 @@ def write_afps(afps: AtlasFrameParameterSet, asps: AtlasSequenceParameterSet) ->
     w.write_uvlc(afps.atlas_sequence_parameter_set_id)
     afti = afps.atlas_frame_tile_information
     w.write(int(afti.single_tile_in_atlas_frame_flag), 1)
+    if not afti.single_tile_in_atlas_frame_flag:
+        # atlas frame partitioning (framework extension; 8.3.6.2.2 —
+        # mirror of AtlasFrameTileInformation.parse)
+        w.write(int(afti.uniform_partition_spacing_flag), 1)
+        if afti.uniform_partition_spacing_flag:
+            w.write_uvlc(afti.partition_cols_width_minus1)
+            w.write_uvlc(afti.partition_rows_height_minus1)
+        else:
+            w.write_uvlc(afti.num_partition_columns_minus1)
+            w.write_uvlc(afti.num_partition_rows_minus1)
+            assert (
+                len(afti.partition_column_width_minus1)
+                == afti.num_partition_columns_minus1
+            ) and (
+                len(afti.partition_row_height_minus1)
+                == afti.num_partition_rows_minus1
+            )
+            for v in afti.partition_column_width_minus1:
+                w.write_uvlc(v)
+            for v in afti.partition_row_height_minus1:
+                w.write_uvlc(v)
+        cols, rows = afti.partition_grid(asps.frame_width, asps.frame_height)
+        w.write(int(afti.single_partition_per_tile_flag), 1)
+        if not afti.single_partition_per_tile_flag:
+            w.write_uvlc(afti.num_tiles_in_atlas_frame_minus1)
+            idx_bits = ceil_log2(len(cols) * len(rows))
+            for tl, brc, brr in zip(
+                afti.top_left_partition_idx,
+                afti.bottom_right_partition_column_offset,
+                afti.bottom_right_partition_row_offset,
+            ):
+                w.write(tl, idx_bits)
+                w.write_uvlc(brc)
+                w.write_uvlc(brr)
+        else:
+            assert (
+                afti.num_tiles_in_atlas_frame_minus1
+                == len(cols) * len(rows) - 1
+            ), "single_partition_per_tile: tile count = partition count"
     if asps.auxiliary_video_enabled_flag:
         w.write_uvlc(afti.auxiliary_video_tile_row_width_minus1)
         for h in afti.auxiliary_video_tile_row_height:
             w.write_uvlc(h)
     w.write(int(afti.signalled_tile_id_flag), 1)
+    if afti.signalled_tile_id_flag:
+        w.write_uvlc(afti.signalled_tile_id_length_minus1)
+        for tid in afti.tile_id:
+            w.write(tid, afti.signalled_tile_id_length_minus1 + 1)
     w.write(int(afps.output_flag_present_flag), 1)
     w.write_uvlc(afps.num_ref_idx_default_active_minus1)
     w.write_uvlc(afps.additional_lt_afoc_lsb_len)
