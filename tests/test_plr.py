@@ -243,3 +243,117 @@ def test_plr_bit_flips_fail_cleanly(tmp_path):
             outcomes["raised"] += 1
     assert outcomes["raised"] > 0
     assert time.monotonic() - t0 < 60
+
+def make_plr_p_sequence(seed=17):
+    """frame0: IDR I-tile, every patch block-level PLR. frame1: P-tile
+    covering every patch mode's PLR interplay (framework extension —
+    the reference panics on P-tiles AND on the PLR flag):
+    intra (fresh block-level plrd), inter (fresh level-mode plrd —
+    TMC2's parse-time size accumulator sizes the block list), merge2d
+    with mpdu_override_plr_flag (fresh level-mode), merge3d and skip
+    (per-block modes inherited from the reference patch)."""
+    from dataclasses import replace
+
+    rng = np.random.default_rng(seed)
+    f0 = make_synthetic_frame(
+        rng, width=96, height=96, occupancy_resolution=8,
+        occupancy_precision=4, map_count=1, n_patches=5, frame_index=0,
+        allow_swap=False,
+    )
+    p0 = f0.meta.patches
+    assert len(p0) == 5
+    for p in p0:
+        bc = p.size_uv0[0] * p.size_uv0[1]
+        p.plr_modes = [int(rng.integers(-1, len(MODES))) for _ in range(bc)]
+
+    def bc(p):
+        return p.size_uv0[0] * p.size_uv0[1]
+
+    p1 = [
+        replace(p0[0]),                       # intra: recoded from scratch
+        replace(p0[1], d1=p0[1].d1 + 2),      # inter: 3d motion
+        replace(p0[2]),                       # merge2d, PLR overridden
+        replace(p0[3], d1=max(p0[3].d1 - 1, 0)),  # merge3d: inherit PLR
+        replace(p0[4]),                       # skip: inherit everything
+    ]
+    p1[0].plr_modes = [int(rng.integers(-1, len(MODES))) for _ in range(bc(p1[0]))]
+    p1[1].plr_modes = [2] * bc(p1[1])         # inter PDUs code level mode
+    p1[2].plr_modes = [0] * bc(p1[2])         # differs from ref -> override
+    p1[3].plr_modes = list(p0[3].plr_modes)   # inherited via merge3d
+    p1[4].plr_modes = list(p0[4].plr_modes)   # inherited via skip
+    modes1 = ["intra", ("inter", 1), "merge2d", "merge3d", "skip"]
+    f1 = make_synthetic_frame(
+        rng, width=96, height=96, occupancy_resolution=8,
+        occupancy_precision=4, map_count=1, frame_index=1, patches=p1,
+        allow_swap=False,
+    )
+    frames = [f0, f1]
+    stream = build_fixture_stream(
+        frames, p_modes={1: modes1}, plr=(MODES, THICKNESS)
+    )
+    return frames, stream
+
+
+def test_plr_p_tile_metadata_roundtrip():
+    from tpu_vpcc.atlas.patches import create_patch_frames
+    from tpu_vpcc.v3c.context import Context
+    from tpu_vpcc.v3c.stream import SampleStreamV3CUnit
+
+    frames, stream = make_plr_p_sequence()
+    ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(stream))
+    context = Context()
+    ssvu.decode_gof(context)
+    metas = create_patch_frames(context)
+    assert len(metas) == 2
+    for meta, sf in zip(metas, frames):
+        assert len(meta.patches) == len(sf.meta.patches)
+        for got, exp in zip(meta.patches, sf.meta.patches):
+            assert got.plr_modes == exp.plr_modes
+
+
+@pytest.mark.parametrize("use_device", [True, False])
+def test_plr_p_tile_tail_expectation(tmp_path, use_device):
+    """Both frames' PLR tails equal the scalar recomputation over the
+    authored planes; the regular prefix equals a PLR-free decode."""
+    import copy
+
+    frames, stream = make_plr_p_sequence(seed=23)
+    path = tmp_path / "plr_p.bin"
+    path.write_bytes(stream)
+    frames_plain = copy.deepcopy(frames)
+    for sf in frames_plain:
+        for p in sf.meta.patches:
+            p.plr_modes = None
+    path_plain = tmp_path / "plr_p_plain.bin"
+    path_plain.write_bytes(build_fixture_stream(
+        frames_plain,
+        p_modes={1: ["intra", ("inter", 1), "merge2d", "merge3d", "skip"]},
+    ))
+
+    got = decode_all(path, use_device)
+    got_plain = decode_all(path_plain, use_device)
+    assert len(got) == len(got_plain) == 2
+    for ps, ps_plain, sf in zip(got, got_plain, frames):
+        exp_pos, exp_col16 = expected_plr_tail(sf)
+        n_reg = len(ps_plain)
+        assert exp_pos.shape[0] > 0
+        assert len(ps) == n_reg + exp_pos.shape[0]
+        np.testing.assert_array_equal(ps.positions[:n_reg], ps_plain.positions)
+        np.testing.assert_array_equal(ps.positions[n_reg:], exp_pos)
+        np.testing.assert_array_equal(
+            ps.colors[n_reg:], convert_yuv10_to_rgb8(exp_col16)
+        )
+
+
+def test_plr_p_tile_device_matches_oracle(tmp_path):
+    from tpu_vpcc.utils.ply import format_ply
+
+    frames, stream = make_plr_p_sequence(seed=29)
+    path = tmp_path / "plr_p2.bin"
+    path.write_bytes(stream)
+    dev = decode_all(path, True)
+    orc = decode_all(path, False)
+    assert len(dev) == len(orc) == 2
+    for a, b in zip(dev, orc):
+        assert len(a) > 0
+        assert format_ply(a) == format_ply(b)

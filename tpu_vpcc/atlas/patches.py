@@ -469,6 +469,41 @@ def _derive_merge_patch(
     return patch
 
 
+def _plr_modes_from_plrd(plr_data, asps, block_count: int):
+    """Normalize 8.3.7.9 plr_data to a per-block mode list (single-map
+    envelope: one present map), or None when no map carries data.
+    FRAMEWORK EXTENSION — the reference panics on the ASPS flag
+    (``reader.rs:1082``)."""
+    d = next((x for x in plr_data if x is not None), None)
+    plri = next(
+        (p for p in asps.plr_information if p.map_present_flag), None
+    )
+    if d is None or plri is None:
+        return None
+    if d.level_flag:
+        mode = d.mode_minus1 if d.present_flag else -1
+        modes = [mode] * block_count
+    else:
+        modes = [
+            m if p else -1
+            for p, m in zip(d.block_present_flag, d.block_mode_minus1)
+        ]
+        if len(modes) != block_count:
+            # inter/merge plrd block counts come from TMC2's parse-time
+            # size accumulator, which can drift from the DERIVED
+            # footprint when patches don't chain in coding order
+            raise UnsupportedFeature(
+                f"plr_data block list ({len(modes)}) does not match "
+                f"the derived patch footprint ({block_count} blocks)"
+            )
+    if max(modes, default=-1) >= plri.number_of_modes:
+        raise UnsupportedFeature(
+            f"PLR mode {max(modes)} beyond the "
+            f"{plri.number_of_modes}-entry mode table"
+        )
+    return modes
+
+
 def create_patch_frames(context: Context) -> List[FrameMeta]:
     """Build per-frame patch metadata from all tile layers in the context.
 
@@ -704,31 +739,10 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                     sy = pdu.lod_scale_y_idc + (1 if sx > 1 else 2)
                     patch.level_of_detail = (sx, sy)
                 if pdu.plr_data:
-                    # normalize 8.3.7.9 plr_data to a per-block mode
-                    # list (single-map envelope: one present map)
-                    d = next((x for x in pdu.plr_data if x is not None), None)
-                    plri = next(
-                        (p for p in asps.plr_information if p.map_present_flag),
-                        None,
+                    patch.plr_modes = _plr_modes_from_plrd(
+                        pdu.plr_data, asps,
+                        patch.size_uv0[0] * patch.size_uv0[1],
                     )
-                    if d is not None and plri is not None:
-                        bc = patch.size_uv0[0] * patch.size_uv0[1]
-                        if d.level_flag:
-                            mode = d.mode_minus1 if d.present_flag else -1
-                            modes = [mode] * bc
-                        else:
-                            modes = [
-                                m if p else -1
-                                for p, m in zip(
-                                    d.block_present_flag, d.block_mode_minus1
-                                )
-                            ]
-                        if max(modes, default=-1) >= plri.number_of_modes:
-                            raise UnsupportedFeature(
-                                f"PLR mode {max(modes)} beyond the "
-                                f"{plri.number_of_modes}-entry mode table"
-                            )
-                        patch.plr_modes = modes
                 if patch.projection_mode == 0:
                     patch.d1 = pdu.pos_3d_offset_d * min_level
                 else:
@@ -750,6 +764,13 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                     pdu, ref.patches[ref_patch_idx], min_level,
                     geometry_bitdepth_3d, packing_block_size,
                 )
+                if pdu.plr_data:
+                    # FRAMEWORK EXTENSION: P-tile PLR — inter patches
+                    # code plrd fresh (never inherited)
+                    patch.plr_modes = _plr_modes_from_plrd(
+                        pdu.plr_data, asps,
+                        patch.size_uv0[0] * patch.size_uv0[1],
+                    )
                 # deltas may move/resize the footprint (orientation is
                 # inherited, but the in-range condition is geometric)
                 _check_orientation_in_range(patch, meta.width, meta.height)
@@ -765,6 +786,24 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                     pdu, ref.patches[reg_idx], min_level,
                     geometry_bitdepth_3d, packing_block_size,
                 )
+                if pdu.override_plr_flag and pdu.plr_data:
+                    # FRAMEWORK EXTENSION: P-tile PLR — fresh plrd on
+                    # 2D override
+                    patch.plr_modes = _plr_modes_from_plrd(
+                        pdu.plr_data, asps,
+                        patch.size_uv0[0] * patch.size_uv0[1],
+                    )
+                elif patch.plr_modes is not None:
+                    # inherited modes must still tile the (possibly
+                    # resized) footprint; copy so frames don't alias
+                    bc = patch.size_uv0[0] * patch.size_uv0[1]
+                    if len(patch.plr_modes) != bc:
+                        raise UnsupportedFeature(
+                            "merge patch resized without a PLR override "
+                            f"({len(patch.plr_modes)} inherited modes, "
+                            f"{bc} blocks)"
+                        )
+                    patch.plr_modes = list(patch.plr_modes)
                 _check_orientation_in_range(patch, meta.width, meta.height)
                 meta.patches.append(patch)
             elif ptype == "skip":

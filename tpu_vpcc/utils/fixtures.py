@@ -512,7 +512,6 @@ def build_fixture_stream(
 
         modes_table, surface_thickness = plr
         assert map_count == 1, "PLR fixtures are single-map"
-        assert p_modes is None, "PLR with P-tiles is outside the envelope"
         asps.plr_enabled_flag = True
         plri = PlrInformation(
             map_present_flag=True,
@@ -713,6 +712,39 @@ def build_fixture_stream(
                         )
                     else:
                         raise ValueError(f"unknown p-mode {mode!r}")
+                    if plri is not None:
+                        # P-tile PLR (framework extension): intra PDUs
+                        # carry full plrd; inter/merge code LEVEL-mode
+                        # only (the parse-time accumulator block count
+                        # need not match the derived footprint, and a
+                        # patch-level mode is count-independent)
+                        pdu2 = pid.patch_data_unit
+                        modes = patch.plr_modes
+                        if mode == "intra":
+                            bc = patch.size_uv0[0] * patch.size_uv0[1]
+                            pdu2.plr_data = [plr_modes_to_plrd(
+                                modes if modes is not None else [-1] * bc,
+                                plri,
+                            )]
+                        elif isinstance(mode, tuple) and mode[0] == "inter":
+                            assert modes is None or len(set(modes)) == 1, (
+                                "inter-PDU PLR fixtures code level mode"
+                            )
+                            pdu2.plr_data = [plr_modes_to_plrd(
+                                [modes[0] if modes else -1], plri
+                            )]
+                        elif mode == "merge2d":
+                            ref_modes = ref_meta.patches[i].plr_modes
+                            if modes != ref_modes:
+                                assert modes is None or len(set(modes)) == 1
+                                pdu2.override_plr_flag = True
+                                pdu2.plr_data = [plr_modes_to_plrd(
+                                    [modes[0] if modes else -1], plri
+                                )]
+                        elif mode in ("merge3d", "skip"):
+                            assert modes == ref_meta.patches[i].plr_modes, (
+                                f"{mode} inherits the reference PLR modes"
+                            )
                     atl.patch_information_data.append(pid)
             if ath.tile_type != TileType.SKIP:
                 # raw patches follow the regular patches (SKIP tiles

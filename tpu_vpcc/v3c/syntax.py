@@ -1257,7 +1257,8 @@ class IntraPatchDataUnit:
     pos_3d_range_d: int = 0
 
     @classmethod
-    def parse(cls, bs: Bitstream, context, ath: AtlasTileHeader) -> "IntraPatchDataUnit":
+    def parse(cls, bs: Bitstream, context, ath: AtlasTileHeader,
+              plr_size_state=None) -> "IntraPatchDataUnit":
         afps = context.get_afps(ath.atlas_frame_parameter_set_id)
         asps = context.get_asps(afps.atlas_sequence_parameter_set_id)
         bitcount_uv = asps.geometry_3d_bitdepth_minus1 + 1
@@ -1265,6 +1266,11 @@ class IntraPatchDataUnit:
         pdu = cls()
         pdu.pos_2d = (bs.read_uvlc(), bs.read_uvlc())
         pdu.size_2d_minus1 = (bs.read_uvlc(), bs.read_uvlc())
+        if plr_size_state is not None:
+            # TMC2 parse-time size accumulator: intra sets it absolute
+            # (inter/merge plrd block counts build on it)
+            plr_size_state[0] = pdu.size_2d_minus1[0] + 1
+            plr_size_state[1] = pdu.size_2d_minus1[1] + 1
         pdu.pos_3d_offset = (bs.read(bitcount_uv), bs.read(bitcount_uv))
         pdu.pos_3d_offset_d = bs.read(bitcount_d)
         if asps.normal_axis_max_delta_value_enabled_flag:
@@ -1355,9 +1361,12 @@ class InterPatchDataUnit:
     pos_3d_offset: Tuple[int, int] = (0, 0)
     pos_3d_offset_d: int = 0
     pos_3d_range_d: int = 0
+    # FRAMEWORK EXTENSION: one PlrData per map, like the intra PDU's
+    plr_data: List[Optional["PlrData"]] = field(default_factory=list)
 
     @classmethod
-    def parse(cls, bs: Bitstream, context, ath: AtlasTileHeader) -> "InterPatchDataUnit":
+    def parse(cls, bs: Bitstream, context, ath: AtlasTileHeader,
+              plr_size_state=None) -> "InterPatchDataUnit":
         afps = context.get_afps(ath.atlas_frame_parameter_set_id)
         asps = context.get_asps(afps.atlas_sequence_parameter_set_id)
         if asps.patch_size_quantizer_present_flag:
@@ -1383,7 +1392,18 @@ class InterPatchDataUnit:
             # sketch carries the field
             pdu.pos_3d_range_d = bs.read_svlc()
         if asps.plr_enabled_flag:
-            raise UnsupportedFeature("PLR not supported")
+            # FRAMEWORK EXTENSION: P-tile PLR (the reference panics on
+            # the ASPS flag, ``reader.rs:1082``). The plrd block count
+            # uses TMC2's parse-time size accumulator (prevPatchSizeU/V
+            # plus this PDU's deltas — the reader cannot resolve the
+            # reference patch, and TMC2's writer uses the same state,
+            # so the coding is self-consistent).
+            pdu.plr_data = _parse_plrd_with_state(
+                bs, asps, plr_size_state, pdu.delta_2d_size
+            )
+        elif plr_size_state is not None:
+            plr_size_state[0] += pdu.delta_2d_size[0]
+            plr_size_state[1] += pdu.delta_2d_size[1]
         return pdu
 
 
@@ -1401,9 +1421,15 @@ class MergePatchDataUnit:
     # None when normal_axis_max_delta is disabled (the field is not in
     # the bitstream); the derivation leaves size_d inherited then
     pos_3d_range_d: Optional[int] = None
+    # FRAMEWORK EXTENSION: mpdu_override_plr_flag (coded only inside
+    # the 2D-override branch when the ASPS enables PLR); plrd follows
+    # when set, else the reference patch's modes are inherited
+    override_plr_flag: bool = False
+    plr_data: List[Optional["PlrData"]] = field(default_factory=list)
 
     @classmethod
-    def parse(cls, bs: Bitstream, context, ath: AtlasTileHeader) -> "MergePatchDataUnit":
+    def parse(cls, bs: Bitstream, context, ath: AtlasTileHeader,
+              plr_size_state=None) -> "MergePatchDataUnit":
         afps = context.get_afps(ath.atlas_frame_parameter_set_id)
         asps = context.get_asps(afps.atlas_sequence_parameter_set_id)
         if asps.patch_size_quantizer_present_flag:
@@ -1420,6 +1446,11 @@ class MergePatchDataUnit:
         if pdu.override_2d_params_flag:
             pdu.pos_2d = (bs.read_svlc(), bs.read_svlc())
             pdu.delta_2d_size = (bs.read_svlc(), bs.read_svlc())
+            if asps.plr_enabled_flag:
+                # FRAMEWORK EXTENSION: mpdu_override_plr_flag (23090-5
+                # 8.3.7.5 — only a 2D override can invalidate the
+                # inherited per-block modes)
+                pdu.override_plr_flag = bs.read(1) != 0
         else:
             pdu.override_3d_params_flag = bs.read(1) != 0
             pdu.pos_3d_offset = (bs.read_svlc(), bs.read_svlc())
@@ -1429,9 +1460,39 @@ class MergePatchDataUnit:
                 # — the reference's commented-out line at
                 # ``reader.rs:2025-2027`` shows the svlc placement
                 pdu.pos_3d_range_d = bs.read_svlc()
-        if asps.plr_enabled_flag:
-            raise UnsupportedFeature("PLR not supported")
+        if asps.plr_enabled_flag and pdu.override_plr_flag:
+            pdu.plr_data = _parse_plrd_with_state(
+                bs, asps, plr_size_state, pdu.delta_2d_size
+            )
+        elif plr_size_state is not None:
+            plr_size_state[0] += pdu.delta_2d_size[0]
+            plr_size_state[1] += pdu.delta_2d_size[1]
         return pdu
+
+
+def _parse_plrd_with_state(bs, asps, plr_size_state, delta_2d_size):
+    """Parse one plrd per PLR-present map for an inter/merge PDU, sizing
+    the block count with TMC2's parse-time accumulator: the previously
+    parsed patch's size plus this PDU's deltas (FRAMEWORK EXTENSION —
+    the reference panics on the ASPS flag, ``reader.rs:1082``)."""
+    if plr_size_state is None:
+        raise UnsupportedFeature(
+            "inter/merge PLR data needs the tile-level size state "
+            "(direct PDU parse outside a tile layer)"
+        )
+    plr_size_state[0] += delta_2d_size[0]
+    plr_size_state[1] += delta_2d_size[1]
+    block_count = plr_size_state[0] * plr_size_state[1]
+    if not 0 < block_count <= (1 << 22):
+        raise UnsupportedFeature(
+            f"inter/merge PLR block count {block_count} outside (0, 2^22]"
+        )
+    return [
+        PlrData.parse(bs, plri, block_count)
+        if plri.map_present_flag
+        else None
+        for plri in asps.plr_information
+    ]
 
 
 @dataclass
@@ -1537,8 +1598,11 @@ class PatchInformationData:
     patch_data_unit: object = None
 
     @classmethod
-    def parse(cls, bs: Bitstream, context, ath: AtlasTileHeader) -> Optional["PatchInformationData"]:
-        """Returns None at the End patch mode."""
+    def parse(cls, bs: Bitstream, context, ath: AtlasTileHeader,
+              plr_size_state=None) -> Optional["PatchInformationData"]:
+        """Returns None at the End patch mode. ``plr_size_state``: the
+        tile's mutable [u, v] parse-time patch-size accumulator for
+        inter/merge plrd block counts (TMC2 prevPatchSizeU_/V_)."""
         patch_mode = bs.read_uvlc()
         if ath.tile_type == TileType.P:
             mode = PatchModePTile(patch_mode)
@@ -1552,11 +1616,12 @@ class PatchInformationData:
                 PatchModePTile.RAW: RawPatchDataUnit,
                 PatchModePTile.EOM: EomPatchDataUnit,
             }[mode]
-            pdu = (
-                SkipPatchDataUnit()
-                if unit is SkipPatchDataUnit
-                else unit.parse(bs, context, ath)
-            )
+            if unit is SkipPatchDataUnit:
+                pdu = SkipPatchDataUnit()
+            elif unit in (RawPatchDataUnit, EomPatchDataUnit):
+                pdu = unit.parse(bs, context, ath)
+            else:
+                pdu = unit.parse(bs, context, ath, plr_size_state)
             return cls(patch_mode=patch_mode, patch_data_unit=pdu)
         if ath.tile_type == TileType.I:
             mode = PatchModeITile(patch_mode)
@@ -1566,10 +1631,12 @@ class PatchInformationData:
                 PatchModeITile.RAW: RawPatchDataUnit,
                 PatchModeITile.EOM: EomPatchDataUnit,
             }.get(mode, IntraPatchDataUnit)
-            return cls(
-                patch_mode=patch_mode,
-                patch_data_unit=unit.parse(bs, context, ath),
+            pdu = (
+                unit.parse(bs, context, ath, plr_size_state)
+                if unit is IntraPatchDataUnit
+                else unit.parse(bs, context, ath)
             )
+            return cls(patch_mode=patch_mode, patch_data_unit=pdu)
         raise UnsupportedFeature("patch data in SKIP tile")
 
 
@@ -1588,8 +1655,13 @@ class AtlasTileLayer:
         header = AtlasTileHeader.parse(bs, context, nal_unit_type)
         atl = cls(header=header)
         if header.tile_type != TileType.SKIP:
+            # TMC2 prevPatchSizeU_/V_ twin: parse-time patch-size
+            # accumulator for inter/merge plrd block counts
+            plr_size_state = [0, 0]
             while True:
-                pid = PatchInformationData.parse(bs, context, header)
+                pid = PatchInformationData.parse(
+                    bs, context, header, plr_size_state
+                )
                 if pid is None:
                     break
                 atl.patch_information_data.append(pid)

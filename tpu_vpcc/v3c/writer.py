@@ -252,6 +252,29 @@ def write_afps(afps: AtlasFrameParameterSet, asps: AtlasSequenceParameterSet) ->
     return w.getvalue()
 
 
+def _write_plrd(w: BitWriter, asps, plr_data, block_count: int) -> None:
+    """Serialize 8.3.7.9 plr_data, one per PLR-present map (inverse of
+    ``PlrData.parse``; inter/merge block counts come from the TMC2
+    parse-time size accumulator the caller maintains)."""
+    for plri, d in zip(asps.plr_information, plr_data):
+        if not plri.map_present_flag:
+            continue
+        mode_bits = ceil_log2(plri.number_of_modes)
+        if block_count > plri.block_threshold_per_patch_minus1 + 1:
+            w.write(int(d.level_flag), 1)
+        else:
+            assert d.level_flag, "block-level PLR under threshold"
+        if d.level_flag:
+            w.write(int(d.present_flag), 1)
+            if d.present_flag:
+                w.write(d.mode_minus1, mode_bits)
+        else:
+            for p, m in zip(d.block_present_flag, d.block_mode_minus1):
+                w.write(int(p), 1)
+                if p:
+                    w.write(m, mode_bits)
+
+
 def write_atlas_tile_layer(
     atl: AtlasTileLayer,
     asps: AtlasSequenceParameterSet,
@@ -335,6 +358,9 @@ def write_atlas_tile_layer(
     # patch data units
     bitcount_uv = asps.geometry_3d_bitdepth_minus1 + 1
     bitcount_d = asps.geometry_3d_bitdepth_minus1 - ath.pos_min_d_quantizer + 1
+    # TMC2 parse-time size accumulator twin (prevPatchSizeU_/V_): the
+    # parser sizes inter/merge plrd from it, so the writer must too
+    plr_prev = [0, 0]
     for pid in atl.patch_information_data:
         pdu = pid.patch_data_unit
         w.write_uvlc(pid.patch_mode)
@@ -360,29 +386,12 @@ def write_atlas_tile_layer(
                 if pdu.lod_enabled_flag:
                     w.write_uvlc(pdu.lod_scale_x_minus1)
                     w.write_uvlc(pdu.lod_scale_y_idc)
+            plr_prev[0] = pdu.size_2d_minus1[0] + 1
+            plr_prev[1] = pdu.size_2d_minus1[1] + 1
             if asps.plr_enabled_flag:
-                block_count = (pdu.size_2d_minus1[0] + 1) * (
-                    pdu.size_2d_minus1[1] + 1
+                _write_plrd(
+                    w, asps, pdu.plr_data, plr_prev[0] * plr_prev[1]
                 )
-                for plri, d in zip(asps.plr_information, pdu.plr_data):
-                    if not plri.map_present_flag:
-                        continue
-                    mode_bits = ceil_log2(plri.number_of_modes)
-                    if block_count > plri.block_threshold_per_patch_minus1 + 1:
-                        w.write(int(d.level_flag), 1)
-                    else:
-                        assert d.level_flag, "block-level PLR under threshold"
-                    if d.level_flag:
-                        w.write(int(d.present_flag), 1)
-                        if d.present_flag:
-                            w.write(d.mode_minus1, mode_bits)
-                    else:
-                        for p, m in zip(
-                            d.block_present_flag, d.block_mode_minus1
-                        ):
-                            w.write(int(p), 1)
-                            if p:
-                                w.write(m, mode_bits)
         elif isinstance(pdu, InterPatchDataUnit):
             if num_ref_idx_active > 1:
                 w.write_uvlc(pdu.ref_index)
@@ -396,6 +405,12 @@ def write_atlas_tile_layer(
             w.write_svlc(pdu.pos_3d_offset_d)
             if asps.normal_axis_max_delta_value_enabled_flag:
                 w.write_svlc(pdu.pos_3d_range_d)
+            plr_prev[0] += pdu.delta_2d_size[0]
+            plr_prev[1] += pdu.delta_2d_size[1]
+            if asps.plr_enabled_flag:
+                _write_plrd(
+                    w, asps, pdu.plr_data, plr_prev[0] * plr_prev[1]
+                )
         elif isinstance(pdu, MergePatchDataUnit):
             if num_ref_idx_active > 1:
                 w.write_uvlc(pdu.ref_index)
@@ -405,6 +420,8 @@ def write_atlas_tile_layer(
                 w.write_svlc(pdu.pos_2d[1])
                 w.write_svlc(pdu.delta_2d_size[0])
                 w.write_svlc(pdu.delta_2d_size[1])
+                if asps.plr_enabled_flag:
+                    w.write(int(pdu.override_plr_flag), 1)
             else:
                 # the 3d fields are carried even when override_3d is 0,
                 # mirroring the reference parser (reader.rs:2019-2024)
@@ -416,6 +433,12 @@ def write_atlas_tile_layer(
                     # None means "field not representable" only when the
                     # ASPS disables it; with NAMD on a zero delta is coded
                     w.write_svlc(pdu.pos_3d_range_d or 0)
+            plr_prev[0] += pdu.delta_2d_size[0]
+            plr_prev[1] += pdu.delta_2d_size[1]
+            if asps.plr_enabled_flag and pdu.override_plr_flag:
+                _write_plrd(
+                    w, asps, pdu.plr_data, plr_prev[0] * plr_prev[1]
+                )
         elif isinstance(pdu, RawPatchDataUnit):
             if asps.auxiliary_video_enabled_flag:
                 w.write(int(pdu.patch_in_auxiliary_video_flag), 1)
