@@ -64,9 +64,12 @@ from .patches import FrameMeta, PatchOrientation
     G_EMITBASE,   # frame slot index of this group's patch-space (0,0) D0
                   # slot: block tables group_idx*res*res*2; cell tables
                   # block_rank*res*res*2 + (v1c*res + u1c)*2
-) = range(20)
+    G_PLANE,      # axis_of_additional_plane (0 = none; 1..3 select the
+                  # 45-degree inverse rotation — framework extension,
+                  # see atlas.patches.inverse_rotate_45)
+) = range(21)
 
-N_GROUP_FIELDS = 20
+N_GROUP_FIELDS = 21
 
 
 def coords_fit_10bit(
@@ -317,6 +320,7 @@ def build_group_table(
         fields[sl, G_BITANGENT] = patch.axes[2]
         fields[sl, G_BLOCKID] = by[owned] * bw + bx[owned]
         fields[sl, G_PATCH] = pidx
+        fields[sl, G_PLANE] = patch.axis_of_additional_plane
         if patch.size_2d_in_pixel is not None:
             # quantized extent: patch-space pixel limits of each owned
             # block, clamped to the tile edge. size_uv0 = ceil(extent /

@@ -34,6 +34,62 @@ from ..v3c.syntax import (
 log = logging.getLogger(__name__)
 
 
+# FRAMEWORK EXTENSION: 45-degree (additional-plane) projections.
+#
+# The reference decodes the full 18-view table (``decoder.rs:788-814``)
+# but its reconstruction is ``unimplemented!`` for any additional plane
+# (``codec.rs:429-440``), so there is no reference behavior to mirror;
+# this framework defines the coordinate convention and implements it on
+# every path (oracle + device kernels + fixtures, all bit-identical).
+#
+# Patches on an additional plane live in a ROTATED coordinate frame:
+# the pair of axes the plane mixes (plane 1: x/z, plane 2: z/y,
+# plane 3: y/x — the third axis is untouched) relates to the true
+# coordinates by the integer 45-degree map
+#
+#     r_s = s + d                 (sum axis)
+#     r_d = d - s + shift         (difference axis, re-centered)
+#     shift = 2^(bitdepth-1) - 1
+#
+# whose exact inverse — applied per decoded point, after duplicate
+# suppression and before smoothing — is
+#
+#     s = (r_s - r_d + shift) >> 1
+#     d = (r_s + r_d - shift) >> 1
+#
+# (arithmetic shift = floor; exact whenever the rotated pair came from
+# integer true coordinates, floor-rounded otherwise, e.g. lossy geometry).
+# The device twin is ``ops.reconstruct.apply_inverse_rot45``.
+
+# plane -> (sum axis, difference axis) of the mixed pair
+_ROT45_PAIRS = {1: (0, 2), 2: (2, 1), 3: (1, 0)}
+
+
+def inverse_rotate_45(plane: int, bitdepth: int, point):
+    """Scalar inverse 45-degree rotation for the NumPy oracle: maps a
+    rotated-frame (x, y, z) triple to true coordinates (u16-masked).
+    ``point`` is any length-3 integer sequence; returns a list."""
+    s_ax, d_ax = _ROT45_PAIRS[plane]
+    shift = (1 << (bitdepth - 1)) - 1
+    out = [int(point[0]), int(point[1]), int(point[2])]
+    rs, rd = out[s_ax], out[d_ax]
+    out[s_ax] = (rs - rd + shift) >> 1
+    out[d_ax] = (rs + rd - shift) >> 1
+    return [c & 0xFFFF for c in out]
+
+
+def inverse_rotate_45_np(plane: int, bitdepth: int, pos: np.ndarray):
+    """Vectorized twin of :func:`inverse_rotate_45` for (N, 3) integer
+    arrays (the host PLR/EOM tails); returns uint16."""
+    s_ax, d_ax = _ROT45_PAIRS[plane]
+    shift = (1 << (bitdepth - 1)) - 1
+    p = pos.astype(np.int64)
+    rs, rd = p[:, s_ax].copy(), p[:, d_ax].copy()
+    p[:, s_ax] = (rs - rd + shift) >> 1
+    p[:, d_ax] = (rs + rd - shift) >> 1
+    return (p & 0xFFFF).astype(np.uint16)
+
+
 @dataclass
 class Patch:
     """Decoded patch record (``src/decoder.rs:711-783``)."""

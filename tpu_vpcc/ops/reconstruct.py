@@ -70,6 +70,16 @@ class FrameConfig:
     # arrive in PATCH memory order and the device skips both the
     # orientation-fix transpose and the narrow path's iota swap.
     host_oriented: bool = False
+    # FRAMEWORK EXTENSION: some patch in the dispatch projects onto a
+    # 45-degree additional plane (axis_of_additional_plane != 0) — the
+    # per-point inverse rotation (apply_inverse_rot45) runs after
+    # component assembly, and the narrow emission path (which packs
+    # coordinates via per-group multipliers and never assembles them)
+    # is ineligible (tiled.narrow_emit_ok).
+    additional_planes: bool = False
+    # 3D geometry bit depth (asps_geometry_3d_bit_depth_minus1 + 1):
+    # sets the 45-degree rotation's re-centering shift
+    geometry_bitdepth_3d: int = 10
     # narrow path: pack all three coordinates into one u32 (10 bits
     # each), shrinking the compaction sort's payload from 10 B to 8 B.
     # Only legal when the HOST has proven every axis value < 1024 for
@@ -153,6 +163,8 @@ def make_config(
     pack30: bool = False,
     sort_split: int = 1,
     sort_split_batched: bool = False,
+    additional_planes: bool = False,
+    geometry_bitdepth_3d: int = 10,
     **_ignored,
 ) -> FrameConfig:
     return FrameConfig(
@@ -171,7 +183,34 @@ def make_config(
         pack30=pack30,
         sort_split=sort_split,
         sort_split_batched=sort_split_batched,
+        additional_planes=additional_planes,
+        geometry_bitdepth_3d=geometry_bitdepth_3d,
     )
+
+
+def apply_inverse_rot45(px, py, pz, plane, bitdepth: int):
+    """Inverse 45-degree rotation, device twin of
+    ``atlas.patches.inverse_rotate_45`` (FRAMEWORK EXTENSION — the
+    reference reconstruction is ``unimplemented!`` for additional
+    planes, ``src/codec.rs:429-440``; see the convention note in
+    atlas.patches).
+
+    ``px/py/pz``: int32 rotated-frame components (any broadcastable
+    shape); ``plane``: int32 per-slot axis_of_additional_plane (0 =
+    identity). Arithmetic right shift = floor, matching the scalar
+    oracle's ``>> 1``. Returns u16-masked int32 components."""
+    shift = (1 << (bitdepth - 1)) - 1
+
+    def pair(rs, rd):
+        return (rs - rd + shift) >> 1, (rs + rd - shift) >> 1
+
+    x1, z1 = pair(px, pz)  # plane 1 mixes (x, z)
+    z2, y2 = pair(pz, py)  # plane 2 mixes (z, y)
+    y3, x3 = pair(py, px)  # plane 3 mixes (y, x)
+    nx = jnp.where(plane == 1, x1, jnp.where(plane == 3, x3, px))
+    ny = jnp.where(plane == 2, y2, jnp.where(plane == 3, y3, py))
+    nz = jnp.where(plane == 1, z1, jnp.where(plane == 2, z2, pz))
+    return nx & 0xFFFF, ny & 0xFFFF, nz & 0xFFFF
 
 
 def compute_slots(
@@ -246,6 +285,11 @@ def compute_slots(
     pos = jnp.zeros((3, x.shape[0]), dtype=jnp.int32)
     for comp in range(3):
         pos = pos.at[comp].set(jnp.sum(jnp.where(axes == comp, vals, 0), axis=0))
+    if cfg.additional_planes:
+        nx, ny, nz = apply_inverse_rot45(
+            pos[0], pos[1], pos[2], fr(G.G_PLANE), cfg.geometry_bitdepth_3d
+        )
+        pos = jnp.stack([nx, ny, nz])
 
     # colors: chroma-subsampled gather at the point's pixel (format-driven
     # indexing like ``Image::get``, ``src/decoder.rs:973-980``)
@@ -395,6 +439,13 @@ def _flat_batch_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
     pos = jnp.zeros((3, ST), dtype=jnp.int32)
     for comp in range(3):
         pos = pos.at[comp].set(jnp.sum(jnp.where(axes == comp, vals, 0), axis=0))
+    if cfg.additional_planes:
+        # 45-degree views: rotate BEFORE smoothing — the grid smoother
+        # must see true coordinates (the oracle rotates at generation)
+        nx, ny, nz = apply_inverse_rot45(
+            pos[0], pos[1], pos[2], fr(G.G_PLANE), cfg.geometry_bitdepth_3d
+        )
+        pos = jnp.stack([nx, ny, nz])
 
     if cfg.smoothing is not None:
         from .smoothing import smooth_flat

@@ -473,6 +473,20 @@ def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False,
 
     p0x, p0y, p0z = assemble(n0)
     p1x, p1y, p1z = assemble(n1)
+    if cfg.additional_planes:
+        # 45-degree views (framework extension): per-slot inverse
+        # rotation on the assembled components, before interleave and
+        # smoothing. Narrow emission is ineligible (narrow_emit_ok) —
+        # its multiplier pack never assembles components.
+        from .reconstruct import apply_inverse_rot45
+
+        plane = jnp.broadcast_to(bcast(G.G_PLANE), p0x.shape)
+        p0x, p0y, p0z = apply_inverse_rot45(
+            p0x, p0y, p0z, plane, cfg.geometry_bitdepth_3d
+        )
+        p1x, p1y, p1z = apply_inverse_rot45(
+            p1x, p1y, p1z, plane, cfg.geometry_bitdepth_3d
+        )
 
     xs = interleave(p0x, p1x)
     ys = interleave(p0y, p1y)
@@ -667,6 +681,9 @@ def narrow_emit_ok(cfg, F: int, S: int) -> bool:
     return (
         cfg.smoothing is None
         and cfg.attr_smoothing is None
+        # 45-degree views need assembled components for the inverse
+        # rotation; the narrow multiplier pack never assembles them
+        and not cfg.additional_planes
         and _narrow_sort_ok(F * S, F)
         and cfg.s_cap < (1 << _IDX_BITS)
     )

@@ -46,7 +46,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..atlas.patches import FrameMeta
+from ..atlas.patches import FrameMeta, inverse_rotate_45_np
 from ..v3c.syntax import UnsupportedFeature
 from .raw_points import _extract_region
 
@@ -90,6 +90,7 @@ def _patch_eom_points(
     width: int,
     tile_size: int,
     left_top: Tuple[int, int],
+    geometry_bitdepth_3d: int = 10,
 ) -> np.ndarray:
     """One member patch's EOM points, (N, 3) uint16, in emission order
     (blocks in patch raster order, pixels in within-block raster order,
@@ -146,6 +147,13 @@ def _patch_eom_points(
             pos[:, bitangent] = (
                 (v[pix] * lody + patch.uv1[1]) & 0xFFFF
             ).astype(np.uint16)
+            if patch.axis_of_additional_plane != 0:
+                # 45-degree views: EOM points rotate like regular
+                # points (framework extension, see atlas.patches)
+                pos = inverse_rotate_45_np(
+                    patch.axis_of_additional_plane,
+                    geometry_bitdepth_3d, pos,
+                )
             out.append(pos)
     return (
         np.concatenate(out) if out else np.empty((0, 3), dtype=np.uint16)
@@ -163,6 +171,7 @@ def eom_points_for_frame(
     occupancy_precision: int,
     tile_size: int = 0,
     left_top: Tuple[int, int] = (0, 0),
+    geometry_bitdepth_3d: int = 10,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """All EOM points of one frame, patches in bitstream order.
 
@@ -193,7 +202,7 @@ def eom_points_for_frame(
         for m, declared in zip(ep.member_patches, ep.member_points):
             pts = _patch_eom_points(
                 meta, m, owner, occ_canvas, geo_plane0, geo_shift,
-                width, tile_size, left_top,
+                width, tile_size, left_top, geometry_bitdepth_3d,
             )
             if pts.shape[0] != declared:
                 raise UnsupportedFeature(

@@ -16,7 +16,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..atlas.patches import FrameMeta, Patch
+from ..atlas.patches import FrameMeta, Patch, inverse_rotate_45
 from .pointset import PointSet3
 
 
@@ -190,7 +190,18 @@ def generate_point_cloud(
                             if i != 0 and np.array_equal(point, created[0]):
                                 continue
                             if patch.axis_of_additional_plane != 0:
-                                raise NotImplementedError("axis_of_additional_plane")
+                                # FRAMEWORK EXTENSION: 45-degree views —
+                                # the reference is ``unimplemented!`` here
+                                # (``src/codec.rs:429-440``); see the
+                                # convention note in atlas.patches
+                                point = np.array(
+                                    inverse_rotate_45(
+                                        patch.axis_of_additional_plane,
+                                        params.geometry_bitdepth_3d,
+                                        point,
+                                    ),
+                                    dtype=np.uint16,
+                                )
                             positions.append(point)
                             partition.append(patch_index)
                             point_to_pixel.append((x, y, i))

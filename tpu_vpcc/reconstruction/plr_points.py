@@ -41,7 +41,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..atlas.patches import FrameMeta
+from ..atlas.patches import FrameMeta, inverse_rotate_45_np
 from .eom_points import _block_owner_map
 from .raw_points import _extract_region
 
@@ -82,6 +82,7 @@ def plr_points_for_frame(
     thickness: int,
     tile_size: int = 0,
     left_top: Tuple[int, int] = (0, 0),
+    geometry_bitdepth_3d: int = 10,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """All PLR-derived points of one frame, patches in bitstream order
     (blocks in patch raster order, pixels raster, depths ascending).
@@ -171,6 +172,13 @@ def plr_points_for_frame(
                 pos[:, bitangent] = (
                     (v[pix] * lody + patch.uv1[1]) & 0xFFFF
                 ).astype(np.uint16)
+                if patch.axis_of_additional_plane != 0:
+                    # 45-degree views: PLR points rotate like regular
+                    # points (framework extension, see atlas.patches)
+                    pos = inverse_rotate_45_np(
+                        patch.axis_of_additional_plane,
+                        geometry_bitdepth_3d, pos,
+                    )
                 pos_parts.append(pos)
                 pix_parts.append(
                     np.stack([y[pix] + lt_y, x[pix] + lt_x], axis=1)

@@ -278,6 +278,9 @@ class GofData:
     # tuples + the surface-thickness clamp; None when PLR is off
     plr_table: Optional[tuple] = None
     plr_thickness: int = 1
+    # 3D geometry bit depth (asps_geometry_3d_bit_depth_minus1 + 1):
+    # re-centering shift for the 45-degree inverse rotation
+    geometry_bitdepth_3d: int = 10
 
 
 def extract_geo_smoothing(context: Context, asps) -> Optional[object]:
@@ -558,6 +561,7 @@ def prepare_gof(
         ),
         plr_table=plr_table,
         plr_thickness=plr_thickness,
+        geometry_bitdepth_3d=asps.geometry_3d_bitdepth_minus1 + 1,
     )
 
 
@@ -795,6 +799,7 @@ def _append_plr_points(ps: PointSet3, gof: GofData, meta) -> None:
         gof.plr_thickness,
         tile_size=gof.tile_size if gof.tiled else 0,
         left_top=meta.left_top_in_frame,
+        geometry_bitdepth_3d=gof.geometry_bitdepth_3d,
     )
     _append_tail_points(ps, gof, pos_p, col_p)
 
@@ -820,6 +825,7 @@ def _append_eom_points(ps: PointSet3, gof: GofData, meta) -> None:
         gof.occupancy_precision,
         tile_size=gof.tile_size if gof.tiled else 0,
         left_top=meta.left_top_in_frame,
+        geometry_bitdepth_3d=gof.geometry_bitdepth_3d,
     )
     _append_tail_points(ps, gof, pos_e, col_e)
 
@@ -949,6 +955,13 @@ def _gof_frame_tables(gof: GofData, metas, allow_cell: bool = True):
         smoothing=gof.geo_smoothing,
         # color smoothing operates on YUV samples; skip for RGB content
         attr_smoothing=None if gof.attr_is_rgb444 else gof.attr_smoothing,
+        # 45-degree views (framework extension): per-point inverse
+        # rotation, wide emission only (tiled.narrow_emit_ok)
+        additional_planes=any(
+            p.axis_of_additional_plane != 0
+            for m in metas for p in m.patches
+        ),
+        geometry_bitdepth_3d=gof.geometry_bitdepth_3d,
     )
 
     def occ_provider_for(m):

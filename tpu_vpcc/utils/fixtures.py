@@ -98,14 +98,11 @@ def _split_patches_by_tile(meta, afti, width: int, height: int):
     return views
 
 
-# Inverse of Patch.set_view_id for the six rec0 views
+# Inverse of Patch.set_view_id over the full 18-view table (views 6..17
+# are the 45-degree additional planes — framework extension)
 _VIEW_FROM_AXES = {
-    ((0, 2, 1), 0): 0,
-    ((1, 2, 0), 0): 1,
-    ((2, 0, 1), 0): 2,
-    ((0, 2, 1), 1): 3,
-    ((1, 2, 0), 1): 4,
-    ((2, 0, 1), 1): 5,
+    (plane, (n, t, b), mode): vid
+    for vid, (plane, n, t, b, mode) in Patch._VIEW_TABLE.items()
 }
 
 
@@ -119,7 +116,9 @@ def patch_to_pdu(
     codes quantized patch sizes — the PDU size is then derived from
     ``patch.size_2d_in_pixel`` (must be set, each axis a multiple of
     its quantizer) instead of the block count."""
-    view_id = _VIEW_FROM_AXES[(patch.axes, patch.projection_mode)]
+    view_id = _VIEW_FROM_AXES[
+        (patch.axis_of_additional_plane, patch.axes, patch.projection_mode)
+    ]
     if patch.projection_mode == 0:
         offset_d = patch.d1 // min_level
     else:
@@ -443,6 +442,14 @@ def build_fixture_stream(
     assert all(
         int(p.patch_orientation) <= 7 for f in frames for p in f.meta.patches
     ), "orientation 8 (MROT270) cannot be coded in the 3-bit PDU field"
+    # 45-degree views (framework extension): widen the projection-id
+    # field to the full 18-view table when any patch uses one
+    if any(
+        p.axis_of_additional_plane != 0
+        for f in frames for p in f.meta.patches
+    ):
+        asps.extended_projection_enabled_flag = True
+        asps.max_number_projections_minus1 = 17
     asps.map_count_minus1 = map_count - 1
     asps.normal_axis_limits_quantization_enabled_flag = True
     # P fixtures carry NAMD too now that the inter/merge parse and

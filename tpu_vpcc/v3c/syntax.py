@@ -581,7 +581,17 @@ class AtlasSequenceParameterSet:
         asps.use_eight_orientations_flag = bs.read(1) != 0
         asps.extended_projection_enabled_flag = bs.read(1) != 0
         if asps.extended_projection_enabled_flag:
-            raise UnsupportedFeature("extended projection not supported (rec0)")
+            # FRAMEWORK EXTENSION: 45-degree (additional-plane)
+            # projections decode here — the reference parses the
+            # max-projections count but asserts the flag false
+            # (``reader.rs:1042-1045``) and its reconstruction is
+            # ``unimplemented!`` (``codec.rs:429-440``)
+            asps.max_number_projections_minus1 = bs.read_uvlc()
+            if asps.max_number_projections_minus1 > 17:
+                raise UnsupportedFeature(
+                    f"max projections {asps.max_number_projections_minus1 + 1}"
+                    " beyond the 18-view table"
+                )
         asps.normal_axis_limits_quantization_enabled_flag = bs.read(1) != 0
         asps.normal_axis_max_delta_value_enabled_flag = bs.read(1) != 0
         asps.patch_precedence_order_flag = bs.read(1) != 0
@@ -1281,8 +1291,12 @@ class IntraPatchDataUnit:
             )
             pdu.pos_3d_range_d = bs.read(bitcount_max_depth)
         pdu.projection_id = bs.read(ceil_log2(asps.max_number_projections_minus1 + 1))
-        if pdu.projection_id > 5:
-            raise UnsupportedFeature("projection_id > 5 (45-degree projections)")
+        if pdu.projection_id > 17:
+            # views 6..17 are the 45-degree additional planes (framework
+            # extension — the reference asserts id <= 5, ``reader.rs:1907``)
+            raise UnsupportedFeature(
+                f"projection_id {pdu.projection_id} beyond the 18-view table"
+            )
         pdu.orientation_index = PatchOrientation(
             bs.read(3 if asps.use_eight_orientations_flag else 1)
         )

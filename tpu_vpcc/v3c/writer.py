@@ -149,6 +149,8 @@ def write_asps(asps: AtlasSequenceParameterSet) -> bytes:
         )
     w.write(int(asps.use_eight_orientations_flag), 1)
     w.write(int(asps.extended_projection_enabled_flag), 1)
+    if asps.extended_projection_enabled_flag:
+        w.write_uvlc(asps.max_number_projections_minus1)
     w.write(int(asps.normal_axis_limits_quantization_enabled_flag), 1)
     w.write(int(asps.normal_axis_max_delta_value_enabled_flag), 1)
     w.write(int(asps.patch_precedence_order_flag), 1)
