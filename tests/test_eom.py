@@ -306,3 +306,99 @@ def test_eom_bit_flips_fail_cleanly(tmp_path):
             outcomes["raised"] += 1
     assert outcomes["raised"] > 0
     assert time.monotonic() - t0 < 60
+
+def make_eom_frame_1map(rng, n_patches=2, frame_index=0, max_bits=3, **kw):
+    """Single-map twin of make_eom_frame (framework extension: the ASPS
+    codes asps_eom_fix_bit_count_minus1; no D1 bounds the codewords)."""
+    sf = make_synthetic_frame(
+        rng, width=kw.get("width", 64), height=kw.get("height", 64),
+        occupancy_resolution=kw.get("res", 8), occupancy_precision=1,
+        map_count=1, n_patches=n_patches, frame_index=frame_index,
+        allow_swap=kw.get("allow_swap", True),
+    )
+    u0, v0 = free_block_rect(sf, 2, 2)
+    plant_eom_patch(
+        rng, sf, (u0, v0, 2, 2), list(range(len(sf.meta.patches))),
+        max_bits=max_bits,
+    )
+    return sf
+
+
+def test_single_map_eom_asps_roundtrip():
+    """The fixed codeword bit count survives write -> parse."""
+    from tpu_vpcc.v3c import writer as w3c
+    from tpu_vpcc.v3c.syntax import AtlasSequenceParameterSet
+
+    asps = AtlasSequenceParameterSet()
+    asps.map_count_minus1 = 0
+    asps.eom_patch_enabled_flag = True
+    asps.eom_fix_bit_count_minus1 = 4
+    parsed = AtlasSequenceParameterSet.parse(
+        Bitstream(w3c.write_asps(asps))
+    )
+    assert parsed.eom_patch_enabled_flag
+    assert parsed.eom_fix_bit_count_minus1 == 4
+
+
+@pytest.mark.parametrize("use_device", [True, False])
+def test_single_map_eom_tail_expectation(tmp_path, use_device):
+    """Single-map EOM: the decoded tail equals the scalar recomputation
+    and the regular prefix equals a codeword-free decode."""
+    import copy
+
+    rng = np.random.default_rng(71)
+    sf = make_eom_frame_1map(rng, n_patches=2, allow_swap=False)
+    sf_plain = copy.deepcopy(sf)
+    sf_plain.occ_plane = (sf_plain.occ_plane > 0).astype(np.uint8)
+    sf_plain.meta.eom_patches = []
+
+    path = tmp_path / "eom1.bin"
+    path.write_bytes(build_fixture_stream([sf]))
+    path_plain = tmp_path / "plain1.bin"
+    path_plain.write_bytes(build_fixture_stream([sf_plain]))
+
+    (ps,) = decode_all(path, use_device)
+    (ps_plain,) = decode_all(path_plain, use_device)
+    exp_pos, exp_col16 = expected_eom_tail(sf)
+    n_reg = len(ps_plain)
+    assert exp_pos.shape[0] > 0
+    assert len(ps) == n_reg + exp_pos.shape[0]
+    np.testing.assert_array_equal(ps.positions[:n_reg], ps_plain.positions)
+    np.testing.assert_array_equal(ps.positions[n_reg:], exp_pos)
+    np.testing.assert_array_equal(
+        ps.colors[n_reg:], convert_yuv10_to_rgb8(exp_col16)
+    )
+
+
+def test_single_map_eom_device_matches_oracle(tmp_path):
+    from tpu_vpcc.utils.ply import format_ply
+
+    rng = np.random.default_rng(83)
+    frames = [
+        make_eom_frame_1map(rng, frame_index=i, max_bits=4)
+        for i in range(2)
+    ]
+    path = tmp_path / "eom1b.bin"
+    path.write_bytes(build_fixture_stream(frames))
+    dev = decode_all(path, True)
+    orc = decode_all(path, False)
+    assert len(dev) == len(orc) == 2
+    for a, b in zip(dev, orc):
+        assert len(a) > 0
+        assert format_ply(a) == format_ply(b)
+
+
+def test_single_map_eom_codeword_wider_than_fixed_count_fails():
+    """A codeword needing more bits than the ASPS fixed count is not
+    decodable content: clean UnsupportedFeature, no output."""
+    from tpu_vpcc.reconstruction.eom_points import eom_points_for_frame
+    from tpu_vpcc.v3c.syntax import UnsupportedFeature
+
+    rng = np.random.default_rng(91)
+    sf = make_eom_frame_1map(rng, n_patches=1, max_bits=4,
+                             allow_swap=False)
+    with pytest.raises(UnsupportedFeature, match="single-map EOM"):
+        eom_points_for_frame(
+            sf.meta, sf.occ_plane, sf.geo_planes[0], None,
+            2, 1, sf.meta.width, 1, fix_bit_count=1,
+        )

@@ -91,6 +91,7 @@ def _patch_eom_points(
     tile_size: int,
     left_top: Tuple[int, int],
     geometry_bitdepth_3d: int = 10,
+    fix_bit_count=None,
 ) -> np.ndarray:
     """One member patch's EOM points, (N, 3) uint16, in emission order
     (blocks in patch raster order, pixels in within-block raster order,
@@ -132,6 +133,14 @@ def _patch_eom_points(
             )
             d0 = geo_rect[y - ymin, x - xmin].astype(np.int64) >> geo_shift
             nbits = int(codes.max()).bit_length()
+            if fix_bit_count is not None and nbits > fix_bit_count:
+                # single-map streams: codewords have a FIXED bit count
+                # (asps_eom_fix_bit_count_minus1 + 1); wider values are
+                # not decodable content
+                raise UnsupportedFeature(
+                    f"EOM codeword needs {nbits} bits, the ASPS fixes "
+                    f"{fix_bit_count} (single-map EOM)"
+                )
             bits = (codes[:, None] >> np.arange(nbits)[None, :]) & 1
             pix, bit = np.nonzero(bits)  # row-major: pixel-major, bit-minor
             depth = d0[pix] + bit + 1
@@ -172,6 +181,7 @@ def eom_points_for_frame(
     tile_size: int = 0,
     left_top: Tuple[int, int] = (0, 0),
     geometry_bitdepth_3d: int = 10,
+    fix_bit_count=None,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """All EOM points of one frame, patches in bitstream order.
 
@@ -203,6 +213,7 @@ def eom_points_for_frame(
             pts = _patch_eom_points(
                 meta, m, owner, occ_canvas, geo_plane0, geo_shift,
                 width, tile_size, left_top, geometry_bitdepth_3d,
+                fix_bit_count,
             )
             if pts.shape[0] != declared:
                 raise UnsupportedFeature(

@@ -281,6 +281,10 @@ class GofData:
     # 3D geometry bit depth (asps_geometry_3d_bit_depth_minus1 + 1):
     # re-centering shift for the 45-degree inverse rotation
     geometry_bitdepth_3d: int = 10
+    # single-map EOM: the fixed codeword bit count
+    # (asps_eom_fix_bit_count_minus1 + 1); None on two-map streams
+    # (there the D0..D1 gap bounds the codewords)
+    eom_fix_bit_count: Optional[int] = None
 
 
 def extract_geo_smoothing(context: Context, asps) -> Optional[object]:
@@ -562,6 +566,11 @@ def prepare_gof(
         plr_table=plr_table,
         plr_thickness=plr_thickness,
         geometry_bitdepth_3d=asps.geometry_3d_bitdepth_minus1 + 1,
+        eom_fix_bit_count=(
+            asps.eom_fix_bit_count_minus1 + 1
+            if asps.eom_patch_enabled_flag and asps.map_count_minus1 == 0
+            else None
+        ),
     )
 
 
@@ -826,6 +835,7 @@ def _append_eom_points(ps: PointSet3, gof: GofData, meta) -> None:
         tile_size=gof.tile_size if gof.tiled else 0,
         left_top=meta.left_top_in_frame,
         geometry_bitdepth_3d=gof.geometry_bitdepth_3d,
+        fix_bit_count=gof.eom_fix_bit_count,
     )
     _append_tail_points(ps, gof, pos_e, col_e)
 

@@ -495,12 +495,15 @@ def build_fixture_stream(
             for f in frames
             for rp in f.meta.raw_patches
         ), "raw 3D offsets exceed the 8-bit explicit coding range"
-    # EOM patches (framework extension): two-map form only (the
-    # single-map form needs asps_eom_fix_bit_count, which the decoder
-    # rejects)
+    # EOM patches (framework extension). Single-map streams code the
+    # fixed codeword bit count the decoder validates against
     if any(f.meta.eom_patches for f in frames):
-        assert map_count >= 2, "EOM fixtures need two maps"
         asps.eom_patch_enabled_flag = True
+        if map_count == 1:
+            max_code = max(
+                (int(f.occ_plane.max()) - 1 for f in frames), default=1
+            )
+            asps.eom_fix_bit_count_minus1 = max(1, max_code.bit_length()) - 1
 
     if size_quantizer is not None:
         # quantized patch sizes: I-tiles only, no PLR/EOM combos (the

@@ -187,6 +187,7 @@ def plant_eom_patch(
     member_patch_indices: List[int],
     eom_fraction: float = 0.5,
     geo_shift: int = 2,
+    max_bits: int = 3,
 ) -> EomPatch:
     """Author one EOM patch on a synthetic frame (framework extension).
 
@@ -199,16 +200,19 @@ def plant_eom_patch(
     is planted over the region's raster, and the :class:`EomPatch`
     (with the per-member counts) appends to ``sf.meta.eom_patches``.
 
-    Requires ``occupancy_precision == 1`` (per-pixel codewords) and two
-    maps. ``region_blocks`` = (u0, v0, size_u0, size_v0) in block
-    units; the caller keeps it off regular patches.
+    Requires ``occupancy_precision == 1`` (per-pixel codewords).
+    Two-map frames bound the pattern by the D0..D1 gap; single-map
+    frames (no D1 surface) use ``max_bits`` codeword bits — the fixed
+    bit count the ASPS codes as ``asps_eom_fix_bit_count_minus1 + 1``.
+    ``region_blocks`` = (u0, v0, size_u0, size_v0) in block units; the
+    caller keeps it off regular patches.
     """
     assert sf.occupancy_precision == 1, "EOM needs per-pixel occupancy"
-    assert sf.map_count >= 2, "EOM fixtures need the two-map form"
     u0r, v0r, su0, sv0 = region_blocks
     res = sf.occupancy_resolution
     width, height = sf.meta.width, sf.meta.height
-    geo0, geo1 = sf.geo_planes[0], sf.geo_planes[1]
+    geo0 = sf.geo_planes[0]
+    geo1 = sf.geo_planes[1] if sf.map_count >= 2 else None
     remaining = su0 * sv0 * res * res  # attribute capacity of the region
     counts: List[int] = []
     for pi in member_patch_indices:
@@ -222,9 +226,12 @@ def plant_eom_patch(
                         x, y = patch.patch_to_canvas(u, v, width, height)
                         if sf.occ_plane[y, x] == 0:
                             continue
-                        d0 = int(geo0[y, x]) >> geo_shift
-                        d1 = int(geo1[y, x]) >> geo_shift
-                        nb = d1 - d0 - 1
+                        if geo1 is not None:
+                            d0 = int(geo0[y, x]) >> geo_shift
+                            d1 = int(geo1[y, x]) >> geo_shift
+                            nb = d1 - d0 - 1
+                        else:
+                            nb = max_bits
                         if nb <= 0 or rng.random() >= eom_fraction:
                             continue
                         pattern = int(rng.integers(1, 1 << nb))

@@ -612,10 +612,10 @@ class AtlasSequenceParameterSet:
         # reconstruction/raw_points.py and reconstruction/eom_points.py).
         # The reference asserts both flags false (``reader.rs:1066-1069``).
         if asps.eom_patch_enabled_flag and asps.map_count_minus1 == 0:
+            # single-map EOM: codewords have a FIXED bit count (no D1
+            # surface bounds them) — the reconstruction validates every
+            # codeword against it (reconstruction/eom_points.py)
             asps.eom_fix_bit_count_minus1 = bs.read(4)
-            # single-map EOM (d1 derived from the codeword) is outside
-            # the reconstruction envelope; the two-map form is supported
-            raise UnsupportedFeature("single-map EOM not supported")
         if asps.raw_patch_enabled_flag or asps.eom_patch_enabled_flag:
             asps.auxiliary_video_enabled_flag = bs.read(1) != 0
         if asps.auxiliary_video_enabled_flag:
