@@ -297,26 +297,28 @@ def test_raw_lod_bit_flips_fail_cleanly(tmp_path):
     assert time.monotonic() - t0 < 60
 
 
-def test_single_map_eom_rejected():
-    """Two-map EOM decodes (tests/test_eom.py); the single-map form
-    (d1 derived from the fix-bit-count codeword) stays cleanly gated."""
+def test_eom_asps_roundtrip_both_map_counts():
+    """Both EOM forms parse: two-map (tests/test_eom.py) and single-map
+    with the fixed codeword bit count (framework extension)."""
     asps = AtlasSequenceParameterSet()
     asps.eom_patch_enabled_flag = True
     asps.map_count_minus1 = 0
-    payload = w3c.write_asps(asps)
-    with pytest.raises(UnsupportedFeature, match="single-map EOM"):
-        AtlasSequenceParameterSet.parse(Bitstream(payload))
+    asps.eom_fix_bit_count_minus1 = 3
+    parsed = AtlasSequenceParameterSet.parse(Bitstream(w3c.write_asps(asps)))
+    assert parsed.eom_patch_enabled_flag
+    assert parsed.eom_fix_bit_count_minus1 == 3
 
     asps.map_count_minus1 = 1
-    payload = w3c.write_asps(asps)
-    parsed = AtlasSequenceParameterSet.parse(Bitstream(payload))
+    parsed = AtlasSequenceParameterSet.parse(Bitstream(w3c.write_asps(asps)))
     assert parsed.eom_patch_enabled_flag
 
 
-def test_auxiliary_video_rejected():
+def test_auxiliary_video_asps_roundtrip():
+    """The aux-video flag parses (framework extension — the reference
+    panics, ``reader.rs:74``); tests/test_aux_video.py drives the
+    decode."""
     asps = AtlasSequenceParameterSet()
     asps.raw_patch_enabled_flag = True
     asps.auxiliary_video_enabled_flag = True
-    payload = w3c.write_asps(asps)
-    with pytest.raises(UnsupportedFeature, match="auxiliary video"):
-        AtlasSequenceParameterSet.parse(Bitstream(payload))
+    parsed = AtlasSequenceParameterSet.parse(Bitstream(w3c.write_asps(asps)))
+    assert parsed.auxiliary_video_enabled_flag

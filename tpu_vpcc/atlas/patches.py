@@ -258,6 +258,10 @@ class RawPatch:
     d1: int = 0
     n_points: int = 0
     occupancy_resolution: int = 16
+    # FRAMEWORK EXTENSION: region lives in the auxiliary video
+    # sub-stream (rpdu_patch_in_auxiliary_video_flag) instead of the
+    # main geometry/attribute videos
+    in_aux_video: bool = False
 
 
 @dataclass
@@ -281,6 +285,9 @@ class EomPatch:
     member_patches: List[int] = field(default_factory=list)
     member_points: List[int] = field(default_factory=list)
     occupancy_resolution: int = 16
+    # FRAMEWORK EXTENSION: the attribute region lives in the auxiliary
+    # video sub-stream (epdu_patch_in_auxiliary_video_flag)
+    in_aux_video: bool = False
 
 
 @dataclass
@@ -682,11 +689,12 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                     d1=pdu.pos_3d_offset_d,
                     n_points=pdu.raw_points_minus1 + 1,
                     occupancy_resolution=packing_block_size,
+                    in_aux_video=pdu.patch_in_auxiliary_video_flag,
                 )
                 res = packing_block_size
                 w_pix = rp.size_u0 * res
                 h_pix = rp.size_v0 * res
-                if (
+                if not rp.in_aux_video and (
                     rp.u0 * res + w_pix > meta.width
                     or rp.v0 * res + h_pix > meta.height
                 ):
@@ -720,11 +728,12 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                     member_patches=list(pdu.associated_patch_idx),
                     member_points=list(pdu.points),
                     occupancy_resolution=packing_block_size,
+                    in_aux_video=pdu.patch_in_auxiliary_video_flag,
                 )
                 res = packing_block_size
                 w_pix = ep.size_u0 * res
                 h_pix = ep.size_v0 * res
-                if (
+                if not ep.in_aux_video and (
                     ep.u0 * res + w_pix > meta.width
                     or ep.v0 * res + h_pix > meta.height
                 ):
@@ -971,6 +980,16 @@ def _merge_tile_frames(
             for p in t.patches:
                 merged.patches.append(
                     replace(p, uv0=(p.uv0[0] + bx0, p.uv0[1] + by0))
+                )
+            if any(rp.in_aux_video for rp in t.raw_patches) or any(
+                ep.in_aux_video for ep in t.eom_patches
+            ):
+                # aux-video coordinates are per-tile BAND-relative
+                # (AFTI aux tile rows); the canvas fold has no aux
+                # equivalent here — single-tile aux streams only
+                raise UnsupportedFeature(
+                    "auxiliary-video raw/EOM patches in a multi-tile "
+                    "frame (single-tile aux envelope)"
                 )
             for rp in t.raw_patches:
                 merged.raw_patches.append(

@@ -182,6 +182,8 @@ def eom_points_for_frame(
     left_top: Tuple[int, int] = (0, 0),
     geometry_bitdepth_3d: int = 10,
     fix_bit_count=None,
+    aux_attr_planes: Optional[List[np.ndarray]] = None,
+    aux_chroma_shift: int = 1,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """All EOM points of one frame, patches in bitstream order.
 
@@ -230,29 +232,52 @@ def eom_points_for_frame(
         pos_parts.append(pos)
         if attr_planes is None or pos.shape[0] == 0:
             continue
-        # colors: raster order over the EOM patch's attribute region
+        # colors: raster order over the EOM patch's attribute region —
+        # in the AUXILIARY attribute video for aux-flagged patches
+        # (framework extension; coordinates relative to the aux origin)
+        if ep.in_aux_video:
+            if aux_attr_planes is None:
+                raise UnsupportedFeature(
+                    "aux-flagged EOM patch but no auxiliary attribute "
+                    "video"
+                )
+            src_planes, src_csh = aux_attr_planes, aux_chroma_shift
+            src_tile, src_w = 0, aux_attr_planes[0].shape[1]
+            x0, y0 = ep.u0 * res, ep.v0 * res
+        else:
+            src_planes, src_csh = attr_planes, chroma_shift
+            src_tile, src_w = tile_size, width
+            x0 = ep.u0 * res + lt_x
+            y0 = ep.v0 * res + lt_y
         n = pos.shape[0]
-        x0 = ep.u0 * res + lt_x
-        y0 = ep.v0 * res + lt_y
         idx = np.arange(n)
         px = x0 + (idx % w_pix)
         py = y0 + (idx // w_pix)
         h_used = int(py.max()) - y0 + 1
+        if src_tile == 0 and (
+            y0 + h_used > src_planes[0].shape[0]
+            or x0 + w_pix > src_planes[0].shape[1]
+        ):
+            raise UnsupportedFeature(
+                f"EOM attribute region {w_pix}x{h_used} at ({x0},{y0}) "
+                f"leaves the {src_planes[0].shape[1]}x"
+                f"{src_planes[0].shape[0]} attribute plane"
+            )
         ay = _extract_region(
-            attr_planes[0], x0, y0, w_pix, h_used, tile_size, width
+            src_planes[0], x0, y0, w_pix, h_used, src_tile, src_w
         ).reshape(-1)
         col = np.empty((n, 3), dtype=np.uint16)
         col[:, 0] = ay[:n]
-        csh = chroma_shift
-        ctile = tile_size >> csh if tile_size else 0
+        csh = src_csh
+        ctile = src_tile >> csh if src_tile else 0
         xc0, yc0 = x0 >> csh, y0 >> csh
         wc = ((x0 + w_pix + (1 << csh) - 1) >> csh) - xc0
         hc = ((y0 + h_used + (1 << csh) - 1) >> csh) - yc0
         cu = _extract_region(
-            attr_planes[1], xc0, yc0, wc, hc, ctile, width >> csh
+            src_planes[1], xc0, yc0, wc, hc, ctile, src_w >> csh
         )
         cv = _extract_region(
-            attr_planes[2], xc0, yc0, wc, hc, ctile, width >> csh
+            src_planes[2], xc0, yc0, wc, hc, ctile, src_w >> csh
         )
         col[:, 1] = cu[(py >> csh) - yc0, (px >> csh) - xc0]
         col[:, 2] = cv[(py >> csh) - yc0, (px >> csh) - xc0]

@@ -36,6 +36,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..atlas.patches import RawPatch
+from ..v3c.syntax import UnsupportedFeature
 
 
 def _extract_region(
@@ -95,6 +96,15 @@ def raw_patch_points(
     y0 = rp.v0 * res + left_top[1]
     w = rp.size_u0 * res
     h = rp.size_v0 * res
+    if tile_size == 0 and (
+        y0 + h > geo_plane.shape[0] or x0 + w > geo_plane.shape[1]
+    ):
+        # raster planes (incl. the auxiliary video, whose dimensions the
+        # derivation cannot bound-check) clip silently on slicing
+        raise UnsupportedFeature(
+            f"raw patch region {w}x{h} at ({x0},{y0}) leaves the "
+            f"{geo_plane.shape[1]}x{geo_plane.shape[0]} geometry plane"
+        )
 
     vals = _extract_region(geo_plane, x0, y0, w, h, tile_size, width)
     vals = (vals.reshape(-1).astype(np.int64) >> geo_shift)[: 3 * n]
@@ -142,14 +152,34 @@ def raw_points_for_frame(
     width: int,
     tile_size: int = 0,
     left_top: Tuple[int, int] = (0, 0),
+    aux_geo_plane: Optional[np.ndarray] = None,
+    aux_attr_planes: Optional[List[np.ndarray]] = None,
+    aux_geo_shift: int = 0,
+    aux_chroma_shift: int = 1,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-    """All raw points of one frame, patches in bitstream order."""
+    """All raw points of one frame, patches in bitstream order.
+
+    Aux-flagged patches (``rp.in_aux_video``, framework extension) read
+    the AUXILIARY video planes instead: raster layout, coordinates
+    relative to the aux video origin (single-tile band)."""
     pos_parts, col_parts = [], []
     for rp in raw_patches:
-        pos, col = raw_patch_points(
-            rp, geo_plane, attr_planes, geo_shift, chroma_shift, width,
-            tile_size=tile_size, left_top=left_top,
-        )
+        if rp.in_aux_video:
+            if aux_geo_plane is None or (
+                attr_planes is not None and aux_attr_planes is None
+            ):
+                raise UnsupportedFeature(
+                    "aux-flagged raw patch but no auxiliary video planes"
+                )
+            pos, col = raw_patch_points(
+                rp, aux_geo_plane, aux_attr_planes, aux_geo_shift,
+                aux_chroma_shift, aux_geo_plane.shape[1],
+            )
+        else:
+            pos, col = raw_patch_points(
+                rp, geo_plane, attr_planes, geo_shift, chroma_shift, width,
+                tile_size=tile_size, left_top=left_top,
+            )
         pos_parts.append(pos)
         if col is not None:
             col_parts.append(col)

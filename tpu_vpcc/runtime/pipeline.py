@@ -285,6 +285,13 @@ class GofData:
     # (asps_eom_fix_bit_count_minus1 + 1); None on two-map streams
     # (there the D0..D1 gap bounds the codewords)
     eom_fix_bit_count: Optional[int] = None
+    # auxiliary raw-patch videos (aux-flagged GVD/AVD units), raster
+    # layout, one frame per atlas frame; None when the stream has none.
+    # Only the host raw/EOM tails read them (framework extension).
+    aux_geo_planes: Optional[List[np.ndarray]] = None
+    aux_attr_planes: Optional[List[List[np.ndarray]]] = None
+    aux_geo_shift: int = 0
+    aux_chroma_shift: int = 1
 
 
 def extract_geo_smoothing(context: Context, asps) -> Optional[object]:
@@ -418,6 +425,29 @@ def prepare_gof(
     geo_codec = codec_id_from_v3c(gi.geometry_codec_id)
     attr_codec = codec_id_from_v3c(ai.attribute_codec_id[0])
 
+    # FRAMEWORK EXTENSION: auxiliary raw-patch videos (aux-flagged
+    # GVD/AVD units — the reference asserts the header flag false,
+    # ``reader.rs:74``). Raster layout: only the host raw/EOM tails
+    # read them.
+    aux_geo_bs = context.get_video_bitstream(VideoType.GEOMETRY_RAW)
+    aux_attr_bs = context.get_video_bitstream(VideoType.ATTRIBUTE_RAW)
+    has_aux_patches = any(
+        rp.in_aux_video for m in metas for rp in m.raw_patches
+    ) or any(ep.in_aux_video for m in metas for ep in m.eom_patches)
+    if has_aux_patches and aux_geo_bs is None:
+        raise UnsupportedFeature(
+            "aux-flagged raw/EOM patches but no auxiliary geometry "
+            "video sub-stream"
+        )
+    aux_geo_codec = (
+        codec_id_from_v3c(gi.auxiliary_geometry_codec_id)
+        if aux_geo_bs is not None else None
+    )
+    aux_attr_codec = (
+        codec_id_from_v3c(ai.auxiliary_attribute_codec_id[0])
+        if aux_attr_bs is not None else None
+    )
+
     res = 1 << asps.log2_patch_packing_block_size
     # the tiled fast path requires even, precision-divisible block tiles
     tiled = tiled and res >= 2 and res % 2 == 0
@@ -455,10 +485,44 @@ def prepare_gof(
             pool.submit(decompress_video, b.data, attr_codec, True, vtile)
             for b in attr_bs_list
         ]
+        # aux videos decode raster (host-tail consumers only)
+        aux_geo_f = (
+            pool.submit(decompress_video, aux_geo_bs.data, aux_geo_codec)
+            if aux_geo_bs is not None else None
+        )
+        aux_attr_f = (
+            pool.submit(decompress_video, aux_attr_bs.data, aux_attr_codec)
+            if aux_attr_bs is not None else None
+        )
         if occ_f is not None:
             occ_frames = occ_f.result()
         geo_per_map = [f.result() for f in geo_fs]
         attr_per_map = [f.result() for f in attr_fs]
+        aux_geo_frames = aux_geo_f.result() if aux_geo_f else []
+        aux_attr_frames = aux_attr_f.result() if aux_attr_f else []
+    if has_aux_patches and (
+        len(aux_geo_frames) < frame_count
+        or (aux_attr_frames and len(aux_attr_frames) < frame_count)
+    ):
+        raise UnsupportedFeature(
+            f"auxiliary video decoded to {len(aux_geo_frames)} frames, "
+            f"the atlas has {frame_count}"
+        )
+    aux_geo_shift = (
+        max(0, aux_geo_frames[0].bit_depth - 8) if aux_geo_frames else 0
+    )
+    aux_chroma_shift = 1
+    if aux_attr_frames:
+        aux_shifts = (
+            aux_attr_frames[0].chroma_w_shift,
+            aux_attr_frames[0].chroma_h_shift,
+        )
+        if aux_shifts not in ((1, 1), (0, 0)):
+            raise UnsupportedFeature(
+                f"auxiliary attribute chroma subsampling {aux_shifts} "
+                f"(only 4:2:0 / 4:4:4)"
+            )
+        aux_chroma_shift = aux_shifts[0]
     if multi_map:
         # interleave the per-map videos into the map-interleaved frame
         # order every downstream consumer indexes by (frame*mc + map)
@@ -571,6 +635,19 @@ def prepare_gof(
             if asps.eom_patch_enabled_flag and asps.map_count_minus1 == 0
             else None
         ),
+        aux_geo_planes=(
+            [f.planes[0].astype(np.uint16, copy=False) for f in aux_geo_frames]
+            if aux_geo_frames else None
+        ),
+        aux_attr_planes=(
+            [
+                [p.astype(np.uint16, copy=False) for p in f.planes]
+                for f in aux_attr_frames
+            ]
+            if aux_attr_frames else None
+        ),
+        aux_geo_shift=aux_geo_shift,
+        aux_chroma_shift=aux_chroma_shift,
     )
 
 
@@ -776,6 +853,16 @@ def _append_raw_points(ps: PointSet3, gof: GofData, meta) -> None:
         meta.width,
         tile_size=gof.tile_size if gof.tiled else 0,
         left_top=meta.left_top_in_frame,
+        aux_geo_plane=(
+            gof.aux_geo_planes[meta.frame_index]
+            if gof.aux_geo_planes else None
+        ),
+        aux_attr_planes=(
+            gof.aux_attr_planes[meta.frame_index]
+            if gof.aux_attr_planes else None
+        ),
+        aux_geo_shift=gof.aux_geo_shift,
+        aux_chroma_shift=gof.aux_chroma_shift,
     )
     _append_tail_points(ps, gof, pos_r, col_r)
 
@@ -836,6 +923,11 @@ def _append_eom_points(ps: PointSet3, gof: GofData, meta) -> None:
         left_top=meta.left_top_in_frame,
         geometry_bitdepth_3d=gof.geometry_bitdepth_3d,
         fix_bit_count=gof.eom_fix_bit_count,
+        aux_attr_planes=(
+            gof.aux_attr_planes[meta.frame_index]
+            if gof.aux_attr_planes else None
+        ),
+        aux_chroma_shift=gof.aux_chroma_shift,
     )
     _append_tail_points(ps, gof, pos_e, col_e)
 

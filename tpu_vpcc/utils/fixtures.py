@@ -247,6 +247,7 @@ def patch_to_merge_pdu(
 def raw_patch_to_pdu(rp: RawPatch) -> RawPatchDataUnit:
     """Invert the raw-patch construction (framework extension)."""
     return RawPatchDataUnit(
+        patch_in_auxiliary_video_flag=rp.in_aux_video,
         pos_2d=(rp.u0, rp.v0),
         size_2d_minus1=(rp.size_u0 - 1, rp.size_v0 - 1),
         pos_3d_offset_u=rp.u1,
@@ -281,6 +282,7 @@ def plr_modes_to_plrd(modes, plri):
 def eom_patch_to_pdu(ep) -> EomPatchDataUnit:
     """Invert the EOM-patch construction (framework extension)."""
     return EomPatchDataUnit(
+        patch_in_auxiliary_video_flag=ep.in_aux_video,
         pos_2d=(ep.u0, ep.v0),
         size_2d_minus1=(ep.size_u0 - 1, ep.size_v0 - 1),
         associated_patch_idx=list(ep.member_patches),
@@ -405,6 +407,11 @@ def build_fixture_stream(
     vps.occupancy_video_present_flag = True
     vps.geometry_video_present_flag = True
     vps.attribute_video_present_flag = True
+    # auxiliary raw-patch videos (framework extension)
+    has_aux = any(
+        rp.in_aux_video for f in frames for rp in f.meta.raw_patches
+    ) or any(ep.in_aux_video for f in frames for ep in f.meta.eom_patches)
+    vps.auxiliary_video_present_flag = has_aux
     vps.occupancy_information = OccupancyInformation(
         occupancy_codec_id=1, occupancy_2d_bitdepth_minus1=7
     )
@@ -412,12 +419,13 @@ def build_fixture_stream(
         geometry_codec_id=1,
         geometry_2d_bitdepth_minus1=9,
         geometry_3d_coordinates_bitdepth_minus1=geometry_bitdepth_3d - 1,
+        auxiliary_geometry_codec_id=1 if has_aux else 0,
     )
     vps.attribute_information = AttributeInformation(
         attribute_count=1,
         attribute_type_id=[0],
         attribute_codec_id=[1],
-        auxiliary_attribute_codec_id=[0],
+        auxiliary_attribute_codec_id=[1 if has_aux else 0],
         attribute_map_absolute_coding_persistence_flag=[True],
         attribute_dimension_minus1=[2],
         attribute_dimension_partitions_minus1=[0],
@@ -495,6 +503,21 @@ def build_fixture_stream(
             for f in frames
             for rp in f.meta.raw_patches
         ), "raw 3D offsets exceed the 8-bit explicit coding range"
+    if has_aux:
+        # auxiliary raw-patch videos: ASPS flag + AFTI declaration (set
+        # on the single-tile AFTI below); every frame needs aux planes
+        # so the aux video has one frame per atlas frame
+        from .synthetic import ensure_aux_planes
+
+        asps.auxiliary_video_enabled_flag = True
+        for f in frames:
+            ensure_aux_planes(f)
+        aux_shapes = {f.aux_geo_plane.shape for f in frames} | {
+            f.aux_attr_planes[0].shape for f in frames
+        }
+        assert len(aux_shapes) == 1, (
+            f"aux planes must share one shape, got {aux_shapes}"
+        )
     # EOM patches (framework extension). Single-map streams code the
     # fixed codeword bit count the decoder validates against
     if any(f.meta.eom_patches for f in frames):
@@ -537,6 +560,13 @@ def build_fixture_stream(
         asps.vpcc_extension.surface_thickness_minus1 = surface_thickness - 1
 
     afps = AtlasFrameParameterSet()
+    if has_aux:
+        assert tiles is None, "single-tile aux envelope"
+        ah, aw = frames[0].aux_geo_plane.shape
+        ti = afps.atlas_frame_tile_information
+        # declared in units of 64 samples (23090-5 AFTI aux fields)
+        ti.auxiliary_video_tile_row_width_minus1 = -(-aw // 64) - 1
+        ti.auxiliary_video_tile_row_height = [-(-ah // 64)]
     afps.raw_3d_offset_bitcount_explicit_mode_flag = has_raw
     if tiles is not None:
         # atlas frame partitioning (framework extension): one I-tile
@@ -855,6 +885,20 @@ def build_fixture_stream(
 
     occ_annexb = encode_yuv420(occ_video, bit_depth=8, lossless=lossless, qp=qp)
 
+    aux_geo_annexb = aux_attr_annexb = None
+    if has_aux:
+        ach, acw = frames[0].aux_attr_planes[1].shape
+        aux_geo_annexb = encode_yuv420(
+            [[f.aux_geo_plane,
+              np.zeros((ach, acw), np.uint16),
+              np.zeros((ach, acw), np.uint16)] for f in frames],
+            bit_depth=10, lossless=lossless, qp=qp,
+        )
+        aux_attr_annexb = encode_yuv420(
+            [f.aux_attr_planes for f in frames],
+            bit_depth=10, lossless=lossless, qp=qp,
+        )
+
     sw = w3c.V3CSampleStreamWriter()
     sw.add_unit(w3c.v3c_unit_header(V3CUnitType.VPS), w3c.write_vps(vps))
     sw.add_unit(w3c.v3c_unit_header(V3CUnitType.AD), w3c.build_nal_sample_stream(nalus))
@@ -875,5 +919,14 @@ def build_fixture_stream(
                 V3CUnitType.AVD, map_index=m if multi_map_streams else 0
             ),
             w3c.annexb_to_length_prefixed(annexb),
+        )
+    if aux_geo_annexb is not None:
+        sw.add_unit(
+            w3c.v3c_unit_header(V3CUnitType.GVD, auxiliary_video_flag=True),
+            w3c.annexb_to_length_prefixed(aux_geo_annexb),
+        )
+        sw.add_unit(
+            w3c.v3c_unit_header(V3CUnitType.AVD, auxiliary_video_flag=True),
+            w3c.annexb_to_length_prefixed(aux_attr_annexb),
         )
     return sw.getvalue()

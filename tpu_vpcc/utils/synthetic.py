@@ -29,6 +29,11 @@ class SyntheticFrame:
     occupancy_precision: int
     occupancy_resolution: int
     map_count: int
+    # auxiliary raw-patch video planes (framework extension): one
+    # luma-only geometry plane + one [y, u, v] attribute set per frame,
+    # authored by plant_raw_patch(aux=...) / plant_eom_patch(aux=...)
+    aux_geo_plane: "np.ndarray" = None
+    aux_attr_planes: "List[np.ndarray]" = None
 
 
 def make_synthetic_frame(
@@ -123,6 +128,20 @@ def make_synthetic_frame(
     )
 
 
+def ensure_aux_planes(sf: SyntheticFrame, size=(64, 64)) -> None:
+    """Allocate the frame's auxiliary video planes (zeros) if absent:
+    a luma-only geometry plane plus a 4:2:0 attribute set."""
+    if sf.aux_geo_plane is not None:
+        return
+    h, w = size
+    sf.aux_geo_plane = np.zeros((h, w), np.uint16)
+    sf.aux_attr_planes = [
+        np.zeros((h, w), np.uint16),
+        np.zeros((h // 2, w // 2), np.uint16),
+        np.zeros((h // 2, w // 2), np.uint16),
+    ]
+
+
 def plant_raw_patch(
     rng: np.random.Generator,
     sf: SyntheticFrame,
@@ -130,6 +149,8 @@ def plant_raw_patch(
     n_points: int,
     offsets: tuple = (0, 0, 0),
     geo_shift: int = 2,
+    aux: bool = False,
+    aux_size=(64, 64),
 ) -> RawPatch:
     """Author one raw patch on a synthetic frame (framework extension).
 
@@ -151,16 +172,29 @@ def plant_raw_patch(
     cmax = 1 << (10 - geo_shift)
     coords = rng.integers(0, cmax, (3, n_points)).astype(np.uint16)
 
-    geo = sf.geo_planes[0]
+    if aux:
+        # auxiliary-video raw patch (framework extension): runs and
+        # colors live in the aux planes, region coords relative to the
+        # aux video origin; the MAIN canvas/occupancy stay untouched
+        ensure_aux_planes(sf, aux_size)
+        geo = sf.aux_geo_plane
+        assert y0 + h <= geo.shape[0] and x0 + w <= geo.shape[1], (
+            "aux region leaves the aux video"
+        )
+    else:
+        geo = sf.geo_planes[0]
     flat = coords.reshape(-1) << geo_shift  # [x run | y run | z run]
     idx = np.arange(3 * n_points)
     px, py = x0 + idx % w, y0 + idx // w
     geo[py, px] = flat
-    # occupancy 1 over every used geometry/attribute pixel
-    prec = sf.occupancy_precision
-    sf.occ_plane[py // prec, px // prec] = 1
+    if not aux:
+        # occupancy 1 over every used geometry/attribute pixel
+        prec = sf.occupancy_precision
+        sf.occ_plane[py // prec, px // prec] = 1
 
-    ay, au, av = sf.attr_planes[0]
+    ay, au, av = (
+        sf.aux_attr_planes if aux else sf.attr_planes[0]
+    )
     csh = 0 if au.shape == ay.shape else 1
     pxa, pya = px[:n_points], py[:n_points]
     ay[pya, pxa] = rng.integers(0, 1024, n_points).astype(np.uint16)
@@ -175,6 +209,7 @@ def plant_raw_patch(
         u0=u0, v0=v0, size_u0=su0, size_v0=sv0,
         u1=offsets[0], v1=offsets[1], d1=offsets[2],
         n_points=n_points, occupancy_resolution=res,
+        in_aux_video=aux,
     )
     sf.meta.raw_patches.append(rp)
     return rp
@@ -188,6 +223,8 @@ def plant_eom_patch(
     eom_fraction: float = 0.5,
     geo_shift: int = 2,
     max_bits: int = 3,
+    aux: bool = False,
+    aux_size=(64, 64),
 ) -> EomPatch:
     """Author one EOM patch on a synthetic frame (framework extension).
 
@@ -245,15 +282,26 @@ def plant_eom_patch(
 
     # attribute pixels over the region raster, one per point; occupancy
     # 1 over the used pixels (as a real encoder would — the decoder must
-    # ignore occupied blocks no patch owns)
+    # ignore occupied blocks no patch owns). Aux-flagged patches place
+    # the region in the AUXILIARY attribute video instead (framework
+    # extension): no main-canvas occupancy, coords aux-origin-relative.
     total = sum(counts)
     x0, y0, w = u0r * res, v0r * res, su0 * res
     assert total <= w * sv0 * res, "EOM region too small"
+    if aux:
+        ensure_aux_planes(sf, aux_size)
+        assert (
+            y0 + sv0 * res <= sf.aux_attr_planes[0].shape[0]
+            and x0 + w <= sf.aux_attr_planes[0].shape[1]
+        ), "aux EOM region leaves the aux video"
     if total:
         idx = np.arange(total)
         px, py = x0 + idx % w, y0 + idx // w
-        sf.occ_plane[py, px] = 1
-        ay, au, av = sf.attr_planes[0]
+        if aux:
+            ay, au, av = sf.aux_attr_planes
+        else:
+            sf.occ_plane[py, px] = 1
+            ay, au, av = sf.attr_planes[0]
         csh = 0 if au.shape == ay.shape else 1
         ay[py, px] = rng.integers(0, 1024, total).astype(np.uint16)
         au[py >> csh, px >> csh] = rng.integers(0, 1024, total).astype(
@@ -268,6 +316,7 @@ def plant_eom_patch(
         member_patches=list(member_patch_indices),
         member_points=counts,
         occupancy_resolution=res,
+        in_aux_video=aux,
     )
     sf.meta.eom_patches.append(ep)
     return ep

@@ -72,8 +72,10 @@ class V3CUnit:
             bs.read(17)
         else:
             bs.read(27)
-        if header.auxiliary_video_flag:
-            raise UnsupportedFeature("auxiliary video not supported")
+        # FRAMEWORK EXTENSION: aux-flagged GVD/AVD units demux to the
+        # auxiliary raw-patch videos (the reference asserts the flag
+        # false, ``reader.rs:74``); the payload router below branches
+        # on the header
         context.set_v3c_unit_header(unit_type, header)
         return unit_type
 
@@ -92,6 +94,17 @@ class V3CUnit:
         elif self.unit_type == V3CUnitType.GVD:
             vps = context.get_vps()
             vtype = VideoType.GEOMETRY
+            vuh_g = context.get_v3c_unit_header(V3CUnitType.GVD)
+            if vuh_g is not None and vuh_g.auxiliary_video_flag:
+                # FRAMEWORK EXTENSION: the auxiliary geometry video
+                # (raw/EOM patch samples; one frame per atlas frame)
+                context.add_video_bitstream(
+                    VideoBitstream(
+                        bs.read_slice(self.size - 4),
+                        VideoType.GEOMETRY_RAW,
+                    )
+                )
+                return
             if vps.map_count_minus1 > 0 and vps.multiple_map_streams_present_flag:
                 # FRAMEWORK EXTENSION: per-map geometry sub-streams (the
                 # reference panics, ``reader.rs:278-283``); the decode
@@ -113,6 +126,14 @@ class V3CUnit:
             if vuh.attribute_dimension_index != 0:
                 raise UnsupportedFeature("attribute_dimension_index > 0")
             vtype = VideoType.ATTRIBUTE
+            if vuh.auxiliary_video_flag:
+                context.add_video_bitstream(
+                    VideoBitstream(
+                        bs.read_slice(self.size - 4),
+                        VideoType.ATTRIBUTE_RAW,
+                    )
+                )
+                return
             if vps.map_count_minus1 > 0 and vps.multiple_map_streams_present_flag:
                 if vuh.map_index > vps.map_count_minus1 or vuh.map_index > 1:
                     raise UnsupportedFeature(

@@ -71,6 +71,9 @@ class VideoType(enum.IntEnum):
     GEOMETRY_D1 = 3
     GEOMETRY_RAW = 18
     ATTRIBUTE = 19
+    # auxiliary attribute sub-stream (aux-flagged AVD units; the
+    # reference's enum has AttributeRaw but panics before demuxing)
+    ATTRIBUTE_RAW = 22
     # per-map attribute sub-streams (multiple_map_streams mode; the
     # reference's enum stops at Attribute, ``src/bitstream.rs:295-335`` —
     # it panics before ever demuxing one)
@@ -617,11 +620,11 @@ class AtlasSequenceParameterSet:
             # codeword against it (reconstruction/eom_points.py)
             asps.eom_fix_bit_count_minus1 = bs.read(4)
         if asps.raw_patch_enabled_flag or asps.eom_patch_enabled_flag:
+            # FRAMEWORK EXTENSION: raw/EOM patches in a separate
+            # auxiliary video sub-stream decode too (aux-flagged
+            # GVD/AVD units; see reconstruction/raw_points.py) — the
+            # reference never demuxes one (``reader.rs:74``)
             asps.auxiliary_video_enabled_flag = bs.read(1) != 0
-        if asps.auxiliary_video_enabled_flag:
-            # a separate auxiliary video sub-stream (V3C AD units) is out
-            # of this decoder's envelope; in-video raw patches are not
-            raise UnsupportedFeature("auxiliary video not supported")
         asps.plr_enabled_flag = bs.read(1) != 0
         if asps.plr_enabled_flag:
             # FRAMEWORK EXTENSION: point-local reconstruction (the
