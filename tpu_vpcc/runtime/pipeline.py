@@ -448,6 +448,24 @@ def prepare_gof(
         if aux_attr_bs is not None else None
     )
 
+    # FRAMEWORK EXTENSION: single-map pixel-interleaved geometry (the
+    # reference asserts the ASPS flag false, ``reader.rs:1066``). The
+    # host derives ordinary two-map D0/D1 planes once per frame
+    # (reconstruction/pixel_interleave.py), so everything downstream
+    # runs the standard two-map machinery.
+    pix_il = asps.pixel_deinterleaving_flag
+    if pix_il:
+        if multi_map:
+            raise UnsupportedFeature(
+                "pixel deinterleaving with per-map video sub-streams"
+            )
+        if asps.plr_enabled_flag or any(
+            m.raw_patches or m.eom_patches for m in metas
+        ):
+            raise UnsupportedFeature(
+                "pixel deinterleaving combined with raw/EOM/PLR patches"
+            )
+
     res = 1 << asps.log2_patch_packing_block_size
     # the tiled fast path requires even, precision-divisible block tiles
     tiled = tiled and res >= 2 and res % 2 == 0
@@ -478,7 +496,12 @@ def prepare_gof(
         else:
             occ_f = pool.submit(decompress_video, occ_bs.data, occ_codec)
         geo_fs = [
-            pool.submit(decompress_video, b.data, geo_codec, True, vtile)
+            # pixel-interleaved geometry decodes RASTER: the host
+            # deinterleave runs on canvas planes (re-tiled after)
+            pool.submit(
+                decompress_video, b.data, geo_codec, True,
+                0 if pix_il else vtile,
+            )
             for b in geo_bs_list
         ]
         attr_fs = [
@@ -577,7 +600,10 @@ def prepare_gof(
         attr_chroma_shift = 1
     attr_is_rgb444 = bool(attr_frames and attr_frames[0].is_rgb)
     # the native copy falls back to raw layout when dims don't divide
-    tiled = tiled and bool(geo_frames) and geo_frames[0].planes[0].ndim == 3
+    # (pixel-interleaved geometry decodes raster by design — the attr
+    # planes carry the tiled-or-not signal there)
+    probe_frames = attr_frames if pix_il else geo_frames
+    tiled = tiled and bool(probe_frames) and probe_frames[0].planes[0].ndim == 3
     cell = cell and tiled
 
     # PLR mode table (framework extension; the ASPS parse pins the
@@ -599,14 +625,49 @@ def prepare_gof(
             )
             plr_thickness = asps.vpcc_extension.surface_thickness_minus1 + 1
 
+    if pix_il:
+        from ..ops.tiled import tile_plane
+        from ..reconstruction.pixel_interleave import (
+            deinterleave_geometry,
+            upsample_occupancy_full,
+        )
+
+        if len(geo_frames) < frame_count or len(occ_frames) < frame_count:
+            raise UnsupportedFeature(
+                f"pixel-interleaved stream decoded {len(geo_frames)} "
+                f"geometry frames for {frame_count} atlas frames"
+            )
+        geo_planes_out = []
+        for i in range(frame_count):
+            occ_c = upsample_occupancy_full(
+                occ_frames[i].planes[0], occupancy_precision
+            )
+            d0, d1 = deinterleave_geometry(geo_frames[i].planes[0], occ_c)
+            if tiled:
+                d0 = tile_plane(d0, vtile)
+                d1 = tile_plane(d1, vtile)
+            geo_planes_out += [d0, d1]
+        attr_planes_out = []
+        for f in attr_frames[:frame_count]:
+            planes = [p.astype(np.uint16, copy=False) for p in f.planes]
+            # both derived maps sample the single interleaved attribute
+            # frame (defined behavior; entries alias read-only planes)
+            attr_planes_out += [planes, planes]
+    else:
+        geo_planes_out = [
+            f.planes[0].astype(np.uint16, copy=False) for f in geo_frames
+        ]
+        attr_planes_out = [
+            [p.astype(np.uint16, copy=False) for p in f.planes]
+            for f in attr_frames
+        ]
+
     return GofData(
         metas=metas,
         occ_planes=np.stack([f.planes[0] for f in occ_frames]),
-        geo_planes=[f.planes[0].astype(np.uint16, copy=False) for f in geo_frames],
-        attr_planes=[
-            [p.astype(np.uint16, copy=False) for p in f.planes] for f in attr_frames
-        ],
-        map_count=vps.map_count_minus1 + 1,
+        geo_planes=geo_planes_out,
+        attr_planes=attr_planes_out,
+        map_count=2 if pix_il else vps.map_count_minus1 + 1,
         occupancy_precision=occupancy_precision,
         occupancy_resolution=1 << asps.log2_patch_packing_block_size,
         absolute_d1=absolute_d1,
@@ -943,6 +1004,7 @@ def _reconstruct_gof_oracle(gof: GofData) -> Iterator[PointSet3]:
             map_count_minus1=gof.map_count - 1,
             attribute_count=gof.attribute_count,
             geo_shift=gof.geo_shift,
+            geometry_bitdepth_3d=gof.geometry_bitdepth_3d,
         )
         mc = gof.map_count
         base = meta.frame_index * mc

@@ -326,6 +326,7 @@ def build_fixture_stream(
     patch_precedence: bool = False,
     tiles=None,
     tile_ids=None,
+    pixel_interleave: bool = False,
 ) -> bytes:
     """Build a complete single-GOF V3C sample-stream file.
 
@@ -391,6 +392,41 @@ def build_fixture_stream(
     map_count = f0.map_count
     log2_block = res.bit_length() - 1
     assert 1 << log2_block == res
+
+    pix_il_planes = None
+    if pixel_interleave:
+        # single-map pixel-interleaved geometry (framework extension):
+        # fold the authored D0/D1 into ONE checkerboard plane per
+        # frame, then REPLACE the frames' geometry with the planes the
+        # DEFINED derivation reconstructs — the oracle expectation
+        # machinery then states the decoder contract exactly
+        from ..reconstruction.pixel_interleave import (
+            deinterleave_geometry,
+            upsample_occupancy_full,
+        )
+
+        assert map_count == 2, "pixel-interleave fixtures author 2 maps"
+        assert all(
+            not f.meta.raw_patches and not f.meta.eom_patches
+            for f in frames
+        ) and plr is None, "pixel deinterleave excludes raw/EOM/PLR"
+        pix_il_planes = []
+        for f in frames:
+            h, w = f.geo_planes[0].shape
+            par = (
+                np.arange(h, dtype=np.int64)[:, None]
+                + np.arange(w, dtype=np.int64)[None, :]
+            ) & 1
+            v = np.where(
+                par == 0, f.geo_planes[0], f.geo_planes[1]
+            ).astype(np.uint16)
+            pix_il_planes.append(v)
+            occ_c = upsample_occupancy_full(
+                f.occ_plane, f.occupancy_precision
+            )
+            d0, d1 = deinterleave_geometry(v, occ_c)
+            f.geo_planes = [d0, d1]
+        map_count = 1
 
     vps = V3CParameterSet()
     vps.frame_width = width
@@ -459,6 +495,7 @@ def build_fixture_stream(
         asps.extended_projection_enabled_flag = True
         asps.max_number_projections_minus1 = 17
     asps.map_count_minus1 = map_count - 1
+    asps.pixel_deinterleaving_flag = pixel_interleave
     asps.normal_axis_limits_quantization_enabled_flag = True
     # P fixtures carry NAMD too now that the inter/merge parse and
     # derivation consume ipdu/mpdu_3d_range_d (framework extension —
@@ -871,8 +908,20 @@ def build_fixture_stream(
             for m in range(map_count)
         ]
     else:
-        geo_video = [geo_frame(sf, m) for sf in frames for m in range(map_count)]
-        attr_video = [sf.attr_planes[m] for sf in frames for m in range(map_count)]
+        if pixel_interleave:
+            geo_video = [
+                [v, np.zeros((ch, cw), np.uint16),
+                 np.zeros((ch, cw), np.uint16)]
+                for v in pix_il_planes
+            ]
+            attr_video = [sf.attr_planes[0] for sf in frames]
+        else:
+            geo_video = [
+                geo_frame(sf, m) for sf in frames for m in range(map_count)
+            ]
+            attr_video = [
+                sf.attr_planes[m] for sf in frames for m in range(map_count)
+            ]
         geo_annexbs = [
             encode_yuv420(geo_video, bit_depth=10, lossless=lossless, qp=qp)
         ]

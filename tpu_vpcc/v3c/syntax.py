@@ -606,8 +606,13 @@ class AtlasSequenceParameterSet:
         asps.patch_size_quantizer_present_flag = bs.read(1) != 0
         asps.map_count_minus1 = bs.read(4)
         asps.pixel_deinterleaving_flag = bs.read(1) != 0
-        if asps.pixel_deinterleaving_flag:
-            raise UnsupportedFeature("pixel deinterleaving not supported (rec0)")
+        if asps.pixel_deinterleaving_flag and asps.map_count_minus1 != 0:
+            # FRAMEWORK EXTENSION: single-map pixel-interleaved geometry
+            # decodes (reconstruction/pixel_interleave.py); the
+            # reference asserts the flag false (``reader.rs:1066``)
+            raise UnsupportedFeature(
+                "pixel deinterleaving with more than one map"
+            )
         asps.raw_patch_enabled_flag = bs.read(1) != 0
         asps.eom_patch_enabled_flag = bs.read(1) != 0
         # FRAMEWORK EXTENSION: raw AND EOM patches decode here (in the
