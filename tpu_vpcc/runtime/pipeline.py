@@ -589,16 +589,53 @@ def prepare_gof(
     # 4:2:0 and 4:4:4 have well-defined sampling here; 4:2:2 (half-width,
     # full-height chroma) matches neither the reference's indexing nor
     # the kernels' single shift, so it fails cleanly.
+    force_raster = False
     if attr_frames:
         shifts = (attr_frames[0].chroma_w_shift, attr_frames[0].chroma_h_shift)
+        if shifts == (1, 0):
+            # FRAMEWORK EXTENSION: 4:2:2 attributes. Column-doubling the
+            # half-width chroma to 4:4:4 on the host is bit-exact with
+            # the x >> 1 sampling the decode would otherwise do
+            # (``Image::get`` indexes by the format, ``decoder.rs:973-
+            # 980``), so everything downstream runs the existing 4:4:4
+            # machinery. The reference rejects the format outright.
+            if multi_map:
+                raise UnsupportedFeature(
+                    "4:2:2 attributes with per-map video sub-streams"
+                )
+            # the block-tiled copy is luma-grid-aligned only for square
+            # subsampling; re-decode the attribute stream raster
+            attr_frames = decompress_video(attr_bs_list[0].data, attr_codec)
+            for f in attr_frames:
+                f.planes[1] = np.repeat(f.planes[1], 2, axis=1)
+                f.planes[2] = np.repeat(f.planes[2], 2, axis=1)
+                f.chroma_w_shift = 0
+            shifts = (0, 0)
+            force_raster = True
         if shifts not in ((1, 1), (0, 0)):
             raise UnsupportedFeature(
-                f"attribute chroma subsampling {shifts} (only 4:2:0 / 4:4:4)"
+                f"attribute chroma subsampling {shifts} (only 4:2:0 / "
+                f"4:2:2 / 4:4:4)"
             )
         attr_chroma_shift = shifts[0]
     else:
         attr_chroma_shift = 1
     attr_is_rgb444 = bool(attr_frames and attr_frames[0].is_rgb)
+    if force_raster and tiled:
+        # 4:2:2 attrs re-decoded raster: bring the geometry back to the
+        # canvas layout too — one GOF carries ONE plane layout (the
+        # dispatch re-tiles for the kernels at staging; relayout)
+        from ..ops.tiled import untile_plane
+
+        for f in geo_frames:
+            if f.planes[0].ndim == 3:
+                f.planes[0] = untile_plane(
+                    f.planes[0],
+                    vps.frame_height // vtile,
+                    vps.frame_width // vtile,
+                )
+        tiled = False
+        cell = False
     # the native copy falls back to raw layout when dims don't divide
     # (pixel-interleaved geometry decodes raster by design — the attr
     # planes carry the tiled-or-not signal there)

@@ -327,6 +327,7 @@ def build_fixture_stream(
     tiles=None,
     tile_ids=None,
     pixel_interleave: bool = False,
+    chroma422: bool = False,
 ) -> bytes:
     """Build a complete single-GOF V3C sample-stream file.
 
@@ -891,6 +892,17 @@ def build_fixture_stream(
     # chroma format auto-detects from the plane shapes: full-res chroma in
     # the synthetic frames -> a 4:4:4-coded attribute sub-stream
     attr_444 = frames[0].attr_planes[0][1].shape == frames[0].attr_planes[0][0].shape
+    if chroma422:
+        # 4:2:2 coding of a 4:2:0-authored scene (framework extension):
+        # row-double the chroma to (h, w/2). The decoder's host
+        # column-doubling then reconstructs exactly the 4:2:0 sampling,
+        # so the decode must equal the 4:2:0-coded stream's
+        assert not attr_444, "chroma422 fixtures author 4:2:0 frames"
+        assert not multi_map_streams, "4:2:2 single-stream envelope"
+
+        def to_422(planes):
+            y, u, v = planes
+            return [y, np.repeat(u, 2, axis=0), np.repeat(v, 2, axis=0)]
 
     if multi_map_streams:
         geo_annexbs = [
@@ -922,13 +934,15 @@ def build_fixture_stream(
             attr_video = [
                 sf.attr_planes[m] for sf in frames for m in range(map_count)
             ]
+        if chroma422:
+            attr_video = [to_422(p) for p in attr_video]
         geo_annexbs = [
             encode_yuv420(geo_video, bit_depth=10, lossless=lossless, qp=qp)
         ]
         attr_annexbs = [
             encode_yuv420(
                 attr_video, bit_depth=10, lossless=lossless, qp=qp,
-                chroma444=attr_444,
+                chroma444=attr_444, chroma422=chroma422,
             )
         ]
 

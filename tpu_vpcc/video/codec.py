@@ -304,22 +304,28 @@ def encode_yuv420(
     gop: int = 32,
     qp: int = 20,
     chroma444: bool = False,
+    chroma422: bool = False,
 ) -> bytes:
     """Encode YUV frames to an Annex-B HEVC bytestream via libx265.
 
     Each frame is [y, u, v] arrays: y is (h, w); u and v are (h//2, w//2)
-    for 4:2:0 (the default) or (h, w) with ``chroma444=True``.
+    for 4:2:0 (the default), (h, w) with ``chroma444=True``, or
+    (h, w//2) with ``chroma422=True``.
     dtype uint8 for 8-bit, uint16 (values < 1024) for 10-bit.
     """
     if not frames:
         raise VideoEncodeError("no frames")
+    assert not (chroma444 and chroma422)
     lib = _load()
     h, w = frames[0][0].shape
-    handle = lib.venc_open(w, h, bit_depth, int(lossless), gop, qp, int(chroma444))
+    chroma_mode = 1 if chroma444 else 2 if chroma422 else 0
+    handle = lib.venc_open(
+        w, h, bit_depth, int(lossless), gop, qp, chroma_mode
+    )
     if not handle:
         raise VideoEncodeError(
             f"libx265 unavailable for bit_depth={bit_depth} "
-            f"chroma444={chroma444} (pixel format unsupported)"
+            f"chroma_mode={chroma_mode} (pixel format unsupported)"
         )
     try:
         dtype = np.uint16 if bit_depth > 8 else np.uint8

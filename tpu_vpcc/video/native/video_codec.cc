@@ -303,9 +303,10 @@ struct EncoderCtx {
 // bit_depth: 8 or 10. lossless: x265 lossless mode (needed for the
 // occupancy/geometry fixtures where decoded planes must equal the input).
 // Returns nullptr if the encoder or the pixel format is unavailable.
-// chroma444: 0 = 4:2:0 (the rec0 default), 1 = 4:4:4 full-res chroma.
+// chroma_mode: 0 = 4:2:0 (the rec0 default), 1 = 4:4:4 full-res chroma,
+// 2 = 4:2:2 (half-width chroma).
 void* venc_open(int width, int height, int bit_depth, int lossless, int gop,
-                int qp, int chroma444) {
+                int qp, int chroma_mode) {
   auto* e = new EncoderCtx();
   e->codec = avcodec_find_encoder_by_name("libx265");
   if (!e->codec) {
@@ -313,8 +314,10 @@ void* venc_open(int width, int height, int bit_depth, int lossless, int gop,
     return nullptr;
   }
   AVPixelFormat fmt =
-      chroma444
+      chroma_mode == 1
           ? (bit_depth > 8 ? AV_PIX_FMT_YUV444P10LE : AV_PIX_FMT_YUV444P)
+      : chroma_mode == 2
+          ? (bit_depth > 8 ? AV_PIX_FMT_YUV422P10LE : AV_PIX_FMT_YUV422P)
           : (bit_depth > 8 ? AV_PIX_FMT_YUV420P10LE : AV_PIX_FMT_YUV420P);
   bool supported = false;
   for (const AVPixelFormat* p = e->codec->pix_fmts;
