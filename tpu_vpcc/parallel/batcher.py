@@ -29,7 +29,6 @@ from ..runtime.pipeline import (
     DEVICE_BATCH,
     DeviceInputs,
     Params,
-    _check_post_processing_gates,
     _append_raw_points,
     _dispatch_device,
     _emit_pointset,
@@ -123,13 +122,13 @@ def decode_streams_batched(
             return state, None
         context = Context()
         state.ssvu.decode_gof(context)
-        _check_post_processing_gates(context, params)
         return state, prepare_gof(
             context,
             num_video_threads=max(1, params.num_threads),
             tiled=params.use_device,
             apply_geo_smoothing=params.apply_geo_smoothing_type,
             apply_attr_smoothing=params.apply_attr_smoothing_type,
+            apply_occupancy_synthesis=params.apply_occupancy_synthesis_type,
         )
 
     with ThreadPoolExecutor(max_workers=max_host_workers) as pool:

@@ -53,6 +53,7 @@ def _main_multistream(args, out: Path) -> int:
         num_threads=args.num_threads,
         apply_geo_smoothing_type=args.apply_geo_smoothing,
         apply_attr_smoothing_type=args.apply_attr_smoothing,
+        apply_occupancy_synthesis_type=args.apply_occupancy_synthesis,
     )
     n_frames = 0
     n_points = 0
@@ -109,6 +110,10 @@ def main(argv=None) -> int:
     parser.add_argument("--apply-geo-smoothing", action="store_true",
                         help="Apply grid geometry smoothing when the SEI "
                              "is present (the reference panics here)")
+    parser.add_argument("--apply-occupancy-synthesis", action="store_true",
+                        help="honor the occupancy-synthesis (PBF) SEI "
+                             "(framework extension; the reference is "
+                             "unimplemented!)")
     parser.add_argument("--apply-attr-smoothing", action="store_true",
                         help="Apply grid attribute smoothing when the SEI "
                              "is present (the reference cannot parse it)")
@@ -143,6 +148,7 @@ def main(argv=None) -> int:
             num_threads=args.num_threads,
             apply_geo_smoothing_type=args.apply_geo_smoothing,
             apply_attr_smoothing_type=args.apply_attr_smoothing,
+            apply_occupancy_synthesis_type=args.apply_occupancy_synthesis,
         )
     )
     try:

@@ -160,7 +160,6 @@ class Decoder:
                 with stage_timer(gs, "parse"):
                     context = Context()
                     ssvu.decode_gof(context)
-                _check_post_processing_gates(context, self.params)
                 with stage_timer(gs, "host_prepare"):
                     gof = prepare_gof(
                         context,
@@ -168,6 +167,9 @@ class Decoder:
                         tiled=self.params.use_device,
                         apply_geo_smoothing=self.params.apply_geo_smoothing_type,
                         apply_attr_smoothing=self.params.apply_attr_smoothing_type,
+                        apply_occupancy_synthesis=(
+                            self.params.apply_occupancy_synthesis_type
+                        ),
                     )
                 for vt, vbs in (
                     ("occ", context.get_video_bitstream(VideoType.OCCUPANCY)),
@@ -320,6 +322,32 @@ def extract_geo_smoothing(context: Context, asps) -> Optional[object]:
     return None
 
 
+def extract_occupancy_synthesis(context: Context):
+    """PBF parameters from the first applicable occupancy-synthesis SEI
+    (method_type 1), or None (framework extension — the reference can
+    neither parse the payload nor act on it, ``decoder.rs:240-242``)."""
+    from ..reconstruction.occupancy_synthesis import (
+        OccupancySynthesisConfig,
+    )
+    from ..v3c.syntax import SeiPayloadType
+
+    for i in range(context.atlas_tile_layer_len()):
+        sei = context.get_atlas_tile_layer(i).sei
+        if sei is None:
+            continue
+        for s in sei.sei_prefix:
+            if s.payload_type != SeiPayloadType.OCCUPANCY_SYNTHESIS:
+                continue
+            for k in range(len(s.method_type)):
+                if not s.instance_cancel_flag[k] and s.method_type[k] == 1:
+                    return OccupancySynthesisConfig(
+                        threshold=1 << (s.pbf_log2_threshold_minus1[k] + 1),
+                        passes=s.pbf_passes_count_minus1[k] + 1,
+                        radius=s.pbf_filter_size_minus1[k] + 1,
+                    )
+    return None
+
+
 # finest smoothing grid accepted: grid_width^3 cells x 6 int32 arrays per
 # frame; 2^24 cells = ~400 MB at DEVICE_BATCH=2 — beyond that a (spec-
 # legal) tiny grid_size would OOM the decode, so fail cleanly instead
@@ -373,6 +401,7 @@ def prepare_gof(
     tiled: bool = True,
     apply_geo_smoothing: bool = False,
     apply_attr_smoothing: bool = False,
+    apply_occupancy_synthesis: bool = False,
 ) -> GofData:
     """Host stages 2-3: patch frames + video decode (parallel substreams).
 
@@ -453,6 +482,20 @@ def prepare_gof(
     # host derives ordinary two-map D0/D1 planes once per frame
     # (reconstruction/pixel_interleave.py), so everything downstream
     # runs the standard two-map machinery.
+    occ_synth = (
+        extract_occupancy_synthesis(context)
+        if apply_occupancy_synthesis else None
+    )
+    if occ_synth is not None and (
+        asps.pixel_deinterleaving_flag
+        or asps.eom_patch_enabled_flag
+    ):
+        # the filter binarizes occupancy (destroying EOM codewords) and
+        # pixel-interleave derivation consumes pre-synthesis occupancy
+        raise UnsupportedFeature(
+            "occupancy synthesis combined with EOM or pixel deinterleaving"
+        )
+
     pix_il = asps.pixel_deinterleaving_flag
     if pix_il:
         if multi_map:
@@ -480,6 +523,9 @@ def prepare_gof(
         and tiled
         and not apply_geo_smoothing
         and not apply_attr_smoothing
+        # synthesis re-resolves occupancy to precision 1 after decode;
+        # the cell path sizes its tiles from the CODED precision
+        and occ_synth is None
     )
     n_jobs = 1 + len(geo_bs_list) + len(attr_bs_list)
     with ThreadPoolExecutor(max_workers=max(num_video_threads, n_jobs)) as pool:
@@ -662,6 +708,28 @@ def prepare_gof(
             )
             plr_thickness = asps.vpcc_extension.surface_thickness_minus1 + 1
 
+    if occ_synth is not None:
+        # PBF occupancy synthesis (framework extension): refine the
+        # occupancy at canvas resolution once per frame; the stream
+        # behaves as occupancy-precision 1 downstream
+        from ..ops.tiled import untile_plane
+        from ..reconstruction.occupancy_synthesis import (
+            synthesize_occupancy,
+        )
+
+        mc0 = vps.map_count_minus1 + 1
+        for i in range(min(frame_count, len(occ_frames))):
+            d0 = geo_frames[i * mc0].planes[0]
+            if d0.ndim == 3:
+                d0 = untile_plane(
+                    d0, vps.frame_height // vtile, vps.frame_width // vtile
+                )
+            occ_frames[i].planes[0] = synthesize_occupancy(
+                occ_frames[i].planes[0], occupancy_precision, d0,
+                geo_shift, occ_synth,
+            )
+        occupancy_precision = 1
+
     if pix_il:
         from ..ops.tiled import tile_plane
         from ..reconstruction.pixel_interleave import (
@@ -749,37 +817,14 @@ def prepare_gof(
     )
 
 
-def _check_post_processing_gates(context: Context, params: Params) -> None:
-    """Reconstruction feature gates (parity: ``src/decoder.rs:590-661``):
-    the reference panics when a smoothing/synthesis toggle is enabled AND
-    the matching SEI is present; rec0 defaults leave them all false.
-    Geometry AND attribute smoothing are IMPLEMENTED here (exceeding the
-    reference's panics, ``decoder.rs:291-298``) so they are not gated."""
-    from ..v3c.syntax import NalUnitType, SeiPayloadType
-
-    checks = (
-        (params.apply_occupancy_synthesis_type, SeiPayloadType.OCCUPANCY_SYNTHESIS,
-         "occupancy synthesis"),
-    )
-    n_layers = context.atlas_tile_layer_len()
-    if n_layers == 0:
-        return
-    for enabled, payload, name in checks:
-        # scan every tile layer (the SEI may attach to any of them)
-        if enabled and context.is_sei_present(
-            NalUnitType.PREFIX_ESEI, payload, n_layers - 1
-        ):
-            raise UnsupportedFeature(f"{name} reconstruction (rec0 ignores it)")
-
-
 def decode_gof_frames(context: Context, params: Params) -> Iterator[PointSet3]:
     """Stages 2-5 for one GOF, yielding frames in order."""
-    _check_post_processing_gates(context, params)
     gof = prepare_gof(
         context,
         tiled=params.use_device,
         apply_geo_smoothing=params.apply_geo_smoothing_type,
         apply_attr_smoothing=params.apply_attr_smoothing_type,
+        apply_occupancy_synthesis=params.apply_occupancy_synthesis_type,
     )
     if params.use_device:
         yield from _reconstruct_gof_device(gof, mesh=params.mesh)
