@@ -137,9 +137,10 @@ def test_emit_pointset_rgb444_branch():
     assert not np.array_equal(ps.colors, ps2.colors)
 
 
-def test_422_attribute_rejected_cleanly(monkeypatch, tmp_path):
-    """4:2:2-decoded attributes raise UnsupportedFeature (neither the
-    reference's indexing nor the kernels' single shift covers them)."""
+def test_unsupported_chroma_subsampling_rejected_cleanly(monkeypatch, tmp_path):
+    """Subsamplings outside 4:2:0 / 4:2:2 / 4:4:4 (e.g. 4:1:1) raise
+    UnsupportedFeature (4:2:2 itself decodes since the host
+    column-doubling extension — tests/test_chroma422.py)."""
     from tpu_vpcc.utils.fixtures import build_fixture_stream
     from tpu_vpcc.runtime.pipeline import Decoder, Params
     from tpu_vpcc.v3c.syntax import UnsupportedFeature
@@ -159,7 +160,7 @@ def test_422_attribute_rejected_cleanly(monkeypatch, tmp_path):
     def fake(data, codec_id, *a, **kw):
         out = real(data, codec_id, *a, **kw)
         for f in out:
-            f.chroma_w_shift, f.chroma_h_shift = 1, 0  # pretend 4:2:2
+            f.chroma_w_shift, f.chroma_h_shift = 2, 0  # pretend 4:1:1
         return out
 
     monkeypatch.setattr(pl, "decompress_video", fake)

@@ -42,6 +42,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from .pixel_interleave import shift2d, upsample_occupancy_full
+
 
 @dataclass(frozen=True)
 class OccupancySynthesisConfig:
@@ -62,29 +64,16 @@ def synthesize_occupancy(
     """Apply PBF to one frame: returns the synthesized CANVAS-resolution
     occupancy (uint8 0/1; the caller treats the stream as
     occupancy-precision 1 afterwards)."""
-    occ = (
-        np.repeat(np.repeat(occ_plane, precision, axis=0),
-                  precision, axis=1)
-        if precision > 1 else occ_plane
-    ) > 0
+    occ = upsample_occupancy_full(occ_plane, precision) > 0
     H, W = occ.shape
     d = d0_plane.astype(np.int64) >> geo_shift
     r = cfg.radius
     BIG = np.int64(1) << 32
 
-    def shifted(arr, dy, dx, fill):
-        out = np.full((H, W), fill, dtype=arr.dtype)
-        ys_dst = slice(max(0, -dy), H - max(0, dy))
-        xs_dst = slice(max(0, -dx), W - max(0, dx))
-        ys_src = slice(max(0, dy), H - max(0, -dy))
-        xs_src = slice(max(0, dx), W - max(0, -dx))
-        out[ys_dst, xs_dst] = arr[ys_src, xs_src]
-        return out
-
     for _ in range(cfg.passes):
         nb4 = np.zeros((H, W), dtype=np.int32)
         for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-            nb4 += shifted(occ.astype(np.int32), dy, dx, 0)
+            nb4 += shift2d(occ.astype(np.int32), dy, dx, 0)
         border = occ & (nb4 < 4)
         if not border.any():
             break
@@ -96,7 +85,7 @@ def synthesize_occupancy(
             for dx in range(-r, r + 1):
                 if dy == 0 and dx == 0:
                     continue
-                q = shifted(masked, dy, dx, BIG)
+                q = shift2d(masked, dy, dx, BIG)
                 has = q != BIG
                 dev = np.where(has, np.abs(d - q), BIG)
                 min_dev = np.minimum(min_dev, dev)

@@ -35,6 +35,20 @@ from __future__ import annotations
 import numpy as np
 
 
+def shift2d(arr: np.ndarray, dy: int, dx: int, fill):
+    """``arr`` translated by (dy, dx) with ``fill`` at the exposed edge
+    — the shared neighborhood primitive of the deinterleave and the
+    PBF occupancy-synthesis filters."""
+    H, W = arr.shape
+    out = np.full((H, W), fill, dtype=arr.dtype)
+    ys_dst = slice(max(0, -dy), H - max(0, dy))
+    xs_dst = slice(max(0, -dx), W - max(0, dx))
+    ys_src = slice(max(0, dy), H - max(0, -dy))
+    xs_src = slice(max(0, dx), W - max(0, -dx))
+    out[ys_dst, xs_dst] = arr[ys_src, xs_src]
+    return out
+
+
 def deinterleave_geometry(plane: np.ndarray, occ_canvas: np.ndarray):
     """Derive (D0, D1) planes from one pixel-interleaved geometry plane.
 
@@ -57,13 +71,7 @@ def deinterleave_geometry(plane: np.ndarray, occ_canvas: np.ndarray):
         masked = np.where(occ, v, fill)
         acc = np.full((H, W), fill, dtype=np.int64)
         for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-            sh = np.full((H, W), fill, dtype=np.int64)
-            ys_dst = slice(max(0, -dy), H - max(0, dy))
-            xs_dst = slice(max(0, -dx), W - max(0, dx))
-            ys_src = slice(max(0, dy), H - max(0, -dy))
-            xs_src = slice(max(0, dx), W - max(0, -dx))
-            sh[ys_dst, xs_dst] = masked[ys_src, xs_src]
-            acc = reduce(acc, sh)
+            acc = reduce(acc, shift2d(masked, dy, dx, fill))
         return acc
 
     nb_max = neighbor_extreme(-BIG, np.maximum)

@@ -460,12 +460,23 @@ def prepare_gof(
     # read them.
     aux_geo_bs = context.get_video_bitstream(VideoType.GEOMETRY_RAW)
     aux_attr_bs = context.get_video_bitstream(VideoType.ATTRIBUTE_RAW)
-    has_aux_patches = any(
+    has_aux_raw = any(
         rp.in_aux_video for m in metas for rp in m.raw_patches
-    ) or any(ep.in_aux_video for m in metas for ep in m.eom_patches)
-    if has_aux_patches and aux_geo_bs is None:
+    )
+    has_aux_eom = any(
+        ep.in_aux_video for m in metas for ep in m.eom_patches
+    )
+    has_aux_patches = has_aux_raw or has_aux_eom
+    # raw patches read their runs from the aux GEOMETRY video; EOM
+    # patches only their colors from the aux ATTRIBUTE video
+    if has_aux_raw and aux_geo_bs is None:
         raise UnsupportedFeature(
-            "aux-flagged raw/EOM patches but no auxiliary geometry "
+            "aux-flagged raw patches but no auxiliary geometry "
+            "video sub-stream"
+        )
+    if has_aux_eom and ai.attribute_count > 0 and aux_attr_bs is None:
+        raise UnsupportedFeature(
+            "aux-flagged EOM patches but no auxiliary attribute "
             "video sub-stream"
         )
     aux_geo_codec = (
@@ -569,13 +580,14 @@ def prepare_gof(
         attr_per_map = [f.result() for f in attr_fs]
         aux_geo_frames = aux_geo_f.result() if aux_geo_f else []
         aux_attr_frames = aux_attr_f.result() if aux_attr_f else []
-    if has_aux_patches and (
-        len(aux_geo_frames) < frame_count
-        or (aux_attr_frames and len(aux_attr_frames) < frame_count)
+    if (has_aux_raw and len(aux_geo_frames) < frame_count) or (
+        has_aux_patches and aux_attr_frames
+        and len(aux_attr_frames) < frame_count
     ):
         raise UnsupportedFeature(
-            f"auxiliary video decoded to {len(aux_geo_frames)} frames, "
-            f"the atlas has {frame_count}"
+            f"auxiliary video decoded to {len(aux_geo_frames)} geometry / "
+            f"{len(aux_attr_frames)} attribute frames, the atlas has "
+            f"{frame_count}"
         )
     aux_geo_shift = (
         max(0, aux_geo_frames[0].bit_depth - 8) if aux_geo_frames else 0
@@ -650,8 +662,12 @@ def prepare_gof(
                     "4:2:2 attributes with per-map video sub-streams"
                 )
             # the block-tiled copy is luma-grid-aligned only for square
-            # subsampling; re-decode the attribute stream raster
-            attr_frames = decompress_video(attr_bs_list[0].data, attr_codec)
+            # subsampling; re-decode the attribute stream raster (a
+            # raster first decode is reused as-is)
+            if attr_frames[0].planes[0].ndim == 3:
+                attr_frames = decompress_video(
+                    attr_bs_list[0].data, attr_codec
+                )
             for f in attr_frames:
                 f.planes[1] = np.repeat(f.planes[1], 2, axis=1)
                 f.planes[2] = np.repeat(f.planes[2], 2, axis=1)
@@ -718,8 +734,17 @@ def prepare_gof(
         )
 
         mc0 = vps.map_count_minus1 + 1
-        for i in range(min(frame_count, len(occ_frames))):
-            d0 = geo_frames[i * mc0].planes[0]
+        if len(occ_frames) < frame_count or len(geo_frames) < frame_count * mc0:
+            raise UnsupportedFeature(
+                f"occupancy synthesis needs one occupancy+geometry frame "
+                f"per atlas frame (occ={len(occ_frames)}, "
+                f"geo={len(geo_frames)}, atlas={frame_count})"
+            )
+        # every decoded occupancy frame resolves to canvas resolution
+        # so GofData's stack stays uniform; frames past the atlas count
+        # are unused downstream (clamped geo reference)
+        for i in range(len(occ_frames)):
+            d0 = geo_frames[min(i, frame_count - 1) * mc0].planes[0]
             if d0.ndim == 3:
                 d0 = untile_plane(
                     d0, vps.frame_height // vtile, vps.frame_width // vtile

@@ -999,10 +999,10 @@ class SeiOccupancySynthesis:
     """H.20.2.18 occupancy synthesis (PBF) SEI.
 
     The reference cannot parse this payload (``reader.rs:1402-1412``
-    panics); parsed here per the 23090-5 syntax shape. Reconstruction
-    with occupancy synthesis enabled raises at the post-processing gate
-    — the same point the reference would panic (``decoder.rs``
-    pbf handling is absent there too)."""
+    panics) and its reconstruction is ``unimplemented!``
+    (``decoder.rs:240-242``); parsed here per the 23090-5 syntax shape,
+    and method 1 (PBF) ACTS when the apply toggle is set —
+    ``reconstruction/occupancy_synthesis.py``."""
 
     persistence_flag: bool = False
     reset_flag: bool = False
@@ -1299,11 +1299,14 @@ class IntraPatchDataUnit:
             )
             pdu.pos_3d_range_d = bs.read(bitcount_max_depth)
         pdu.projection_id = bs.read(ceil_log2(asps.max_number_projections_minus1 + 1))
-        if pdu.projection_id > 17:
+        if pdu.projection_id > asps.max_number_projections_minus1:
             # views 6..17 are the 45-degree additional planes (framework
-            # extension — the reference asserts id <= 5, ``reader.rs:1907``)
+            # extension — the reference asserts id <= 5, ``reader.rs:1907``);
+            # the ASPS's own ceiling still bounds every stream (<= 17,
+            # pinned at the ASPS parse)
             raise UnsupportedFeature(
-                f"projection_id {pdu.projection_id} beyond the 18-view table"
+                f"projection_id {pdu.projection_id} beyond the ASPS's "
+                f"{asps.max_number_projections_minus1 + 1} projections"
             )
         pdu.orientation_index = PatchOrientation(
             bs.read(3 if asps.use_eight_orientations_flag else 1)
@@ -1549,8 +1552,8 @@ class RawPatchDataUnit:
         asps = context.get_asps(afps.atlas_sequence_parameter_set_id)
         pdu = cls()
         if asps.auxiliary_video_enabled_flag:
-            # unreachable today (the ASPS parse rejects aux video), kept
-            # for syntax completeness
+            # routes the patch's runs/colors to the auxiliary video
+            # (framework extension; reconstruction/raw_points.py)
             pdu.patch_in_auxiliary_video_flag = bs.read(1) != 0
         pdu.pos_2d = (bs.read_uvlc(), bs.read_uvlc())
         pdu.size_2d_minus1 = (bs.read_uvlc(), bs.read_uvlc())
@@ -1597,8 +1600,8 @@ class EomPatchDataUnit:
         asps = context.get_asps(afps.atlas_sequence_parameter_set_id)
         pdu = cls()
         if asps.auxiliary_video_enabled_flag:
-            # unreachable today (the ASPS parse rejects aux video), kept
-            # for syntax completeness
+            # routes the patch's attribute region to the auxiliary video
+            # (framework extension; reconstruction/eom_points.py)
             pdu.patch_in_auxiliary_video_flag = bs.read(1) != 0
         pdu.pos_2d = (bs.read_uvlc(), bs.read_uvlc())
         pdu.size_2d_minus1 = (bs.read_uvlc(), bs.read_uvlc())
