@@ -187,3 +187,74 @@ def test_bit_flips_in_p_tile_and_sei_regions_fail_cleanly():
         except Exception:
             raised += 1  # clean failure (or a still-decodable stream) is fine
     assert raised > 0, "no header corruption was rejected: loop not effective"
+
+
+def test_bit_flips_in_extension_feature_streams_fail_cleanly():
+    """Corruption over streams exercising this round's extensions —
+    45-degree views (wide projection-id field), aux-video raw/EOM
+    units, pixel-interleaved geometry, single-map EOM fix-bit-count:
+    parse + patch derivation either succeeds or raises cleanly, never
+    an uncaught AssertionError."""
+    import sys
+    import pathlib
+    import time
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_aux_video import make_aux_frames
+    from test_eom import make_eom_frame_1map
+    from test_pixel_interleave import make_pix_il_stream
+
+    from tpu_vpcc.atlas.patches import Patch, create_patch_frames
+    from tpu_vpcc.utils.fixtures import build_fixture_stream
+    from tpu_vpcc.utils.synthetic import make_synthetic_frame
+    from tpu_vpcc.video import encoder_supports
+
+    if not (encoder_supports(8) and encoder_supports(10)):
+        pytest.skip("libx265 required")
+
+    rng = np.random.default_rng(57)
+    sf45 = make_synthetic_frame(
+        rng, width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, n_patches=3, frame_index=0,
+    )
+    for p, plane in zip(sf45.meta.patches, (1, 2, 3)):
+        views = [
+            v for v, r in Patch._VIEW_TABLE.items()
+            if r[0] == plane and r[4] == p.projection_mode
+        ]
+        p.set_view_id(views[0])
+    streams = [
+        build_fixture_stream([sf45]),
+        build_fixture_stream(
+            make_aux_frames(seed=5, n_frames=1, with_main_raw=True)
+        ),
+        make_pix_il_stream(seed=7, n_frames=1)[1],
+        build_fixture_stream(
+            [make_eom_frame_1map(np.random.default_rng(71))]
+        ),
+    ]
+
+    def run(data):
+        ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(data))
+        while ssvu.get_v3c_unit_count() > 0:
+            ctx = Context()
+            ssvu.decode_gof(ctx)
+            create_patch_frames(ctx)
+
+    t0 = time.monotonic()
+    raised = 0
+    bad = []
+    for stream in streams:
+        run(bytes(stream))  # the unmutated stream must derive
+        for i in range(0, min(360, len(stream)), 4):
+            mutated = bytearray(stream)
+            mutated[i] ^= 0xFF
+            try:
+                run(bytes(mutated))
+            except AssertionError as e:
+                bad.append((i, repr(e)))
+            except Exception:
+                raised += 1
+    assert not bad, f"uncaught AssertionError at offsets {bad[:5]}"
+    assert raised > 0
+    assert time.monotonic() - t0 < 120
