@@ -2,6 +2,7 @@
 checked bit-exactly against the NumPy oracle on the source planes
 (the HEVC coding is lossless, so the oracle defines the exact output)."""
 
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -373,3 +374,73 @@ def test_e2e_shift_compact_matches_oracle(tmp_path, monkeypatch):
     for got, want in zip(decoded, expected):
         np.testing.assert_array_equal(got.positions, want.positions)
         np.testing.assert_array_equal(got.colors, want.colors)
+
+
+def test_kitchen_sink_multi_gof_cli(tmp_path):
+    """One file, six GOFs, six feature families — base two-map,
+    P-tile PLR (single-map), 45-degree views, aux-video raw patches,
+    pixel-interleaved geometry, single-map EOM — decoded through the
+    CLI on both paths, every frame byte-identical."""
+    import subprocess
+    import sys as _sys
+    import pathlib as _pl
+
+    _sys.path.insert(0, str(_pl.Path(__file__).parent))
+    from test_aux_video import make_aux_frames
+    from test_eom import make_eom_frame_1map
+    from test_pixel_interleave import make_pix_il_stream
+    from test_plr import MODES, THICKNESS, make_plr_p_sequence
+
+    from tpu_vpcc.atlas.patches import Patch
+    from tpu_vpcc.utils.fixtures import build_fixture_stream, concat_streams
+    from tpu_vpcc.utils.synthetic import make_synthetic_frame
+
+    rng = np.random.default_rng(99)
+    base = [
+        make_synthetic_frame(
+            rng, width=64, height=64, occupancy_resolution=8,
+            occupancy_precision=4, n_patches=3, frame_index=i,
+        )
+        for i in range(2)
+    ]
+    sf45 = make_synthetic_frame(
+        rng, width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, n_patches=3, frame_index=0,
+    )
+    for p, plane in zip(sf45.meta.patches, (1, 2, 3)):
+        views = [
+            v for v, r in Patch._VIEW_TABLE.items()
+            if r[0] == plane and r[4] == p.projection_mode
+        ]
+        p.set_view_id(views[0])
+    gofs = [
+        build_fixture_stream(base),
+        make_plr_p_sequence(seed=23)[1],
+        build_fixture_stream([sf45]),
+        build_fixture_stream(
+            make_aux_frames(seed=5, n_frames=1, with_main_raw=True)
+        ),
+        make_pix_il_stream(seed=7, n_frames=1)[1],
+        build_fixture_stream(
+            [make_eom_frame_1map(np.random.default_rng(71))]
+        ),
+    ]
+    n_frames = 2 + 2 + 1 + 1 + 1 + 1
+    path = tmp_path / "kitchen_sink.bin"
+    path.write_bytes(concat_streams(gofs))
+
+    def run(outdir, extra=()):
+        r = subprocess.run(
+            [_sys.executable, "-m", "tpu_vpcc.runtime.cli",
+             "-i", str(path), "-o", str(outdir), *extra],
+            capture_output=True, text=True,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    run(tmp_path / "dev")
+    run(tmp_path / "orc", ("--oracle",))
+    for k in range(n_frames):
+        a = (tmp_path / "dev" / f"{k:04d}.ply").read_bytes()
+        b = (tmp_path / "orc" / f"{k:04d}.ply").read_bytes()
+        assert a == b and len(a) > 100, f"frame {k}"
