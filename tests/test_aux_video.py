@@ -75,7 +75,7 @@ def make_aux_frames(seed=5, n_frames=2, with_main_raw=False):
             frame_index=i,
         )
         if with_main_raw:
-            from test_raw_patches import free_block_rect
+            from tests.test_raw_patches import free_block_rect
 
             u0, v0 = free_block_rect(sf, 2, 1)
             plant_raw_patch(rng, sf, (u0, v0, 2, 1), n_points=11,
@@ -119,9 +119,7 @@ def test_aux_raw_tail_expectation(tmp_path, use_device):
 def test_mixed_main_and_aux_raw(tmp_path, use_device):
     """Main-video and aux-video raw patches coexist in one frame; the
     tail keeps bitstream order."""
-    import sys, pathlib
-    sys.path.insert(0, str(pathlib.Path(__file__).parent))
-    from test_raw_patches import expected_raw_points
+    from tests.test_raw_patches import expected_raw_points
 
     frames = make_aux_frames(seed=11, n_frames=1, with_main_raw=True)
     (sf,) = frames
@@ -145,9 +143,7 @@ def test_aux_eom_colors_from_aux_video(tmp_path):
     """Aux-flagged EOM patch: codewords stay in the occupancy video,
     colors come from the AUX attribute region; device == oracle and the
     tail matches the scalar recomputation against the aux planes."""
-    import sys, pathlib
-    sys.path.insert(0, str(pathlib.Path(__file__).parent))
-    from test_eom import expected_eom_tail, free_block_rect  # noqa: F401
+    from tests.test_eom import expected_eom_tail, free_block_rect  # noqa: F401
     from tpu_vpcc.utils.synthetic import plant_eom_patch
     from tpu_vpcc.utils.ply import format_ply
 

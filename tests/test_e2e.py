@@ -381,15 +381,10 @@ def test_kitchen_sink_multi_gof_cli(tmp_path):
     P-tile PLR (single-map), 45-degree views, aux-video raw patches,
     pixel-interleaved geometry, single-map EOM — decoded through the
     CLI on both paths, every frame byte-identical."""
-    import subprocess
-    import sys as _sys
-    import pathlib as _pl
-
-    _sys.path.insert(0, str(_pl.Path(__file__).parent))
-    from test_aux_video import make_aux_frames
-    from test_eom import make_eom_frame_1map
-    from test_pixel_interleave import make_pix_il_stream
-    from test_plr import MODES, THICKNESS, make_plr_p_sequence
+    from tests.test_aux_video import make_aux_frames
+    from tests.test_eom import make_eom_frame_1map
+    from tests.test_pixel_interleave import make_pix_il_stream
+    from tests.test_plr import make_plr_p_sequence
 
     from tpu_vpcc.atlas.patches import Patch
     from tpu_vpcc.utils.fixtures import build_fixture_stream, concat_streams
@@ -431,7 +426,7 @@ def test_kitchen_sink_multi_gof_cli(tmp_path):
 
     def run(outdir, extra=()):
         r = subprocess.run(
-            [_sys.executable, "-m", "tpu_vpcc.runtime.cli",
+            [sys.executable, "-m", "tpu_vpcc.runtime.cli",
              "-i", str(path), "-o", str(outdir), *extra],
             capture_output=True, text=True,
             env={**os.environ, "JAX_PLATFORMS": "cpu"},

@@ -377,9 +377,7 @@ def test_eom_tail_rotates_with_the_patch(tmp_path):
     """EOM in-between points on 45-degree patches rotate like the
     regular points (single-plane stream vs rotated plane-0 twin), on
     both the device and oracle paths."""
-    import sys
-    sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
-    from test_eom import make_eom_frame
+    from tests.test_eom import make_eom_frame
 
     plane = 1
     rng = np.random.default_rng(83)

@@ -195,14 +195,11 @@ def test_bit_flips_in_extension_feature_streams_fail_cleanly():
     units, pixel-interleaved geometry, single-map EOM fix-bit-count:
     parse + patch derivation either succeeds or raises cleanly, never
     an uncaught AssertionError."""
-    import sys
-    import pathlib
     import time
 
-    sys.path.insert(0, str(pathlib.Path(__file__).parent))
-    from test_aux_video import make_aux_frames
-    from test_eom import make_eom_frame_1map
-    from test_pixel_interleave import make_pix_il_stream
+    from tests.test_aux_video import make_aux_frames
+    from tests.test_eom import make_eom_frame_1map
+    from tests.test_pixel_interleave import make_pix_il_stream
 
     from tpu_vpcc.atlas.patches import Patch, create_patch_frames
     from tpu_vpcc.utils.fixtures import build_fixture_stream

@@ -159,9 +159,7 @@ def test_pix_il_with_raw_patches_fails_cleanly(tmp_path):
     silent wrong decode (the raw region would read derived planes)."""
     from tpu_vpcc.utils.fixtures import build_fixture_stream as bfs
     from tpu_vpcc.utils.synthetic import plant_raw_patch
-    import sys, pathlib
-    sys.path.insert(0, str(pathlib.Path(__file__).parent))
-    from test_raw_patches import free_block_rect
+    from tests.test_raw_patches import free_block_rect
 
     rng = np.random.default_rng(13)
     sf = make_synthetic_frame(

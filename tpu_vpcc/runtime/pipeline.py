@@ -488,11 +488,6 @@ def prepare_gof(
         if aux_attr_bs is not None else None
     )
 
-    # FRAMEWORK EXTENSION: single-map pixel-interleaved geometry (the
-    # reference asserts the ASPS flag false, ``reader.rs:1066``). The
-    # host derives ordinary two-map D0/D1 planes once per frame
-    # (reconstruction/pixel_interleave.py), so everything downstream
-    # runs the standard two-map machinery.
     occ_synth = (
         extract_occupancy_synthesis(context)
         if apply_occupancy_synthesis else None
@@ -507,6 +502,11 @@ def prepare_gof(
             "occupancy synthesis combined with EOM or pixel deinterleaving"
         )
 
+    # FRAMEWORK EXTENSION: single-map pixel-interleaved geometry (the
+    # reference asserts the ASPS flag false, ``reader.rs:1066``). The
+    # host derives ordinary two-map D0/D1 planes once per frame
+    # (reconstruction/pixel_interleave.py), so everything downstream
+    # runs the standard two-map machinery.
     pix_il = asps.pixel_deinterleaving_flag
     if pix_il:
         if multi_map:
@@ -643,10 +643,9 @@ def prepare_gof(
         vps.map_count_minus1 == 0 or vps.map_absolute_coding_enable_flag[1]
     )
     # decoded attribute color format (``src/decoder.rs:300-305`` branches
-    # on it; ``Image::get`` indexes chroma by it, ``:973-980``). Only
-    # 4:2:0 and 4:4:4 have well-defined sampling here; 4:2:2 (half-width,
-    # full-height chroma) matches neither the reference's indexing nor
-    # the kernels' single shift, so it fails cleanly.
+    # on it; ``Image::get`` indexes chroma by it, ``:973-980``). The
+    # kernels' single shift covers 4:2:0 and 4:4:4; 4:2:2 upsamples to
+    # 4:4:4 on the host below; anything else fails cleanly.
     force_raster = False
     if attr_frames:
         shifts = (attr_frames[0].chroma_w_shift, attr_frames[0].chroma_h_shift)
