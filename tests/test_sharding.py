@@ -264,3 +264,47 @@ def test_pretiled_spatial_shift_compact_matches_sort():
         assert p0.shape[0] > 0
         np.testing.assert_array_equal(p0, p1)
         np.testing.assert_array_equal(c0, c1)
+
+
+def test_mesh_decoder_45_degree_stream_matches_meshless():
+    """A 45-degree stream through a mesh-configured Decoder equals the
+    meshless decode byte-for-byte — and actually SHARDS: the
+    additional-planes rotation is narrow-ineligible, so the dispatch
+    takes the WIDE spatial path (reconstruct_gof_spatial_pretiled,
+    G_PLANE riding the sharded group tables), not the single-device
+    fallback."""
+    from tests.test_extended_projection import mode_views
+
+    from tpu_vpcc.atlas.patches import Patch
+    from tpu_vpcc.runtime.pipeline import Decoder, Params
+    from tpu_vpcc.utils.fixtures import build_fixture_stream
+    from tpu_vpcc.video import encoder_supports
+
+    if not (encoder_supports(8) and encoder_supports(10)):
+        pytest.skip("libx265 unavailable")
+    rng = np.random.default_rng(13)
+    frames = []
+    for i in range(2):
+        sf = make_synthetic_frame(
+            rng, width=128, height=128, occupancy_resolution=16,
+            occupancy_precision=4, n_patches=4, frame_index=i,
+        )
+        for p, plane in zip(sf.meta.patches[:3], (1, 2, 3)):
+            v = mode_views(plane, rng, 1, [p.projection_mode])[0]
+            p.set_view_id(v)
+        frames.append(sf)
+    stream = build_fixture_stream(frames)
+    mesh = make_mesh(data=4, space=2)
+    dec = Decoder(Params(stream, mesh=mesh))
+    dec.start()
+    sharded = list(dec)
+    ref = Decoder(Params(stream))
+    ref.start()
+    plain = list(ref)
+    assert len(sharded) == len(plain) == 2
+    # no fallback: the wide spatial path carried the 45-degree GOF
+    assert not dec.stats.counter_totals().get("mesh_fallback_dispatches")
+    for a, b in zip(sharded, plain):
+        assert len(a) > 0
+        np.testing.assert_array_equal(a.positions, b.positions)
+        np.testing.assert_array_equal(a.colors, b.colors)
