@@ -98,6 +98,12 @@ def expected_eom_tail(sf, geo_shift=2):
                                     pos.append(pt)
                                 code >>= 1
                                 j += 1
+        if ep.in_aux_video:
+            # colors live in the AUX attribute video — callers check
+            # them against the aux planes themselves (test_aux_video,
+            # test_aux_multitile); only positions are recomputed here
+            col.extend([(0, 0, 0)] * (len(pos) - k0))
+            continue
         w_pix = ep.size_u0 * res
         x0, y0 = ep.u0 * res, ep.v0 * res
         for k in range(len(pos) - k0):

@@ -262,6 +262,11 @@ class RawPatch:
     # sub-stream (rpdu_patch_in_auxiliary_video_flag) instead of the
     # main geometry/attribute videos
     in_aux_video: bool = False
+    # pixel offset of the owning tile's aux-video band (AFTI aux tile
+    # rows, 23090-5: afti_auxiliary_video_tile_row_height in units of
+    # 64 samples); u0/v0 are band-relative, so the reconstruction reads
+    # the aux planes at v0*res + aux_band_y
+    aux_band_y: int = 0
 
 
 @dataclass
@@ -288,6 +293,8 @@ class EomPatch:
     # FRAMEWORK EXTENSION: the attribute region lives in the auxiliary
     # video sub-stream (epdu_patch_in_auxiliary_video_flag)
     in_aux_video: bool = False
+    # owning tile's aux-video band origin in pixels (see RawPatch)
+    aux_band_y: int = 0
 
 
 @dataclass
@@ -610,6 +617,13 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
         tx, ty, tw, th = afti.tile_rect(
             tile_idx, asps.frame_width, asps.frame_height
         )
+        # this tile's auxiliary-video band origin: the AFTI stacks one
+        # aux tile row per tile, heights in units of 64 samples
+        # (framework extension — the reference never demuxes an aux
+        # video, ``reader.rs:74``)
+        aux_band_y = 64 * sum(
+            afti.auxiliary_video_tile_row_height[:tile_idx]
+        )
         canvas_dims[frame_index] = (asps.frame_width, asps.frame_height)
         meta = FrameMeta(
             frame_index=frame_index,
@@ -690,6 +704,10 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                     n_points=pdu.raw_points_minus1 + 1,
                     occupancy_resolution=packing_block_size,
                     in_aux_video=pdu.patch_in_auxiliary_video_flag,
+                    aux_band_y=(
+                        aux_band_y
+                        if pdu.patch_in_auxiliary_video_flag else 0
+                    ),
                 )
                 res = packing_block_size
                 w_pix = rp.size_u0 * res
@@ -729,6 +747,10 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                     member_points=list(pdu.points),
                     occupancy_resolution=packing_block_size,
                     in_aux_video=pdu.patch_in_auxiliary_video_flag,
+                    aux_band_y=(
+                        aux_band_y
+                        if pdu.patch_in_auxiliary_video_flag else 0
+                    ),
                 )
                 res = packing_block_size
                 w_pix = ep.size_u0 * res
@@ -981,26 +1003,22 @@ def _merge_tile_frames(
                 merged.patches.append(
                     replace(p, uv0=(p.uv0[0] + bx0, p.uv0[1] + by0))
                 )
-            if any(rp.in_aux_video for rp in t.raw_patches) or any(
-                ep.in_aux_video for ep in t.eom_patches
-            ):
-                # aux-video coordinates are per-tile BAND-relative
-                # (AFTI aux tile rows); the canvas fold has no aux
-                # equivalent here — single-tile aux streams only
-                raise UnsupportedFeature(
-                    "auxiliary-video raw/EOM patches in a multi-tile "
-                    "frame (single-tile aux envelope)"
-                )
             for rp in t.raw_patches:
-                merged.raw_patches.append(
-                    replace(rp, u0=rp.u0 + bx0, v0=rp.v0 + by0)
-                )
+                # aux-video coordinates stay BAND-relative (the tile's
+                # band origin rides ``aux_band_y``); only main-canvas
+                # regions fold onto the atlas block grid
+                if rp.in_aux_video:
+                    merged.raw_patches.append(replace(rp))
+                else:
+                    merged.raw_patches.append(
+                        replace(rp, u0=rp.u0 + bx0, v0=rp.v0 + by0)
+                    )
             for ep in t.eom_patches:
                 merged.eom_patches.append(
                     replace(
                         ep,
-                        u0=ep.u0 + bx0,
-                        v0=ep.v0 + by0,
+                        u0=ep.u0 if ep.in_aux_video else ep.u0 + bx0,
+                        v0=ep.v0 if ep.in_aux_video else ep.v0 + by0,
                         member_patches=[
                             m + base for m in ep.member_patches
                         ],

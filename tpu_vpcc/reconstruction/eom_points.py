@@ -243,7 +243,8 @@ def eom_points_for_frame(
                 )
             src_planes, src_csh = aux_attr_planes, aux_chroma_shift
             src_tile, src_w = 0, aux_attr_planes[0].shape[1]
-            x0, y0 = ep.u0 * res, ep.v0 * res
+            # coordinates are relative to the owning tile's aux band
+            x0, y0 = ep.u0 * res, ep.v0 * res + ep.aux_band_y
         else:
             src_planes, src_csh = attr_planes, chroma_shift
             src_tile, src_w = tile_size, width

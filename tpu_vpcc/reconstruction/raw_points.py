@@ -161,7 +161,8 @@ def raw_points_for_frame(
 
     Aux-flagged patches (``rp.in_aux_video``, framework extension) read
     the AUXILIARY video planes instead: raster layout, coordinates
-    relative to the aux video origin (single-tile band)."""
+    relative to the owning tile's aux band (``rp.aux_band_y``; 0 for
+    single-tile streams)."""
     pos_parts, col_parts = [], []
     for rp in raw_patches:
         if rp.in_aux_video:
@@ -174,6 +175,7 @@ def raw_points_for_frame(
             pos, col = raw_patch_points(
                 rp, aux_geo_plane, aux_attr_planes, aux_geo_shift,
                 aux_chroma_shift, aux_geo_plane.shape[1],
+                left_top=(0, rp.aux_band_y),
             )
         else:
             pos, col = raw_patch_points(

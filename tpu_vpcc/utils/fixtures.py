@@ -56,17 +56,48 @@ def _patch_block_bbox(p: Patch):
 
 def _split_patches_by_tile(meta, afti, width: int, height: int):
     """Per-tile (coded ath id, tile-local patches, tile-local raw
-    patches) views of a frame's canvas-coordinate patch lists — the
-    authoring inverse of ``atlas.patches._merge_tile_frames``."""
+    patches, tile-local EOM patches) views of a frame's
+    canvas-coordinate patch lists — the authoring inverse of
+    ``atlas.patches._merge_tile_frames``.
+
+    Aux-flagged raw/EOM patches (coords in the AUX video) are assigned
+    to the tile whose aux band (AFTI aux tile rows, heights in units of
+    64) contains their region, and re-coded band-relative. EOM member
+    indices are remapped tile-local; every member must land in the same
+    tile as its EOM patch."""
     from dataclasses import replace
 
     res = (
         meta.patches[0].occupancy_resolution if meta.patches
         else meta.raw_patches[0].occupancy_resolution if meta.raw_patches
+        else meta.eom_patches[0].occupancy_resolution if meta.eom_patches
         else 16
     )
+    # aux band [start, end) pixel ranges per tile
+    heights = afti.auxiliary_video_tile_row_height
+    band_y, bands = 0, []
+    for t in range(afti.tile_count()):
+        h = 64 * (heights[t] if t < len(heights) else 0)
+        bands.append((band_y, band_y + h))
+        band_y += h
+
+    def aux_tile_of(v0_blocks: int, size_v0: int, what: str) -> int:
+        y0, y1 = v0_blocks * res, (v0_blocks + size_v0) * res
+        for t, (b0, b1) in enumerate(bands):
+            if b0 <= y0 and y1 <= b1:
+                assert b0 % res == 0, (
+                    f"aux band start {b0} not {res}-px block aligned"
+                )
+                return t
+        raise AssertionError(
+            f"aux {what} rows [{y0},{y1}) fit no declared aux band "
+            f"{bands}"
+        )
+
     views = []
     n_assigned = 0
+    # global regular-patch index -> (tile, tile-local index)
+    local_of = {}
     for t in range(afti.tile_count()):
         tx, ty, tw, th = afti.tile_rect(t, width, height)
         assert (
@@ -75,26 +106,61 @@ def _split_patches_by_tile(meta, afti, width: int, height: int):
         ), f"tile rect {(tx, ty, tw, th)} not {res}-px block aligned"
         bx0, by0 = tx // res, ty // res
         bx1, by1 = bx0 + tw // res, by0 + th // res
-        t_patches, t_raws = [], []
-        for p in meta.patches:
+        t_patches, t_raws, t_eoms = [], [], []
+        for gi, p in enumerate(meta.patches):
             x0, y0, x1, y1 = _patch_block_bbox(p)
             if bx0 <= x0 and x1 < bx1 and by0 <= y0 and y1 < by1:
+                local_of[gi] = (t, len(t_patches))
                 t_patches.append(
                     replace(p, uv0=(p.uv0[0] - bx0, p.uv0[1] - by0))
                 )
                 n_assigned += 1
         for rp in meta.raw_patches:
-            if (
+            if rp.in_aux_video:
+                if aux_tile_of(rp.v0, rp.size_v0, "raw patch") == t:
+                    t_raws.append(
+                        replace(rp, v0=rp.v0 - bands[t][0] // res)
+                    )
+                    n_assigned += 1
+            elif (
                 bx0 <= rp.u0 and rp.u0 + rp.size_u0 <= bx1
                 and by0 <= rp.v0 and rp.v0 + rp.size_v0 <= by1
             ):
                 t_raws.append(replace(rp, u0=rp.u0 - bx0, v0=rp.v0 - by0))
                 n_assigned += 1
         tid = afti.tile_id[t] if afti.signalled_tile_id_flag else t
-        views.append((tid, t_patches, t_raws))
+        views.append((tid, t_patches, t_raws, t_eoms))
     assert n_assigned == len(meta.patches) + len(meta.raw_patches), (
         "a patch straddles tile boundaries"
     )
+    # EOM patches go to their members' tile (members must agree); the
+    # region is canvas-tile-local or aux-band-local by the flag
+    for ep in meta.eom_patches:
+        tiles_of = {local_of[m][0] for m in ep.member_patches}
+        assert len(tiles_of) == 1, (
+            f"EOM members {ep.member_patches} span tiles {tiles_of}"
+        )
+        t = tiles_of.pop()
+        if ep.in_aux_video:
+            assert aux_tile_of(ep.v0, ep.size_v0, "EOM patch") == t, (
+                "aux EOM region lies outside its members' tile band"
+            )
+            u0, v0 = ep.u0, ep.v0 - bands[t][0] // res
+        else:
+            tx, ty, tw, th = afti.tile_rect(t, width, height)
+            bx0, by0 = tx // res, ty // res
+            assert (
+                bx0 <= ep.u0 and (ep.u0 + ep.size_u0) * res <= tx + tw
+                and by0 <= ep.v0 and (ep.v0 + ep.size_v0) * res <= ty + th
+            ), "EOM region lies outside its members' tile"
+            u0, v0 = ep.u0 - bx0, ep.v0 - by0
+        views[t][3].append(
+            replace(
+                ep, u0=u0, v0=v0,
+                member_patches=[local_of[m][1] for m in ep.member_patches],
+                member_points=list(ep.member_points),
+            )
+        )
     return views
 
 
@@ -326,6 +392,7 @@ def build_fixture_stream(
     patch_precedence: bool = False,
     tiles=None,
     tile_ids=None,
+    aux_tile_row_heights=None,
     pixel_interleave: bool = False,
     chroma422: bool = False,
 ) -> bytes:
@@ -598,22 +665,11 @@ def build_fixture_stream(
         asps.vpcc_extension.surface_thickness_minus1 = surface_thickness - 1
 
     afps = AtlasFrameParameterSet()
-    if has_aux:
-        assert tiles is None, "single-tile aux envelope"
-        ah, aw = frames[0].aux_geo_plane.shape
-        ti = afps.atlas_frame_tile_information
-        # declared in units of 64 samples (23090-5 AFTI aux fields)
-        ti.auxiliary_video_tile_row_width_minus1 = -(-aw // 64) - 1
-        ti.auxiliary_video_tile_row_height = [-(-ah // 64)]
     afps.raw_3d_offset_bitcount_explicit_mode_flag = has_raw
     if tiles is not None:
         # atlas frame partitioning (framework extension): one I-tile
         # layer per tile per frame, patches in tile-local coordinates
         assert p_modes is None, "multi-tile fixtures are I-tile-only"
-        assert not any(f.meta.eom_patches for f in frames), (
-            "multi-tile fixtures do not carry EOM patches (member "
-            "index remapping not implemented)"
-        )
         if isinstance(tiles, AtlasFrameTileInformation):
             afti = tiles
         else:
@@ -636,6 +692,25 @@ def build_fixture_stream(
             ) - 1
             afti.tile_id = list(tile_ids)
         afps.atlas_frame_tile_information = afti
+    if has_aux:
+        ti = afps.atlas_frame_tile_information
+        ah, aw = frames[0].aux_geo_plane.shape
+        # declared in units of 64 samples (23090-5 AFTI aux fields);
+        # one aux band per tile, stacked vertically in the aux video
+        ti.auxiliary_video_tile_row_width_minus1 = -(-aw // 64) - 1
+        if aux_tile_row_heights is not None:
+            assert len(aux_tile_row_heights) == ti.tile_count(), (
+                f"{len(aux_tile_row_heights)} aux band heights for "
+                f"{ti.tile_count()} tiles"
+            )
+            ti.auxiliary_video_tile_row_height = list(aux_tile_row_heights)
+        else:
+            # default: one band covering the whole aux plane, owned by
+            # tile 0 (the single-tile case, and the multi-tile case
+            # where only tile 0 carries aux patches)
+            ti.auxiliary_video_tile_row_height = [-(-ah // 64)] + [0] * (
+                ti.tile_count() - 1
+            )
     # LoD-scaled patches (framework extension; the reference
     # `unimplemented!`s on this AFPS flag, ``reader.rs:1915``)
     afps.lod_mode_enable_flag = any(
@@ -695,9 +770,12 @@ def build_fixture_stream(
             # coordinates (I-tiles only; asserted above)
             tile_views = _split_patches_by_tile(sf.meta, afti, width, height)
         else:
-            tile_views = [(0, sf.meta.patches, sf.meta.raw_patches)]
+            tile_views = [
+                (0, sf.meta.patches, sf.meta.raw_patches,
+                 sf.meta.eom_patches)
+            ]
         # per-tile layer authoring (a single iteration unless ``tiles``)
-        for tile_coded_id, reg_patches, raw_list in tile_views:
+        for tile_coded_id, reg_patches, raw_list, eom_list in tile_views:
             ath = AtlasTileHeader()
             ath.id = tile_coded_id
             ath.atlas_frame_order_count_lsb = sf.meta.frame_index
@@ -844,7 +922,7 @@ def build_fixture_stream(
                     if ath.tile_type == TileType.I
                     else PatchModePTile.EOM
                 )
-                for ep in sf.meta.eom_patches:
+                for ep in eom_list:
                     atl.patch_information_data.append(
                         PatchInformationData(
                             patch_mode=int(eom_mode),
@@ -898,7 +976,6 @@ def build_fixture_stream(
         # column-doubling then reconstructs exactly the 4:2:0 sampling,
         # so the decode must equal the 4:2:0-coded stream's
         assert not attr_444, "chroma422 fixtures author 4:2:0 frames"
-        assert not multi_map_streams, "4:2:2 single-stream envelope"
 
         def to_422(planes):
             y, u, v = planes
@@ -914,8 +991,13 @@ def build_fixture_stream(
         ]
         attr_annexbs = [
             encode_yuv420(
-                [sf.attr_planes[m] for sf in frames],
+                [
+                    to_422(sf.attr_planes[m]) if chroma422
+                    else sf.attr_planes[m]
+                    for sf in frames
+                ],
                 bit_depth=10, lossless=lossless, qp=qp, chroma444=attr_444,
+                chroma422=chroma422,
             )
             for m in range(map_count)
         ]
