@@ -83,6 +83,27 @@ def test_422_device_matches_oracle(tmp_path):
         assert format_ply(a) == format_ply(b)
 
 
+@pytest.mark.parametrize("use_device", [True, False])
+def test_422_with_per_map_streams(tmp_path, use_device):
+    """4:2:2 attributes in per-map video sub-streams: each map's
+    stream column-doubles on the host and the decode equals the
+    4:2:0-coded per-map twin's, byte for byte."""
+    from tpu_vpcc.utils.ply import format_ply
+
+    frames = make_frames(seed=27)
+    s420 = build_fixture_stream(frames, multi_map_streams=True)
+    s422 = build_fixture_stream(
+        frames, multi_map_streams=True, chroma422=True
+    )
+    assert s420 != s422
+    got422 = decode_all(s422, use_device)
+    got420 = decode_all(s420, use_device)
+    assert len(got422) == len(got420) == 2
+    for a, b in zip(got422, got420):
+        assert len(a) > 0
+        assert format_ply(a) == format_ply(b)
+
+
 def test_422_with_45_degree_views(tmp_path):
     """4:2:2 rides the gather path (raster planes) — combine with the
     45-degree extension to cover the rotated wide tail there too."""

@@ -656,16 +656,18 @@ def prepare_gof(
             # (``Image::get`` indexes by the format, ``decoder.rs:973-
             # 980``), so everything downstream runs the existing 4:4:4
             # machinery. The reference rejects the format outright.
-            if multi_map:
-                raise UnsupportedFeature(
-                    "4:2:2 attributes with per-map video sub-streams"
-                )
             # the block-tiled copy is luma-grid-aligned only for square
-            # subsampling; re-decode the attribute stream raster (a
+            # subsampling; re-decode the attribute stream(s) raster (a
             # raster first decode is reused as-is)
             if attr_frames[0].planes[0].ndim == 3:
-                attr_frames = decompress_video(
-                    attr_bs_list[0].data, attr_codec
+                attr_per_map = [
+                    decompress_video(b.data, attr_codec)
+                    for b in attr_bs_list
+                ]
+                attr_frames = (
+                    [f for pair in zip(*attr_per_map) for f in pair]
+                    if multi_map
+                    else attr_per_map[0]
                 )
             for f in attr_frames:
                 f.planes[1] = np.repeat(f.planes[1], 2, axis=1)
