@@ -377,10 +377,16 @@ def test_e2e_shift_compact_matches_oracle(tmp_path, monkeypatch):
 
 
 def test_kitchen_sink_multi_gof_cli(tmp_path):
-    """One file, six GOFs, six feature families — base two-map,
+    """One file, eight GOFs, eight feature families — base two-map,
     P-tile PLR (single-map), 45-degree views, aux-video raw patches,
-    pixel-interleaved geometry, single-map EOM — decoded through the
-    CLI on both paths, every frame byte-identical."""
+    pixel-interleaved geometry, single-map EOM, multi-tile frames with
+    per-tile aux bands, 4:2:2 attributes in per-map sub-streams —
+    decoded through the CLI on both paths, every frame
+    byte-identical."""
+    from tests.test_aux_multitile import (
+        make_two_tile_frame,
+        plant_banded_aux_raws,
+    )
     from tests.test_aux_video import make_aux_frames
     from tests.test_eom import make_eom_frame_1map
     from tests.test_pixel_interleave import make_pix_il_stream
@@ -420,7 +426,24 @@ def test_kitchen_sink_multi_gof_cli(tmp_path):
             [make_eom_frame_1map(np.random.default_rng(71))]
         ),
     ]
-    n_frames = 2 + 2 + 1 + 1 + 1 + 1
+    mt_rng = np.random.default_rng(61)
+    sf_mt = make_two_tile_frame(mt_rng)
+    plant_banded_aux_raws(mt_rng, sf_mt)
+    gofs.append(
+        build_fixture_stream(
+            [sf_mt], tiles=(2, 1), aux_tile_row_heights=[1, 1]
+        )
+    )
+    sf422 = make_synthetic_frame(
+        rng, width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2, n_patches=2, frame_index=0,
+    )
+    gofs.append(
+        build_fixture_stream(
+            [sf422], multi_map_streams=True, chroma422=True
+        )
+    )
+    n_frames = 2 + 2 + 1 + 1 + 1 + 1 + 1 + 1
     path = tmp_path / "kitchen_sink.bin"
     path.write_bytes(concat_streams(gofs))
 
