@@ -154,6 +154,30 @@ def test_multitile_aux_band_relative_coding():
     assert r1.v0 * RES + r1.aux_band_y == 64
 
 
+def test_aux_region_leaving_declared_band_fails_cleanly():
+    """An aux region taller than its tile's declared band would read
+    another tile's rows — the patch derivation rejects it."""
+    from tpu_vpcc.atlas.patches import create_patch_frames
+    from tpu_vpcc.bitio import Bitstream
+    from tpu_vpcc.v3c.context import Context
+    from tpu_vpcc.v3c.stream import SampleStreamV3CUnit
+    from tpu_vpcc.v3c.syntax import UnsupportedFeature
+
+    rng = np.random.default_rng(67)
+    sf = make_two_tile_frame(rng)
+    plant_banded_aux_raws(rng, sf)
+    stream = build_fixture_stream(
+        [sf], tiles=(2, 1), aux_tile_row_heights=[1, 1]
+    )
+    ctx = Context()
+    SampleStreamV3CUnit.from_bitstream(Bitstream(stream)).decode_gof(ctx)
+    # a corrupt uvlc height can shrink a band under its regions
+    afti = ctx.get_afps(0).atlas_frame_tile_information
+    afti.auxiliary_video_tile_row_height = [0, 1]
+    with pytest.raises(UnsupportedFeature, match="aux band"):
+        create_patch_frames(ctx)
+
+
 def test_multitile_aux_eom_colors_from_band(tmp_path):
     """Aux EOM patch owned by tile 1: codewords stay in the (folded)
     occupancy canvas, colors read from tile 1's aux band; scalar

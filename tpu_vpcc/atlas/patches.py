@@ -624,6 +624,11 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
         aux_band_y = 64 * sum(
             afti.auxiliary_video_tile_row_height[:tile_idx]
         )
+        aux_band_h = 64 * (
+            afti.auxiliary_video_tile_row_height[tile_idx]
+            if tile_idx < len(afti.auxiliary_video_tile_row_height)
+            else 0
+        )
         canvas_dims[frame_index] = (asps.frame_width, asps.frame_height)
         meta = FrameMeta(
             frame_index=frame_index,
@@ -712,6 +717,15 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                 res = packing_block_size
                 w_pix = rp.size_u0 * res
                 h_pix = rp.size_v0 * res
+                if rp.in_aux_video and rp.v0 * res + h_pix > aux_band_h:
+                    # band-relative coordinates must stay inside the
+                    # tile's declared aux band — straddling would read
+                    # another tile's rows
+                    raise UnsupportedFeature(
+                        f"aux raw patch rows [{rp.v0 * res},"
+                        f"{rp.v0 * res + h_pix}) leaves the tile's "
+                        f"{aux_band_h}-row aux band"
+                    )
                 if not rp.in_aux_video and (
                     rp.u0 * res + w_pix > meta.width
                     or rp.v0 * res + h_pix > meta.height
@@ -755,6 +769,12 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                 res = packing_block_size
                 w_pix = ep.size_u0 * res
                 h_pix = ep.size_v0 * res
+                if ep.in_aux_video and ep.v0 * res + h_pix > aux_band_h:
+                    raise UnsupportedFeature(
+                        f"aux EOM patch rows [{ep.v0 * res},"
+                        f"{ep.v0 * res + h_pix}) leaves the tile's "
+                        f"{aux_band_h}-row aux band"
+                    )
                 if not ep.in_aux_video and (
                     ep.u0 * res + w_pix > meta.width
                     or ep.v0 * res + h_pix > meta.height

@@ -660,10 +660,15 @@ def prepare_gof(
             # subsampling; re-decode the attribute stream(s) raster (a
             # raster first decode is reused as-is)
             if attr_frames[0].planes[0].ndim == 3:
-                attr_per_map = [
-                    decompress_video(b.data, attr_codec)
-                    for b in attr_bs_list
-                ]
+                # per-map streams re-decode concurrently, like the
+                # first decode fan-out above
+                with ThreadPoolExecutor(len(attr_bs_list)) as repool:
+                    attr_per_map = list(
+                        repool.map(
+                            lambda b: decompress_video(b.data, attr_codec),
+                            attr_bs_list,
+                        )
+                    )
                 attr_frames = (
                     [f for pair in zip(*attr_per_map) for f in pair]
                     if multi_map
