@@ -629,6 +629,16 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
             if tile_idx < len(afti.auxiliary_video_tile_row_height)
             else 0
         )
+
+        def check_aux_band(kind: str, y0: int, h_pix: int) -> None:
+            # band-relative coordinates must stay inside the tile's
+            # declared aux band — straddling would read another
+            # tile's rows
+            if y0 + h_pix > aux_band_h:
+                raise UnsupportedFeature(
+                    f"aux {kind} patch rows [{y0},{y0 + h_pix}) leaves "
+                    f"the tile's {aux_band_h}-row aux band"
+                )
         canvas_dims[frame_index] = (asps.frame_width, asps.frame_height)
         meta = FrameMeta(
             frame_index=frame_index,
@@ -717,15 +727,8 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                 res = packing_block_size
                 w_pix = rp.size_u0 * res
                 h_pix = rp.size_v0 * res
-                if rp.in_aux_video and rp.v0 * res + h_pix > aux_band_h:
-                    # band-relative coordinates must stay inside the
-                    # tile's declared aux band — straddling would read
-                    # another tile's rows
-                    raise UnsupportedFeature(
-                        f"aux raw patch rows [{rp.v0 * res},"
-                        f"{rp.v0 * res + h_pix}) leaves the tile's "
-                        f"{aux_band_h}-row aux band"
-                    )
+                if rp.in_aux_video:
+                    check_aux_band("raw", rp.v0 * res, h_pix)
                 if not rp.in_aux_video and (
                     rp.u0 * res + w_pix > meta.width
                     or rp.v0 * res + h_pix > meta.height
@@ -769,12 +772,8 @@ def create_patch_frames(context: Context) -> List[FrameMeta]:
                 res = packing_block_size
                 w_pix = ep.size_u0 * res
                 h_pix = ep.size_v0 * res
-                if ep.in_aux_video and ep.v0 * res + h_pix > aux_band_h:
-                    raise UnsupportedFeature(
-                        f"aux EOM patch rows [{ep.v0 * res},"
-                        f"{ep.v0 * res + h_pix}) leaves the tile's "
-                        f"{aux_band_h}-row aux band"
-                    )
+                if ep.in_aux_video:
+                    check_aux_band("EOM", ep.v0 * res, h_pix)
                 if not ep.in_aux_video and (
                     ep.u0 * res + w_pix > meta.width
                     or ep.v0 * res + h_pix > meta.height
@@ -1023,16 +1022,17 @@ def _merge_tile_frames(
                 merged.patches.append(
                     replace(p, uv0=(p.uv0[0] + bx0, p.uv0[1] + by0))
                 )
+            # aux-video coordinates stay BAND-relative (the tile's
+            # band origin rides ``aux_band_y``); only main-canvas
+            # regions fold onto the atlas block grid
             for rp in t.raw_patches:
-                # aux-video coordinates stay BAND-relative (the tile's
-                # band origin rides ``aux_band_y``); only main-canvas
-                # regions fold onto the atlas block grid
-                if rp.in_aux_video:
-                    merged.raw_patches.append(replace(rp))
-                else:
-                    merged.raw_patches.append(
-                        replace(rp, u0=rp.u0 + bx0, v0=rp.v0 + by0)
+                merged.raw_patches.append(
+                    replace(
+                        rp,
+                        u0=rp.u0 if rp.in_aux_video else rp.u0 + bx0,
+                        v0=rp.v0 if rp.in_aux_video else rp.v0 + by0,
                     )
+                )
             for ep in t.eom_patches:
                 merged.eom_patches.append(
                     replace(
