@@ -258,9 +258,12 @@ def tpu_parity_check(width: int = 128, height: int = 128, n_frames: int = 2):
 
 
 # total wall budget for one bench run; the driver's own timeout is
-# unknown but the round-2 artifact proved >=340s is survivable, so stay
-# conservative and spend what's left after the headline on the extras
-_TOTAL_BUDGET_S = float(os.environ.get("TPU_VPCC_BENCH_BUDGET_S", "600"))
+# unknown, but the round-3 official artifact survived ~750s (rc=0 with
+# a 407s + 150s extras wait recorded), and round 8/9 rehearsals showed
+# the full artifact (numeric e2e + multistream) needs up to ~20 min on
+# a cold extras cache / congested pool. Losing the extras evidence has
+# cost three rounds; spend the wall time.
+_TOTAL_BUDGET_S = float(os.environ.get("TPU_VPCC_BENCH_BUDGET_S", "1500"))
 
 
 def _spawn_extra(name: str, gate: str):
@@ -285,12 +288,13 @@ def _collect_extra(extra, deadline: float):
     try:
         with open(extra["gate"], "w"):
             pass
-        # floor of 150s even when the kernel stage ate the budget: losing
+        # floor of 240s even when the kernel stage ate the budget: losing
         # the extras evidence (round-2 failure mode) costs more than the
         # overrun, prep has already been paid concurrently, and a warm-
         # cache extra still needs ~60-120s of import + queued dispatches
-        # on a congested tunnel (75s proved marginal in round 3)
-        timeout = max(150.0, deadline - time.perf_counter())
+        # on a congested tunnel (150s proved marginal in round-8/9
+        # rehearsals when the pool was busy)
+        timeout = max(240.0, deadline - time.perf_counter())
         try:
             extra["proc"].wait(timeout=timeout)
         except Exception:
