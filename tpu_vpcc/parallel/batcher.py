@@ -34,6 +34,7 @@ from ..runtime.pipeline import (
     _emit_pointset,
     _gof_device_inputs,
     _reconstruct_gof_oracle,
+    _secondary_gof_values,
     prepare_gof,
 )
 
@@ -166,10 +167,16 @@ def decode_streams_batched(
                 results = _dispatch_chunked(merged, mesh=mesh)
                 offset = 0
                 for state, gof, di in group:
+                    sec_vals = (
+                        _secondary_gof_values(gof, mesh=mesh)
+                        if gof.sec_attrs else None
+                    )
                     for j, (pos, col) in enumerate(
                         results[offset : offset + di.n_frames]
                     ):
                         ps = _emit_pointset(pos, col, gof)
+                        if sec_vals is not None:
+                            ps.extra_attrs = sec_vals[j]
                         meta = gof.metas[j]
                         if meta.raw_patches:
                             _append_raw_points(ps, gof, meta)

@@ -24,6 +24,11 @@ class PointSet3:
         default_factory=lambda: np.empty((0, 3), dtype=np.uint16)
     )
     with_colors: bool = False
+    # FRAMEWORK EXTENSION: secondary-attribute channels (the reference
+    # only ever carries one color triple). Each entry is
+    # ``(property_names, values)`` with values ``(n, len(names))`` u8
+    # or u16 — the PLY writer emits them as extra vertex properties.
+    extra_attrs: List[tuple] = field(default_factory=list)
 
     def __len__(self) -> int:
         return int(self.positions.shape[0])
@@ -51,11 +56,28 @@ class PointSet3:
     def concatenate(cls, parts: List["PointSet3"]) -> "PointSet3":
         if not parts:
             return cls()
+        extra: List[tuple] = []
+        if any(p.extra_attrs for p in parts):
+            schema = [names for names, _ in parts[0].extra_attrs]
+            if any(
+                [n for n, _ in p.extra_attrs] != schema for p in parts
+            ):
+                raise ValueError(
+                    "cannot concatenate point sets with differing "
+                    "extra-attribute schemas"
+                )
+            extra = [
+                (names, np.concatenate(
+                    [p.extra_attrs[i][1] for p in parts]
+                ))
+                for i, (names, _) in enumerate(parts[0].extra_attrs)
+            ]
         return cls(
             positions=np.concatenate([p.positions for p in parts]),
             colors=np.concatenate([p.colors for p in parts]),
             colors16bit=np.concatenate([p.colors16bit for p in parts]),
             with_colors=any(p.with_colors for p in parts),
+            extra_attrs=extra,
         )
 
 

@@ -294,6 +294,67 @@ class GofData:
     aux_attr_planes: Optional[List[List[np.ndarray]]] = None
     aux_geo_shift: int = 0
     aux_chroma_shift: int = 1
+    # FRAMEWORK EXTENSION: secondary attributes (vuh_attribute_index >
+    # 0; the reference reads only attribute 0). Each decodes through
+    # the IDENTICAL reconstruction graph with the attribute planes
+    # swapped — emission order is a function of occupancy/geometry
+    # only, so per-point alignment with the primary pass is free.
+    sec_attrs: tuple = ()
+
+
+# V3C attribute type ids (23090-5 table; the reference only ever
+# consumes ATTR_TEXTURE). Names drive the extra PLY properties.
+_ATTR_TYPE_NAMES = {
+    0: "texture",
+    1: "material_id",
+    2: "transparency",
+    3: "reflectance",
+    4: "normal",
+}
+
+
+@dataclass(frozen=True)
+class SecAttr:
+    """One decoded secondary attribute (vuh_attribute_index >= 1)."""
+
+    attr_index: int  # vuh_attribute_index (>= 1)
+    type_id: int  # ai_attribute_type_id
+    dimension: int  # ai_attribute_dimension_minus1 + 1 (1 or 3)
+    planes: tuple  # per video frame (map-interleaved): [y, u, v]
+    chroma_shift: int  # 1 = 4:2:0, 0 = 4:4:4 (after any 4:2:2 doubling)
+    is_rgb444: bool
+    bit_depth: int  # decoded sample bit depth
+
+    def property_names(self) -> tuple:
+        """PLY property names for this attribute's channels."""
+        base = _ATTR_TYPE_NAMES.get(self.type_id, f"attr{self.attr_index}")
+        if self.dimension == 1:
+            return (base if self.type_id in _ATTR_TYPE_NAMES
+                    else f"{base}_c0",)
+        if self.type_id == 0:
+            # a secondary texture: an index-suffixed RGB triple
+            k = self.attr_index
+            return (f"red{k}", f"green{k}", f"blue{k}")
+        if self.type_id == 4:
+            return ("nx", "ny", "nz")
+        return tuple(f"{base}_c{c}" for c in range(self.dimension))
+
+    def finalize(self, col16: np.ndarray) -> np.ndarray:
+        """Raw fetched (n, 3) u16 samples -> the output channel array.
+
+        Texture-typed triples get the primary color treatment (exact
+        f64 BT.709, or u8 truncation for decoded-RGB content); other
+        types keep raw integer samples at the decoded bit depth."""
+        from ..reconstruction.pointset import convert_yuv10_to_rgb8
+
+        if self.dimension == 1:
+            v = col16[:, :1]
+            return v.astype(np.uint8) if self.bit_depth <= 8 else v
+        if self.type_id == 0:
+            if self.is_rgb444:
+                return (col16 & 0xFF).astype(np.uint8)
+            return convert_yuv10_to_rgb8(col16)
+        return col16 if self.bit_depth > 8 else col16.astype(np.uint8)
 
 
 def extract_geo_smoothing(context: Context, asps) -> Optional[object]:
@@ -426,10 +487,24 @@ def prepare_gof(
         raise UnsupportedFeature("multiple map streams beyond two maps")
     if multi_map and any(vps.map_predictor_index_diff[1:]):
         raise UnsupportedFeature("map predictor index diff")
-    if ai.attribute_count != 1:
-        raise UnsupportedFeature("exactly one attribute expected")
-    if ai.attribute_dimension_partitions_minus1[0] + 1 != 1:
-        raise UnsupportedFeature("attribute partitions != 1")
+    if ai.attribute_count < 1:
+        raise UnsupportedFeature("at least one attribute expected")
+    # attribute 0 is the primary (texture -> colors); further indices
+    # decode as extra per-point channels (FRAMEWORK EXTENSION — the
+    # reference indexes every ai_* array with [0] and asserts nothing
+    # else exists)
+    if ai.attribute_dimension_minus1[0] + 1 != 3:
+        raise UnsupportedFeature("primary attribute must be 3-channel")
+    for k in range(ai.attribute_count):
+        if ai.attribute_dimension_partitions_minus1[k] + 1 != 1:
+            raise UnsupportedFeature("attribute partitions != 1")
+        if ai.attribute_msb_align_flag[k]:
+            raise UnsupportedFeature("attribute msb align")
+        if k > 0 and ai.attribute_dimension_minus1[k] + 1 not in (1, 3):
+            raise UnsupportedFeature(
+                f"secondary attribute dimension "
+                f"{ai.attribute_dimension_minus1[k] + 1} (1 or 3)"
+            )
 
     metas = create_patch_frames(context)
     frame_count = max((m.frame_index for m in metas), default=-1) + 1
@@ -440,19 +515,34 @@ def prepare_gof(
             context.get_video_bitstream(VideoType.GEOMETRY_D0),
             context.get_video_bitstream(VideoType.GEOMETRY_D1),
         ]
-        attr_bs_list = [
-            context.get_video_bitstream(VideoType.ATTRIBUTE_T0),
-            context.get_video_bitstream(VideoType.ATTRIBUTE_T1),
+        attr_bs_sets = [
+            [
+                context.get_video_bitstream(VideoType.ATTRIBUTE_T0, k),
+                context.get_video_bitstream(VideoType.ATTRIBUTE_T1, k),
+            ]
+            for k in range(ai.attribute_count)
         ]
     else:
         geo_bs_list = [context.get_video_bitstream(VideoType.GEOMETRY)]
-        attr_bs_list = [context.get_video_bitstream(VideoType.ATTRIBUTE)]
-    if occ_bs is None or None in geo_bs_list or None in attr_bs_list:
+        attr_bs_sets = [
+            [context.get_video_bitstream(VideoType.ATTRIBUTE, k)]
+            for k in range(ai.attribute_count)
+        ]
+    attr_bs_list = attr_bs_sets[0]
+    if (
+        occ_bs is None
+        or None in geo_bs_list
+        or any(None in s for s in attr_bs_sets)
+    ):
         raise UnsupportedFeature("missing occupancy/geometry/attribute stream")
 
     occ_codec = codec_id_from_v3c(oi.occupancy_codec_id)
     geo_codec = codec_id_from_v3c(gi.geometry_codec_id)
-    attr_codec = codec_id_from_v3c(ai.attribute_codec_id[0])
+    attr_codecs = [
+        codec_id_from_v3c(ai.attribute_codec_id[k])
+        for k in range(ai.attribute_count)
+    ]
+    attr_codec = attr_codecs[0]
 
     # FRAMEWORK EXTENSION: auxiliary raw-patch videos (aux-flagged
     # GVD/AVD units — the reference asserts the header flag false,
@@ -520,6 +610,22 @@ def prepare_gof(
                 "pixel deinterleaving combined with raw/EOM/PLR patches"
             )
 
+    if ai.attribute_count > 1:
+        # secondary attributes ride the device twin-pass; the host
+        # raw/EOM/PLR tails sample only the primary attribute video,
+        # so points they append would lack the extra channels
+        if has_aux_patches or any(
+            m.raw_patches or m.eom_patches for m in metas
+        ):
+            raise UnsupportedFeature(
+                "secondary attributes combined with raw/EOM patches"
+            )
+        if asps.plr_enabled_flag or pix_il:
+            raise UnsupportedFeature(
+                "secondary attributes combined with PLR or pixel "
+                "deinterleaving"
+            )
+
     res = 1 << asps.log2_patch_packing_block_size
     # the tiled fast path requires even, precision-divisible block tiles
     tiled = tiled and res >= 2 and res % 2 == 0
@@ -538,7 +644,7 @@ def prepare_gof(
         # the cell path sizes its tiles from the CODED precision
         and occ_synth is None
     )
-    n_jobs = 1 + len(geo_bs_list) + len(attr_bs_list)
+    n_jobs = 1 + len(geo_bs_list) + sum(len(s) for s in attr_bs_sets)
     with ThreadPoolExecutor(max_workers=max(num_video_threads, n_jobs)) as pool:
         if cell:
             occ_frames = decompress_video(occ_bs.data, occ_codec)
@@ -561,9 +667,12 @@ def prepare_gof(
             )
             for b in geo_bs_list
         ]
-        attr_fs = [
-            pool.submit(decompress_video, b.data, attr_codec, True, vtile)
-            for b in attr_bs_list
+        attr_fs_sets = [
+            [
+                pool.submit(decompress_video, b.data, attr_codecs[k], True, vtile)
+                for b in s
+            ]
+            for k, s in enumerate(attr_bs_sets)
         ]
         # aux videos decode raster (host-tail consumers only)
         aux_geo_f = (
@@ -577,7 +686,8 @@ def prepare_gof(
         if occ_f is not None:
             occ_frames = occ_f.result()
         geo_per_map = [f.result() for f in geo_fs]
-        attr_per_map = [f.result() for f in attr_fs]
+        attr_per_map_sets = [[f.result() for f in fs] for fs in attr_fs_sets]
+        attr_per_map = attr_per_map_sets[0]
         aux_geo_frames = aux_geo_f.result() if aux_geo_f else []
         aux_attr_frames = aux_attr_f.result() if aux_attr_f else []
     if (has_aux_raw and len(aux_geo_frames) < frame_count) or (
@@ -607,9 +717,9 @@ def prepare_gof(
     if multi_map:
         # interleave the per-map videos into the map-interleaved frame
         # order every downstream consumer indexes by (frame*mc + map)
-        if (
-            len(set(len(v) for v in geo_per_map)) > 1
-            or len(set(len(v) for v in attr_per_map)) > 1
+        if len(set(len(v) for v in geo_per_map)) > 1 or any(
+            len(set(len(v) for v in per_map)) > 1
+            for per_map in attr_per_map_sets
         ):
             raise UnsupportedFeature(
                 "per-map video sub-streams decoded to differing frame "
@@ -617,10 +727,14 @@ def prepare_gof(
                 f"attr={[len(v) for v in attr_per_map]})"
             )
         geo_frames = [f for pair in zip(*geo_per_map) for f in pair]
-        attr_frames = [f for pair in zip(*attr_per_map) for f in pair]
+        attr_frames_sets = [
+            [f for pair in zip(*per_map) for f in pair]
+            for per_map in attr_per_map_sets
+        ]
     else:
         geo_frames = geo_per_map[0]
-        attr_frames = attr_per_map[0]
+        attr_frames_sets = [per_map[0] for per_map in attr_per_map_sets]
+    attr_frames = attr_frames_sets[0]
 
     if not (occ_frames and geo_frames and attr_frames):
         raise UnsupportedFeature(
@@ -646,62 +760,78 @@ def prepare_gof(
     # on it; ``Image::get`` indexes chroma by it, ``:973-980``). The
     # kernels' single shift covers 4:2:0 and 4:4:4; 4:2:2 upsamples to
     # 4:4:4 on the host below; anything else fails cleanly.
-    force_raster = False
-    if attr_frames:
-        shifts = (attr_frames[0].chroma_w_shift, attr_frames[0].chroma_h_shift)
+    def _normalize_chroma(frames, bs_list, codec):
+        """FRAMEWORK EXTENSION: 4:2:2 attributes. Column-doubling the
+        half-width chroma to 4:4:4 on the host is bit-exact with the
+        x >> 1 sampling the decode would otherwise do (``Image::get``
+        indexes by the format, ``decoder.rs:973-980``), so everything
+        downstream runs the existing 4:4:4 machinery. The reference
+        rejects the format outright. The block-tiled copy is
+        luma-grid-aligned only for square subsampling, so a tiled
+        4:2:2 first decode re-decodes raster (a raster first decode is
+        reused as-is). Returns (frames, chroma_shift, forced_raster)."""
+        if not frames:
+            return frames, 1, False
+        shifts = (frames[0].chroma_w_shift, frames[0].chroma_h_shift)
+        forced = False
         if shifts == (1, 0):
-            # FRAMEWORK EXTENSION: 4:2:2 attributes. Column-doubling the
-            # half-width chroma to 4:4:4 on the host is bit-exact with
-            # the x >> 1 sampling the decode would otherwise do
-            # (``Image::get`` indexes by the format, ``decoder.rs:973-
-            # 980``), so everything downstream runs the existing 4:4:4
-            # machinery. The reference rejects the format outright.
-            # the block-tiled copy is luma-grid-aligned only for square
-            # subsampling; re-decode the attribute stream(s) raster (a
-            # raster first decode is reused as-is)
-            if attr_frames[0].planes[0].ndim == 3:
+            if frames[0].planes[0].ndim == 3:
                 # per-map streams re-decode concurrently, like the
                 # first decode fan-out above
-                with ThreadPoolExecutor(len(attr_bs_list)) as repool:
-                    attr_per_map = list(
+                with ThreadPoolExecutor(len(bs_list)) as repool:
+                    per_map = list(
                         repool.map(
-                            lambda b: decompress_video(b.data, attr_codec),
-                            attr_bs_list,
+                            lambda b: decompress_video(b.data, codec),
+                            bs_list,
                         )
                     )
-                attr_frames = (
-                    [f for pair in zip(*attr_per_map) for f in pair]
+                frames = (
+                    [f for pair in zip(*per_map) for f in pair]
                     if multi_map
-                    else attr_per_map[0]
+                    else per_map[0]
                 )
-            for f in attr_frames:
+            for f in frames:
                 f.planes[1] = np.repeat(f.planes[1], 2, axis=1)
                 f.planes[2] = np.repeat(f.planes[2], 2, axis=1)
                 f.chroma_w_shift = 0
             shifts = (0, 0)
-            force_raster = True
+            forced = True
         if shifts not in ((1, 1), (0, 0)):
             raise UnsupportedFeature(
                 f"attribute chroma subsampling {shifts} (only 4:2:0 / "
                 f"4:2:2 / 4:4:4)"
             )
-        attr_chroma_shift = shifts[0]
-    else:
-        attr_chroma_shift = 1
+        return frames, shifts[0], forced
+
+    force_raster = False
+    attr_chroma_shift = 1
+    for k in range(len(attr_frames_sets)):
+        frames_k, shift_k, forced_k = _normalize_chroma(
+            attr_frames_sets[k], attr_bs_sets[k], attr_codecs[k]
+        )
+        attr_frames_sets[k] = frames_k
+        force_raster |= forced_k
+        if k == 0:
+            attr_chroma_shift = shift_k
+    attr_frames = attr_frames_sets[0]
     attr_is_rgb444 = bool(attr_frames and attr_frames[0].is_rgb)
     if force_raster and tiled:
-        # 4:2:2 attrs re-decoded raster: bring the geometry back to the
-        # canvas layout too — one GOF carries ONE plane layout (the
-        # dispatch re-tiles for the kernels at staging; relayout)
+        # 4:2:2 attrs re-decoded raster: bring the geometry (and every
+        # attribute set still block-tiled) back to the canvas layout —
+        # one GOF carries ONE plane layout (the dispatch re-tiles for
+        # the kernels at staging; relayout)
         from ..ops.tiled import untile_plane
 
+        bh = vps.frame_height // vtile
+        bw = vps.frame_width // vtile
         for f in geo_frames:
             if f.planes[0].ndim == 3:
-                f.planes[0] = untile_plane(
-                    f.planes[0],
-                    vps.frame_height // vtile,
-                    vps.frame_width // vtile,
-                )
+                f.planes[0] = untile_plane(f.planes[0], bh, bw)
+        for frames_k in attr_frames_sets:
+            for f in frames_k:
+                if f.planes[0].ndim == 3:
+                    for i in range(len(f.planes)):
+                        f.planes[i] = untile_plane(f.planes[i], bh, bw)
         tiled = False
         cell = False
     # the native copy falls back to raw layout when dims don't divide
@@ -710,6 +840,29 @@ def prepare_gof(
     probe_frames = attr_frames if pix_il else geo_frames
     tiled = tiled and bool(probe_frames) and probe_frames[0].planes[0].ndim == 3
     cell = cell and tiled
+
+    # secondary attribute sets must share the GOF's single plane layout
+    # (the dispatch relayout is keyed once per GOF); the native decoder
+    # can fall back to raster per video, so normalize any stragglers
+    for frames_k in attr_frames_sets[1:]:
+        for f in frames_k:
+            set_tiled = f.planes[0].ndim == 3
+            if set_tiled == tiled:
+                continue
+            if set_tiled:
+                from ..ops.tiled import untile_plane
+
+                bh = vps.frame_height // vtile
+                bw = vps.frame_width // vtile
+                for i in range(len(f.planes)):
+                    f.planes[i] = untile_plane(f.planes[i], bh, bw)
+            else:
+                from ..ops.tiled import tile_plane
+
+                cs = f.chroma_w_shift
+                f.planes[0] = tile_plane(f.planes[0], vtile)
+                f.planes[1] = tile_plane(f.planes[1], vtile >> cs)
+                f.planes[2] = tile_plane(f.planes[2], vtile >> cs)
 
     # PLR mode table (framework extension; the ASPS parse pins the
     # single-map envelope)
@@ -798,6 +951,35 @@ def prepare_gof(
             for f in attr_frames
         ]
 
+    # FRAMEWORK EXTENSION: secondary attributes (see SecAttr); gated
+    # off pixel-interleave above, so the map structure is the VPS's
+    sec_attrs = []
+    for k in range(1, len(attr_frames_sets)):
+        fr = attr_frames_sets[k]
+        mc_v = vps.map_count_minus1 + 1
+        if len(fr) < frame_count * mc_v:
+            raise UnsupportedFeature(
+                f"secondary attribute {k} decoded to {len(fr)} frames, "
+                f"the atlas needs {frame_count * mc_v}"
+            )
+        if fr[0].bit_depth > 10:
+            raise UnsupportedFeature(
+                f"secondary attribute {k} decoded as "
+                f"{fr[0].bit_depth}-bit (10-bit envelope)"
+            )
+        sec_attrs.append(SecAttr(
+            attr_index=k,
+            type_id=ai.attribute_type_id[k],
+            dimension=ai.attribute_dimension_minus1[k] + 1,
+            planes=tuple(
+                [p.astype(np.uint16, copy=False) for p in f.planes]
+                for f in fr
+            ),
+            chroma_shift=fr[0].chroma_w_shift,
+            is_rgb444=bool(fr[0].is_rgb),
+            bit_depth=fr[0].bit_depth,
+        ))
+
     return GofData(
         metas=metas,
         occ_planes=np.stack([f.planes[0] for f in occ_frames]),
@@ -845,6 +1027,7 @@ def prepare_gof(
         ),
         aux_geo_shift=aux_geo_shift,
         aux_chroma_shift=aux_chroma_shift,
+        sec_attrs=tuple(sec_attrs),
     )
 
 
@@ -1163,6 +1346,21 @@ def _reconstruct_gof_oracle(gof: GofData) -> Iterator[PointSet3]:
                 ps.copy_rgb16_to_rgb8()
             else:
                 ps.convert_yuv16_to_rgb8()
+        for sa in gof.sec_attrs:
+            # oracle twin pass (cf. _secondary_chunk_values): the same
+            # scalar reconstruction with the attribute video swapped;
+            # positions/order are attribute-independent, colors16bit
+            # carries the secondary's raw samples
+            ps2, _, _ = generate_point_cloud(
+                meta,
+                params,
+                gof.occ_planes[meta.frame_index],
+                gof.geo_planes,
+                [list(sa.planes)],
+            )
+            ps.extra_attrs.append(
+                (sa.property_names(), sa.finalize(ps2.colors16bit))
+            )
         if _meta_has_plr(gof, meta):
             _append_plr_points(ps, gof, meta)
         if meta.eom_patches:
@@ -1730,6 +1928,75 @@ def _dispatch_device(di: DeviceInputs, mesh=None, stats=None):
     ]
 
 
+def _secondary_chunk_values(gof: GofData, metas, prebuilt, g_bucket,
+                            mesh=None, stats=None):
+    """Decode every secondary attribute for one dispatch chunk: the
+    IDENTICAL reconstruction graph runs again with the attribute
+    planes swapped and a raw color fetch. Emission order is a function
+    of occupancy/geometry/fields only — attribute samples never enter
+    the validity/compaction math on any path (pinned by tests) — so
+    row i of each pass is the same point and per-point alignment with
+    the primary pass is free. Smoothing is disabled in the twin pass:
+    geometry smoothing only moves positions (discarded here) and the
+    attribute-smoothing SEI targets attribute 0. Returns a per-frame
+    list of ``(property_names, values)`` entries."""
+    from dataclasses import replace
+
+    cfg, tables = prebuilt
+    out = [[] for _ in metas]
+    for sa in gof.sec_attrs:
+        gof2 = replace(
+            gof,
+            attr_planes=list(sa.planes),
+            attr_chroma_shift=sa.chroma_shift,
+            attr_is_rgb444=sa.is_rgb444,
+            geo_smoothing=None,
+            attr_smoothing=None,
+            sec_attrs=(),
+        )
+        cfg2 = replace(
+            cfg,
+            chroma_shift=sa.chroma_shift,
+            smoothing=None,
+            attr_smoothing=None,
+        )
+        di = _gof_device_inputs(
+            gof2, metas, prebuilt=(cfg2, tables), g_bucket=g_bucket
+        )
+        di = replace(di, color_mode="raw")
+        names = sa.property_names()
+        for j, (_pos, col16) in enumerate(
+            _dispatch_device(di, mesh=mesh, stats=stats)
+        ):
+            out[j].append((names, sa.finalize(col16)))
+    return out
+
+
+def _secondary_gof_values(gof: GofData, mesh=None, stats=None):
+    """Secondary-attribute values for ALL frames of a GOF, chunked like
+    the primary dispatch (tables/bucket computed locally — used by the
+    multi-stream batcher, whose merged primary dispatch has no per-GOF
+    tables to share)."""
+    from ..atlas.groups import bucket_group_count
+
+    space = mesh.shape["space"] if mesh is not None else 1
+    cfg, tables = _gof_frame_tables(gof, gof.metas, allow_cell=space <= 1)
+    g_bucket = bucket_group_count(
+        max((t.n_groups for t in tables), default=0),
+        _group_capacity(cfg),
+        multiple_of=space,
+    )
+    chunk = DEVICE_BATCH * (mesh.shape["data"] if mesh is not None else 1)
+    out = []
+    for i in range(0, len(gof.metas), chunk):
+        out.extend(_secondary_chunk_values(
+            gof, gof.metas[i : i + chunk],
+            (cfg, tables[i : i + chunk]), g_bucket,
+            mesh=mesh, stats=stats,
+        ))
+    return out
+
+
 def _emit_pointset(pos: np.ndarray, col: np.ndarray, gof: GofData) -> PointSet3:
     """Wrap fetched device output. ``col`` is u8 RGB when the dispatch
     finalized colors on device (the production path — conversion proven
@@ -1783,8 +2050,19 @@ def _reconstruct_gof_device(gof: GofData, mesh=None, stats=None) -> Iterator[Poi
             prebuilt=(cfg, tables[i : i + chunk]),
             g_bucket=g_bucket,
         )
-        for j, (pos, col) in enumerate(_dispatch_device(di, mesh=mesh, stats=stats)):
+        results = _dispatch_device(di, mesh=mesh, stats=stats)
+        sec_vals = (
+            _secondary_chunk_values(
+                gof, gof.metas[i : i + chunk],
+                (cfg, tables[i : i + chunk]), g_bucket,
+                mesh=mesh, stats=stats,
+            )
+            if gof.sec_attrs else None
+        )
+        for j, (pos, col) in enumerate(results):
             ps = _emit_pointset(pos, col, gof)
+            if sec_vals is not None:
+                ps.extra_attrs = sec_vals[j]
             meta = gof.metas[i + j]
             if _meta_has_plr(gof, meta):
                 _append_plr_points(ps, gof, meta)

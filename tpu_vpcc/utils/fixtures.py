@@ -395,6 +395,7 @@ def build_fixture_stream(
     aux_tile_row_heights=None,
     pixel_interleave: bool = False,
     chroma422: bool = False,
+    secondary_attrs=None,
 ) -> bytes:
     """Build a complete single-GOF V3C sample-stream file.
 
@@ -453,6 +454,14 @@ def build_fixture_stream(
     coded as one I-tile layer per tile, tile-local coordinates.
     ``tile_ids``: optional explicit id list — codes the AFTI's
     signalled-tile-id path (ids in tile-index order).
+
+    ``secondary_attrs`` (framework extension — the reference reads only
+    attribute 0): a list of ``(type_id, dim, planes)`` triples, each
+    coded as its own AVD sub-stream family with
+    ``vuh_attribute_index = 1 + list position``. ``planes`` mirrors
+    ``sf.attr_planes`` (per synthetic frame, per map, ``[y, u, v]``);
+    pass None for deterministic pseudo-random content (flat chroma
+    when ``dim == 1``).
     """
     f0 = frames[0]
     width, height = f0.meta.width, f0.meta.height
@@ -525,17 +534,20 @@ def build_fixture_stream(
         geometry_3d_coordinates_bitdepth_minus1=geometry_bitdepth_3d - 1,
         auxiliary_geometry_codec_id=1 if has_aux else 0,
     )
+    n_attrs = 1 + len(secondary_attrs or [])
+    sec_types = [sa[0] for sa in (secondary_attrs or [])]
+    sec_dims = [sa[1] for sa in (secondary_attrs or [])]
     vps.attribute_information = AttributeInformation(
-        attribute_count=1,
-        attribute_type_id=[0],
-        attribute_codec_id=[1],
-        auxiliary_attribute_codec_id=[1 if has_aux else 0],
-        attribute_map_absolute_coding_persistence_flag=[True],
-        attribute_dimension_minus1=[2],
-        attribute_dimension_partitions_minus1=[0],
-        attribute_partition_channels_minus1=[[2]],
-        attribute_2d_bitdepth_minus1=[9],
-        attribute_msb_align_flag=[False],
+        attribute_count=n_attrs,
+        attribute_type_id=[0] + sec_types,
+        attribute_codec_id=[1] * n_attrs,
+        auxiliary_attribute_codec_id=[1 if has_aux else 0] * n_attrs,
+        attribute_map_absolute_coding_persistence_flag=[True] * n_attrs,
+        attribute_dimension_minus1=[2] + [d - 1 for d in sec_dims],
+        attribute_dimension_partitions_minus1=[0] * n_attrs,
+        attribute_partition_channels_minus1=[[2]] + [[d - 1] for d in sec_dims],
+        attribute_2d_bitdepth_minus1=[9] * n_attrs,
+        attribute_msb_align_flag=[False] * n_attrs,
     )
 
     asps = AtlasSequenceParameterSet()
@@ -1028,6 +1040,56 @@ def build_fixture_stream(
             )
         ]
 
+    sec_annexb_sets = []
+    if secondary_attrs:
+        assert not pixel_interleave, (
+            "secondary attributes are gated off pixel-interleaved streams"
+        )
+        for k, (type_id, dim, planes) in enumerate(secondary_attrs):
+            if planes is None:
+                rng = np.random.default_rng(9000 + k)
+
+                def gen():
+                    y = rng.integers(0, 1024, (height, width)).astype(np.uint16)
+                    if dim == 1:
+                        u = np.full((ch, cw), 512, np.uint16)
+                        v = u.copy()
+                    else:
+                        u = rng.integers(0, 1024, (ch, cw)).astype(np.uint16)
+                        v = rng.integers(0, 1024, (ch, cw)).astype(np.uint16)
+                    return [y, u, v]
+
+                planes = [
+                    [gen() for _ in range(map_count)] for _ in frames
+                ]
+            # coding format is shape-driven, like the primary: full-res
+            # chroma -> 4:4:4, (h, w/2) -> 4:2:2 (author 4:2:0 and
+            # row-double, cf. ``to_422``), (h/2, w/2) -> 4:2:0
+            y0, u0 = planes[0][0][0], planes[0][0][1]
+            sec_444 = u0.shape == y0.shape
+            sec_422 = u0.shape == (y0.shape[0], y0.shape[1] // 2)
+            if multi_map_streams:
+                sec_annexb_sets.append([
+                    encode_yuv420(
+                        [planes[fi][m] for fi in range(len(frames))],
+                        bit_depth=10, lossless=lossless, qp=qp,
+                        chroma444=sec_444, chroma422=sec_422,
+                    )
+                    for m in range(map_count)
+                ])
+            else:
+                sec_annexb_sets.append([
+                    encode_yuv420(
+                        [
+                            planes[fi][m]
+                            for fi in range(len(frames))
+                            for m in range(map_count)
+                        ],
+                        bit_depth=10, lossless=lossless, qp=qp,
+                        chroma444=sec_444, chroma422=sec_422,
+                    )
+                ])
+
     occ_annexb = encode_yuv420(occ_video, bit_depth=8, lossless=lossless, qp=qp)
 
     aux_geo_annexb = aux_attr_annexb = None
@@ -1065,6 +1127,16 @@ def build_fixture_stream(
             ),
             w3c.annexb_to_length_prefixed(annexb),
         )
+    for k, annexbs in enumerate(sec_annexb_sets, start=1):
+        for m, annexb in enumerate(annexbs):
+            sw.add_unit(
+                w3c.v3c_unit_header(
+                    V3CUnitType.AVD,
+                    map_index=m if multi_map_streams else 0,
+                    attribute_index=k,
+                ),
+                w3c.annexb_to_length_prefixed(annexb),
+            )
     if aux_geo_annexb is not None:
         sw.add_unit(
             w3c.v3c_unit_header(V3CUnitType.GVD, auxiliary_video_flag=True),

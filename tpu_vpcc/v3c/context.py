@@ -51,10 +51,16 @@ class V3CUnitHeader:
 @dataclass
 class VideoBitstream:
     """Raw video sub-bitstream payload of one OVD/GVD/AVD unit
-    (``src/bitstream.rs:192-207``)."""
+    (``src/bitstream.rs:192-207``).
+
+    ``attr_index``: the AVD unit header's vuh_attribute_index
+    (FRAMEWORK EXTENSION — the reference's container has no per-index
+    storage because it asserts a single attribute everywhere; here
+    multi-attribute streams demux one sub-stream family per index)."""
 
     data: bytes
     video_type: VideoType
+    attr_index: int = 0
 
     def __len__(self) -> int:
         return len(self.data)
@@ -69,10 +75,12 @@ class AtlasHighLevelSyntax:
     atlas_frame_parameter_set: List[AtlasFrameParameterSet] = field(default_factory=list)
     atlas_tile_layer: List[AtlasTileLayer] = field(default_factory=list)
 
-    def get_video_bitstream(self, video_type: VideoType) -> Optional[VideoBitstream]:
+    def get_video_bitstream(
+        self, video_type: VideoType, attr_index: int = 0
+    ) -> Optional[VideoBitstream]:
         """Returns the *last* pushed bitstream of the type (``context.rs:262-267``)."""
         for vbs in reversed(self.video_bitstreams):
-            if vbs.video_type == video_type:
+            if vbs.video_type == video_type and vbs.attr_index == attr_index:
                 return vbs
         return None
 
@@ -137,8 +145,10 @@ class Context:
     def add_video_bitstream(self, vbs: VideoBitstream) -> None:
         self.atlas_hls.video_bitstreams.append(vbs)
 
-    def get_video_bitstream(self, video_type: VideoType) -> Optional[VideoBitstream]:
-        return self.atlas_hls.get_video_bitstream(video_type)
+    def get_video_bitstream(
+        self, video_type: VideoType, attr_index: int = 0
+    ) -> Optional[VideoBitstream]:
+        return self.atlas_hls.get_video_bitstream(video_type, attr_index)
 
     # -- derivations -------------------------------------------------------
 

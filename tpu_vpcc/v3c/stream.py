@@ -120,13 +120,27 @@ class V3CUnit:
             )
         elif self.unit_type == V3CUnitType.AVD:
             vps = context.get_vps()
-            if vps.attribute_information.attribute_count == 0:
+            ai = vps.attribute_information
+            if ai.attribute_count == 0:
                 return
             vuh = context.get_v3c_unit_header(V3CUnitType.AVD)
             if vuh.attribute_dimension_index != 0:
                 raise UnsupportedFeature("attribute_dimension_index > 0")
+            # FRAMEWORK EXTENSION: multi-attribute streams demux one
+            # sub-stream family per vuh_attribute_index (the reference
+            # only ever reads attribute 0, ``reader.rs:412-482`` arrays
+            # are indexed [0] downstream)
+            if vuh.attribute_index >= ai.attribute_count:
+                raise UnsupportedFeature(
+                    f"AVD attribute_index {vuh.attribute_index} but the "
+                    f"VPS declares {ai.attribute_count} attribute(s)"
+                )
             vtype = VideoType.ATTRIBUTE
             if vuh.auxiliary_video_flag:
+                if vuh.attribute_index != 0:
+                    raise UnsupportedFeature(
+                        "auxiliary video for a secondary attribute"
+                    )
                 context.add_video_bitstream(
                     VideoBitstream(
                         bs.read_slice(self.size - 4),
@@ -141,7 +155,10 @@ class V3CUnit:
                     )
                 vtype = VideoType(VideoType.ATTRIBUTE_T0 + vuh.map_index)
             context.add_video_bitstream(
-                VideoBitstream(bs.read_slice(self.size - 4), vtype)
+                VideoBitstream(
+                    bs.read_slice(self.size - 4), vtype,
+                    attr_index=vuh.attribute_index,
+                )
             )
 
 
