@@ -129,3 +129,32 @@ def test_eight_concurrent_streams_on_device_mesh(tmp_path):
         assert len(batched[s]) == len(seq) == 2
         for a, b in zip(batched[s], seq):
             assert format_ply(a) == format_ply(b)
+
+
+def test_batched_streams_append_eom_and_plr_tails(tmp_path):
+    """The batcher appends the SAME host tails as the single-stream GOF
+    driver (PLR, then EOM, then raw) — it used to silently drop EOM/PLR
+    points. One EOM stream + one PLR stream, batched == sequential."""
+    import numpy as np
+
+    from tests.test_eom import make_eom_frame
+    from tests.test_plr import MODES, THICKNESS, make_plr_frames
+    from tpu_vpcc.utils.fixtures import build_fixture_stream
+
+    rng = np.random.default_rng(9)
+    p_eom = tmp_path / "eom.bin"
+    p_eom.write_bytes(build_fixture_stream(
+        [make_eom_frame(rng, frame_index=i) for i in range(2)]
+    ))
+    p_plr = tmp_path / "plr.bin"
+    p_plr.write_bytes(build_fixture_stream(
+        make_plr_frames(seed=10), plr=(MODES, THICKNESS)
+    ))
+    batched = decode_streams([p_eom, p_plr])
+    for s, path in enumerate([p_eom, p_plr]):
+        d = Decoder(Params(path))
+        d.start()
+        seq = list(d)
+        assert len(batched[s]) == len(seq) == 2
+        for a, b in zip(batched[s], seq):
+            assert format_ply(a) == format_ply(b)

@@ -203,26 +203,85 @@ def test_batched_streams_carry_secondary(tmp_path):
     assert all(not p.extra_attrs for p in batched[1])
 
 
-def test_gate_secondary_with_raw_patches(tmp_path):
-    """Raw/EOM tails sample only the primary video, so the combination
-    fails cleanly instead of emitting channel-less points."""
+def test_secondary_with_raw_patches(tmp_path):
+    """Raw-patch tail points take the secondary twin call: every point
+    (regular + tail) carries the constant coded into the reflectance
+    planes, and device == oracle byte-identically."""
     rng = np.random.default_rng(48)
     sf = make_synthetic_frame(
         rng, width=64, height=64, occupancy_resolution=8,
         occupancy_precision=4, map_count=2, n_patches=1, frame_index=0,
     )
     plant_raw_patch(rng, sf, (6, 6, 2, 1), 17)
+    planes = constant_reflectance_planes(1, 2, 700)
     path = tmp_path / "ma_raw.bin"
+    path.write_bytes(build_fixture_stream(
+        [sf], secondary_attrs=[(3, 1, planes)]
+    ))
+    plys = {}
+    for dev in (False, True):
+        out = decode_all(path, dev)
+        (ps,) = out
+        assert len(ps) > 17  # tail appended
+        vals = ps.extra_attrs[0][1]
+        assert vals.shape == (len(ps), 1)
+        assert (vals == 700).all()
+        plys[dev] = format_ply(ps)
+    assert plys[False] == plys[True]
+
+
+def test_secondary_with_plr_and_eom(tmp_path):
+    """PLR and EOM tails take the secondary twin calls too: channel
+    length tracks the tail-extended point count, values match the
+    constant planes, device == oracle."""
+    from tests.test_eom import make_eom_frame
+    from tests.test_plr import MODES, THICKNESS, make_plr_frames
+
+    plr_frames = make_plr_frames(seed=49)
+    plr_planes = constant_reflectance_planes(2, 1, 400)
+    p_plr = tmp_path / "ma_plr.bin"
+    p_plr.write_bytes(build_fixture_stream(
+        plr_frames, plr=(MODES, THICKNESS),
+        secondary_attrs=[(3, 1, plr_planes)],
+    ))
+    rng = np.random.default_rng(50)
+    eom_frames = [make_eom_frame(rng, frame_index=i) for i in range(2)]
+    eom_planes = constant_reflectance_planes(2, 2, 500)
+    p_eom = tmp_path / "ma_eom.bin"
+    p_eom.write_bytes(build_fixture_stream(
+        eom_frames, secondary_attrs=[(3, 1, eom_planes)],
+    ))
+    for path, v0 in ((p_plr, 400), (p_eom, 500)):
+        plys = {}
+        for dev in (False, True):
+            out = decode_all(path, dev)
+            for fi, ps in enumerate(out):
+                vals = ps.extra_attrs[0][1]
+                assert vals.shape == (len(ps), 1)
+                assert (vals == v0 + fi).all()
+            plys[dev] = [format_ply(p) for p in out]
+        assert plys[False] == plys[True]
+
+
+def test_gate_secondary_with_aux_patches(tmp_path):
+    """Aux-flagged patches read an auxiliary attribute video; there is
+    no secondary one to sample, so the combination fails cleanly."""
+    rng = np.random.default_rng(51)
+    sf = make_synthetic_frame(
+        rng, width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2, n_patches=1, frame_index=0,
+    )
+    plant_raw_patch(rng, sf, (6, 6, 2, 1), 17, aux=True)
+    path = tmp_path / "ma_aux.bin"
     path.write_bytes(build_fixture_stream(
         [sf], secondary_attrs=[(3, 1, None)]
     ))
-    for dev in (False, True):
-        decoder = Decoder(Params(path, use_device=dev))
-        decoder.start()
-        with pytest.raises(
-            UnsupportedFeature, match="secondary attributes combined"
-        ):
-            list(decoder)
+    decoder = Decoder(Params(path, use_device=False))
+    decoder.start()
+    with pytest.raises(
+        UnsupportedFeature, match="secondary attributes combined"
+    ):
+        list(decoder)
 
 
 def test_concatenate_extra_attr_schemas():

@@ -29,10 +29,13 @@ from ..runtime.pipeline import (
     DEVICE_BATCH,
     DeviceInputs,
     Params,
+    _append_eom_points,
+    _append_plr_points,
     _append_raw_points,
     _dispatch_device,
     _emit_pointset,
     _gof_device_inputs,
+    _meta_has_plr,
     _reconstruct_gof_oracle,
     _secondary_gof_values,
     prepare_gof,
@@ -178,6 +181,12 @@ def decode_streams_batched(
                         if sec_vals is not None:
                             ps.extra_attrs = sec_vals[j]
                         meta = gof.metas[j]
+                        # the same tail order as the single-stream GOF
+                        # driver: PLR, then EOM, then raw
+                        if _meta_has_plr(gof, meta):
+                            _append_plr_points(ps, gof, meta)
+                        if meta.eom_patches:
+                            _append_eom_points(ps, gof, meta)
                         if meta.raw_patches:
                             _append_raw_points(ps, gof, meta)
                         yield state.index, state.next_frame, ps

@@ -611,19 +611,19 @@ def prepare_gof(
             )
 
     if ai.attribute_count > 1:
-        # secondary attributes ride the device twin-pass; the host
-        # raw/EOM/PLR tails sample only the primary attribute video,
-        # so points they append would lack the extra channels
-        if has_aux_patches or any(
-            m.raw_patches or m.eom_patches for m in metas
-        ):
+        # regular raw/EOM/PLR tails take secondary twin calls (the same
+        # tail with the attribute planes swapped), but aux-flagged
+        # patches read an auxiliary attribute video and there is no
+        # secondary one to sample (the demux gates it too)
+        if has_aux_patches:
             raise UnsupportedFeature(
-                "secondary attributes combined with raw/EOM patches"
+                "secondary attributes combined with aux-video patches"
             )
-        if asps.plr_enabled_flag or pix_il:
+        if pix_il:
+            # the pixel-interleave host derivation aliases per-map attr
+            # planes for the primary only
             raise UnsupportedFeature(
-                "secondary attributes combined with PLR or pixel "
-                "deinterleaving"
+                "secondary attributes combined with pixel deinterleaving"
             )
 
     res = 1 << asps.log2_patch_packing_block_size
@@ -1166,10 +1166,13 @@ def _fetch_prefixes(positions, colors16, counts, color_mode: str = "raw"):
     return np.asarray(p), np.asarray(c)
 
 
-def _append_tail_points(ps: PointSet3, gof: GofData, pos_r, col_r) -> None:
+def _append_tail_points(ps: PointSet3, gof: GofData, pos_r, col_r,
+                        extra_cols=None) -> None:
     """Append host-decoded tail points (raw/EOM patches) with the same
     exact color-conversion chain the regular points took (host f64 ==
-    device jit, ops/color.py)."""
+    device jit, ops/color.py). ``extra_cols`` (one finalized array per
+    ``gof.sec_attrs`` entry, from the tail's secondary twin calls)
+    extends the extra-attribute channels in lockstep with positions."""
     from ..reconstruction.pointset import convert_yuv10_to_rgb8
 
     if pos_r.shape[0] == 0:
@@ -1188,6 +1191,14 @@ def _append_tail_points(ps: PointSet3, gof: GofData, pos_r, col_r) -> None:
         ps.colors = np.concatenate(
             [ps.colors, np.full((pos_r.shape[0], 3), 127, np.uint8)]
         )
+    if gof.sec_attrs:
+        assert extra_cols is not None and len(extra_cols) == len(
+            ps.extra_attrs
+        ), "tail points must extend every secondary channel"
+        ps.extra_attrs = [
+            (names, np.concatenate([vals, extra]))
+            for (names, vals), extra in zip(ps.extra_attrs, extra_cols)
+        ]
 
 
 def _append_raw_points(ps: PointSet3, gof: GofData, meta) -> None:
@@ -1201,27 +1212,37 @@ def _append_raw_points(ps: PointSet3, gof: GofData, meta) -> None:
 
     base = meta.frame_index * gof.map_count
     attr = gof.attr_planes[base] if gof.attribute_count > 0 else None
-    pos_r, col_r = raw_points_for_frame(
-        meta.raw_patches,
-        gof.geo_planes[base],
-        attr,
-        gof.geo_shift,
-        gof.attr_chroma_shift,
-        meta.width,
-        tile_size=gof.tile_size if gof.tiled else 0,
-        left_top=meta.left_top_in_frame,
-        aux_geo_plane=(
-            gof.aux_geo_planes[meta.frame_index]
-            if gof.aux_geo_planes else None
-        ),
-        aux_attr_planes=(
-            gof.aux_attr_planes[meta.frame_index]
-            if gof.aux_attr_planes else None
-        ),
-        aux_geo_shift=gof.aux_geo_shift,
-        aux_chroma_shift=gof.aux_chroma_shift,
-    )
-    _append_tail_points(ps, gof, pos_r, col_r)
+
+    def run(planes, shift):
+        return raw_points_for_frame(
+            meta.raw_patches,
+            gof.geo_planes[base],
+            planes,
+            gof.geo_shift,
+            shift,
+            meta.width,
+            tile_size=gof.tile_size if gof.tiled else 0,
+            left_top=meta.left_top_in_frame,
+            aux_geo_plane=(
+                gof.aux_geo_planes[meta.frame_index]
+                if gof.aux_geo_planes else None
+            ),
+            aux_attr_planes=(
+                gof.aux_attr_planes[meta.frame_index]
+                if gof.aux_attr_planes else None
+            ),
+            aux_geo_shift=gof.aux_geo_shift,
+            aux_chroma_shift=gof.aux_chroma_shift,
+        )
+
+    pos_r, col_r = run(attr, gof.attr_chroma_shift)
+    # secondary twin calls (aux-flagged patches are gated at prepare:
+    # there is no secondary auxiliary video to sample)
+    extra = [
+        sa.finalize(run(sa.planes[base], sa.chroma_shift)[1])
+        for sa in gof.sec_attrs
+    ]
+    _append_tail_points(ps, gof, pos_r, col_r, extra)
 
 
 def _meta_has_plr(gof: GofData, meta) -> bool:
@@ -1239,22 +1260,30 @@ def _append_plr_points(ps: PointSet3, gof: GofData, meta) -> None:
 
     base = meta.frame_index * gof.map_count
     attr = gof.attr_planes[base] if gof.attribute_count > 0 else None
-    pos_p, col_p = plr_points_for_frame(
-        meta,
-        gof.occ_planes[meta.frame_index],
-        gof.geo_planes[base],
-        attr,
-        gof.geo_shift,
-        gof.attr_chroma_shift,
-        meta.width,
-        gof.occupancy_precision,
-        gof.plr_table,
-        gof.plr_thickness,
-        tile_size=gof.tile_size if gof.tiled else 0,
-        left_top=meta.left_top_in_frame,
-        geometry_bitdepth_3d=gof.geometry_bitdepth_3d,
-    )
-    _append_tail_points(ps, gof, pos_p, col_p)
+
+    def run(planes, shift):
+        return plr_points_for_frame(
+            meta,
+            gof.occ_planes[meta.frame_index],
+            gof.geo_planes[base],
+            planes,
+            gof.geo_shift,
+            shift,
+            meta.width,
+            gof.occupancy_precision,
+            gof.plr_table,
+            gof.plr_thickness,
+            tile_size=gof.tile_size if gof.tiled else 0,
+            left_top=meta.left_top_in_frame,
+            geometry_bitdepth_3d=gof.geometry_bitdepth_3d,
+        )
+
+    pos_p, col_p = run(attr, gof.attr_chroma_shift)
+    extra = [
+        sa.finalize(run(sa.planes[base], sa.chroma_shift)[1])
+        for sa in gof.sec_attrs
+    ]
+    _append_tail_points(ps, gof, pos_p, col_p, extra)
 
 
 def _append_eom_points(ps: PointSet3, gof: GofData, meta) -> None:
@@ -1267,26 +1296,34 @@ def _append_eom_points(ps: PointSet3, gof: GofData, meta) -> None:
 
     base = meta.frame_index * gof.map_count
     attr = gof.attr_planes[base] if gof.attribute_count > 0 else None
-    pos_e, col_e = eom_points_for_frame(
-        meta,
-        gof.occ_planes[meta.frame_index],
-        gof.geo_planes[base],
-        attr,
-        gof.geo_shift,
-        gof.attr_chroma_shift,
-        meta.width,
-        gof.occupancy_precision,
-        tile_size=gof.tile_size if gof.tiled else 0,
-        left_top=meta.left_top_in_frame,
-        geometry_bitdepth_3d=gof.geometry_bitdepth_3d,
-        fix_bit_count=gof.eom_fix_bit_count,
-        aux_attr_planes=(
-            gof.aux_attr_planes[meta.frame_index]
-            if gof.aux_attr_planes else None
-        ),
-        aux_chroma_shift=gof.aux_chroma_shift,
-    )
-    _append_tail_points(ps, gof, pos_e, col_e)
+
+    def run(planes, shift):
+        return eom_points_for_frame(
+            meta,
+            gof.occ_planes[meta.frame_index],
+            gof.geo_planes[base],
+            planes,
+            gof.geo_shift,
+            shift,
+            meta.width,
+            gof.occupancy_precision,
+            tile_size=gof.tile_size if gof.tiled else 0,
+            left_top=meta.left_top_in_frame,
+            geometry_bitdepth_3d=gof.geometry_bitdepth_3d,
+            fix_bit_count=gof.eom_fix_bit_count,
+            aux_attr_planes=(
+                gof.aux_attr_planes[meta.frame_index]
+                if gof.aux_attr_planes else None
+            ),
+            aux_chroma_shift=gof.aux_chroma_shift,
+        )
+
+    pos_e, col_e = run(attr, gof.attr_chroma_shift)
+    extra = [
+        sa.finalize(run(sa.planes[base], sa.chroma_shift)[1])
+        for sa in gof.sec_attrs
+    ]
+    _append_tail_points(ps, gof, pos_e, col_e, extra)
 
 
 def _reconstruct_gof_oracle(gof: GofData) -> Iterator[PointSet3]:
