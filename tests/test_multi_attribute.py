@@ -331,3 +331,58 @@ def test_read_ply_roundtrip_extras():
         assert [n for n, _v in back.extra_attrs] == [
             ("reflectance",), ("red1",), ("green1",), ("blue1",)
         ]
+
+
+def test_secondary_attr_smoothing_instance(tmp_path):
+    """An attribute-smoothing SEI instance targeting attribute 1 smooths
+    the SECONDARY channels through the twin pass (primary untouched):
+    with identical planes and identical smoothing on both attributes,
+    the twin-of-primary invariant holds under smoothing; with the
+    instance on attribute 1 only, the primary colors stay unsmoothed
+    while the extras change. Device == oracle throughout. (The effect is
+    content-dependent: seed 8 with 4 patches measurably smooths; most
+    seeds leave every cell outside the variation gate.)"""
+    frames = make_frames(seed=8, n_patches=4)
+    planes = [
+        [[p.copy() for p in sf.attr_planes[m]] for m in range(2)]
+        for sf in frames
+    ]
+    both = tmp_path / "sm_both.bin"
+    both.write_bytes(build_fixture_stream(
+        frames, attr_smoothing_sei=[(0, 8, 255, 1), (1, 8, 255, 1)],
+        secondary_attrs=[(0, 3, planes)],
+    ))
+    only1 = tmp_path / "sm_only1.bin"
+    only1.write_bytes(build_fixture_stream(
+        frames, attr_smoothing_sei=[(1, 8, 255, 1)],
+        secondary_attrs=[(0, 3, planes)],
+    ))
+    none = tmp_path / "sm_none.bin"
+    none.write_bytes(build_fixture_stream(
+        frames, secondary_attrs=[(0, 3, planes)],
+    ))
+
+    def run(path, dev):
+        d = Decoder(Params(path, use_device=dev,
+                           apply_attr_smoothing_type=True))
+        d.start()
+        return list(d)
+
+    for dev in (False, True):
+        for ps in run(both, dev):
+            # same planes + same smoothing instance on both indices ->
+            # the channels still match exactly
+            np.testing.assert_array_equal(ps.extra_attrs[0][1], ps.colors)
+    out_none = run(none, True)
+    plys = {}
+    for dev in (False, True):
+        out = run(only1, dev)
+        changed = False
+        for ps, ps_n in zip(out, out_none):
+            np.testing.assert_array_equal(ps.colors, ps_n.colors)
+            changed |= not np.array_equal(
+                ps.extra_attrs[0][1], ps_n.extra_attrs[0][1]
+            )
+        assert changed, "attr-1 smoothing instance had no effect"
+        plys[dev] = [format_ply(p) for p in out]
+    assert plys[False] == plys[True]

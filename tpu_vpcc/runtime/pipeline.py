@@ -324,6 +324,9 @@ class SecAttr:
     chroma_shift: int  # 1 = 4:2:0, 0 = 4:4:4 (after any 4:2:2 doubling)
     is_rgb444: bool
     bit_depth: int  # decoded sample bit depth
+    # AttrSmoothingConfig when an attribute-smoothing SEI targets THIS
+    # index (and the toggle is set, YUV dim-3 only); None otherwise
+    smoothing: object = None
 
     def property_names(self) -> tuple:
         """PLY property names for this attribute's channels."""
@@ -423,9 +426,13 @@ def _check_grid_bound(grid_width: int) -> None:
         )
 
 
-def extract_attr_smoothing(context: Context, asps) -> Optional[object]:
+def extract_attr_smoothing(
+    context: Context, asps, attr_idx: int = 0
+) -> Optional[object]:
     """Grid attribute-smoothing parameters from the first applicable
-    prefix SEI (attribute 0, method_type 1), or None."""
+    prefix SEI (method_type 1) targeting ``attr_idx``, or None. The SEI
+    addresses attributes explicitly (``sai_attribute_idx``); secondary
+    attributes take their own instance through the twin pass."""
     from ..ops.smoothing import AttrSmoothingConfig
     from ..v3c.syntax import SeiPayloadType
 
@@ -437,7 +444,10 @@ def extract_attr_smoothing(context: Context, asps) -> Optional[object]:
             if s.payload_type != SeiPayloadType.ATTRIBUTE_SMOOTHING:
                 continue
             for j in range(s.num_attributes_updated):
-                if s.attribute_smoothing_cancel_flag[j] or s.attribute_idx[j] != 0:
+                if (
+                    s.attribute_smoothing_cancel_flag[j]
+                    or s.attribute_idx[j] != attr_idx
+                ):
                     continue
                 for k in range(len(s.method_type[j])):
                     if (
@@ -967,10 +977,11 @@ def prepare_gof(
                 f"secondary attribute {k} decoded as "
                 f"{fr[0].bit_depth}-bit (10-bit envelope)"
             )
+        dim_k = ai.attribute_dimension_minus1[k] + 1
         sec_attrs.append(SecAttr(
             attr_index=k,
             type_id=ai.attribute_type_id[k],
-            dimension=ai.attribute_dimension_minus1[k] + 1,
+            dimension=dim_k,
             planes=tuple(
                 [p.astype(np.uint16, copy=False) for p in f.planes]
                 for f in fr
@@ -978,6 +989,11 @@ def prepare_gof(
             chroma_shift=fr[0].chroma_w_shift,
             is_rgb444=bool(fr[0].is_rgb),
             bit_depth=fr[0].bit_depth,
+            smoothing=(
+                extract_attr_smoothing(context, asps, attr_idx=k)
+                if apply_attr_smoothing and dim_k == 3
+                and not fr[0].is_rgb else None
+            ),
         ))
 
     return GofData(
@@ -1388,15 +1404,41 @@ def _reconstruct_gof_oracle(gof: GofData) -> Iterator[PointSet3]:
             # scalar reconstruction with the attribute video swapped;
             # positions/order are attribute-independent, colors16bit
             # carries the secondary's raw samples
-            ps2, _, _ = generate_point_cloud(
+            ps2, partition2, _ = generate_point_cloud(
                 meta,
                 params,
                 gof.occ_planes[meta.frame_index],
                 gof.geo_planes,
                 [list(sa.planes)],
             )
+            col2 = ps2.colors16bit
+            if sa.smoothing is not None and len(ps2) > 0:
+                # the secondary's own attribute-smoothing SEI instance:
+                # smoothing consumes geometry-SMOOTHED positions, like
+                # the primary sequence above
+                from ..ops.smoothing import (
+                    smooth_colors_np,
+                    smooth_slots_np,
+                )
+
+                pos2 = ps2.positions.astype(np.int32)
+                part2 = np.asarray(partition2, np.int32)
+                ones = np.ones(len(ps2), np.int32)
+                if gof.geo_smoothing is not None:
+                    sx, sy, sz = smooth_slots_np(
+                        pos2[:, 0], pos2[:, 1], pos2[:, 2],
+                        ones, part2, gof.geo_smoothing,
+                    )
+                    pos2 = np.stack([sx, sy, sz], axis=1)
+                c = col2.astype(np.int32)
+                cy2, cu2, cv2 = smooth_colors_np(
+                    pos2[:, 0], pos2[:, 1], pos2[:, 2],
+                    c[:, 0], c[:, 1], c[:, 2],
+                    ones, part2, sa.smoothing,
+                )
+                col2 = np.stack([cy2, cu2, cv2], axis=1).astype(np.uint16)
             ps.extra_attrs.append(
-                (sa.property_names(), sa.finalize(ps2.colors16bit))
+                (sa.property_names(), sa.finalize(col2))
             )
         if _meta_has_plr(gof, meta):
             _append_plr_points(ps, gof, meta)
@@ -1982,20 +2024,25 @@ def _secondary_chunk_values(gof: GofData, metas, prebuilt, g_bucket,
     cfg, tables = prebuilt
     out = [[] for _ in metas]
     for sa in gof.sec_attrs:
+        # attribute smoothing consumes geometry-SMOOTHED positions (the
+        # oracle order: smooth_slots then smooth_colors), so the twin
+        # keeps geo smoothing on exactly when it smooths the secondary;
+        # otherwise both passes drop (positions are discarded)
+        geo_sm = gof.geo_smoothing if sa.smoothing is not None else None
         gof2 = replace(
             gof,
             attr_planes=list(sa.planes),
             attr_chroma_shift=sa.chroma_shift,
             attr_is_rgb444=sa.is_rgb444,
-            geo_smoothing=None,
-            attr_smoothing=None,
+            geo_smoothing=geo_sm,
+            attr_smoothing=sa.smoothing,
             sec_attrs=(),
         )
         cfg2 = replace(
             cfg,
             chroma_shift=sa.chroma_shift,
-            smoothing=None,
-            attr_smoothing=None,
+            smoothing=geo_sm,
+            attr_smoothing=sa.smoothing,
         )
         di = _gof_device_inputs(
             gof2, metas, prebuilt=(cfg2, tables), g_bucket=g_bucket

@@ -752,12 +752,23 @@ def build_fixture_stream(
             )
         )
     if attr_smoothing_sei is not None:
-        grid_size, thr_var, thr_diff = attr_smoothing_sei
+        # (grid, thr_var, thr_diff) targets attribute 0; 4-tuples
+        # (attr_idx, grid, thr_var, thr_diff) — possibly a list of
+        # them — target explicit attributes (framework extension)
+        insts = attr_smoothing_sei
+        if not isinstance(insts, list):
+            insts = [insts]
+        insts = [
+            (0,) + tuple(t) if len(t) == 3 else tuple(t) for t in insts
+        ]
         sei_nalus.append(
             w3c.wrap_nal_unit(
                 NalUnitType.PREFIX_ESEI,
                 w3c.write_sei_attribute_smoothing(
-                    instances=((0, 0, 1, grid_size - 2, 0, thr_var, thr_diff),)
+                    instances=tuple(
+                        (aidx, 0, 1, grid - 2, 0, thr_var, thr_diff)
+                        for (aidx, grid, thr_var, thr_diff) in insts
+                    )
                 ),
             )
         )
