@@ -35,11 +35,14 @@ from ..runtime.pipeline import (
     _dispatch_device,
     _emit_pointset,
     _gof_device_inputs,
+    _gof_frame_tables,
+    _group_capacity,
     _meta_has_plr,
     _reconstruct_gof_oracle,
     _secondary_gof_values,
     prepare_gof,
 )
+from ..atlas.groups import bucket_group_count
 
 log = logging.getLogger(__name__)
 
@@ -156,10 +159,24 @@ def decode_streams_batched(
                         state.next_frame += 1
                     pending.add(pool.submit(prep, state))
                     continue
+                space = mesh.shape["space"] if mesh is not None else 1
+                if gof.sec_attrs:
+                    # share the tables/bucket with the secondary twin
+                    # dispatches instead of rebuilding them per GOF
+                    prebuilt = _gof_frame_tables(
+                        gof, gof.metas, allow_cell=space <= 1
+                    )
+                    g_b = bucket_group_count(
+                        max((t.n_groups for t in prebuilt[1]), default=0),
+                        _group_capacity(prebuilt[0]),
+                        multiple_of=space,
+                    )
+                else:
+                    prebuilt = g_b = None
                 items.append((state, gof, _gof_device_inputs(
-                    gof,
-                    space_multiple=mesh.shape["space"] if mesh is not None else 1,
-                )))
+                    gof, space_multiple=space,
+                    prebuilt=prebuilt, g_bucket=g_b,
+                ), prebuilt, g_b))
                 pending.add(pool.submit(prep, state))
 
             by_key: Dict[object, list] = {}
@@ -169,9 +186,11 @@ def decode_streams_batched(
                 merged = _concat_inputs([it[2] for it in group])
                 results = _dispatch_chunked(merged, mesh=mesh)
                 offset = 0
-                for state, gof, di in group:
+                for state, gof, di, prebuilt, g_b in group:
                     sec_vals = (
-                        _secondary_gof_values(gof, mesh=mesh)
+                        _secondary_gof_values(
+                            gof, mesh=mesh, prebuilt=prebuilt, g_bucket=g_b
+                        )
                         if gof.sec_attrs else None
                     )
                     for j, (pos, col) in enumerate(

@@ -73,6 +73,10 @@ def inspect(path, verbose: bool = False, out=sys.stdout) -> int:
                 f"orientations={'8' if asps.use_eight_orientations_flag else '2'}",
                 file=out,
             )
+        n_attrs = (
+            context.vps.attribute_information.attribute_count
+            if context.vps is not None else 1
+        )
         for vt in (
             VideoType.OCCUPANCY,
             VideoType.GEOMETRY,
@@ -82,9 +86,19 @@ def inspect(path, verbose: bool = False, out=sys.stdout) -> int:
             VideoType.ATTRIBUTE_T0,
             VideoType.ATTRIBUTE_T1,
         ):
-            vbs = context.get_video_bitstream(vt)
-            if vbs is not None:
-                print(f"  {vt.name.lower()} video: {len(vbs.data)} bytes", file=out)
+            is_attr = vt in (
+                VideoType.ATTRIBUTE,
+                VideoType.ATTRIBUTE_T0,
+                VideoType.ATTRIBUTE_T1,
+            )
+            for k in range(max(1, n_attrs) if is_attr else 1):
+                vbs = context.get_video_bitstream(vt, k)
+                if vbs is not None:
+                    idx = f"[{k}]" if is_attr and k > 0 else ""
+                    print(
+                        f"  {vt.name.lower()}{idx} video: "
+                        f"{len(vbs.data)} bytes", file=out,
+                    )
         n_layers = context.atlas_tile_layer_len()
         total_patches = 0
         for i in range(n_layers):

@@ -327,20 +327,24 @@ class SecAttr:
     # AttrSmoothingConfig when an attribute-smoothing SEI targets THIS
     # index (and the toggle is set, YUV dim-3 only); None otherwise
     smoothing: object = None
+    # vuh_attribute_index as a string when another secondary shares this
+    # type (PLY vertex properties must be uniquely named); "" otherwise
+    name_suffix: str = ""
 
     def property_names(self) -> tuple:
         """PLY property names for this attribute's channels."""
         base = _ATTR_TYPE_NAMES.get(self.type_id, f"attr{self.attr_index}")
+        sfx = self.name_suffix
         if self.dimension == 1:
-            return (base if self.type_id in _ATTR_TYPE_NAMES
-                    else f"{base}_c0",)
+            nm = base if self.type_id in _ATTR_TYPE_NAMES else f"{base}_c0"
+            return (nm + sfx,)
         if self.type_id == 0:
             # a secondary texture: an index-suffixed RGB triple
             k = self.attr_index
             return (f"red{k}", f"green{k}", f"blue{k}")
         if self.type_id == 4:
-            return ("nx", "ny", "nz")
-        return tuple(f"{base}_c{c}" for c in range(self.dimension))
+            return (f"nx{sfx}", f"ny{sfx}", f"nz{sfx}")
+        return tuple(f"{base}{sfx}_c{c}" for c in range(self.dimension))
 
     def finalize(self, col16: np.ndarray) -> np.ndarray:
         """Raw fetched (n, 3) u16 samples -> the output channel array.
@@ -538,7 +542,6 @@ def prepare_gof(
             [context.get_video_bitstream(VideoType.ATTRIBUTE, k)]
             for k in range(ai.attribute_count)
         ]
-    attr_bs_list = attr_bs_sets[0]
     if (
         occ_bs is None
         or None in geo_bs_list
@@ -552,7 +555,6 @@ def prepare_gof(
         codec_id_from_v3c(ai.attribute_codec_id[k])
         for k in range(ai.attribute_count)
     ]
-    attr_codec = attr_codecs[0]
 
     # FRAMEWORK EXTENSION: auxiliary raw-patch videos (aux-flagged
     # GVD/AVD units — the reference asserts the header flag false,
@@ -733,8 +735,8 @@ def prepare_gof(
         ):
             raise UnsupportedFeature(
                 "per-map video sub-streams decoded to differing frame "
-                f"counts (geo={[len(v) for v in geo_per_map]}, "
-                f"attr={[len(v) for v in attr_per_map]})"
+                f"counts (geo={[len(v) for v in geo_per_map]}, attr="
+                f"{[[len(v) for v in s] for s in attr_per_map_sets]})"
             )
         geo_frames = [f for pair in zip(*geo_per_map) for f in pair]
         attr_frames_sets = [
@@ -978,6 +980,14 @@ def prepare_gof(
                 f"{fr[0].bit_depth}-bit (10-bit envelope)"
             )
         dim_k = ai.attribute_dimension_minus1[k] + 1
+        # unique PLY property names when two secondaries share a type
+        # (secondary textures already embed their index)
+        type_k = ai.attribute_type_id[k]
+        dup = sum(
+            1 for j in range(1, len(attr_frames_sets))
+            if ai.attribute_type_id[j] == type_k
+        ) > 1
+        suffix = str(k) if dup and not (type_k == 0 and dim_k == 3) else ""
         sec_attrs.append(SecAttr(
             attr_index=k,
             type_id=ai.attribute_type_id[k],
@@ -994,6 +1004,7 @@ def prepare_gof(
                 if apply_attr_smoothing and dim_k == 3
                 and not fr[0].is_rgb else None
             ),
+            name_suffix=suffix,
         ))
 
     return GofData(
@@ -2056,20 +2067,25 @@ def _secondary_chunk_values(gof: GofData, metas, prebuilt, g_bucket,
     return out
 
 
-def _secondary_gof_values(gof: GofData, mesh=None, stats=None):
+def _secondary_gof_values(gof: GofData, mesh=None, stats=None,
+                          prebuilt=None, g_bucket=None):
     """Secondary-attribute values for ALL frames of a GOF, chunked like
-    the primary dispatch (tables/bucket computed locally — used by the
-    multi-stream batcher, whose merged primary dispatch has no per-GOF
-    tables to share)."""
+    the primary dispatch — used by the multi-stream batcher, which
+    passes the (cfg, tables)/bucket it already built for the primary
+    dispatch (recomputed here only when absent)."""
     from ..atlas.groups import bucket_group_count
 
     space = mesh.shape["space"] if mesh is not None else 1
-    cfg, tables = _gof_frame_tables(gof, gof.metas, allow_cell=space <= 1)
-    g_bucket = bucket_group_count(
-        max((t.n_groups for t in tables), default=0),
-        _group_capacity(cfg),
-        multiple_of=space,
+    cfg, tables = (
+        prebuilt if prebuilt is not None
+        else _gof_frame_tables(gof, gof.metas, allow_cell=space <= 1)
     )
+    if g_bucket is None:
+        g_bucket = bucket_group_count(
+            max((t.n_groups for t in tables), default=0),
+            _group_capacity(cfg),
+            multiple_of=space,
+        )
     chunk = DEVICE_BATCH * (mesh.shape["data"] if mesh is not None else 1)
     out = []
     for i in range(0, len(gof.metas), chunk):
