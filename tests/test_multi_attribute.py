@@ -386,3 +386,48 @@ def test_secondary_attr_smoothing_instance(tmp_path):
         assert changed, "attr-1 smoothing instance had no effect"
         plys[dev] = [format_ply(p) for p in out]
     assert plys[False] == plys[True]
+
+
+def test_geometry_only_stream(tmp_path):
+    """Zero attributes (vps_attribute_video_present_flag = 0 — the
+    reference asserts exactly one attribute, ``decoder.rs:133``):
+    colorless PLYs, byte-identical device vs oracle in both formats,
+    and positions identical to the SAME scene coded WITH its attribute
+    (the zero color planes never perturb geometry/emission)."""
+    frames = make_frames(seed=53)
+    ga = tmp_path / "ga.bin"
+    ga.write_bytes(build_fixture_stream(frames, no_attributes=True))
+    withattr = tmp_path / "wa.bin"
+    withattr.write_bytes(build_fixture_stream(frames))
+    plys = {}
+    for dev in (False, True):
+        out = decode_all(ga, dev)
+        assert [p.with_colors for p in out] == [False, False]
+        plys[dev] = [
+            format_ply(p, fmt) for p in out
+            for fmt in ("ascii", FORMAT_BINARY)
+        ]
+    assert plys[False] == plys[True]
+    assert b"property uchar red" not in plys[True][0]
+    ref = decode_all(withattr, True)
+    for ps, ps_ref in zip(decode_all(ga, True), ref):
+        np.testing.assert_array_equal(ps.positions, ps_ref.positions)
+
+
+def test_geometry_only_with_raw_patch(tmp_path):
+    """Raw-patch tails on an attribute-less stream: verbatim points
+    append with no color source (attr=None path), device == oracle."""
+    rng = np.random.default_rng(54)
+    sf = make_synthetic_frame(
+        rng, width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2, n_patches=1, frame_index=0,
+    )
+    plant_raw_patch(rng, sf, (6, 6, 2, 1), 19)
+    path = tmp_path / "ga_raw.bin"
+    path.write_bytes(build_fixture_stream([sf], no_attributes=True))
+    plys = {}
+    for dev in (False, True):
+        (ps,) = decode_all(path, dev)
+        assert len(ps) > 19 and not ps.with_colors
+        plys[dev] = format_ply(ps)
+    assert plys[False] == plys[True]

@@ -501,13 +501,12 @@ def prepare_gof(
         raise UnsupportedFeature("multiple map streams beyond two maps")
     if multi_map and any(vps.map_predictor_index_diff[1:]):
         raise UnsupportedFeature("map predictor index diff")
-    if ai.attribute_count < 1:
-        raise UnsupportedFeature("at least one attribute expected")
     # attribute 0 is the primary (texture -> colors); further indices
-    # decode as extra per-point channels (FRAMEWORK EXTENSION — the
-    # reference indexes every ai_* array with [0] and asserts nothing
-    # else exists)
-    if ai.attribute_dimension_minus1[0] + 1 != 3:
+    # decode as extra per-point channels, and ZERO attributes decode
+    # geometry-only (FRAMEWORK EXTENSIONS — the reference asserts
+    # exactly one attribute, ``decoder.rs:133``, though its point-cloud
+    # generator guards attribute_count > 0, ``codec.rs:274``)
+    if ai.attribute_count >= 1 and ai.attribute_dimension_minus1[0] + 1 != 3:
         raise UnsupportedFeature("primary attribute must be 3-channel")
     for k in range(ai.attribute_count):
         if ai.attribute_dimension_partitions_minus1[k] + 1 != 1:
@@ -699,7 +698,7 @@ def prepare_gof(
             occ_frames = occ_f.result()
         geo_per_map = [f.result() for f in geo_fs]
         attr_per_map_sets = [[f.result() for f in fs] for fs in attr_fs_sets]
-        attr_per_map = attr_per_map_sets[0]
+        attr_per_map = attr_per_map_sets[0] if attr_per_map_sets else []
         aux_geo_frames = aux_geo_f.result() if aux_geo_f else []
         aux_attr_frames = aux_attr_f.result() if aux_attr_f else []
     if (has_aux_raw and len(aux_geo_frames) < frame_count) or (
@@ -746,9 +745,12 @@ def prepare_gof(
     else:
         geo_frames = geo_per_map[0]
         attr_frames_sets = [per_map[0] for per_map in attr_per_map_sets]
-    attr_frames = attr_frames_sets[0]
+    attr_frames = attr_frames_sets[0] if attr_frames_sets else []
 
-    if not (occ_frames and geo_frames and attr_frames):
+    if not (
+        occ_frames and geo_frames
+        and (attr_frames or ai.attribute_count == 0)
+    ):
         raise UnsupportedFeature(
             "a video sub-stream decoded to zero frames "
             f"(occ={len(occ_frames)}, geo={len(geo_frames)}, "
@@ -825,7 +827,7 @@ def prepare_gof(
         force_raster |= forced_k
         if k == 0:
             attr_chroma_shift = shift_k
-    attr_frames = attr_frames_sets[0]
+    attr_frames = attr_frames_sets[0] if attr_frames_sets else []
     attr_is_rgb444 = bool(attr_frames and attr_frames[0].is_rgb)
     if force_raster and tiled:
         # 4:2:2 attrs re-decoded raster: bring the geometry (and every
@@ -963,6 +965,25 @@ def prepare_gof(
             for f in attr_frames
         ]
 
+    if ai.attribute_count == 0:
+        # FRAMEWORK EXTENSION: geometry-only streams (the reference
+        # asserts exactly one attribute, ``decoder.rs:133``). The
+        # kernels' color words ride ONE shared zero plane-set aliased
+        # across every video frame; _emit_pointset and the tails drop
+        # colors entirely (with_colors=False, attr=None), so the zeros
+        # never surface in the output.
+        from ..ops.tiled import tile_plane as _tp
+
+        zy = np.zeros((vps.frame_height, vps.frame_width), np.uint16)
+        zc = np.zeros(
+            (vps.frame_height // 2, vps.frame_width // 2), np.uint16
+        )
+        if tiled:
+            zy = _tp(zy, vtile)
+            zc = _tp(zc, vtile >> 1)
+        mc0 = 2 if pix_il else vps.map_count_minus1 + 1
+        attr_planes_out = [[zy, zc, zc]] * (frame_count * mc0)
+
     # FRAMEWORK EXTENSION: secondary attributes (see SecAttr); gated
     # off pixel-interleave above, so the map structure is the VPS's
     sec_attrs = []
@@ -1031,7 +1052,8 @@ def prepare_gof(
         tile_size=vtile if tiled else 0,
         cell=cell,
         packed10_ok=(
-            geo_bit_depth <= 10 and attr_frames[0].bit_depth <= 10
+            geo_bit_depth <= 10
+            and (not attr_frames or attr_frames[0].bit_depth <= 10)
         ),
         plr_table=plr_table,
         plr_thickness=plr_thickness,
@@ -2119,7 +2141,10 @@ def _emit_pointset(pos: np.ndarray, col: np.ndarray, gof: GofData) -> PointSet3:
                 # exact f64 BT.709 conversion (``src/codec.rs:661-687``)
                 ps.convert_yuv16_to_rgb8()
     else:
-        ps.colors = np.empty((len(ps), 3), dtype=np.uint8)
+        # attribute-less frames keep a deterministic neutral filler so
+        # direct array consumers match the tails' 127s (the PLY writer
+        # omits colors entirely: with_colors is False)
+        ps.colors = np.full((len(ps), 3), 127, dtype=np.uint8)
     return ps
 
 

@@ -396,6 +396,7 @@ def build_fixture_stream(
     pixel_interleave: bool = False,
     chroma422: bool = False,
     secondary_attrs=None,
+    no_attributes: bool = False,
 ) -> bytes:
     """Build a complete single-GOF V3C sample-stream file.
 
@@ -462,6 +463,11 @@ def build_fixture_stream(
     ``sf.attr_planes`` (per synthetic frame, per map, ``[y, u, v]``);
     pass None for deterministic pseudo-random content (flat chroma
     when ``dim == 1``).
+
+    ``no_attributes`` (framework extension — the reference asserts
+    exactly one attribute, ``decoder.rs:133``): a geometry-only stream
+    (``vps_attribute_video_present_flag = 0``, no AVD units); the
+    synthetic frames' attribute planes are simply not coded.
     """
     f0 = frames[0]
     width, height = f0.meta.width, f0.meta.height
@@ -519,7 +525,7 @@ def build_fixture_stream(
         assert map1_absolute, "delta D1 coding needs multi_map_streams"
     vps.occupancy_video_present_flag = True
     vps.geometry_video_present_flag = True
-    vps.attribute_video_present_flag = True
+    vps.attribute_video_present_flag = not no_attributes
     # auxiliary raw-patch videos (framework extension)
     has_aux = any(
         rp.in_aux_video for f in frames for rp in f.meta.raw_patches
@@ -534,7 +540,10 @@ def build_fixture_stream(
         geometry_3d_coordinates_bitdepth_minus1=geometry_bitdepth_3d - 1,
         auxiliary_geometry_codec_id=1 if has_aux else 0,
     )
-    n_attrs = 1 + len(secondary_attrs or [])
+    assert not (no_attributes and (secondary_attrs or chroma422)), (
+        "no_attributes codes no AVD units at all"
+    )
+    n_attrs = 0 if no_attributes else 1 + len(secondary_attrs or [])
     sec_types = [sa[0] for sa in (secondary_attrs or [])]
     sec_dims = [sa[1] for sa in (secondary_attrs or [])]
     vps.attribute_information = AttributeInformation(
@@ -992,7 +1001,9 @@ def build_fixture_stream(
 
     # chroma format auto-detects from the plane shapes: full-res chroma in
     # the synthetic frames -> a 4:4:4-coded attribute sub-stream
-    attr_444 = frames[0].attr_planes[0][1].shape == frames[0].attr_planes[0][0].shape
+    attr_444 = (not no_attributes) and (
+        frames[0].attr_planes[0][1].shape == frames[0].attr_planes[0][0].shape
+    )
     if chroma422:
         # 4:2:2 coding of a 4:2:0-authored scene (framework extension):
         # row-double the chroma to (h, w/2). The decoder's host
@@ -1012,7 +1023,7 @@ def build_fixture_stream(
             )
             for m in range(map_count)
         ]
-        attr_annexbs = [
+        attr_annexbs = [] if no_attributes else [
             encode_yuv420(
                 [
                     to_422(sf.attr_planes[m]) if chroma422
@@ -1044,7 +1055,7 @@ def build_fixture_stream(
         geo_annexbs = [
             encode_yuv420(geo_video, bit_depth=10, lossless=lossless, qp=qp)
         ]
-        attr_annexbs = [
+        attr_annexbs = [] if no_attributes else [
             encode_yuv420(
                 attr_video, bit_depth=10, lossless=lossless, qp=qp,
                 chroma444=attr_444, chroma422=chroma422,
