@@ -364,3 +364,48 @@ def test_bit_flips_in_multi_attribute_stream_fail_cleanly():
     assert not bad, f"uncaught AssertionError at offsets {bad[:5]}"
     assert raised > 0
     assert time.monotonic() - t0 < 120
+
+
+def test_bit_flips_in_geometry_only_stream_fail_cleanly():
+    """Corruption over a geometry-only stream (no AVD units): parse +
+    patch derivation either succeeds or raises cleanly."""
+    import time
+
+    from tpu_vpcc.atlas.patches import create_patch_frames
+    from tpu_vpcc.utils.fixtures import build_fixture_stream
+    from tpu_vpcc.utils.synthetic import make_synthetic_frame
+    from tpu_vpcc.video import encoder_supports
+
+    if not (encoder_supports(8) and encoder_supports(10)):
+        pytest.skip("libx265 required")
+
+    rng = np.random.default_rng(81)
+    sf = make_synthetic_frame(
+        rng, width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2, n_patches=2, frame_index=0,
+    )
+    stream = build_fixture_stream([sf], no_attributes=True)
+
+    def run(data):
+        ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(data))
+        while ssvu.get_v3c_unit_count() > 0:
+            ctx = Context()
+            ssvu.decode_gof(ctx)
+            create_patch_frames(ctx)
+
+    t0 = time.monotonic()
+    raised = 0
+    bad = []
+    run(bytes(stream))
+    for i in range(0, min(360, len(stream)), 4):
+        mutated = bytearray(stream)
+        mutated[i] ^= 0xFF
+        try:
+            run(bytes(mutated))
+        except AssertionError as e:
+            bad.append((i, repr(e)))
+        except Exception:
+            raised += 1
+    assert not bad, f"uncaught AssertionError at offsets {bad[:5]}"
+    assert raised > 0
+    assert time.monotonic() - t0 < 120
