@@ -431,3 +431,33 @@ def test_geometry_only_with_raw_patch(tmp_path):
         assert len(ps) > 19 and not ps.with_colors
         plys[dev] = format_ply(ps)
     assert plys[False] == plys[True]
+
+
+def test_secondary_on_pixel_interleaved_stream(tmp_path):
+    """A secondary on a pixel-interleaved stream: both derived maps
+    alias the single secondary frame (like the primary), constants
+    come back per frame, device == oracle."""
+    rng = np.random.default_rng(55)
+    frames = [
+        make_synthetic_frame(
+            rng, width=64, height=64, occupancy_resolution=8,
+            occupancy_precision=4, map_count=2, n_patches=3,
+            frame_index=i,
+        )
+        for i in range(2)
+    ]
+    planes = constant_reflectance_planes(2, 2, 600)
+    path = tmp_path / "pix_ma.bin"
+    path.write_bytes(build_fixture_stream(
+        frames, pixel_interleave=True,
+        secondary_attrs=[(3, 1, planes)],
+    ))
+    plys = {}
+    for dev in (False, True):
+        out = decode_all(path, dev)
+        for fi, ps in enumerate(out):
+            vals = ps.extra_attrs[0][1]
+            assert vals.shape == (len(ps), 1)
+            assert (vals == 600 + fi).all()
+        plys[dev] = [format_ply(p) for p in out]
+    assert plys[False] == plys[True]

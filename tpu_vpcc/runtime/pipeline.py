@@ -630,12 +630,8 @@ def prepare_gof(
             raise UnsupportedFeature(
                 "secondary attributes combined with aux-video patches"
             )
-        if pix_il:
-            # the pixel-interleave host derivation aliases per-map attr
-            # planes for the primary only
-            raise UnsupportedFeature(
-                "secondary attributes combined with pixel deinterleaving"
-            )
+        # (pixel-interleaved streams work too: the secondary families
+        # alias one frame per derived map, exactly like the primary)
 
     res = 1 << asps.log2_patch_packing_block_size
     # the tiled fast path requires even, precision-divisible block tiles
@@ -984,12 +980,14 @@ def prepare_gof(
         mc0 = 2 if pix_il else vps.map_count_minus1 + 1
         attr_planes_out = [[zy, zc, zc]] * (frame_count * mc0)
 
-    # FRAMEWORK EXTENSION: secondary attributes (see SecAttr); gated
-    # off pixel-interleave above, so the map structure is the VPS's
+    # FRAMEWORK EXTENSION: secondary attributes (see SecAttr). Their
+    # video-frame structure mirrors the primary's: per-map interleaved
+    # (or per-map sub-streams), and on pixel-interleaved streams both
+    # derived maps alias the single attribute frame.
     sec_attrs = []
     for k in range(1, len(attr_frames_sets)):
         fr = attr_frames_sets[k]
-        mc_v = vps.map_count_minus1 + 1
+        mc_v = 1 if pix_il else vps.map_count_minus1 + 1
         if len(fr) < frame_count * mc_v:
             raise UnsupportedFeature(
                 f"secondary attribute {k} decoded to {len(fr)} frames, "
@@ -1000,6 +998,18 @@ def prepare_gof(
                 f"secondary attribute {k} decoded as "
                 f"{fr[0].bit_depth}-bit (10-bit envelope)"
             )
+        if pix_il:
+            # both derived maps sample the single interleaved frame,
+            # like the primary alias block above
+            fr_planes = []
+            for f in fr[:frame_count]:
+                planes = [p.astype(np.uint16, copy=False) for p in f.planes]
+                fr_planes += [planes, planes]
+        else:
+            fr_planes = [
+                [p.astype(np.uint16, copy=False) for p in f.planes]
+                for f in fr
+            ]
         dim_k = ai.attribute_dimension_minus1[k] + 1
         # unique PLY property names when two secondaries share a type
         # (secondary textures already embed their index)
@@ -1013,10 +1023,7 @@ def prepare_gof(
             attr_index=k,
             type_id=ai.attribute_type_id[k],
             dimension=dim_k,
-            planes=tuple(
-                [p.astype(np.uint16, copy=False) for p in f.planes]
-                for f in fr
-            ),
+            planes=tuple(fr_planes),
             chroma_shift=fr[0].chroma_w_shift,
             is_rgb444=bool(fr[0].is_rgb),
             bit_depth=fr[0].bit_depth,

@@ -1064,9 +1064,6 @@ def build_fixture_stream(
 
     sec_annexb_sets = []
     if secondary_attrs:
-        assert not pixel_interleave, (
-            "secondary attributes are gated off pixel-interleaved streams"
-        )
         for k, (type_id, dim, planes) in enumerate(secondary_attrs):
             if planes is None:
                 rng = np.random.default_rng(9000 + k)
@@ -1100,12 +1097,15 @@ def build_fixture_stream(
                     for m in range(map_count)
                 ])
             else:
+                # pixel-interleaved streams code ONE frame per frame
+                # (map 0), like the primary
+                maps = 1 if pixel_interleave else map_count
                 sec_annexb_sets.append([
                     encode_yuv420(
                         [
                             planes[fi][m]
                             for fi in range(len(frames))
-                            for m in range(map_count)
+                            for m in range(maps)
                         ],
                         bit_depth=10, lossless=lossless, qp=qp,
                         chroma444=sec_444, chroma422=sec_422,
