@@ -826,22 +826,19 @@ def prepare_gof(
     attr_frames = attr_frames_sets[0] if attr_frames_sets else []
     attr_is_rgb444 = bool(attr_frames and attr_frames[0].is_rgb)
     if force_raster and tiled:
-        # 4:2:2 attrs re-decoded raster: bring the geometry (and every
-        # attribute set still block-tiled) back to the canvas layout —
-        # one GOF carries ONE plane layout (the dispatch re-tiles for
-        # the kernels at staging; relayout)
+        # 4:2:2 attrs re-decoded raster: bring the geometry back to the
+        # canvas layout — one GOF carries ONE plane layout (the dispatch
+        # re-tiles for the kernels at staging; relayout); the attribute
+        # sets are normalized by the shared loop below
         from ..ops.tiled import untile_plane
 
-        bh = vps.frame_height // vtile
-        bw = vps.frame_width // vtile
         for f in geo_frames:
             if f.planes[0].ndim == 3:
-                f.planes[0] = untile_plane(f.planes[0], bh, bw)
-        for frames_k in attr_frames_sets:
-            for f in frames_k:
-                if f.planes[0].ndim == 3:
-                    for i in range(len(f.planes)):
-                        f.planes[i] = untile_plane(f.planes[i], bh, bw)
+                f.planes[0] = untile_plane(
+                    f.planes[0],
+                    vps.frame_height // vtile,
+                    vps.frame_width // vtile,
+                )
         tiled = False
         cell = False
     # the native copy falls back to raw layout when dims don't divide
@@ -851,24 +848,23 @@ def prepare_gof(
     tiled = tiled and bool(probe_frames) and probe_frames[0].planes[0].ndim == 3
     cell = cell and tiled
 
-    # secondary attribute sets must share the GOF's single plane layout
-    # (the dispatch relayout is keyed once per GOF); the native decoder
-    # can fall back to raster per video, so normalize any stragglers
-    for frames_k in attr_frames_sets[1:]:
+    # every attribute set must share the GOF's single plane layout (the
+    # dispatch relayout is keyed once per GOF): 4:2:2 re-decodes and
+    # per-video native raster fallbacks can leave stragglers in either
+    # direction, so normalize them all against the final decision
+    from ..ops.tiled import tile_plane, untile_plane
+
+    for frames_k in attr_frames_sets:
         for f in frames_k:
             set_tiled = f.planes[0].ndim == 3
             if set_tiled == tiled:
                 continue
             if set_tiled:
-                from ..ops.tiled import untile_plane
-
                 bh = vps.frame_height // vtile
                 bw = vps.frame_width // vtile
                 for i in range(len(f.planes)):
                     f.planes[i] = untile_plane(f.planes[i], bh, bw)
             else:
-                from ..ops.tiled import tile_plane
-
                 cs = f.chroma_w_shift
                 f.planes[0] = tile_plane(f.planes[0], vtile)
                 f.planes[1] = tile_plane(f.planes[1], vtile >> cs)
@@ -968,15 +964,15 @@ def prepare_gof(
         # across every video frame; _emit_pointset and the tails drop
         # colors entirely (with_colors=False, attr=None), so the zeros
         # never surface in the output.
-        from ..ops.tiled import tile_plane as _tp
+        from ..ops.tiled import tile_plane
 
         zy = np.zeros((vps.frame_height, vps.frame_width), np.uint16)
         zc = np.zeros(
             (vps.frame_height // 2, vps.frame_width // 2), np.uint16
         )
         if tiled:
-            zy = _tp(zy, vtile)
-            zc = _tp(zc, vtile >> 1)
+            zy = tile_plane(zy, vtile)
+            zc = tile_plane(zc, vtile >> 1)
         mc0 = 2 if pix_il else vps.map_count_minus1 + 1
         attr_planes_out = [[zy, zc, zc]] * (frame_count * mc0)
 
@@ -1021,7 +1017,7 @@ def prepare_gof(
         suffix = str(k) if dup and not (type_k == 0 and dim_k == 3) else ""
         sec_attrs.append(SecAttr(
             attr_index=k,
-            type_id=ai.attribute_type_id[k],
+            type_id=type_k,
             dimension=dim_k,
             planes=tuple(fr_planes),
             chroma_shift=fr[0].chroma_w_shift,
@@ -1257,6 +1253,17 @@ def _append_tail_points(ps: PointSet3, gof: GofData, pos_r, col_r,
         ]
 
 
+def _tail_secondary_extras(run, gof: GofData, base: int):
+    """Secondary twin calls for one host tail: rerun the tail function
+    with each secondary's planes swapped in (tails are deterministic,
+    so positions align) and finalize its colors. Aux-flagged patches
+    are gated at prepare — there is no secondary auxiliary video."""
+    return [
+        sa.finalize(run(sa.planes[base], sa.chroma_shift)[1])
+        for sa in gof.sec_attrs
+    ]
+
+
 def _append_raw_points(ps: PointSet3, gof: GofData, meta) -> None:
     """Append the frame's raw-patch points (framework extension — the
     reference panics on raw patches, ``reader.rs:1068``) AFTER the
@@ -1292,13 +1299,9 @@ def _append_raw_points(ps: PointSet3, gof: GofData, meta) -> None:
         )
 
     pos_r, col_r = run(attr, gof.attr_chroma_shift)
-    # secondary twin calls (aux-flagged patches are gated at prepare:
-    # there is no secondary auxiliary video to sample)
-    extra = [
-        sa.finalize(run(sa.planes[base], sa.chroma_shift)[1])
-        for sa in gof.sec_attrs
-    ]
-    _append_tail_points(ps, gof, pos_r, col_r, extra)
+    _append_tail_points(
+        ps, gof, pos_r, col_r, _tail_secondary_extras(run, gof, base)
+    )
 
 
 def _meta_has_plr(gof: GofData, meta) -> bool:
@@ -1335,11 +1338,9 @@ def _append_plr_points(ps: PointSet3, gof: GofData, meta) -> None:
         )
 
     pos_p, col_p = run(attr, gof.attr_chroma_shift)
-    extra = [
-        sa.finalize(run(sa.planes[base], sa.chroma_shift)[1])
-        for sa in gof.sec_attrs
-    ]
-    _append_tail_points(ps, gof, pos_p, col_p, extra)
+    _append_tail_points(
+        ps, gof, pos_p, col_p, _tail_secondary_extras(run, gof, base)
+    )
 
 
 def _append_eom_points(ps: PointSet3, gof: GofData, meta) -> None:
@@ -1375,11 +1376,9 @@ def _append_eom_points(ps: PointSet3, gof: GofData, meta) -> None:
         )
 
     pos_e, col_e = run(attr, gof.attr_chroma_shift)
-    extra = [
-        sa.finalize(run(sa.planes[base], sa.chroma_shift)[1])
-        for sa in gof.sec_attrs
-    ]
-    _append_tail_points(ps, gof, pos_e, col_e, extra)
+    _append_tail_points(
+        ps, gof, pos_e, col_e, _tail_secondary_extras(run, gof, base)
+    )
 
 
 def _reconstruct_gof_oracle(gof: GofData) -> Iterator[PointSet3]:
