@@ -461,3 +461,29 @@ def test_secondary_on_pixel_interleaved_stream(tmp_path):
             assert (vals == 600 + fi).all()
         plys[dev] = [format_ply(p) for p in out]
     assert plys[False] == plys[True]
+
+
+def test_geometry_only_pixel_interleaved(tmp_path):
+    """Zero attributes x pixel interleave: no decoded plane carries the
+    tiled signal, so the requested layout stands (review finding: the
+    attr-based probe used to silently force the untiled gather path).
+    Device == oracle."""
+    rng = np.random.default_rng(56)
+    frames = [
+        make_synthetic_frame(
+            rng, width=64, height=64, occupancy_resolution=8,
+            occupancy_precision=4, map_count=2, n_patches=3,
+            frame_index=i,
+        )
+        for i in range(2)
+    ]
+    path = tmp_path / "ga_pix.bin"
+    path.write_bytes(build_fixture_stream(
+        frames, pixel_interleave=True, no_attributes=True
+    ))
+    plys = {}
+    for dev in (False, True):
+        out = decode_all(path, dev)
+        assert all(len(p) > 0 and not p.with_colors for p in out)
+        plys[dev] = [format_ply(p) for p in out]
+    assert plys[False] == plys[True]

@@ -35,14 +35,12 @@ from ..runtime.pipeline import (
     _dispatch_device,
     _emit_pointset,
     _gof_device_inputs,
-    _gof_frame_tables,
-    _group_capacity,
+    _gof_tables_and_bucket,
     _meta_has_plr,
     _reconstruct_gof_oracle,
     _secondary_gof_values,
     prepare_gof,
 )
-from ..atlas.groups import bucket_group_count
 
 log = logging.getLogger(__name__)
 
@@ -146,7 +144,7 @@ def decode_streams_batched(
             finished, pending = wait(pending, return_when=when)
             first_wave = False
             # one wave: every GOF whose host prep has completed by now
-            items = []  # (state, gof, DeviceInputs)
+            items = []  # (state, gof, DeviceInputs, prebuilt, g_bucket)
             for fut in finished:
                 state, gof = fut.result()
                 if gof is None or not gof.metas:
@@ -163,14 +161,10 @@ def decode_streams_batched(
                 if gof.sec_attrs:
                     # share the tables/bucket with the secondary twin
                     # dispatches instead of rebuilding them per GOF
-                    prebuilt = _gof_frame_tables(
-                        gof, gof.metas, allow_cell=space <= 1
+                    cfg_t, tables_t, g_b = _gof_tables_and_bucket(
+                        gof, space
                     )
-                    g_b = bucket_group_count(
-                        max((t.n_groups for t in prebuilt[1]), default=0),
-                        _group_capacity(prebuilt[0]),
-                        multiple_of=space,
-                    )
+                    prebuilt = (cfg_t, tables_t)
                 else:
                     prebuilt = g_b = None
                 items.append((state, gof, _gof_device_inputs(

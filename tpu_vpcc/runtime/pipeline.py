@@ -843,9 +843,16 @@ def prepare_gof(
         cell = False
     # the native copy falls back to raw layout when dims don't divide
     # (pixel-interleaved geometry decodes raster by design — the attr
-    # planes carry the tiled-or-not signal there)
-    probe_frames = attr_frames if pix_il else geo_frames
-    tiled = tiled and bool(probe_frames) and probe_frames[0].planes[0].ndim == 3
+    # planes carry the tiled-or-not signal there; a geometry-only
+    # pixel-interleaved stream has NO decoded plane carrying it, and
+    # the host-built zero planes + re-tiled derived geometry take
+    # whichever layout was requested, so `tiled` stands as-is)
+    if not (pix_il and not attr_frames):
+        probe_frames = attr_frames if pix_il else geo_frames
+        tiled = (
+            tiled and bool(probe_frames)
+            and probe_frames[0].planes[0].ndim == 3
+        )
     cell = cell and tiled
 
     # every attribute set must share the GOF's single plane layout (the
@@ -2095,25 +2102,35 @@ def _secondary_chunk_values(gof: GofData, metas, prebuilt, g_bucket,
     return out
 
 
+def _gof_tables_and_bucket(gof: GofData, space: int = 1):
+    """Tables + ONE shared bucket for a whole GOF, so every chunk (and
+    every secondary twin dispatch) shares a single compiled kernel
+    variant. Cell granularity is incompatible with the spatial shard
+    stitch, so it is only allowed on unsharded dispatches (see
+    _gof_frame_tables)."""
+    from ..atlas.groups import bucket_group_count
+
+    cfg, tables = _gof_frame_tables(gof, gof.metas, allow_cell=space <= 1)
+    g_bucket = bucket_group_count(
+        max((t.n_groups for t in tables), default=0),
+        _group_capacity(cfg),
+        multiple_of=space,
+    )
+    return cfg, tables, g_bucket
+
+
 def _secondary_gof_values(gof: GofData, mesh=None, stats=None,
                           prebuilt=None, g_bucket=None):
     """Secondary-attribute values for ALL frames of a GOF, chunked like
     the primary dispatch — used by the multi-stream batcher, which
     passes the (cfg, tables)/bucket it already built for the primary
     dispatch (recomputed here only when absent)."""
-    from ..atlas.groups import bucket_group_count
-
     space = mesh.shape["space"] if mesh is not None else 1
-    cfg, tables = (
-        prebuilt if prebuilt is not None
-        else _gof_frame_tables(gof, gof.metas, allow_cell=space <= 1)
-    )
-    if g_bucket is None:
-        g_bucket = bucket_group_count(
-            max((t.n_groups for t in tables), default=0),
-            _group_capacity(cfg),
-            multiple_of=space,
-        )
+    if prebuilt is not None:
+        cfg, tables = prebuilt
+        assert g_bucket is not None
+    else:
+        cfg, tables, g_bucket = _gof_tables_and_bucket(gof, space)
     chunk = DEVICE_BATCH * (mesh.shape["data"] if mesh is not None else 1)
     out = []
     for i in range(0, len(gof.metas), chunk):
@@ -2159,21 +2176,9 @@ def _reconstruct_gof_device(gof: GofData, mesh=None, stats=None) -> Iterator[Poi
     finalization riding the fetch dispatch."""
     if not gof.metas:
         return
-    from ..atlas.groups import bucket_group_count
-
     chunk = DEVICE_BATCH * (mesh.shape["data"] if mesh is not None else 1)
     space = mesh.shape["space"] if mesh is not None else 1
-    # tables built once; ONE bucket for the whole GOF so every chunk
-    # shares a single compiled kernel variant. Cell granularity is
-    # incompatible with the spatial shard stitch (see _gof_frame_tables).
-    cfg, tables = _gof_frame_tables(
-        gof, gof.metas, allow_cell=mesh is None or space <= 1
-    )
-    g_bucket = bucket_group_count(
-        max((t.n_groups for t in tables), default=0),
-        _group_capacity(cfg),
-        multiple_of=space,
-    )
+    cfg, tables, g_bucket = _gof_tables_and_bucket(gof, space)
     for i in range(0, len(gof.metas), chunk):
         di = _gof_device_inputs(
             gof,
