@@ -263,25 +263,98 @@ def test_secondary_with_plr_and_eom(tmp_path):
         assert plys[False] == plys[True]
 
 
-def test_gate_secondary_with_aux_patches(tmp_path):
-    """Aux-flagged patches read an auxiliary attribute video; there is
-    no secondary one to sample, so the combination fails cleanly."""
+def _const_planes(value, h=64, w=64):
+    return [np.full((h, w), value, np.uint16),
+            np.full((h // 2, w // 2), 512, np.uint16),
+            np.full((h // 2, w // 2), 512, np.uint16)]
+
+
+def test_secondary_with_aux_raw_patch(tmp_path):
+    """Every attribute family carries its OWN auxiliary video: aux raw
+    tail points sample the secondary's aux planes, regular points its
+    regular planes (distinct constants prove the source), and
+    device == oracle byte-identically."""
     rng = np.random.default_rng(51)
     sf = make_synthetic_frame(
         rng, width=64, height=64, occupancy_resolution=8,
         occupancy_precision=4, map_count=2, n_patches=1, frame_index=0,
     )
     plant_raw_patch(rng, sf, (6, 6, 2, 1), 17, aux=True)
+    n_tail = 17
     path = tmp_path / "ma_aux.bin"
     path.write_bytes(build_fixture_stream(
-        [sf], secondary_attrs=[(3, 1, None)]
+        [sf],
+        secondary_attrs=[(3, 1, [[_const_planes(700)] * 2],
+                          [_const_planes(750)])],
     ))
-    decoder = Decoder(Params(path, use_device=False))
-    decoder.start()
+    plys = {}
+    for dev in (False, True):
+        (ps,) = decode_all(path, dev)
+        vals = ps.extra_attrs[0][1]
+        assert vals.shape == (len(ps), 1)
+        assert (vals[: len(ps) - n_tail] == 700).all()
+        assert (vals[len(ps) - n_tail:] == 750).all()
+        plys[dev] = format_ply(ps)
+    assert plys[False] == plys[True]
+
+
+def test_secondary_with_aux_eom_patch(tmp_path):
+    """Aux-flagged EOM colors for a secondary come from ITS aux video."""
+    from tpu_vpcc.utils.synthetic import plant_eom_patch
+
+    rng = np.random.default_rng(57)
+    sf = make_synthetic_frame(
+        rng, width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=1, map_count=2, n_patches=2,
+        frame_index=0, allow_swap=False,
+    )
+    plant_eom_patch(rng, sf, (0, 0, 2, 2),
+                    list(range(len(sf.meta.patches))), aux=True)
+    path = tmp_path / "ma_aux_eom.bin"
+    path.write_bytes(build_fixture_stream(
+        [sf],
+        secondary_attrs=[(3, 1, [[_const_planes(800)] * 2],
+                          [_const_planes(850)])],
+    ))
+    plys = {}
+    for dev in (False, True):
+        (ps,) = decode_all(path, dev)
+        vals = ps.extra_attrs[0][1].ravel()
+        assert set(np.unique(vals)) == {800, 850}
+        # the EOM tail is appended last and sampled the aux constant
+        assert vals[-1] == 850 and vals[0] == 800
+        plys[dev] = format_ply(ps)
+    assert plys[False] == plys[True]
+
+
+def test_gate_secondary_missing_aux_video(tmp_path):
+    """Aux patches + a secondary whose aux sub-stream is absent fail
+    cleanly (each family needs its own auxiliary video)."""
+    from tpu_vpcc.bitio import Bitstream
+    from tpu_vpcc.runtime.pipeline import prepare_gof
+    from tpu_vpcc.v3c.context import Context
+    from tpu_vpcc.v3c.stream import SampleStreamV3CUnit
+    from tpu_vpcc.v3c.syntax import VideoType
+
+    rng = np.random.default_rng(58)
+    sf = make_synthetic_frame(
+        rng, width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2, n_patches=1, frame_index=0,
+    )
+    plant_raw_patch(rng, sf, (6, 6, 2, 1), 17, aux=True)
+    stream = build_fixture_stream([sf], secondary_attrs=[(3, 1, None)])
+    ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(stream))
+    ctx = Context()
+    ssvu.decode_gof(ctx)
+    ctx.atlas_hls.video_bitstreams = [
+        v for v in ctx.atlas_hls.video_bitstreams
+        if not (v.video_type == VideoType.ATTRIBUTE_RAW
+                and v.attr_index == 1)
+    ]
     with pytest.raises(
-        UnsupportedFeature, match="secondary attributes combined"
+        UnsupportedFeature, match="no.*auxiliary video sub-stream"
     ):
-        list(decoder)
+        prepare_gof(ctx)
 
 
 def test_concatenate_extra_attr_schemas():

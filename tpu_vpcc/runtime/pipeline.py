@@ -330,6 +330,11 @@ class SecAttr:
     # vuh_attribute_index as a string when another secondary shares this
     # type (PLY vertex properties must be uniquely named); "" otherwise
     name_suffix: str = ""
+    # this attribute's AUXILIARY video (aux-flagged AVD units with this
+    # vuh_attribute_index), raster, one frame per atlas frame; () when
+    # the stream has no aux patches. The host tails' twin calls read it.
+    aux_planes: tuple = ()
+    aux_chroma_shift: int = 1
 
     def property_names(self) -> tuple:
         """PLY property names for this attribute's channels."""
@@ -560,7 +565,11 @@ def prepare_gof(
     # ``reader.rs:74``). Raster layout: only the host raw/EOM tails
     # read them.
     aux_geo_bs = context.get_video_bitstream(VideoType.GEOMETRY_RAW)
-    aux_attr_bs = context.get_video_bitstream(VideoType.ATTRIBUTE_RAW)
+    aux_attr_bs_list = [
+        context.get_video_bitstream(VideoType.ATTRIBUTE_RAW, k)
+        for k in range(ai.attribute_count)
+    ]
+    aux_attr_bs = aux_attr_bs_list[0] if aux_attr_bs_list else None
     has_aux_raw = any(
         rp.in_aux_video for m in metas for rp in m.raw_patches
     )
@@ -580,14 +589,23 @@ def prepare_gof(
             "aux-flagged EOM patches but no auxiliary attribute "
             "video sub-stream"
         )
+    if has_aux_patches:
+        for k in range(1, ai.attribute_count):
+            if aux_attr_bs_list[k] is None:
+                raise UnsupportedFeature(
+                    f"aux-flagged patches but attribute {k} has no "
+                    f"auxiliary video sub-stream"
+                )
     aux_geo_codec = (
         codec_id_from_v3c(gi.auxiliary_geometry_codec_id)
         if aux_geo_bs is not None else None
     )
-    aux_attr_codec = (
-        codec_id_from_v3c(ai.auxiliary_attribute_codec_id[0])
-        if aux_attr_bs is not None else None
-    )
+    aux_attr_codecs = [
+        codec_id_from_v3c(ai.auxiliary_attribute_codec_id[k])
+        if aux_attr_bs_list[k] is not None else None
+        for k in range(ai.attribute_count)
+    ]
+    aux_attr_codec = aux_attr_codecs[0] if aux_attr_codecs else None
 
     occ_synth = (
         extract_occupancy_synthesis(context)
@@ -622,16 +640,13 @@ def prepare_gof(
             )
 
     if ai.attribute_count > 1:
-        # regular raw/EOM/PLR tails take secondary twin calls (the same
-        # tail with the attribute planes swapped), but aux-flagged
-        # patches read an auxiliary attribute video and there is no
-        # secondary one to sample (the demux gates it too)
-        if has_aux_patches:
-            raise UnsupportedFeature(
-                "secondary attributes combined with aux-video patches"
-            )
-        # (pixel-interleaved streams work too: the secondary families
-        # alias one frame per derived map, exactly like the primary)
+        # raw/EOM/PLR tails take secondary twin calls (the same tail
+        # with the attribute planes swapped) — aux-flagged patches
+        # included, each attribute family carrying its own auxiliary
+        # video (gated above when one is missing). Pixel-interleaved
+        # streams work too: the secondary families alias one frame per
+        # derived map, exactly like the primary.
+        pass
 
     res = 1 << asps.log2_patch_packing_block_size
     # the tiled fast path requires even, precision-divisible block tiles
@@ -686,17 +701,24 @@ def prepare_gof(
             pool.submit(decompress_video, aux_geo_bs.data, aux_geo_codec)
             if aux_geo_bs is not None else None
         )
-        aux_attr_f = (
-            pool.submit(decompress_video, aux_attr_bs.data, aux_attr_codec)
-            if aux_attr_bs is not None else None
-        )
+        aux_attr_fs = [
+            pool.submit(decompress_video, b.data, aux_attr_codecs[k])
+            if b is not None else None
+            for k, b in enumerate(aux_attr_bs_list)
+        ]
+        aux_attr_f = aux_attr_fs[0] if aux_attr_fs else None
         if occ_f is not None:
             occ_frames = occ_f.result()
         geo_per_map = [f.result() for f in geo_fs]
         attr_per_map_sets = [[f.result() for f in fs] for fs in attr_fs_sets]
         attr_per_map = attr_per_map_sets[0] if attr_per_map_sets else []
         aux_geo_frames = aux_geo_f.result() if aux_geo_f else []
-        aux_attr_frames = aux_attr_f.result() if aux_attr_f else []
+        aux_attr_frames_sets = [
+            f.result() if f else [] for f in aux_attr_fs
+        ]
+        aux_attr_frames = (
+            aux_attr_frames_sets[0] if aux_attr_frames_sets else []
+        )
     if (has_aux_raw and len(aux_geo_frames) < frame_count) or (
         has_aux_patches and aux_attr_frames
         and len(aux_attr_frames) < frame_count
@@ -1022,6 +1044,19 @@ def prepare_gof(
             if ai.attribute_type_id[j] == type_k
         ) > 1
         suffix = str(k) if dup and not (type_k == 0 and dim_k == 3) else ""
+        aux_fr = aux_attr_frames_sets[k] if has_aux_patches else []
+        if has_aux_patches:
+            if len(aux_fr) < frame_count:
+                raise UnsupportedFeature(
+                    f"attribute {k} auxiliary video decoded to "
+                    f"{len(aux_fr)} frames, the atlas has {frame_count}"
+                )
+            aux_sh = (aux_fr[0].chroma_w_shift, aux_fr[0].chroma_h_shift)
+            if aux_sh not in ((1, 1), (0, 0)):
+                raise UnsupportedFeature(
+                    f"attribute {k} auxiliary chroma subsampling "
+                    f"{aux_sh} (only 4:2:0 / 4:4:4)"
+                )
         sec_attrs.append(SecAttr(
             attr_index=k,
             type_id=type_k,
@@ -1036,6 +1071,13 @@ def prepare_gof(
                 and not fr[0].is_rgb else None
             ),
             name_suffix=suffix,
+            aux_planes=tuple(
+                [p.astype(np.uint16, copy=False) for p in f.planes]
+                for f in aux_fr
+            ),
+            aux_chroma_shift=(
+                aux_fr[0].chroma_w_shift if aux_fr else 1
+            ),
         ))
 
     return GofData(
@@ -1260,13 +1302,18 @@ def _append_tail_points(ps: PointSet3, gof: GofData, pos_r, col_r,
         ]
 
 
-def _tail_secondary_extras(run, gof: GofData, base: int):
+def _tail_secondary_extras(run, gof: GofData, base: int, fi: int):
     """Secondary twin calls for one host tail: rerun the tail function
-    with each secondary's planes swapped in (tails are deterministic,
-    so positions align) and finalize its colors. Aux-flagged patches
-    are gated at prepare — there is no secondary auxiliary video."""
+    with each secondary's planes (regular AND auxiliary — every
+    attribute family carries its own aux video) swapped in; tails are
+    deterministic, so positions align, and the second call's colors
+    are the secondary's samples."""
     return [
-        sa.finalize(run(sa.planes[base], sa.chroma_shift)[1])
+        sa.finalize(run(
+            sa.planes[base], sa.chroma_shift,
+            sa.aux_planes[fi] if sa.aux_planes else None,
+            sa.aux_chroma_shift,
+        )[1])
         for sa in gof.sec_attrs
     ]
 
@@ -1283,7 +1330,7 @@ def _append_raw_points(ps: PointSet3, gof: GofData, meta) -> None:
     base = meta.frame_index * gof.map_count
     attr = gof.attr_planes[base] if gof.attribute_count > 0 else None
 
-    def run(planes, shift):
+    def run(planes, shift, aux_planes, aux_shift):
         return raw_points_for_frame(
             meta.raw_patches,
             gof.geo_planes[base],
@@ -1297,17 +1344,19 @@ def _append_raw_points(ps: PointSet3, gof: GofData, meta) -> None:
                 gof.aux_geo_planes[meta.frame_index]
                 if gof.aux_geo_planes else None
             ),
-            aux_attr_planes=(
-                gof.aux_attr_planes[meta.frame_index]
-                if gof.aux_attr_planes else None
-            ),
+            aux_attr_planes=aux_planes,
             aux_geo_shift=gof.aux_geo_shift,
-            aux_chroma_shift=gof.aux_chroma_shift,
+            aux_chroma_shift=aux_shift,
         )
 
-    pos_r, col_r = run(attr, gof.attr_chroma_shift)
+    fi = meta.frame_index
+    pos_r, col_r = run(
+        attr, gof.attr_chroma_shift,
+        gof.aux_attr_planes[fi] if gof.aux_attr_planes else None,
+        gof.aux_chroma_shift,
+    )
     _append_tail_points(
-        ps, gof, pos_r, col_r, _tail_secondary_extras(run, gof, base)
+        ps, gof, pos_r, col_r, _tail_secondary_extras(run, gof, base, fi)
     )
 
 
@@ -1327,7 +1376,8 @@ def _append_plr_points(ps: PointSet3, gof: GofData, meta) -> None:
     base = meta.frame_index * gof.map_count
     attr = gof.attr_planes[base] if gof.attribute_count > 0 else None
 
-    def run(planes, shift):
+    def run(planes, shift, _aux_planes=None, _aux_shift=1):
+        # PLR has no auxiliary-video form; uniform twin signature
         return plr_points_for_frame(
             meta,
             gof.occ_planes[meta.frame_index],
@@ -1346,7 +1396,8 @@ def _append_plr_points(ps: PointSet3, gof: GofData, meta) -> None:
 
     pos_p, col_p = run(attr, gof.attr_chroma_shift)
     _append_tail_points(
-        ps, gof, pos_p, col_p, _tail_secondary_extras(run, gof, base)
+        ps, gof, pos_p, col_p,
+        _tail_secondary_extras(run, gof, base, meta.frame_index),
     )
 
 
@@ -1361,7 +1412,7 @@ def _append_eom_points(ps: PointSet3, gof: GofData, meta) -> None:
     base = meta.frame_index * gof.map_count
     attr = gof.attr_planes[base] if gof.attribute_count > 0 else None
 
-    def run(planes, shift):
+    def run(planes, shift, aux_planes, aux_shift):
         return eom_points_for_frame(
             meta,
             gof.occ_planes[meta.frame_index],
@@ -1375,16 +1426,18 @@ def _append_eom_points(ps: PointSet3, gof: GofData, meta) -> None:
             left_top=meta.left_top_in_frame,
             geometry_bitdepth_3d=gof.geometry_bitdepth_3d,
             fix_bit_count=gof.eom_fix_bit_count,
-            aux_attr_planes=(
-                gof.aux_attr_planes[meta.frame_index]
-                if gof.aux_attr_planes else None
-            ),
-            aux_chroma_shift=gof.aux_chroma_shift,
+            aux_attr_planes=aux_planes,
+            aux_chroma_shift=aux_shift,
         )
 
-    pos_e, col_e = run(attr, gof.attr_chroma_shift)
+    fi = meta.frame_index
+    pos_e, col_e = run(
+        attr, gof.attr_chroma_shift,
+        gof.aux_attr_planes[fi] if gof.aux_attr_planes else None,
+        gof.aux_chroma_shift,
+    )
     _append_tail_points(
-        ps, gof, pos_e, col_e, _tail_secondary_extras(run, gof, base)
+        ps, gof, pos_e, col_e, _tail_secondary_extras(run, gof, base, fi)
     )
 
 

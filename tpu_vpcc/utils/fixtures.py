@@ -1064,7 +1064,8 @@ def build_fixture_stream(
 
     sec_annexb_sets = []
     if secondary_attrs:
-        for k, (type_id, dim, planes) in enumerate(secondary_attrs):
+        for k, spec in enumerate(secondary_attrs):
+            type_id, dim, planes = spec[:3]
             if planes is None:
                 rng = np.random.default_rng(9000 + k)
 
@@ -1115,6 +1116,7 @@ def build_fixture_stream(
     occ_annexb = encode_yuv420(occ_video, bit_depth=8, lossless=lossless, qp=qp)
 
     aux_geo_annexb = aux_attr_annexb = None
+    sec_aux_annexbs = []
     if has_aux:
         ach, acw = frames[0].aux_attr_planes[1].shape
         aux_geo_annexb = encode_yuv420(
@@ -1127,6 +1129,25 @@ def build_fixture_stream(
             [f.aux_attr_planes for f in frames],
             bit_depth=10, lossless=lossless, qp=qp,
         )
+        # one auxiliary video per SECONDARY attribute family too (the
+        # decode samples raw/EOM tail channels from it). 4-tuples
+        # supply explicit per-frame [y, u, v] aux planes; otherwise
+        # deterministic pseudo-random content at the primary aux size.
+        ah = frames[0].aux_attr_planes[0].shape[0]
+        aw = frames[0].aux_attr_planes[0].shape[1]
+        for k, spec in enumerate(secondary_attrs or []):
+            aux_planes = spec[3] if len(spec) > 3 else None
+            if aux_planes is None:
+                rng = np.random.default_rng(9500 + k)
+                aux_planes = [
+                    [rng.integers(0, 1024, (ah, aw)).astype(np.uint16),
+                     rng.integers(0, 1024, (ach, acw)).astype(np.uint16),
+                     rng.integers(0, 1024, (ach, acw)).astype(np.uint16)]
+                    for _ in frames
+                ]
+            sec_aux_annexbs.append(encode_yuv420(
+                aux_planes, bit_depth=10, lossless=lossless, qp=qp,
+            ))
 
     sw = w3c.V3CSampleStreamWriter()
     sw.add_unit(w3c.v3c_unit_header(V3CUnitType.VPS), w3c.write_vps(vps))
@@ -1168,4 +1189,12 @@ def build_fixture_stream(
             w3c.v3c_unit_header(V3CUnitType.AVD, auxiliary_video_flag=True),
             w3c.annexb_to_length_prefixed(aux_attr_annexb),
         )
+        for k, annexb in enumerate(sec_aux_annexbs, start=1):
+            sw.add_unit(
+                w3c.v3c_unit_header(
+                    V3CUnitType.AVD, auxiliary_video_flag=True,
+                    attribute_index=k,
+                ),
+                w3c.annexb_to_length_prefixed(annexb),
+            )
     return sw.getvalue()

@@ -137,14 +137,14 @@ class V3CUnit:
                 )
             vtype = VideoType.ATTRIBUTE
             if vuh.auxiliary_video_flag:
-                if vuh.attribute_index != 0:
-                    raise UnsupportedFeature(
-                        "auxiliary video for a secondary attribute"
-                    )
+                # one auxiliary family per attribute index (the VPS
+                # declares ai_auxiliary_attribute_codec_id per
+                # attribute)
                 context.add_video_bitstream(
                     VideoBitstream(
                         bs.read_slice(self.size - 4),
                         VideoType.ATTRIBUTE_RAW,
+                        attr_index=vuh.attribute_index,
                     )
                 )
                 return
