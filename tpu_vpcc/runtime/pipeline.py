@@ -605,7 +605,6 @@ def prepare_gof(
         if aux_attr_bs_list[k] is not None else None
         for k in range(ai.attribute_count)
     ]
-    aux_attr_codec = aux_attr_codecs[0] if aux_attr_codecs else None
 
     occ_synth = (
         extract_occupancy_synthesis(context)
@@ -706,7 +705,6 @@ def prepare_gof(
             if b is not None else None
             for k, b in enumerate(aux_attr_bs_list)
         ]
-        aux_attr_f = aux_attr_fs[0] if aux_attr_fs else None
         if occ_f is not None:
             occ_frames = occ_f.result()
         geo_per_map = [f.result() for f in geo_fs]
