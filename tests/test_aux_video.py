@@ -214,3 +214,43 @@ def test_aux_region_leaving_aux_video_fails_cleanly(tmp_path):
     d.start()
     with pytest.raises(UnsupportedFeature, match="leaves the"):
         list(d)
+
+
+def test_aux_attr_format_mismatch_fails_cleanly():
+    """The tails apply the REGULAR attribute video's bit depth / RGB-ness
+    to aux-sourced color samples, so an aux attribute video coded at a
+    different depth is not decodable content — it must gate cleanly
+    instead of silently mangling values."""
+    frames = make_aux_frames(seed=31, n_frames=1)
+    for sf in frames:
+        # 8-bit-encodable content (the mismatch is the DEPTH, not range)
+        sf.aux_attr_planes = [
+            np.minimum(p, 255).astype(np.uint16) for p in sf.aux_attr_planes
+        ]
+    stream = build_fixture_stream(frames, aux_attr_bit_depth=8)
+    d = Decoder(Params(bytes(stream), use_device=False))
+    d.start()
+    with pytest.raises(UnsupportedFeature, match="auxiliary video format"):
+        list(d)
+
+
+def test_undersized_aux_attr_plane_fails_cleanly():
+    """Per-family aux videos are sized independently; a region that fits
+    the aux GEOMETRY plane but leaves the aux ATTRIBUTE plane gates
+    cleanly instead of crashing on a numpy broadcast error."""
+    from tpu_vpcc.atlas.patches import RawPatch
+    from tpu_vpcc.reconstruction.raw_points import raw_points_for_frame
+
+    rp = RawPatch(u0=0, v0=5, size_u0=2, size_v0=1, n_points=16,
+                  occupancy_resolution=8, in_aux_video=True)
+    geo = np.zeros((64, 64), np.uint16)
+    attr = [np.zeros((64, 64), np.uint16)] * 3
+    aux_geo = np.zeros((64, 64), np.uint16)  # region fits (rows 40..48)
+    aux_attr = [np.zeros((32, 32), np.uint16),
+                np.zeros((16, 16), np.uint16),
+                np.zeros((16, 16), np.uint16)]  # region does not
+    with pytest.raises(UnsupportedFeature, match="attribute plane"):
+        raw_points_for_frame(
+            [rp], geo, attr, 2, 1, 64,
+            aux_geo_plane=aux_geo, aux_attr_planes=aux_attr,
+        )

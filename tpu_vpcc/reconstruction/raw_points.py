@@ -105,6 +105,21 @@ def raw_patch_points(
             f"raw patch region {w}x{h} at ({x0},{y0}) leaves the "
             f"{geo_plane.shape[1]}x{geo_plane.shape[0]} geometry plane"
         )
+    if tile_size == 0 and attr_planes is not None and w > 0:
+        # the attribute video is a SEPARATE plane (per-family aux videos
+        # may even be sized independently of the aux geometry video) —
+        # bound-check the rows the n color pixels actually touch, like
+        # the EOM tail does (eom_points.py)
+        h_used = (n + w - 1) // w
+        if (
+            y0 + h_used > attr_planes[0].shape[0]
+            or x0 + w > attr_planes[0].shape[1]
+        ):
+            raise UnsupportedFeature(
+                f"raw patch attribute region {w}x{h_used} at ({x0},{y0}) "
+                f"leaves the {attr_planes[0].shape[1]}x"
+                f"{attr_planes[0].shape[0]} attribute plane"
+            )
 
     vals = _extract_region(geo_plane, x0, y0, w, h, tile_size, width)
     vals = (vals.reshape(-1).astype(np.int64) >> geo_shift)[: 3 * n]

@@ -569,7 +569,6 @@ def prepare_gof(
         context.get_video_bitstream(VideoType.ATTRIBUTE_RAW, k)
         for k in range(ai.attribute_count)
     ]
-    aux_attr_bs = aux_attr_bs_list[0] if aux_attr_bs_list else None
     has_aux_raw = any(
         rp.in_aux_video for m in metas for rp in m.raw_patches
     )
@@ -577,20 +576,16 @@ def prepare_gof(
         ep.in_aux_video for m in metas for ep in m.eom_patches
     )
     has_aux_patches = has_aux_raw or has_aux_eom
-    # raw patches read their runs from the aux GEOMETRY video; EOM
-    # patches only their colors from the aux ATTRIBUTE video
+    # raw patches read their runs from the aux GEOMETRY video; raw and
+    # EOM patches alike read their colors from the aux ATTRIBUTE video
+    # of EVERY attribute family (the tails' twin calls)
     if has_aux_raw and aux_geo_bs is None:
         raise UnsupportedFeature(
             "aux-flagged raw patches but no auxiliary geometry "
             "video sub-stream"
         )
-    if has_aux_eom and ai.attribute_count > 0 and aux_attr_bs is None:
-        raise UnsupportedFeature(
-            "aux-flagged EOM patches but no auxiliary attribute "
-            "video sub-stream"
-        )
     if has_aux_patches:
-        for k in range(1, ai.attribute_count):
+        for k in range(ai.attribute_count):
             if aux_attr_bs_list[k] is None:
                 raise UnsupportedFeature(
                     f"aux-flagged patches but attribute {k} has no "
@@ -638,14 +633,12 @@ def prepare_gof(
                 "pixel deinterleaving combined with raw/EOM/PLR patches"
             )
 
-    if ai.attribute_count > 1:
-        # raw/EOM/PLR tails take secondary twin calls (the same tail
-        # with the attribute planes swapped) — aux-flagged patches
-        # included, each attribute family carrying its own auxiliary
-        # video (gated above when one is missing). Pixel-interleaved
-        # streams work too: the secondary families alias one frame per
-        # derived map, exactly like the primary.
-        pass
+    # Multiple attributes need no gate: raw/EOM/PLR tails take secondary
+    # twin calls (the same tail with the attribute planes swapped) —
+    # aux-flagged patches included, each attribute family carrying its
+    # own auxiliary video (gated above when one is missing). Pixel-
+    # interleaved streams work too: the secondary families alias one
+    # frame per derived map, exactly like the primary.
 
     res = 1 << asps.log2_patch_packing_block_size
     # the tiled fast path requires even, precision-divisible block tiles
@@ -714,33 +707,14 @@ def prepare_gof(
         aux_attr_frames_sets = [
             f.result() if f else [] for f in aux_attr_fs
         ]
-        aux_attr_frames = (
-            aux_attr_frames_sets[0] if aux_attr_frames_sets else []
-        )
-    if (has_aux_raw and len(aux_geo_frames) < frame_count) or (
-        has_aux_patches and aux_attr_frames
-        and len(aux_attr_frames) < frame_count
-    ):
+    if has_aux_raw and len(aux_geo_frames) < frame_count:
         raise UnsupportedFeature(
-            f"auxiliary video decoded to {len(aux_geo_frames)} geometry / "
-            f"{len(aux_attr_frames)} attribute frames, the atlas has "
-            f"{frame_count}"
+            f"auxiliary geometry video decoded to {len(aux_geo_frames)} "
+            f"frames, the atlas has {frame_count}"
         )
     aux_geo_shift = (
         max(0, aux_geo_frames[0].bit_depth - 8) if aux_geo_frames else 0
     )
-    aux_chroma_shift = 1
-    if aux_attr_frames:
-        aux_shifts = (
-            aux_attr_frames[0].chroma_w_shift,
-            aux_attr_frames[0].chroma_h_shift,
-        )
-        if aux_shifts not in ((1, 1), (0, 0)):
-            raise UnsupportedFeature(
-                f"auxiliary attribute chroma subsampling {aux_shifts} "
-                f"(only 4:2:0 / 4:4:4)"
-            )
-        aux_chroma_shift = aux_shifts[0]
     if multi_map:
         # interleave the per-map videos into the map-interleaved frame
         # order every downstream consumer indexes by (frame*mc + map)
@@ -845,6 +819,40 @@ def prepare_gof(
             attr_chroma_shift = shift_k
     attr_frames = attr_frames_sets[0] if attr_frames_sets else []
     attr_is_rgb444 = bool(attr_frames and attr_frames[0].is_rgb)
+
+    # FRAMEWORK EXTENSION: one validation loop for EVERY attribute
+    # family's auxiliary video (primary included — primary-only aliases
+    # were a review-flagged bug class). The tails apply the REGULAR
+    # video's bit depth / RGB-ness to aux-sourced samples
+    # (SecAttr.finalize, the primary color conversion), so a format
+    # mismatch must gate cleanly instead of silently mangling values.
+    aux_attr_shifts = [1] * len(attr_frames_sets)
+    if has_aux_patches:
+        for k, aux_fr in enumerate(aux_attr_frames_sets):
+            if len(aux_fr) < frame_count:
+                raise UnsupportedFeature(
+                    f"attribute {k} auxiliary video decoded to "
+                    f"{len(aux_fr)} frames, the atlas has {frame_count}"
+                )
+            aux_sh = (aux_fr[0].chroma_w_shift, aux_fr[0].chroma_h_shift)
+            if aux_sh not in ((1, 1), (0, 0)):
+                raise UnsupportedFeature(
+                    f"attribute {k} auxiliary chroma subsampling "
+                    f"{aux_sh} (only 4:2:0 / 4:4:4)"
+                )
+            aux_attr_shifts[k] = aux_sh[0]
+            reg = attr_frames_sets[k][0] if attr_frames_sets[k] else None
+            if reg is not None and (
+                aux_fr[0].bit_depth != reg.bit_depth
+                or bool(aux_fr[0].is_rgb) != bool(reg.is_rgb)
+            ):
+                raise UnsupportedFeature(
+                    f"attribute {k} auxiliary video format "
+                    f"({aux_fr[0].bit_depth}-bit, "
+                    f"rgb={bool(aux_fr[0].is_rgb)}) differs from the "
+                    f"regular video ({reg.bit_depth}-bit, "
+                    f"rgb={bool(reg.is_rgb)})"
+                )
     if force_raster and tiled:
         # 4:2:2 attrs re-decoded raster: bring the geometry back to the
         # canvas layout — one GOF carries ONE plane layout (the dispatch
@@ -1042,19 +1050,9 @@ def prepare_gof(
             if ai.attribute_type_id[j] == type_k
         ) > 1
         suffix = str(k) if dup and not (type_k == 0 and dim_k == 3) else ""
+        # validated (frame count / chroma / format match) by the
+        # per-family aux loop above
         aux_fr = aux_attr_frames_sets[k] if has_aux_patches else []
-        if has_aux_patches:
-            if len(aux_fr) < frame_count:
-                raise UnsupportedFeature(
-                    f"attribute {k} auxiliary video decoded to "
-                    f"{len(aux_fr)} frames, the atlas has {frame_count}"
-                )
-            aux_sh = (aux_fr[0].chroma_w_shift, aux_fr[0].chroma_h_shift)
-            if aux_sh not in ((1, 1), (0, 0)):
-                raise UnsupportedFeature(
-                    f"attribute {k} auxiliary chroma subsampling "
-                    f"{aux_sh} (only 4:2:0 / 4:4:4)"
-                )
         sec_attrs.append(SecAttr(
             attr_index=k,
             type_id=type_k,
@@ -1073,9 +1071,7 @@ def prepare_gof(
                 [p.astype(np.uint16, copy=False) for p in f.planes]
                 for f in aux_fr
             ),
-            aux_chroma_shift=(
-                aux_fr[0].chroma_w_shift if aux_fr else 1
-            ),
+            aux_chroma_shift=aux_attr_shifts[k],
         ))
 
     return GofData(
@@ -1120,12 +1116,12 @@ def prepare_gof(
         aux_attr_planes=(
             [
                 [p.astype(np.uint16, copy=False) for p in f.planes]
-                for f in aux_attr_frames
+                for f in aux_attr_frames_sets[0]
             ]
-            if aux_attr_frames else None
+            if aux_attr_frames_sets and aux_attr_frames_sets[0] else None
         ),
         aux_geo_shift=aux_geo_shift,
-        aux_chroma_shift=aux_chroma_shift,
+        aux_chroma_shift=aux_attr_shifts[0] if aux_attr_shifts else 1,
         sec_attrs=tuple(sec_attrs),
     )
 

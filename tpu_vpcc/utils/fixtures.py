@@ -397,6 +397,7 @@ def build_fixture_stream(
     chroma422: bool = False,
     secondary_attrs=None,
     no_attributes: bool = False,
+    aux_attr_bit_depth: int = 10,
 ) -> bytes:
     """Build a complete single-GOF V3C sample-stream file.
 
@@ -1125,9 +1126,11 @@ def build_fixture_stream(
               np.zeros((ach, acw), np.uint16)] for f in frames],
             bit_depth=10, lossless=lossless, qp=qp,
         )
+        # aux_attr_bit_depth != 10 authors a format MISMATCH with the
+        # regular attribute video (the decoder must gate it cleanly)
         aux_attr_annexb = encode_yuv420(
             [f.aux_attr_planes for f in frames],
-            bit_depth=10, lossless=lossless, qp=qp,
+            bit_depth=aux_attr_bit_depth, lossless=lossless, qp=qp,
         )
         # one auxiliary video per SECONDARY attribute family too (the
         # decode samples raw/EOM tail channels from it). 4-tuples
