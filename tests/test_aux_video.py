@@ -254,3 +254,42 @@ def test_undersized_aux_attr_plane_fails_cleanly():
             [rp], geo, attr, 2, 1, 64,
             aux_geo_plane=aux_geo, aux_attr_planes=aux_attr,
         )
+
+
+def test_unconsumed_aux_videos_never_reach_gofdata():
+    """Aux videos present but NO aux-flagged patch: the per-family
+    validation loop is skipped, so the unvalidated frames (and their
+    default chroma shift) must not be populated into GofData — and the
+    decode must equal the decode of the same scene without aux videos."""
+    import copy
+
+    from tpu_vpcc.bitio import Bitstream
+    from tpu_vpcc.runtime.pipeline import prepare_gof
+    from tpu_vpcc.v3c.context import Context
+    from tpu_vpcc.v3c.stream import SampleStreamV3CUnit
+
+    rng = np.random.default_rng(41)
+    frames = [
+        make_synthetic_frame(
+            rng, width=64, height=64, occupancy_resolution=8,
+            occupancy_precision=4, map_count=2, n_patches=2, frame_index=i,
+        )
+        for i in range(2)
+    ]
+    frames_plain = copy.deepcopy(frames)
+    stream = build_fixture_stream(frames, force_aux_videos=True)
+
+    ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(stream))
+    ctx = Context()
+    ssvu.decode_gof(ctx)
+    gof = prepare_gof(ctx)
+    assert gof.aux_attr_planes is None
+    assert gof.aux_geo_planes is None
+    assert gof.aux_chroma_shift == 1
+
+    got = decode_all(stream, use_device=False)
+    plain = decode_all(build_fixture_stream(frames_plain), use_device=False)
+    assert len(got) == len(plain) == 2
+    for a, b in zip(got, plain):
+        np.testing.assert_array_equal(a.positions, b.positions)
+        np.testing.assert_array_equal(a.colors, b.colors)

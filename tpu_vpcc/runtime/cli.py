@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 from pathlib import Path
 
@@ -86,6 +87,14 @@ def _main_multistream(args, out: Path) -> int:
 
 
 def main(argv=None) -> int:
+    # Honor JAX_PLATFORMS even under the axon sitecustomize, which imports
+    # jax before env vars are read: the env var alone does NOT switch
+    # backends there — the config update after import does.
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        import jax
+
+        jax.config.update("jax_platforms", platforms)
     parser = argparse.ArgumentParser(description="An MPEG-VPCC-TMC2 conformant decoder")
     parser.add_argument(
         "-i", "--compressed-stream-path", required=True, type=Path,

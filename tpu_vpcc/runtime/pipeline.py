@@ -1111,14 +1111,20 @@ def prepare_gof(
         ),
         aux_geo_planes=(
             [f.planes[0].astype(np.uint16, copy=False) for f in aux_geo_frames]
-            if aux_geo_frames else None
+            # same gate as aux_attr_planes: only aux-flagged raw patches
+            # consume (and validate) the aux geometry video
+            if has_aux_raw and aux_geo_frames else None
         ),
         aux_attr_planes=(
             [
                 [p.astype(np.uint16, copy=False) for p in f.planes]
                 for f in aux_attr_frames_sets[0]
             ]
-            if aux_attr_frames_sets and aux_attr_frames_sets[0] else None
+            # gate on has_aux_patches: without aux-flagged patches the
+            # per-family validation loop above never ran, so these
+            # frames (and their chroma shift) are unvalidated
+            if has_aux_patches
+            and aux_attr_frames_sets and aux_attr_frames_sets[0] else None
         ),
         aux_geo_shift=aux_geo_shift,
         aux_chroma_shift=aux_attr_shifts[0] if aux_attr_shifts else 1,

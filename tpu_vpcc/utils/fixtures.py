@@ -398,6 +398,7 @@ def build_fixture_stream(
     secondary_attrs=None,
     no_attributes: bool = False,
     aux_attr_bit_depth: int = 10,
+    force_aux_videos: bool = False,
 ) -> bytes:
     """Build a complete single-GOF V3C sample-stream file.
 
@@ -530,7 +531,9 @@ def build_fixture_stream(
     # auxiliary raw-patch videos (framework extension)
     has_aux = any(
         rp.in_aux_video for f in frames for rp in f.meta.raw_patches
-    ) or any(ep.in_aux_video for f in frames for ep in f.meta.eom_patches)
+    ) or any(ep.in_aux_video for f in frames for ep in f.meta.eom_patches
+    ) or force_aux_videos  # aux videos with zero aux-flagged patches:
+    # legal stream shape; the decoder must ignore the unconsumed planes
     vps.auxiliary_video_present_flag = has_aux
     vps.occupancy_information = OccupancyInformation(
         occupancy_codec_id=1, occupancy_2d_bitdepth_minus1=7
@@ -623,8 +626,12 @@ def build_fixture_stream(
     # unreadable 256-bit field when the 2D/3D bitdepths are equal)
     has_raw = any(f.meta.raw_patches for f in frames)
     raw_bitcount_minus1 = 7
-    if has_raw:
+    if has_raw or force_aux_videos:
+        # the ASPS auxiliary flag is only codeable under raw/EOM enable
+        # (23090-5 field order), so a forced aux video rides an enabled-
+        # but-unused raw patch mode
         asps.raw_patch_enabled_flag = True
+    if has_raw:
         assert all(
             max(rp.u1, rp.v1, rp.d1) < (1 << (raw_bitcount_minus1 + 1))
             for f in frames
