@@ -399,6 +399,7 @@ def build_fixture_stream(
     no_attributes: bool = False,
     aux_attr_bit_depth: int = 10,
     force_aux_videos: bool = False,
+    vui=None,
 ) -> bytes:
     """Build a complete single-GOF V3C sample-stream file.
 
@@ -587,6 +588,11 @@ def build_fixture_stream(
     ):
         asps.extended_projection_enabled_flag = True
         asps.max_number_projections_minus1 = 17
+    if vui is not None:
+        # F.2.1 VUI parameters (framework extension — the reference
+        # panics on the present flag, reader.rs:1089)
+        asps.vui_parameters_present_flag = True
+        asps.vui_parameters = vui
     asps.map_count_minus1 = map_count - 1
     asps.pixel_deinterleaving_flag = pixel_interleave
     asps.normal_axis_limits_quantization_enabled_flag = True

@@ -526,6 +526,187 @@ class PlrInformation:
 
 
 @dataclass
+class HrdSubLayerParameters:
+    """F.2.3 HRD sub-layer parameters (FRAMEWORK EXTENSION — the
+    reference panics on the VUI present flag, ``reader.rs:1089``, so
+    it never reaches HRD). One (bit_rate, cab_size, cbr) triple per
+    CAB count."""
+
+    bit_rate_value_minus1: List[int] = field(default_factory=list)
+    cab_size_value_minus1: List[int] = field(default_factory=list)
+    cbr_flag: List[bool] = field(default_factory=list)
+
+    @classmethod
+    def parse(cls, bs: Bitstream, cab_cnt: int) -> "HrdSubLayerParameters":
+        p = cls()
+        for _ in range(cab_cnt + 1):
+            p.bit_rate_value_minus1.append(bs.read_uvlc())
+            p.cab_size_value_minus1.append(bs.read_uvlc())
+            p.cbr_flag.append(bs.read(1) != 0)
+        return p
+
+
+@dataclass
+class HrdParameters:
+    """F.2.2 HRD parameters. V3C HRD is defined over atlas sub-layers;
+    this decoder carries the single-sub-layer form (max_num_sub_layers
+    == 1, matching every stream this framework authors — TMC2 likewise
+    never codes extra sub-layers)."""
+
+    nal_parameters_present_flag: bool = False
+    acl_parameters_present_flag: bool = False
+    bit_rate_scale: int = 0
+    cab_size_scale: int = 0
+    initial_cab_removal_delay_length_minus1: int = 0
+    au_cab_removal_delay_length_minus1: int = 0
+    dab_output_delay_length_minus1: int = 0
+    fixed_atlas_rate_general_flag: List[bool] = field(default_factory=list)
+    fixed_atlas_rate_within_cas_flag: List[bool] = field(default_factory=list)
+    elemental_duration_in_tc_minus1: List[int] = field(default_factory=list)
+    low_delay_flag: List[bool] = field(default_factory=list)
+    cab_cnt_minus1: List[int] = field(default_factory=list)
+    sub_layer_parameters: List[List[Optional["HrdSubLayerParameters"]]] = field(
+        default_factory=lambda: [[], []]
+    )
+
+    MAX_NUM_SUB_LAYERS: int = 1
+
+    @classmethod
+    def parse(cls, bs: Bitstream) -> "HrdParameters":
+        hp = cls()
+        hp.nal_parameters_present_flag = bs.read(1) != 0
+        hp.acl_parameters_present_flag = bs.read(1) != 0
+        if hp.nal_parameters_present_flag or hp.acl_parameters_present_flag:
+            hp.bit_rate_scale = bs.read(4)
+            hp.cab_size_scale = bs.read(4)
+            hp.initial_cab_removal_delay_length_minus1 = bs.read(5)
+            hp.au_cab_removal_delay_length_minus1 = bs.read(5)
+            hp.dab_output_delay_length_minus1 = bs.read(5)
+        for i in range(cls.MAX_NUM_SUB_LAYERS):
+            hp.fixed_atlas_rate_general_flag.append(bs.read(1) != 0)
+            within = False
+            if not hp.fixed_atlas_rate_general_flag[i]:
+                within = bs.read(1) != 0
+            hp.fixed_atlas_rate_within_cas_flag.append(within)
+            fixed = hp.fixed_atlas_rate_general_flag[i] or within
+            if fixed:
+                hp.elemental_duration_in_tc_minus1.append(bs.read_uvlc())
+                hp.low_delay_flag.append(False)
+            else:
+                hp.elemental_duration_in_tc_minus1.append(0)
+                hp.low_delay_flag.append(bs.read(1) != 0)
+            if not hp.low_delay_flag[i]:
+                hp.cab_cnt_minus1.append(bs.read_uvlc())
+            else:
+                hp.cab_cnt_minus1.append(0)
+            for k, present in enumerate(
+                (hp.nal_parameters_present_flag,
+                 hp.acl_parameters_present_flag)
+            ):
+                hp.sub_layer_parameters[k].append(
+                    HrdSubLayerParameters.parse(bs, hp.cab_cnt_minus1[i])
+                    if present else None
+                )
+        return hp
+
+
+@dataclass
+class CoordinateSystemParameters:
+    """F.2.4 coordinate system parameters: how the decoded XYZ axes map
+    to a viewing coordinate system (display metadata only — the
+    reconstruction is unaffected)."""
+
+    forward_axis: int = 0
+    delta_left_axis: int = 0
+    forward_sign: bool = True
+    left_sign: bool = True
+    up_sign: bool = True
+
+    @classmethod
+    def parse(cls, bs: Bitstream) -> "CoordinateSystemParameters":
+        return cls(
+            forward_axis=bs.read(2),
+            delta_left_axis=bs.read(1),
+            forward_sign=bs.read(1) != 0,
+            left_sign=bs.read(1) != 0,
+            up_sign=bs.read(1) != 0,
+        )
+
+
+@dataclass
+class VuiParameters:
+    """F.2.1 VUI parameters (FRAMEWORK EXTENSION — the reference panics
+    on ``asps.vui_parameters_present_flag``, ``reader.rs:1089``; this
+    was the last piece of V3C syntax neither decoder could even skip).
+    Pure display/timing metadata: parsed, stored, and roundtripped, but
+    it does not alter reconstruction."""
+
+    timing_info_present_flag: bool = False
+    num_units_in_tick: int = 1001
+    time_scale: int = 60000
+    poc_proportional_to_timing_flag: bool = False
+    num_ticks_poc_diff_one_minus1: int = 0
+    hrd_parameters_present_flag: bool = False
+    hrd_parameters: Optional[HrdParameters] = None
+    tile_restrictions_present_flag: bool = False
+    fixed_atlas_tile_structure_flag: bool = False
+    fixed_video_tile_structure_flag: bool = False
+    constrained_tiles_across_v3c_components_idc: int = 0
+    max_num_tiles_per_atlas_minus1: int = 0
+    max_coded_video_resolution_present_flag: bool = False
+    coded_max_video_width: int = 0
+    coded_max_video_height: int = 0
+    coordinate_system_parameters_present_flag: bool = False
+    coordinate_system_parameters: Optional[CoordinateSystemParameters] = None
+    unit_in_metres_flag: bool = False
+    display_box_info_present_flag: bool = False
+    display_box_origin: List[int] = field(default_factory=lambda: [0, 0, 0])
+    display_box_size: List[int] = field(default_factory=lambda: [0, 0, 0])
+    anchor_point_present_flag: bool = False
+    anchor_point: List[int] = field(default_factory=lambda: [0, 0, 0])
+
+    @classmethod
+    def parse(cls, bs: Bitstream) -> "VuiParameters":
+        vui = cls()
+        vui.timing_info_present_flag = bs.read(1) != 0
+        if vui.timing_info_present_flag:
+            vui.num_units_in_tick = bs.read(32)
+            vui.time_scale = bs.read(32)
+            vui.poc_proportional_to_timing_flag = bs.read(1) != 0
+            if vui.poc_proportional_to_timing_flag:
+                vui.num_ticks_poc_diff_one_minus1 = bs.read_uvlc()
+            vui.hrd_parameters_present_flag = bs.read(1) != 0
+            if vui.hrd_parameters_present_flag:
+                vui.hrd_parameters = HrdParameters.parse(bs)
+        vui.tile_restrictions_present_flag = bs.read(1) != 0
+        if vui.tile_restrictions_present_flag:
+            vui.fixed_atlas_tile_structure_flag = bs.read(1) != 0
+            vui.fixed_video_tile_structure_flag = bs.read(1) != 0
+            vui.constrained_tiles_across_v3c_components_idc = bs.read_uvlc()
+            vui.max_num_tiles_per_atlas_minus1 = bs.read_uvlc()
+        vui.max_coded_video_resolution_present_flag = bs.read(1) != 0
+        if vui.max_coded_video_resolution_present_flag:
+            vui.coded_max_video_width = bs.read_uvlc()
+            vui.coded_max_video_height = bs.read_uvlc()
+        vui.coordinate_system_parameters_present_flag = bs.read(1) != 0
+        if vui.coordinate_system_parameters_present_flag:
+            vui.coordinate_system_parameters = (
+                CoordinateSystemParameters.parse(bs)
+            )
+        vui.unit_in_metres_flag = bs.read(1) != 0
+        vui.display_box_info_present_flag = bs.read(1) != 0
+        if vui.display_box_info_present_flag:
+            for d in range(3):
+                vui.display_box_origin[d] = bs.read_uvlc()
+                vui.display_box_size[d] = bs.read_uvlc()
+            vui.anchor_point_present_flag = bs.read(1) != 0
+            if vui.anchor_point_present_flag:
+                for d in range(3):
+                    vui.anchor_point[d] = bs.read_uvlc()
+        return vui
+
+
+@dataclass
 class AtlasSequenceParameterSet:
     """8.3.6.1 ASPS (``reader.rs:945-1117``), rec0 envelope enforced."""
 
@@ -556,6 +737,7 @@ class AtlasSequenceParameterSet:
     plr_enabled_flag: bool = False
     plr_information: List[PlrInformation] = field(default_factory=list)
     vui_parameters_present_flag: bool = False
+    vui_parameters: Optional[VuiParameters] = None
     extension_flag: bool = False
     vpcc_extension_flag: bool = False
     extension_7bits: int = 0
@@ -653,7 +835,11 @@ class AtlasSequenceParameterSet:
             )
         asps.vui_parameters_present_flag = bs.read(1) != 0
         if asps.vui_parameters_present_flag:
-            raise UnsupportedFeature("VUI parameters not supported")
+            # FRAMEWORK EXTENSION: the reference panics here
+            # (``reader.rs:1089``) — mid-ASPS syntax it cannot skip.
+            # VUI is display/timing metadata; parsing it restores the
+            # bit cursor for the remaining ASPS fields.
+            asps.vui_parameters = VuiParameters.parse(bs)
         asps.extension_flag = bs.read(1) != 0
         if asps.extension_flag:
             asps.vpcc_extension_flag = bs.read(1) != 0

@@ -30,8 +30,81 @@ from .syntax import (
     TileType,
     V3CParameterSet,
     V3CUnitType,
+    VuiParameters,
     ceil_log2,
 )
+
+
+def write_vui(w: BitWriter, vui: VuiParameters) -> None:
+    """F.2.1 VUI parameters — mirror of ``VuiParameters.parse``."""
+    w.write(int(vui.timing_info_present_flag), 1)
+    if vui.timing_info_present_flag:
+        w.write(vui.num_units_in_tick, 32)
+        w.write(vui.time_scale, 32)
+        w.write(int(vui.poc_proportional_to_timing_flag), 1)
+        if vui.poc_proportional_to_timing_flag:
+            w.write_uvlc(vui.num_ticks_poc_diff_one_minus1)
+        w.write(int(vui.hrd_parameters_present_flag), 1)
+        if vui.hrd_parameters_present_flag:
+            hp = vui.hrd_parameters
+            w.write(int(hp.nal_parameters_present_flag), 1)
+            w.write(int(hp.acl_parameters_present_flag), 1)
+            if hp.nal_parameters_present_flag or hp.acl_parameters_present_flag:
+                w.write(hp.bit_rate_scale, 4)
+                w.write(hp.cab_size_scale, 4)
+                w.write(hp.initial_cab_removal_delay_length_minus1, 5)
+                w.write(hp.au_cab_removal_delay_length_minus1, 5)
+                w.write(hp.dab_output_delay_length_minus1, 5)
+            for i in range(hp.MAX_NUM_SUB_LAYERS):
+                w.write(int(hp.fixed_atlas_rate_general_flag[i]), 1)
+                if not hp.fixed_atlas_rate_general_flag[i]:
+                    w.write(int(hp.fixed_atlas_rate_within_cas_flag[i]), 1)
+                fixed = (hp.fixed_atlas_rate_general_flag[i]
+                         or hp.fixed_atlas_rate_within_cas_flag[i])
+                if fixed:
+                    w.write_uvlc(hp.elemental_duration_in_tc_minus1[i])
+                else:
+                    w.write(int(hp.low_delay_flag[i]), 1)
+                if not hp.low_delay_flag[i]:
+                    w.write_uvlc(hp.cab_cnt_minus1[i])
+                for k, present in enumerate(
+                    (hp.nal_parameters_present_flag,
+                     hp.acl_parameters_present_flag)
+                ):
+                    if present:
+                        slp = hp.sub_layer_parameters[k][i]
+                        for j in range(hp.cab_cnt_minus1[i] + 1):
+                            w.write_uvlc(slp.bit_rate_value_minus1[j])
+                            w.write_uvlc(slp.cab_size_value_minus1[j])
+                            w.write(int(slp.cbr_flag[j]), 1)
+    w.write(int(vui.tile_restrictions_present_flag), 1)
+    if vui.tile_restrictions_present_flag:
+        w.write(int(vui.fixed_atlas_tile_structure_flag), 1)
+        w.write(int(vui.fixed_video_tile_structure_flag), 1)
+        w.write_uvlc(vui.constrained_tiles_across_v3c_components_idc)
+        w.write_uvlc(vui.max_num_tiles_per_atlas_minus1)
+    w.write(int(vui.max_coded_video_resolution_present_flag), 1)
+    if vui.max_coded_video_resolution_present_flag:
+        w.write_uvlc(vui.coded_max_video_width)
+        w.write_uvlc(vui.coded_max_video_height)
+    w.write(int(vui.coordinate_system_parameters_present_flag), 1)
+    if vui.coordinate_system_parameters_present_flag:
+        csp = vui.coordinate_system_parameters
+        w.write(csp.forward_axis, 2)
+        w.write(csp.delta_left_axis, 1)
+        w.write(int(csp.forward_sign), 1)
+        w.write(int(csp.left_sign), 1)
+        w.write(int(csp.up_sign), 1)
+    w.write(int(vui.unit_in_metres_flag), 1)
+    w.write(int(vui.display_box_info_present_flag), 1)
+    if vui.display_box_info_present_flag:
+        for d in range(3):
+            w.write_uvlc(vui.display_box_origin[d])
+            w.write_uvlc(vui.display_box_size[d])
+        w.write(int(vui.anchor_point_present_flag), 1)
+        if vui.anchor_point_present_flag:
+            for d in range(3):
+                w.write_uvlc(vui.anchor_point[d])
 
 
 def write_ptl(w: BitWriter, ptl: ProfileTierLevel) -> None:
@@ -178,6 +251,8 @@ def write_asps(asps: AtlasSequenceParameterSet) -> bytes:
                 w.write(plri.neighbour_minus1[i], 2)
             w.write(plri.block_threshold_per_patch_minus1, 6)
     w.write(int(asps.vui_parameters_present_flag), 1)
+    if asps.vui_parameters_present_flag:
+        write_vui(w, asps.vui_parameters)
     w.write(int(asps.extension_flag), 1)
     if asps.extension_flag:
         w.write(int(asps.vpcc_extension_flag), 1)
