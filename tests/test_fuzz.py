@@ -133,7 +133,7 @@ def test_bit_flips_in_rotated_patch_stream_fail_cleanly():
                               occupancy_resolution=16, occupancy_precision=4,
                               patches=[_replace(p0), _replace(p1)])
     stream = bytearray(build_fixture_stream(
-        [sf], suffix_sei=(19, b"\x01\x02")
+        [sf], suffix_sei=(7, b"\x01\x02")
     ))
 
     def run(data):

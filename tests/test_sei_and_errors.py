@@ -76,20 +76,33 @@ def test_unknown_sei_payload_skipped_and_recorded():
 
 
 def test_suffix_sei_recorded_and_skipped():
-    """Suffix SEI payloads are recorded by coded size — never parsed, never
-    fatal (the reference panics on every suffix SEI, ``reader.rs:813-815``)."""
+    """Unknown suffix SEI payloads are recorded by coded size — never
+    fatal (the reference panics on every suffix SEI,
+    ``reader.rs:813-815``). Decoded-atlas-hash payloads PARSE now
+    (H.20.2.8 — see test_atlas_hash.py); 0xDE opens with a set cancel
+    bit, so this payload decodes as a cancelled hash SEI."""
     from tpu_vpcc.bitio import BitWriter
+    from tpu_vpcc.v3c.syntax import SeiDecodedAtlasInformationHash
 
     w = BitWriter()
     w.write(int(SeiPayloadType.DECODED_ATLAS_INFORMATION_HASH), 8)
     w.write(4, 8)  # payload size
-    w.write(0xDEADBEEF, 32)  # opaque payload bytes
-    sei = SeiMessage.parse(Bitstream(w.getvalue()), NalUnitType.SUFFIX_ESEI)
+    w.write(0xDEADBEEF, 32)  # cancel bit set; remainder skipped by size
+    w.write(int(SeiPayloadType.TIME_CODE), 8)  # stays opaque
+    w.write(3, 8)
+    w.write(0xABCDEF, 24)
+    w.write(0x80, 8)  # rbsp_trailing_bits
+    data = w.getvalue()
+    sei = SeiMessage.parse(
+        Bitstream(data), NalUnitType.SUFFIX_ESEI, end_byte=len(data)
+    )
     assert sei.is_sei_present(
         NalUnitType.SUFFIX_ESEI, SeiPayloadType.DECODED_ATLAS_INFORMATION_HASH
     )
     assert not sei.sei_prefix
-    assert sei.sei_suffix[0].payload_size == 4
+    assert isinstance(sei.sei_suffix[0], SeiDecodedAtlasInformationHash)
+    assert sei.sei_suffix[0].cancel_flag
+    assert sei.sei_suffix[1].payload_size == 3
 
 
 def test_suffix_sei_attaches_to_preceding_tile_layer():
@@ -98,11 +111,11 @@ def test_suffix_sei_attaches_to_preceding_tile_layer():
     from tests.test_v3c_roundtrip import make_afps, make_asps, make_atl, make_intra_pdu
     from tpu_vpcc.bitio import BitWriter
 
-    w = BitWriter()
-    w.write(int(SeiPayloadType.DECODED_ATLAS_INFORMATION_HASH), 8)
-    w.write(2, 8)
-    w.write(0x1234, 16)
-    suffix_payload = w.getvalue()
+    from tpu_vpcc.v3c.syntax import SeiDecodedAtlasInformationHash
+
+    suffix_payload = w3c.write_sei_daih(
+        SeiDecodedAtlasInformationHash(cancel_flag=True)
+    )
 
     asps = make_asps()
     afps = make_afps()
@@ -133,15 +146,16 @@ def test_suffix_sei_multiple_payloads_in_one_nal():
     from tests.test_v3c_roundtrip import make_afps, make_asps, make_atl, make_intra_pdu
     from tpu_vpcc.bitio import BitWriter
 
+    from tpu_vpcc.v3c.syntax import SeiDecodedAtlasInformationHash
+
     w = BitWriter()
-    w.write(int(SeiPayloadType.DECODED_ATLAS_INFORMATION_HASH), 8)
-    w.write(2, 8)
-    w.write(0x1234, 16)
     w.write(int(SeiPayloadType.TIME_CODE), 8)  # second sei_message()
     w.write(3, 8)
     w.write(0xABCDEF, 24)
     w.write(0x80, 8)  # rbsp_trailing_bits
-    suffix_payload = w.getvalue()
+    suffix_payload = w3c.write_sei_daih(
+        SeiDecodedAtlasInformationHash(cancel_flag=True)
+    ) + w.getvalue()
 
     asps = make_asps()
     afps = make_afps()
@@ -274,10 +288,7 @@ def test_e2e_stream_with_suffix_sei_decodes_normally(tmp_path):
     ]
     with_suffix = build_fixture_stream(
         frames2,
-        suffix_sei=(
-            int(SeiPayloadType.DECODED_ATLAS_INFORMATION_HASH),
-            b"\x01\x02\x03\x04",
-        ),
+        suffix_sei=(int(SeiPayloadType.TIME_CODE), b"\x01\x02\x03\x04"),
     )
     assert with_suffix != plain  # the NAL is really in the stream
     d1 = Decoder(Params(with_suffix))

@@ -28,6 +28,7 @@ from typing import Iterator, List, Optional
 
 import numpy as np
 
+from ..atlas.atlas_hash import collect_daih_by_frame, verify_frame_hashes
 from ..atlas.patches import FrameMeta, create_patch_frames
 from ..reconstruction.pointset import PointSet3
 from ..utils.stats import DecodeStats, stage_timer
@@ -757,6 +758,34 @@ def prepare_gof(
     geo_shift = max(0, geo_bit_depth - 8)
 
     occupancy_precision = vps.frame_width // occ_frames[0].width
+
+    # decoded-atlas-hash SEI verification (framework extension — the
+    # reference skips hash SEI, ``lib.rs:100``): recompute each asserted
+    # hash from the PARSED + DERIVED state and fail cleanly on mismatch.
+    # Runs on the as-decoded occupancy (before PBF synthesis, which the
+    # hash by definition precedes).
+    daih_by_frame = collect_daih_by_frame(context)
+    if daih_by_frame:
+        from ..ops.tiled import untile_plane as _untile
+
+        occ_res = 1 << asps.log2_patch_packing_block_size
+        for fi, sei in sorted(daih_by_frame.items()):
+            if fi >= len(occ_frames):
+                continue  # frame-count mismatches gate later, uniformly
+            occ = occ_frames[fi].planes[0]
+            if occ.ndim == 3:  # native decoder emitted block-tiled
+                t = occ.shape[-1]
+                occ = _untile(
+                    occ,
+                    (vps.frame_height // occupancy_precision) // t,
+                    (vps.frame_width // occupancy_precision) // t,
+                )
+            verify_frame_hashes(
+                sei,
+                [m for m in metas if m.frame_index == fi],
+                occ, occ_res, occupancy_precision, context, fi,
+            )
+
     absolute_d1 = (
         vps.map_count_minus1 == 0 or vps.map_absolute_coding_enable_flag[1]
     )

@@ -400,6 +400,8 @@ def build_fixture_stream(
     aux_attr_bit_depth: int = 10,
     force_aux_videos: bool = False,
     vui=None,
+    atlas_hash_sei=None,
+    atlas_hash_tamper: bool = False,
 ) -> bytes:
     """Build a complete single-GOF V3C sample-stream file.
 
@@ -760,6 +762,21 @@ def build_fixture_stream(
         w3c.wrap_nal_unit(NalUnitType.ASPS, w3c.write_asps(asps)),
         w3c.wrap_nal_unit(NalUnitType.AFPS, w3c.write_afps(afps, asps)),
     ]
+    if atlas_hash_sei is not None:
+        # decoded-atlas-hash suffix SEI per frame (H.20.2.8; framework
+        # extension — the reference skips hash SEI, lib.rs:100). The
+        # hashes are computed from the AUTHORED metadata; the decoder
+        # recomputes them from its parsed + derived state
+        # (atlas/atlas_hash.py), so any atlas-decode divergence fails.
+        assert tiles is None and p_modes is None, (
+            "hash-SEI fixtures are single-tile I-frame streams (the "
+            "authored meta is canvas-level; tiled/P metas are derived)"
+        )
+        from ..atlas import atlas_hash as _ah
+
+        _daih_type = 0 if atlas_hash_sei is True else int(atlas_hash_sei)
+        _daih_hl = w3c.write_asps(asps) + w3c.write_afps(afps, asps)
+        _daih_prec = width // frames[0].occ_plane.shape[1]
     # A prefix SEI attaches to the FOLLOWING tile layer and a later
     # prefix SEI overwrites a pending one (reader.rs:810-811), so
     # multiple requested SEIs go before successive tile layers.
@@ -979,6 +996,44 @@ def build_fixture_stream(
                 w3c.wrap_nal_unit(
                     nal_type,
                     w3c.write_atlas_tile_layer(atl, asps, afps, nal_type),
+                )
+            )
+        if atlas_hash_sei is not None:
+            from ..v3c.syntax import SeiDecodedAtlasInformationHash
+
+            _m = [sf.meta]
+            _b2p = _ah.hash_bytes(
+                _ah.frame_b2p_byte_string(
+                    _m, sf.occ_plane, res, _daih_prec
+                ),
+                _daih_type,
+            )
+            daih = SeiDecodedAtlasInformationHash(
+                hash_type=_daih_type,
+                high_level_present=True,
+                atlas_present=True,
+                b2p_present=True,
+                tiles_present=True,
+                tiles_b2p_present=True,
+                high_level_hash=_ah.hash_bytes(_daih_hl, _daih_type),
+                atlas_hash=_ah.hash_bytes(
+                    _ah.frame_atlas_byte_string(_m), _daih_type
+                ),
+                b2p_hash=_b2p,
+                tile_ids=[0],
+                tiles_hash=[_ah.hash_bytes(
+                    _ah.tile_byte_string(sf.meta), _daih_type
+                )],
+                tiles_b2p_hash=[_b2p],
+            )
+            if atlas_hash_tamper and fi == 0:
+                daih.atlas_hash = bytes(
+                    b ^ (0xFF if i == 0 else 0)
+                    for i, b in enumerate(daih.atlas_hash)
+                )
+            nalus.append(
+                w3c.wrap_nal_unit(
+                    NalUnitType.SUFFIX_NSEI, w3c.write_sei_daih(daih)
                 )
             )
         if fi == 0 and suffix_sei is not None:

@@ -1235,6 +1235,79 @@ class SeiOccupancySynthesis:
 
 
 @dataclass
+class SeiDecodedAtlasInformationHash:
+    """H.20.2.8 decoded atlas information hash SEI (suffix).
+
+    FRAMEWORK EXTENSION: the reference skips hash SEI wholesale
+    (``lib.rs:100`` — "skip decoded atlas hash md5"). Here the payload
+    parses and the decoder VERIFIES it against hashes recomputed from
+    its own decoded state (``atlas/atlas_hash.py``) — the first internal
+    integrity check independent of the test oracle. ``hash_type``:
+    0 = MD5 (16 B), 1 = CRC-16 (2 B), 2 = checksum (4 B)."""
+
+    cancel_flag: bool = False
+    persistence_flag: bool = False
+    hash_type: int = 0
+    high_level_present: bool = False
+    atlas_present: bool = False
+    b2p_present: bool = False
+    tiles_present: bool = False
+    tiles_b2p_present: bool = False
+    high_level_hash: bytes = b""
+    atlas_hash: bytes = b""
+    b2p_hash: bytes = b""
+    tile_ids: List[int] = field(default_factory=list)
+    tiles_hash: List[bytes] = field(default_factory=list)
+    tiles_b2p_hash: List[bytes] = field(default_factory=list)
+
+    payload_type = SeiPayloadType.DECODED_ATLAS_INFORMATION_HASH
+
+    _HASH_BYTES = {0: 16, 1: 2, 2: 4}
+
+    @classmethod
+    def _read_hash(cls, bs: Bitstream, hash_type: int) -> bytes:
+        n = cls._HASH_BYTES.get(hash_type)
+        if n is None:
+            raise UnsupportedFeature(
+                f"decoded-atlas-hash SEI hash type {hash_type}"
+            )
+        return bytes(bs.read(8) for _ in range(n))
+
+    @classmethod
+    def parse(cls, bs: Bitstream) -> "SeiDecodedAtlasInformationHash":
+        sei = cls(cancel_flag=bs.read(1) != 0)
+        if sei.cancel_flag:
+            return sei
+        sei.persistence_flag = bs.read(1) != 0
+        sei.hash_type = bs.read(8)
+        sei.high_level_present = bs.read(1) != 0
+        sei.atlas_present = bs.read(1) != 0
+        sei.b2p_present = bs.read(1) != 0
+        sei.tiles_present = bs.read(1) != 0
+        sei.tiles_b2p_present = bs.read(1) != 0
+        bs.byte_align()
+        if sei.high_level_present:
+            sei.high_level_hash = cls._read_hash(bs, sei.hash_type)
+        if sei.atlas_present:
+            sei.atlas_hash = cls._read_hash(bs, sei.hash_type)
+        if sei.b2p_present:
+            sei.b2p_hash = cls._read_hash(bs, sei.hash_type)
+        if sei.tiles_present or sei.tiles_b2p_present:
+            num_tiles = bs.read_uvlc() + 1
+            id_len = bs.read_uvlc() + 1
+            sei.tile_ids = [bs.read(id_len) for _ in range(num_tiles)]
+            bs.byte_align()
+            for _ in range(num_tiles):
+                if sei.tiles_present:
+                    sei.tiles_hash.append(cls._read_hash(bs, sei.hash_type))
+                if sei.tiles_b2p_present:
+                    sei.tiles_b2p_hash.append(
+                        cls._read_hash(bs, sei.hash_type)
+                    )
+        return sei
+
+
+@dataclass
 class SeiUnknown:
     """An unrecognized prefix SEI payload, recorded but not interpreted.
 
@@ -1271,13 +1344,35 @@ class SeiMessage:
             # byte remains.
             while True:
                 payload_type, payload_size = cls._read_payload_header(bs)
-                for _ in range(payload_size):
-                    bs.read(8)
-                msg.sei_suffix.append(
-                    SeiUnknown(
-                        payload_type=payload_type, payload_size=payload_size
+                payload_end = bs.byte_pos + payload_size
+                if payload_type == SeiPayloadType.DECODED_ATLAS_INFORMATION_HASH:
+                    # parsed AND verified (pipeline.prepare_gof recomputes
+                    # the hashes from decoded state; atlas/atlas_hash.py).
+                    # Reserved hash types are ignorable — nothing to
+                    # verify — so they fall back to record-and-skip.
+                    try:
+                        daih = SeiDecodedAtlasInformationHash.parse(bs)
+                    except UnsupportedFeature:
+                        daih = SeiUnknown(
+                            payload_type=payload_type,
+                            payload_size=payload_size,
+                        )
+                    msg.sei_suffix.append(daih)
+                    if bs.byte_pos > payload_end:
+                        raise BitstreamError(
+                            "decoded-atlas-hash SEI over-read: "
+                            f"{bs.byte_pos} > {payload_end}"
+                        )
+                    bs.seek((payload_end, 0))
+                else:
+                    for _ in range(payload_size):
+                        bs.read(8)
+                    msg.sei_suffix.append(
+                        SeiUnknown(
+                            payload_type=payload_type,
+                            payload_size=payload_size,
+                        )
                     )
-                )
                 if end_byte < 0 or end_byte - bs.byte_pos <= 1:
                     break
             return msg

@@ -644,6 +644,52 @@ def write_sei_occupancy_synthesis(
     return w.getvalue()
 
 
+def write_sei_daih(sei) -> bytes:
+    """H.20.2.8 decoded atlas information hash SEI payload, wrapped in
+    the SEI envelope — mirror of ``SeiDecodedAtlasInformationHash.parse``
+    (``sei`` is that dataclass)."""
+    from .syntax import SeiPayloadType
+
+    w = BitWriter()
+    w.write(int(sei.cancel_flag), 1)
+    if not sei.cancel_flag:
+        w.write(int(sei.persistence_flag), 1)
+        w.write(sei.hash_type, 8)
+        w.write(int(sei.high_level_present), 1)
+        w.write(int(sei.atlas_present), 1)
+        w.write(int(sei.b2p_present), 1)
+        w.write(int(sei.tiles_present), 1)
+        w.write(int(sei.tiles_b2p_present), 1)
+        w.byte_align()
+        for present, h in (
+            (sei.high_level_present, sei.high_level_hash),
+            (sei.atlas_present, sei.atlas_hash),
+            (sei.b2p_present, sei.b2p_hash),
+        ):
+            if present:
+                for b in h:
+                    w.write(b, 8)
+        if sei.tiles_present or sei.tiles_b2p_present:
+            w.write_uvlc(len(sei.tile_ids) - 1)
+            id_len = max(1, max(sei.tile_ids).bit_length())
+            w.write_uvlc(id_len - 1)
+            for tid in sei.tile_ids:
+                w.write(tid, id_len)
+            w.byte_align()
+            for t in range(len(sei.tile_ids)):
+                if sei.tiles_present:
+                    for b in sei.tiles_hash[t]:
+                        w.write(b, 8)
+                if sei.tiles_b2p_present:
+                    for b in sei.tiles_b2p_hash[t]:
+                        w.write(b, 8)
+    if not w.is_byte_aligned():
+        w.write(0, 8 - w._bit_pos)
+    return write_sei_raw(
+        int(SeiPayloadType.DECODED_ATLAS_INFORMATION_HASH), w.getvalue()
+    )
+
+
 def write_sei_raw(payload_type: int, payload: bytes) -> bytes:
     """Serialize a generic SEI payload envelope (type + size varints +
     opaque payload bytes) — used to exercise the record-and-skip paths
