@@ -2011,6 +2011,15 @@ def _gof_color_mode(gof: GofData) -> str:
     return "rgb16" if gof.attr_is_rgb444 else "yuv10"
 
 
+def _st(stats, name: str):
+    """Sub-stage timer riding the GOF's stats record (no-op without
+    one) — the e2e artifact's stage split (VERDICT r4 item 7) reads
+    these to show WHERE reconstruct time goes on a tunneled chip."""
+    from contextlib import nullcontext
+
+    return stage_timer(stats, name) if stats is not None else nullcontext()
+
+
 def _dispatch_device(di: DeviceInputs, mesh=None, stats=None):
     """Run one device dispatch; returns a per-frame list of host
     (positions (n,3) u16, colors (n,3)) in emission order. Colors are
@@ -2109,26 +2118,32 @@ def _dispatch_device(di: DeviceInputs, mesh=None, stats=None):
             # packed dispatch: compacted sorted operands stay (F, S)
             # lane-friendly on device; the prefix-fetch jit unpacks at
             # the bucket extent (see _fetch_prefixes_packed)
-            ops, counts = reconstruct_batch_pretiled_packed(
-                *di.arrays, di.cfg
-            )
-            counts = np.asarray(counts)
-            pos_all, col_all = _fetch_prefixes_packed(
-                ops, counts, color_mode=color_mode
-            )
+            with _st(stats, "recon_dispatch"):
+                ops, counts = reconstruct_batch_pretiled_packed(
+                    *di.arrays, di.cfg
+                )
+                counts = np.asarray(counts)  # device sync round trip
+            with _st(stats, "recon_fetch"):
+                pos_all, col_all = _fetch_prefixes_packed(
+                    ops, counts, color_mode=color_mode
+                )
             return [
                 (pos_all[k, : counts[k]], col_all[k, : counts[k]])
                 for k in range(di.n_frames)
             ]
-        positions, colors16, counts = reconstruct_batch_pretiled(
-            *di.arrays, di.cfg
-        )
+        with _st(stats, "recon_dispatch"):
+            positions, colors16, counts = reconstruct_batch_pretiled(
+                *di.arrays, di.cfg
+            )
+            counts = np.asarray(counts)
     else:
-        positions, colors16, counts = reconstruct_batch(*di.arrays, di.cfg)
-    counts = np.asarray(counts)
-    pos_all, col_all = _fetch_prefixes(
-        positions, colors16, counts, color_mode=color_mode
-    )
+        with _st(stats, "recon_dispatch"):
+            positions, colors16, counts = reconstruct_batch(*di.arrays, di.cfg)
+            counts = np.asarray(counts)
+    with _st(stats, "recon_fetch"):
+        pos_all, col_all = _fetch_prefixes(
+            positions, colors16, counts, color_mode=color_mode
+        )
     return [
         (pos_all[k, : counts[k]], col_all[k, : counts[k]])
         for k in range(di.n_frames)
@@ -2260,14 +2275,16 @@ def _reconstruct_gof_device(gof: GofData, mesh=None, stats=None) -> Iterator[Poi
         return
     chunk = DEVICE_BATCH * (mesh.shape["data"] if mesh is not None else 1)
     space = mesh.shape["space"] if mesh is not None else 1
-    cfg, tables, g_bucket = _gof_tables_and_bucket(gof, space)
+    with _st(stats, "recon_tables"):
+        cfg, tables, g_bucket = _gof_tables_and_bucket(gof, space)
     for i in range(0, len(gof.metas), chunk):
-        di = _gof_device_inputs(
-            gof,
-            gof.metas[i : i + chunk],
-            prebuilt=(cfg, tables[i : i + chunk]),
-            g_bucket=g_bucket,
-        )
+        with _st(stats, "recon_stage"):
+            di = _gof_device_inputs(
+                gof,
+                gof.metas[i : i + chunk],
+                prebuilt=(cfg, tables[i : i + chunk]),
+                g_bucket=g_bucket,
+            )
         results = _dispatch_device(di, mesh=mesh, stats=stats)
         sec_vals = (
             _secondary_chunk_values(
@@ -2278,14 +2295,15 @@ def _reconstruct_gof_device(gof: GofData, mesh=None, stats=None) -> Iterator[Poi
             if gof.sec_attrs else None
         )
         for j, (pos, col) in enumerate(results):
-            ps = _emit_pointset(pos, col, gof)
-            if sec_vals is not None:
-                ps.extra_attrs = sec_vals[j]
-            meta = gof.metas[i + j]
-            if _meta_has_plr(gof, meta):
-                _append_plr_points(ps, gof, meta)
-            if meta.eom_patches:
-                _append_eom_points(ps, gof, meta)
-            if meta.raw_patches:
-                _append_raw_points(ps, gof, meta)
+            with _st(stats, "recon_emit"):
+                ps = _emit_pointset(pos, col, gof)
+                if sec_vals is not None:
+                    ps.extra_attrs = sec_vals[j]
+                meta = gof.metas[i + j]
+                if _meta_has_plr(gof, meta):
+                    _append_plr_points(ps, gof, meta)
+                if meta.eom_patches:
+                    _append_eom_points(ps, gof, meta)
+                if meta.raw_patches:
+                    _append_raw_points(ps, gof, meta)
             yield ps
