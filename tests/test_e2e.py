@@ -462,3 +462,28 @@ def test_kitchen_sink_multi_gof_cli(tmp_path):
         a = (tmp_path / "dev" / f"{k:04d}.ply").read_bytes()
         b = (tmp_path / "orc" / f"{k:04d}.ply").read_bytes()
         assert a == b and len(a) > 100, f"frame {k}"
+
+
+@pytest.mark.parametrize("depth", [1, 2, 3])
+def test_pipelined_gof_reconstruction_matches_serial(tmp_path, depth):
+    """Device-pipelined GOF reconstruction (pipeline_gofs > 1: GOF k's
+    fetch overlaps GOF k+1's dispatch) emits the exact frames, in
+    order, of the serial decode — across 4 GOFs."""
+    from tpu_vpcc.utils.fixtures import concat_streams
+
+    gofs = []
+    for g in range(4):
+        frames, _ = make_fixture(tmp_path, n_frames=2, seed=100 + g)
+        gofs.append(build_fixture_stream(frames))
+    stream = concat_streams(gofs)
+
+    d = Decoder(Params(stream, pipeline_gofs=depth))
+    d.start()
+    got = list(d)
+    d1 = Decoder(Params(stream, pipeline_gofs=1))
+    d1.start()
+    serial = list(d1)
+    assert len(got) == len(serial) == 8
+    for a, b in zip(got, serial):
+        np.testing.assert_array_equal(a.positions, b.positions)
+        np.testing.assert_array_equal(a.colors, b.colors)
