@@ -130,3 +130,165 @@ def test_multimap_with_smoothing_and_ptiles(tmp_path):
     for a, b in zip(dev, orc):
         assert len(a) > 0
         assert format_ply(a) == format_ply(b)
+
+
+# ---------------------------------------------------------------------------
+# >2 maps (round-5 framework extension): maps beyond the first pair
+# reconstruct as trailing surface layers — map m's point is suppressed
+# iff equal to map m-1's point (codec.rs:421-427 applied pairwise),
+# appended per frame after the map-0/1 points, before any tails. The
+# device runs one drop_map0 pass per trailing map over the SAME kernels.
+# ---------------------------------------------------------------------------
+
+
+def make_mc_frames(mc, seed=301, n_frames=2, **kw):
+    rng = np.random.default_rng(seed)
+    return [
+        make_synthetic_frame(
+            rng, width=kw.get("width", 64), height=kw.get("height", 64),
+            occupancy_resolution=kw.get("res", 8),
+            occupancy_precision=kw.get("prec", 4),
+            map_count=mc, n_patches=kw.get("n_patches", 3), frame_index=i,
+        )
+        for i in range(n_frames)
+    ]
+
+
+@pytest.mark.parametrize("mc", [3, 4])
+@pytest.mark.parametrize("multi_streams", [True, False])
+def test_many_maps_device_matches_oracle(mc, multi_streams):
+    frames = make_mc_frames(mc, seed=300 + mc)
+    s = build_fixture_stream(frames, multi_map_streams=multi_streams)
+    orc = decode_all(bytes(s), use_device=False)
+    dev = decode_all(bytes(s), use_device=True)
+    assert len(orc) == len(dev) == len(frames)
+    for a, b in zip(dev, orc):
+        assert len(a) > 0
+        assert format_ply(a) == format_ply(b)
+
+
+def test_three_maps_layer_points_present_and_dedup():
+    """A frame whose map-2 plane duplicates map 1 adds ZERO layer
+    points; bumping every map-2 depth by one adds one point per
+    occupied pixel (every comparand differs)."""
+    import copy
+
+    (sf,) = make_mc_frames(3, seed=310, n_frames=1)
+    sf_dup = copy.deepcopy(sf)
+    sf_dup.geo_planes[2] = sf_dup.geo_planes[1].copy()
+    sf_two = copy.deepcopy(sf)
+    sf_two.geo_planes = sf_two.geo_planes[:2]
+    sf_two.map_count = 2
+    sf_two.attr_planes = sf_two.attr_planes[:2]
+    sf_bump = copy.deepcopy(sf)
+    sf_bump.geo_planes[2] = np.minimum(
+        sf_bump.geo_planes[1] + 4, 1020
+    ).astype(np.uint16)  # +1 depth (planes carry depth*4)
+
+    n_two = len(decode_all(build_fixture_stream([sf_two]), False)[0])
+    ps_dup = decode_all(build_fixture_stream([sf_dup]), False)[0]
+    ps_bump = decode_all(build_fixture_stream([sf_bump]), False)[0]
+    assert len(ps_dup) == n_two  # all layer points suppressed as dups
+    assert len(ps_bump) > n_two
+    # device agrees on both
+    assert format_ply(decode_all(build_fixture_stream([sf_dup]), True)[0]) \
+        == format_ply(ps_dup)
+    assert format_ply(decode_all(build_fixture_stream([sf_bump]), True)[0]) \
+        == format_ply(ps_bump)
+
+
+def test_three_maps_with_raw_and_45deg():
+    """Trailing layers compose with 45-degree views and raw-patch tails
+    (layer points append BEFORE the tails)."""
+    from tests.test_raw_patches import free_block_rect
+    from tpu_vpcc.atlas.patches import Patch
+    from tpu_vpcc.utils.synthetic import plant_raw_patch
+
+    rng = np.random.default_rng(320)
+    (sf,) = make_mc_frames(3, seed=320, n_frames=1)
+    p = sf.meta.patches[0]
+    views = [
+        v for v, r in Patch._VIEW_TABLE.items()
+        if r[0] == 1 and r[4] == p.projection_mode
+    ]
+    p.set_view_id(views[0])
+    u0, v0 = free_block_rect(sf, 2, 1)
+    plant_raw_patch(rng, sf, (u0, v0, 2, 1), n_points=9, offsets=(1, 2, 3))
+    s = build_fixture_stream([sf])
+    orc = decode_all(bytes(s), False)
+    dev = decode_all(bytes(s), True)
+    assert len(orc[0]) > 0
+    assert format_ply(dev[0]) == format_ply(orc[0])
+
+
+def test_three_maps_on_mesh():
+    from tpu_vpcc.parallel.mesh import make_mesh
+
+    frames = make_mc_frames(3, seed=330)
+    s = build_fixture_stream(frames)
+    dm = Decoder(Params(bytes(s), mesh=make_mesh(data=4, space=2)))
+    dm.start()
+    msh = list(dm)
+    orc = decode_all(bytes(s), False)
+    assert len(msh) == len(orc)
+    for a, b in zip(msh, orc):
+        assert format_ply(a) == format_ply(b)
+
+
+def test_many_maps_gates_pinned():
+    """Combinations whose semantics couple the map streams gate cleanly
+    (and the writer refuses to author the delta form)."""
+    from tpu_vpcc.utils.synthetic import plant_eom_patch
+
+    # EOM + 3 maps
+    from tests.test_raw_patches import free_block_rect
+
+    (sf,) = make_mc_frames(3, seed=340, n_frames=1, prec=1)
+    u0, v0 = free_block_rect(sf, 2, 1)
+    plant_eom_patch(np.random.default_rng(1), sf, (u0, v0, 2, 1), [0])
+    with pytest.raises(UnsupportedFeature, match="more than two maps"):
+        decode_all(build_fixture_stream([sf]), False)
+    # secondary attributes + 3 maps
+    frames = make_mc_frames(3, seed=341, n_frames=1)
+    s = build_fixture_stream(frames, secondary_attrs=[(3, 1, None)])
+    with pytest.raises(UnsupportedFeature, match="more than two maps"):
+        decode_all(s, False)
+    # smoothing + 3 maps
+    frames = make_mc_frames(3, seed=342, n_frames=1)
+    s = build_fixture_stream(frames, geo_smoothing_sei=(8, 16))
+    d = Decoder(Params(bytes(s), use_device=False,
+                       apply_geo_smoothing_type=True))
+    d.start()
+    with pytest.raises(UnsupportedFeature, match="more than two maps"):
+        list(d)
+    # delta-coded map 1 with 3 maps: the writer itself refuses
+    frames = make_mc_frames(3, seed=343, n_frames=1)
+    with pytest.raises(AssertionError):
+        build_fixture_stream(
+            frames, multi_map_streams=True, map1_absolute=False
+        )
+
+
+def test_oracle_intermediate_color_transfer_raise_pinned():
+    """point_to_pixel z >= map_count (TMC2's in-between color-transfer
+    sentinel) has no reconstruction here — EOM tails own those colors —
+    so the oracle raise is pinned as the documented boundary."""
+    from tpu_vpcc.reconstruction.oracle import (
+        GeneratePointCloudParams,
+        color_point_cloud,
+    )
+    from tpu_vpcc.reconstruction.pointset import PointSet3
+    from tpu_vpcc.atlas.patches import FrameMeta
+
+    ps = PointSet3(
+        positions=np.zeros((1, 3), np.uint16), with_colors=True
+    )
+    ps.colors16bit = np.zeros((1, 3), np.uint16)
+    params = GeneratePointCloudParams(
+        occupancy_resolution=8, occupancy_precision=4,
+        absolute_d1=True, map_count_minus1=1, attribute_count=1,
+    )
+    meta = FrameMeta(frame_index=0, width=8, height=8)
+    planes = [[np.zeros((8, 8), np.uint16)] * 3] * 2
+    with pytest.raises(NotImplementedError, match="intermediate layer"):
+        color_point_cloud(ps, meta, params, planes, [(0, 0, 2)])

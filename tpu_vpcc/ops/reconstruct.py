@@ -45,6 +45,11 @@ class FrameConfig:
     occupancy_precision: int
     map_count: int = 2
     absolute_d1: bool = True
+    # FRAMEWORK EXTENSION (>2 maps): this dispatch is a trailing-layer
+    # pass over the map pair (m-1, m) — only the D1-layer points emit
+    # (the D0 slots of the pair exist solely as dedup comparands). The
+    # GOF driver appends each layer's points after the map-0/1 points.
+    drop_map0: bool = False
     geo_shift: int = 2  # depth = y >> geo_shift (``src/codec.rs:532-534``)
     # attribute chroma subsampling: 1 for 4:2:0 (chroma at half res), 0 for
     # 4:4:4/RGB content (``src/decoder.rs:973-980`` indexes by color format)
@@ -278,6 +283,9 @@ def compute_slots(
     dup = (cfg.map_count > 1) & (n1 == n0)
     n_sel = jnp.where(i_map == 0, n0, n1)
     valid &= jnp.where(i_map == 1, (cfg.map_count > 1) & ~dup, True)
+    if cfg.drop_map0:
+        # trailing-layer pass: D0 slots are dedup comparands only
+        valid &= i_map == 1
 
     # component assembly via one-hot on the axis permutation
     axes = jnp.stack([fr(G.G_NORMAL), fr(G.G_TANGENT), fr(G.G_BITANGENT)])
@@ -433,6 +441,9 @@ def _flat_batch_impl(fields, occ, geo0, geo1, attr_y, attr_u, attr_v, cfg):
     dup = (cfg.map_count > 1) & (n1 == n0)
     n_sel = jnp.where(i_map == 0, n0, n1)
     valid &= jnp.where(i_map == 1, (cfg.map_count > 1) & ~dup, True)
+    if cfg.drop_map0:
+        # trailing-layer pass: D0 slots are dedup comparands only
+        valid &= i_map == 1
 
     axes = jnp.stack([fr(G.G_NORMAL), fr(G.G_TANGENT), fr(G.G_BITANGENT)])
     vals = jnp.stack([n_sel, tangent_val, bitangent_val])

@@ -363,7 +363,9 @@ def _grids_to_words(fields_f, fid, grids, F, FG, S, cfg, _narrow_emit=False,
     else:
         occ_on = jnp.broadcast_to(occ_on, d0.shape)
     dup = n1 == n0
-    valid0 = occ_on
+    # trailing-layer pass (cfg.drop_map0): the D0 slots are dedup
+    # comparands only — never emitted
+    valid0 = occ_on if not cfg.drop_map0 else jnp.zeros_like(occ_on)
     valid1 = occ_on & (mc > 1) & ~dup
 
     # --- 6. interleave maps into slot order, optional smoothing, pack ----

@@ -145,6 +145,15 @@ def generate_point_cloud(
     positions: List[np.ndarray] = []
     partition: List[int] = []
     point_to_pixel: List[Tuple[int, int, int]] = []
+    # FRAMEWORK EXTENSION (>2 maps): maps beyond the first pair append
+    # as trailing surface layers, per map, in the same patch/block/pixel
+    # order — map m's point is suppressed iff equal to map m-1's point
+    # (the m=1 rule of ``codec.rs:421-427`` applied pairwise). Buffered
+    # here during the single iteration, appended after the main points.
+    layers: List[Tuple[List[np.ndarray], List[int],
+                       List[Tuple[int, int, int]]]] = [
+        ([], [], []) for _ in range(max(0, map_count - 2))
+    ]
 
     for patch_index, patch in enumerate(meta.patches):
         for v0 in range(patch.size_uv0[1]):
@@ -184,11 +193,8 @@ def generate_point_cloud(
                             y_vid,
                         )
                         created = [point0] + ([point1] if point1 is not None else [])
-                        for i, point in enumerate(created):
-                            # Duplicate suppression: D1 point equal to the
-                            # D0 point is skipped (``src/codec.rs:421-427``).
-                            if i != 0 and np.array_equal(point, created[0]):
-                                continue
+
+                        def emit(point, z, pos_l, part_l, p2p_l):
                             if patch.axis_of_additional_plane != 0:
                                 # FRAMEWORK EXTENSION: 45-degree views —
                                 # the reference is ``unimplemented!`` here
@@ -202,9 +208,33 @@ def generate_point_cloud(
                                     ),
                                     dtype=np.uint16,
                                 )
-                            positions.append(point)
-                            partition.append(patch_index)
-                            point_to_pixel.append((x, y, i))
+                            pos_l.append(point)
+                            part_l.append(patch_index)
+                            p2p_l.append((x, y, z))
+
+                        for i, point in enumerate(created):
+                            # Duplicate suppression: D1 point equal to the
+                            # D0 point is skipped (``src/codec.rs:421-427``).
+                            if i != 0 and np.array_equal(point, created[0]):
+                                continue
+                            emit(point, i, positions, partition, point_to_pixel)
+                        # trailing layers: map m vs map m-1, both
+                        # absolute (gated upstream), pre-rotation values
+                        prev = point1
+                        for m in range(2, map_count):
+                            d_m = (
+                                int(geo_planes[video_frame_index + m][y_vid, x_vid])
+                                >> params.geo_shift
+                            )
+                            point_m = patch.generate_point(u, v, d_m)
+                            if not np.array_equal(point_m, prev):
+                                emit(point_m, m, *layers[m - 2])
+                            prev = point_m
+
+    for pos_l, part_l, p2p_l in layers:
+        positions += pos_l
+        partition += part_l
+        point_to_pixel += p2p_l
 
     ps = PointSet3(
         positions=(

@@ -528,13 +528,24 @@ def prepare_gof(
     if gi.geometry_msb_align_flag:
         raise UnsupportedFeature("geometry msb align")
     # FRAMEWORK EXTENSION: per-map video sub-streams decode (the
-    # reference rejects the VPS flag, ``reader.rs:278-283``); envelope
-    # is two maps with the map-0 predictor, like the interleaved form
+    # reference rejects the VPS flag, ``reader.rs:278-283``), for ANY
+    # declared map count (the reference's own enum reserves
+    # GeometryD0..D15, ``bitstream.rs:295-335``). Maps beyond the first
+    # pair reconstruct as trailing surface layers: map m's point is
+    # suppressed iff equal to map m-1's point (the m=1 rule of
+    # ``codec.rs:421-427`` applied pairwise), appended per frame after
+    # the map-0/1 points, before the raw/EOM/PLR tails.
     multi_map = vps.map_count_minus1 > 0 and vps.multiple_map_streams_present_flag
-    if multi_map and vps.map_count_minus1 != 1:
-        raise UnsupportedFeature("multiple map streams beyond two maps")
+    map_count_total = vps.map_count_minus1 + 1
     if multi_map and any(vps.map_predictor_index_diff[1:]):
         raise UnsupportedFeature("map predictor index diff")
+    if map_count_total > 2 and not all(
+        vps.map_absolute_coding_enable_flag[1:]
+    ):
+        # the layer-m dedup comparand is map m-1's ABSOLUTE point; a
+        # delta-coded intermediate map would need the predictor chain
+        # materialized per layer
+        raise UnsupportedFeature("delta-coded maps with more than two maps")
     # attribute 0 is the primary (texture -> colors); further indices
     # decode as extra per-point channels, and ZERO attributes decode
     # geometry-only (FRAMEWORK EXTENSIONS — the reference asserts
@@ -556,16 +567,35 @@ def prepare_gof(
     metas = create_patch_frames(context)
     frame_count = max((m.frame_index for m in metas), default=-1) + 1
 
+    if map_count_total > 2:
+        # layered-map envelope: the trailing-layer passes align with the
+        # primary emission; features whose semantics couple the two map
+        # streams (EOM in-between codewords) or whose per-point passes
+        # would need layer-aware twins (secondary attributes, smoothing)
+        # gate cleanly. PLR / pixel-interleave are single-map by parse.
+        if any(m.eom_patches for m in metas):
+            raise UnsupportedFeature("EOM patches with more than two maps")
+        if ai.attribute_count > 1:
+            raise UnsupportedFeature(
+                "secondary attributes with more than two maps"
+            )
+        if apply_geo_smoothing or apply_attr_smoothing:
+            raise UnsupportedFeature("smoothing with more than two maps")
+
     occ_bs = context.get_video_bitstream(VideoType.OCCUPANCY)
     if multi_map:
         geo_bs_list = [
-            context.get_video_bitstream(VideoType.GEOMETRY_D0),
-            context.get_video_bitstream(VideoType.GEOMETRY_D1),
+            context.get_video_bitstream(
+                VideoType(VideoType.GEOMETRY_D0 + m)
+            )
+            for m in range(map_count_total)
         ]
         attr_bs_sets = [
             [
-                context.get_video_bitstream(VideoType.ATTRIBUTE_T0, k),
-                context.get_video_bitstream(VideoType.ATTRIBUTE_T1, k),
+                context.get_video_bitstream(
+                    VideoType(VideoType.ATTRIBUTE_T0 + m), k
+                )
+                for m in range(map_count_total)
             ]
             for k in range(ai.attribute_count)
         ]
@@ -2296,15 +2326,51 @@ def _emit_pointset(pos: np.ndarray, col: np.ndarray, gof: GofData) -> PointSet3:
     return ps
 
 
+def _gof_map_pair_view(gof: GofData, lo: int) -> GofData:
+    """A two-map view of an M-map GOF selecting geometry/attribute maps
+    (lo, lo+1) — the unit the device kernels reconstruct. Trailing-layer
+    passes (lo >= 1) run this view with ``cfg.drop_map0`` so only the
+    second map's points emit (dedup'd against map lo)."""
+    from dataclasses import replace
+
+    mc = gof.map_count
+    sel = [
+        f * mc + lo + d
+        for f in range(gof.frame_count)
+        for d in (0, 1)
+    ]
+    return replace(
+        gof,
+        map_count=2,
+        geo_planes=[gof.geo_planes[i] for i in sel],
+        attr_planes=(
+            [gof.attr_planes[i] for i in sel] if gof.attr_planes else gof.attr_planes
+        ),
+        sec_attrs=(),
+    )
+
+
 def _reconstruct_gof_device(gof: GofData, mesh=None, stats=None) -> Iterator[PointSet3]:
     """Device stage: batched reconstruction of the whole GOF, color
-    finalization riding the fetch dispatch."""
+    finalization riding the fetch dispatch. M-map GOFs (M > 2,
+    framework extension) run as the map-0/1 pass plus one trailing-
+    layer pass per further map — same kernels, ``drop_map0`` config —
+    whose points append per frame after the primary points."""
     if not gof.metas:
         return
+    from dataclasses import replace as _replace_cfg
+
+    layer_views = []
+    if gof.map_count > 2:
+        layer_views = [
+            _gof_map_pair_view(gof, m - 1) for m in range(2, gof.map_count)
+        ]
+        gof = _gof_map_pair_view(gof, 0)
     chunk = DEVICE_BATCH * (mesh.shape["data"] if mesh is not None else 1)
     space = mesh.shape["space"] if mesh is not None else 1
     with _st(stats, "recon_tables"):
         cfg, tables, g_bucket = _gof_tables_and_bucket(gof, space)
+    layer_cfg = _replace_cfg(cfg, drop_map0=True) if layer_views else None
     for i in range(0, len(gof.metas), chunk):
         with _st(stats, "recon_stage"):
             di = _gof_device_inputs(
@@ -2314,6 +2380,20 @@ def _reconstruct_gof_device(gof: GofData, mesh=None, stats=None) -> Iterator[Poi
                 g_bucket=g_bucket,
             )
         results = _dispatch_device(di, mesh=mesh, stats=stats)
+        if layer_views:
+            # one pass per trailing map: same tables/bucket (geometry-
+            # independent), drop_map0 config; per-frame appends below
+            layer_results = [
+                _dispatch_device(
+                    _gof_device_inputs(
+                        lv, lv.metas[i : i + chunk],
+                        prebuilt=(layer_cfg, tables[i : i + chunk]),
+                        g_bucket=g_bucket,
+                    ),
+                    mesh=mesh, stats=stats,
+                )
+                for lv in layer_views
+            ]
         sec_vals = (
             _secondary_chunk_values(
                 gof, gof.metas[i : i + chunk],
@@ -2325,6 +2405,22 @@ def _reconstruct_gof_device(gof: GofData, mesh=None, stats=None) -> Iterator[Poi
         for j, (pos, col) in enumerate(results):
             with _st(stats, "recon_emit"):
                 ps = _emit_pointset(pos, col, gof)
+                if layer_views:
+                    # trailing-layer points append per frame, map order,
+                    # before any raw/EOM/PLR tails (the oracle's layer
+                    # buffer order)
+                    for lres in layer_results:
+                        lpos, lcol = lres[j]
+                        lps = _emit_pointset(lpos, lcol, gof)
+                        ps.positions = np.concatenate(
+                            [ps.positions, lps.positions]
+                        )
+                        ps.colors = np.concatenate([ps.colors, lps.colors])
+                        if ps.colors16bit is not None and \
+                                lps.colors16bit is not None:
+                            ps.colors16bit = np.concatenate(
+                                [ps.colors16bit, lps.colors16bit]
+                            )
                 if sec_vals is not None:
                     ps.extra_attrs = sec_vals[j]
                 meta = gof.metas[i + j]

@@ -523,9 +523,13 @@ def build_fixture_stream(
     vps.map_absolute_coding_enable_flag = [True] * map_count
     vps.map_predictor_index_diff = [False] * map_count
     if multi_map_streams:
-        assert map_count == 2, "multi-map-stream fixtures need two maps"
+        assert map_count >= 2, "multi-map-stream fixtures need >= two maps"
         vps.multiple_map_streams_present_flag = True
         vps.map_absolute_coding_enable_flag[1] = map1_absolute
+        assert map1_absolute or map_count == 2, (
+            "delta-coded map 1 with >2 maps is gated by the decoder "
+            "(layer comparands need absolute depths)"
+        )
     else:
         assert map1_absolute, "delta D1 coding needs multi_map_streams"
     vps.occupancy_video_present_flag = True

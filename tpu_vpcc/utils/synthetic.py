@@ -363,14 +363,20 @@ def _fill_planes(
                     x_lo // occupancy_precision : x_hi // occupancy_precision,
                 ] = blk
 
-    # --- geometry (D0/D1), 10-bit planes carrying depth*4 ----------------
-    d0 = rng.integers(0, 256, (height, width)).astype(np.uint16)
-    thickness = rng.integers(0, 4, (height, width)).astype(np.uint16)
-    d1 = np.minimum(d0 + thickness, 255).astype(np.uint16)
-    geo_planes: List[np.ndarray] = []
-    for m in range(map_count):
-        depth = d0 if m == 0 else d1
-        geo_planes.append((depth * 4).astype(np.uint16))
+    # --- geometry (monotone surface layers D0 <= D1 <= ...), 10-bit
+    # planes carrying depth*4. Small per-layer thickness increments keep
+    # real duplicate runs (increment 0) so dedup suppression is
+    # exercised on every map pair.
+    depth = rng.integers(0, 256, (height, width)).astype(np.uint16)
+    geo_planes: List[np.ndarray] = [(depth * 4).astype(np.uint16)]
+    # one thickness draw happens even for single-map frames so the RNG
+    # sequence (and every seeded fixture downstream) is unchanged from
+    # the historical 2-map-only generator
+    for _m in range(1, max(map_count, 2)):
+        thickness = rng.integers(0, 4, (height, width)).astype(np.uint16)
+        depth = np.minimum(depth + thickness, 255).astype(np.uint16)
+        if _m < map_count:
+            geo_planes.append((depth * 4).astype(np.uint16))
 
     # --- attribute YUV420, 10-bit ----------------------------------------
     attr_planes: List[List[np.ndarray]] = []

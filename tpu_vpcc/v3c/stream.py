@@ -107,12 +107,14 @@ class V3CUnit:
                 return
             if vps.map_count_minus1 > 0 and vps.multiple_map_streams_present_flag:
                 # FRAMEWORK EXTENSION: per-map geometry sub-streams (the
-                # reference panics, ``reader.rs:278-283``); the decode
-                # envelope is two maps, like the interleaved form
+                # reference panics, ``reader.rs:278-283``); every
+                # declared map demuxes (D0..D15 per the reference's own
+                # reserved enum, ``bitstream.rs:295-335``)
                 vuh = context.get_v3c_unit_header(V3CUnitType.GVD)
-                if vuh.map_index > vps.map_count_minus1 or vuh.map_index > 1:
+                if vuh.map_index > vps.map_count_minus1:
                     raise UnsupportedFeature(
-                        f"GVD map_index {vuh.map_index} (two-map envelope)"
+                        f"GVD map_index {vuh.map_index} but the VPS "
+                        f"declares {vps.map_count_minus1 + 1} map(s)"
                     )
                 vtype = VideoType(VideoType.GEOMETRY_D0 + vuh.map_index)
             context.add_video_bitstream(
@@ -149,9 +151,10 @@ class V3CUnit:
                 )
                 return
             if vps.map_count_minus1 > 0 and vps.multiple_map_streams_present_flag:
-                if vuh.map_index > vps.map_count_minus1 or vuh.map_index > 1:
+                if vuh.map_index > vps.map_count_minus1:
                     raise UnsupportedFeature(
-                        f"AVD map_index {vuh.map_index} (two-map envelope)"
+                        f"AVD map_index {vuh.map_index} but the VPS "
+                        f"declares {vps.map_count_minus1 + 1} map(s)"
                     )
                 vtype = VideoType(VideoType.ATTRIBUTE_T0 + vuh.map_index)
             context.add_video_bitstream(

@@ -67,18 +67,51 @@ class VideoType(enum.IntEnum):
 
     OCCUPANCY = 0
     GEOMETRY = 1
+    # per-map geometry sub-streams (multiple_map_streams mode): the
+    # reference reserves GeometryD0..D15 (``src/bitstream.rs:295-335``)
+    # but panics before demuxing any; here every map decodes
     GEOMETRY_D0 = 2
     GEOMETRY_D1 = 3
+    GEOMETRY_D2 = 4
+    GEOMETRY_D3 = 5
+    GEOMETRY_D4 = 6
+    GEOMETRY_D5 = 7
+    GEOMETRY_D6 = 8
+    GEOMETRY_D7 = 9
+    GEOMETRY_D8 = 10
+    GEOMETRY_D9 = 11
+    GEOMETRY_D10 = 12
+    GEOMETRY_D11 = 13
+    GEOMETRY_D12 = 14
+    GEOMETRY_D13 = 15
+    GEOMETRY_D14 = 16
+    GEOMETRY_D15 = 17
     GEOMETRY_RAW = 18
     ATTRIBUTE = 19
-    # auxiliary attribute sub-stream (aux-flagged AVD units; the
-    # reference's enum has AttributeRaw but panics before demuxing)
-    ATTRIBUTE_RAW = 22
-    # per-map attribute sub-streams (multiple_map_streams mode; the
-    # reference's enum stops at Attribute, ``src/bitstream.rs:295-335`` —
-    # it panics before ever demuxing one)
+    # per-map attribute sub-streams (the reference comments its
+    # AttributeT0..T15 out entirely)
     ATTRIBUTE_T0 = 20
     ATTRIBUTE_T1 = 21
+    ATTRIBUTE_T2 = 22
+    ATTRIBUTE_T3 = 23
+    ATTRIBUTE_T4 = 24
+    ATTRIBUTE_T5 = 25
+    ATTRIBUTE_T6 = 26
+    ATTRIBUTE_T7 = 27
+    ATTRIBUTE_T8 = 28
+    ATTRIBUTE_T9 = 29
+    ATTRIBUTE_T10 = 30
+    ATTRIBUTE_T11 = 31
+    ATTRIBUTE_T12 = 32
+    ATTRIBUTE_T13 = 33
+    ATTRIBUTE_T14 = 34
+    ATTRIBUTE_T15 = 35
+    # auxiliary attribute sub-stream (aux-flagged AVD units; the
+    # reference's enum has AttributeRaw but panics before demuxing).
+    # Internal demux key only — never serialized (the unit header
+    # carries the aux flag), so the value tracks the reference's slot
+    # after the full T0..T15 range.
+    ATTRIBUTE_RAW = 36
 
 
 class NalUnitType(enum.IntEnum):
