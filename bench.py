@@ -361,6 +361,11 @@ def tpu_family_parity(budget_s: float = 600.0):
             apply_geo_smoothing_type=True, apply_attr_smoothing_type=True
         )
 
+    def fam_multi_map3():
+        # >2 maps (round-5 extension): trailing-layer passes on device
+        frames = mk(67, map_count=3)
+        return build_fixture_stream(frames, multi_map_streams=True), {}
+
     def fam_vui():
         from tests.test_vui import rich_vui
 
@@ -382,6 +387,7 @@ def tpu_family_parity(budget_s: float = 600.0):
         ("chroma422", fam_chroma422),
         ("secondary_attrs", fam_secondary_attrs),
         ("smoothing", fam_smoothing),
+        ("multi_map3", fam_multi_map3),
         ("vui", fam_vui),
         ("atlas_hash", fam_atlas_hash),
     ]

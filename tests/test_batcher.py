@@ -158,3 +158,36 @@ def test_batched_streams_append_eom_and_plr_tails(tmp_path):
         assert len(batched[s]) == len(seq) == 2
         for a, b in zip(batched[s], seq):
             assert format_ply(a) == format_ply(b)
+
+
+def test_batched_mixed_map_counts_match_sequential(tmp_path):
+    """A 3-map stream batched alongside a 2-map stream keeps its
+    trailing-layer points (the batcher runs the same drop_map0 layer
+    passes as the single-stream driver; an earlier version silently
+    dropped them)."""
+    rng_a = np.random.default_rng(60)
+    rng_b = np.random.default_rng(61)
+    pa = tmp_path / "a.bin"
+    pb = tmp_path / "b.bin"
+    pa.write_bytes(build_fixture_stream([
+        make_synthetic_frame(
+            rng_a, width=64, height=64, occupancy_resolution=8,
+            occupancy_precision=4, map_count=3, n_patches=2, frame_index=i,
+        )
+        for i in range(2)
+    ]))
+    pb.write_bytes(build_fixture_stream([
+        make_synthetic_frame(
+            rng_b, width=64, height=64, occupancy_resolution=8,
+            occupancy_precision=4, map_count=2, n_patches=2, frame_index=i,
+        )
+        for i in range(2)
+    ]))
+    batched = decode_streams([pa, pb])
+    for s, path in enumerate([pa, pb]):
+        d = Decoder(Params(path))
+        d.start()
+        seq = list(d)
+        assert len(batched[s]) == len(seq) == 2
+        for a, b in zip(batched[s], seq):
+            assert format_ply(a) == format_ply(b)

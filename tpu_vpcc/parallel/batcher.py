@@ -30,11 +30,13 @@ from ..runtime.pipeline import (
     DeviceInputs,
     Params,
     _append_eom_points,
+    _append_layer_frame,
     _append_plr_points,
     _append_raw_points,
     _dispatch_device,
     _emit_pointset,
     _gof_device_inputs,
+    _gof_map_pair_view,
     _gof_tables_and_bucket,
     _meta_has_plr,
     _reconstruct_gof_oracle,
@@ -158,9 +160,20 @@ def decode_streams_batched(
                     pending.add(pool.submit(prep, state))
                     continue
                 space = mesh.shape["space"] if mesh is not None else 1
-                if gof.sec_attrs:
-                    # share the tables/bucket with the secondary twin
-                    # dispatches instead of rebuilding them per GOF
+                layer_views = []
+                if gof.map_count > 2:
+                    # >2 maps: the batched dispatch covers the map-0/1
+                    # pair; trailing layers run per GOF after it (the
+                    # same drop_map0 passes the single-stream driver
+                    # uses — see _reconstruct_gof_device)
+                    layer_views = [
+                        _gof_map_pair_view(gof, m - 1)
+                        for m in range(2, gof.map_count)
+                    ]
+                    gof = _gof_map_pair_view(gof, 0)
+                if gof.sec_attrs or layer_views:
+                    # share the tables/bucket with the secondary twin /
+                    # layer dispatches instead of rebuilding them per GOF
                     cfg_t, tables_t, g_b = _gof_tables_and_bucket(
                         gof, space
                     )
@@ -170,7 +183,7 @@ def decode_streams_batched(
                 items.append((state, gof, _gof_device_inputs(
                     gof, space_multiple=space,
                     prebuilt=prebuilt, g_bucket=g_b,
-                ), prebuilt, g_b))
+                ), prebuilt, g_b, layer_views))
                 pending.add(pool.submit(prep, state))
 
             by_key: Dict[object, list] = {}
@@ -180,17 +193,36 @@ def decode_streams_batched(
                 merged = _concat_inputs([it[2] for it in group])
                 results = _dispatch_chunked(merged, mesh=mesh)
                 offset = 0
-                for state, gof, di, prebuilt, g_b in group:
+                for state, gof, di, prebuilt, g_b, layer_views in group:
                     sec_vals = (
                         _secondary_gof_values(
                             gof, mesh=mesh, prebuilt=prebuilt, g_bucket=g_b
                         )
                         if gof.sec_attrs else None
                     )
+                    layer_results = None
+                    if layer_views:
+                        from dataclasses import replace as _rc
+
+                        lcfg = _rc(prebuilt[0], drop_map0=True)
+                        layer_results = [
+                            _dispatch_chunked(
+                                _gof_device_inputs(
+                                    lv, space_multiple=space,
+                                    prebuilt=(lcfg, prebuilt[1]),
+                                    g_bucket=g_b,
+                                ),
+                                mesh=mesh,
+                            )
+                            for lv in layer_views
+                        ]
                     for j, (pos, col) in enumerate(
                         results[offset : offset + di.n_frames]
                     ):
                         ps = _emit_pointset(pos, col, gof)
+                        if layer_results is not None:
+                            for lres in layer_results:
+                                _append_layer_frame(ps, *lres[j], gof)
                         if sec_vals is not None:
                             ps.extra_attrs = sec_vals[j]
                         meta = gof.metas[j]

@@ -2326,6 +2326,15 @@ def _emit_pointset(pos: np.ndarray, col: np.ndarray, gof: GofData) -> PointSet3:
     return ps
 
 
+def _append_layer_frame(ps: PointSet3, pos, col, gof: GofData) -> None:
+    """Append one trailing-layer dispatch's frame output to ``ps`` (the
+    layer points follow the map-0/1 points, before any tails)."""
+    lps = _emit_pointset(pos, col, gof)
+    ps.positions = np.concatenate([ps.positions, lps.positions])
+    ps.colors = np.concatenate([ps.colors, lps.colors])
+    ps.colors16bit = np.concatenate([ps.colors16bit, lps.colors16bit])
+
+
 def _gof_map_pair_view(gof: GofData, lo: int) -> GofData:
     """A two-map view of an M-map GOF selecting geometry/attribute maps
     (lo, lo+1) — the unit the device kernels reconstruct. Trailing-layer
@@ -2410,17 +2419,7 @@ def _reconstruct_gof_device(gof: GofData, mesh=None, stats=None) -> Iterator[Poi
                     # before any raw/EOM/PLR tails (the oracle's layer
                     # buffer order)
                     for lres in layer_results:
-                        lpos, lcol = lres[j]
-                        lps = _emit_pointset(lpos, lcol, gof)
-                        ps.positions = np.concatenate(
-                            [ps.positions, lps.positions]
-                        )
-                        ps.colors = np.concatenate([ps.colors, lps.colors])
-                        if ps.colors16bit is not None and \
-                                lps.colors16bit is not None:
-                            ps.colors16bit = np.concatenate(
-                                [ps.colors16bit, lps.colors16bit]
-                            )
+                        _append_layer_frame(ps, *lres[j], gof)
                 if sec_vals is not None:
                     ps.extra_attrs = sec_vals[j]
                 meta = gof.metas[i + j]
