@@ -248,11 +248,6 @@ def test_many_maps_gates_pinned():
     plant_eom_patch(np.random.default_rng(1), sf, (u0, v0, 2, 1), [0])
     with pytest.raises(UnsupportedFeature, match="more than two maps"):
         decode_all(build_fixture_stream([sf]), False)
-    # secondary attributes + 3 maps
-    frames = make_mc_frames(3, seed=341, n_frames=1)
-    s = build_fixture_stream(frames, secondary_attrs=[(3, 1, None)])
-    with pytest.raises(UnsupportedFeature, match="more than two maps"):
-        decode_all(s, False)
     # smoothing + 3 maps
     frames = make_mc_frames(3, seed=342, n_frames=1)
     s = build_fixture_stream(frames, geo_smoothing_sei=(8, 16))
@@ -292,3 +287,38 @@ def test_oracle_intermediate_color_transfer_raise_pinned():
     planes = [[np.zeros((8, 8), np.uint16)] * 3] * 2
     with pytest.raises(NotImplementedError, match="intermediate layer"):
         color_point_cloud(ps, meta, params, planes, [(0, 0, 2)])
+
+
+def test_three_maps_with_secondary_attrs():
+    """Secondary families ride the layer passes too: per-view twin
+    dispatches (primary + one per trailing map) keep the extra
+    channels row-aligned with the appended layer points."""
+    frames = make_mc_frames(3, seed=341)
+    for multi_streams in (False, True):
+        s = build_fixture_stream(
+            frames, multi_map_streams=multi_streams,
+            secondary_attrs=[(3, 1, None), (0, 3, None)],
+        )
+        orc = decode_all(bytes(s), False)
+        dev = decode_all(bytes(s), True)
+        for a, b in zip(dev, orc):
+            assert len(a.extra_attrs) == 2
+            assert format_ply(a) == format_ply(b)
+
+
+def test_batched_three_map_secondary_matches_sequential(tmp_path):
+    from tpu_vpcc.parallel.batcher import decode_streams
+
+    p = tmp_path / "s.bin"
+    p.write_bytes(build_fixture_stream(
+        make_mc_frames(3, seed=342),
+        secondary_attrs=[(3, 1, None)],
+    ))
+    batched = decode_streams([p, p])
+    d = Decoder(Params(p))
+    d.start()
+    seq = list(d)
+    for stream_frames in batched:
+        assert len(stream_frames) == len(seq) == 2
+        for a, b in zip(stream_frames, seq):
+            assert format_ply(a) == format_ply(b)

@@ -38,6 +38,7 @@ from ..runtime.pipeline import (
     _gof_device_inputs,
     _gof_map_pair_view,
     _gof_tables_and_bucket,
+    _merge_layer_sec_vals,
     _meta_has_plr,
     _reconstruct_gof_oracle,
     _secondary_gof_values,
@@ -216,6 +217,16 @@ def decode_streams_batched(
                             )
                             for lv in layer_views
                         ]
+                        if sec_vals is not None:
+                            for lv in layer_views:
+                                _merge_layer_sec_vals(
+                                    sec_vals,
+                                    _secondary_gof_values(
+                                        lv, mesh=mesh,
+                                        prebuilt=(lcfg, prebuilt[1]),
+                                        g_bucket=g_b,
+                                    ),
+                                )
                     for j, (pos, col) in enumerate(
                         results[offset : offset + di.n_frames]
                     ):

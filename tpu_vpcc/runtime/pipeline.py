@@ -575,10 +575,6 @@ def prepare_gof(
         # gate cleanly. PLR / pixel-interleave are single-map by parse.
         if any(m.eom_patches for m in metas):
             raise UnsupportedFeature("EOM patches with more than two maps")
-        if ai.attribute_count > 1:
-            raise UnsupportedFeature(
-                "secondary attributes with more than two maps"
-            )
         if apply_geo_smoothing or apply_attr_smoothing:
             raise UnsupportedFeature("smoothing with more than two maps")
 
@@ -2355,8 +2351,25 @@ def _gof_map_pair_view(gof: GofData, lo: int) -> GofData:
         attr_planes=(
             [gof.attr_planes[i] for i in sel] if gof.attr_planes else gof.attr_planes
         ),
-        sec_attrs=(),
+        # secondary families pair-select too: their twin dispatches run
+        # per view (primary + one per trailing layer), values merged by
+        # _merge_layer_sec_vals; aux planes are not map-indexed
+        sec_attrs=tuple(
+            replace(sa, planes=tuple(sa.planes[i] for i in sel))
+            for sa in gof.sec_attrs
+        ),
     )
+
+
+def _merge_layer_sec_vals(sec_vals, layer_vals) -> None:
+    """Append a trailing-layer twin dispatch's secondary values to the
+    primary's, frame by frame, family by family (rows follow the layer
+    points appended by _append_layer_frame)."""
+    for j in range(len(sec_vals)):
+        sec_vals[j] = [
+            (names, np.concatenate([vals, lvals]))
+            for (names, vals), (_ln, lvals) in zip(sec_vals[j], layer_vals[j])
+        ]
 
 
 def _reconstruct_gof_device(gof: GofData, mesh=None, stats=None) -> Iterator[PointSet3]:
@@ -2411,6 +2424,15 @@ def _reconstruct_gof_device(gof: GofData, mesh=None, stats=None) -> Iterator[Poi
             )
             if gof.sec_attrs else None
         )
+        if sec_vals is not None and layer_views:
+            # layer twin passes: secondary rows for the trailing-layer
+            # points, merged in the same per-frame order
+            for lv in layer_views:
+                _merge_layer_sec_vals(sec_vals, _secondary_chunk_values(
+                    lv, lv.metas[i : i + chunk],
+                    (layer_cfg, tables[i : i + chunk]), g_bucket,
+                    mesh=mesh, stats=stats,
+                ))
         for j, (pos, col) in enumerate(results):
             with _st(stats, "recon_emit"):
                 ps = _emit_pointset(pos, col, gof)
