@@ -409,3 +409,92 @@ def test_bit_flips_in_geometry_only_stream_fail_cleanly():
     assert not bad, f"uncaught AssertionError at offsets {bad[:5]}"
     assert raised > 0
     assert time.monotonic() - t0 < 120
+
+
+def test_bit_flips_in_three_map_stream_fail_cleanly():
+    """Round-5 multi-map parse paths (per-map GVD/AVD demux up to the
+    declared map count, layer gating) under corruption: full decode
+    either succeeds or raises cleanly — never an uncaught assertion,
+    crash, or hang."""
+    import time
+
+    from tpu_vpcc.atlas.patches import create_patch_frames
+    from tpu_vpcc.utils.fixtures import build_fixture_stream
+    from tpu_vpcc.utils.synthetic import make_synthetic_frame
+    from tpu_vpcc.video import encoder_supports
+
+    if not (encoder_supports(8) and encoder_supports(10)):
+        pytest.skip("libx265 required")
+    rng = np.random.default_rng(23)
+    frames = [make_synthetic_frame(
+        rng, width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=3, n_patches=2, frame_index=0,
+    )]
+    stream = bytearray(build_fixture_stream(frames, multi_map_streams=True))
+
+    def run(data):
+        ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(data))
+        while ssvu.get_v3c_unit_count() > 0:
+            ctx = Context()
+            ssvu.decode_gof(ctx)
+            create_patch_frames(ctx)
+
+    run(bytes(stream))
+    t0 = time.monotonic()
+    raised = 0
+    bad = []
+    for i in range(0, min(400, len(stream)), 3):
+        mutated = bytearray(stream)
+        mutated[i] ^= 0xFF
+        try:
+            run(bytes(mutated))
+        except AssertionError as e:
+            bad.append((i, repr(e)))
+        except Exception:
+            raised += 1
+    assert not bad, f"uncaught AssertionError at offsets {bad[:5]}"
+    assert raised > 0
+    assert time.monotonic() - t0 < 60
+
+
+def test_bit_flips_in_hash_sei_stream_fail_cleanly():
+    """Corruption over a decoded-atlas-hash stream: the FULL pipeline
+    (hash verification included) either decodes, fails the hash with
+    the clean mismatch error, or raises another clean parse error."""
+    from tpu_vpcc.runtime.pipeline import Decoder, Params
+    from tpu_vpcc.utils.fixtures import build_fixture_stream
+    from tpu_vpcc.utils.synthetic import make_synthetic_frame
+    from tpu_vpcc.video import encoder_supports
+
+    if not (encoder_supports(8) and encoder_supports(10)):
+        pytest.skip("libx265 required")
+    rng = np.random.default_rng(29)
+    frames = [make_synthetic_frame(
+        rng, width=64, height=64, occupancy_resolution=8,
+        occupancy_precision=4, map_count=2, n_patches=2, frame_index=0,
+    )]
+    stream = bytearray(build_fixture_stream(frames, atlas_hash_sei=True))
+
+    def run(data):
+        d = Decoder(Params(bytes(data), use_device=False))
+        d.start()
+        return list(d)
+
+    assert len(run(bytes(stream))) == 1
+    outcomes = {"ok": 0, "raised": 0, "hash_mismatch": 0}
+    bad = []
+    for i in range(0, min(400, len(stream)), 3):
+        mutated = bytearray(stream)
+        mutated[i] ^= 0xFF
+        try:
+            run(bytes(mutated))
+            outcomes["ok"] += 1
+        except AssertionError as e:
+            bad.append((i, repr(e)))
+        except Exception as e:
+            if "decoded-atlas-hash SEI mismatch" in str(e):
+                outcomes["hash_mismatch"] += 1
+            else:
+                outcomes["raised"] += 1
+    assert not bad, f"uncaught AssertionError at offsets {bad[:5]}"
+    assert outcomes["raised"] > 0
