@@ -140,7 +140,7 @@ def test_daih_detects_atlas_divergence_not_just_bytes():
     ssvu.decode_gof(ctx)
     by_frame = ah.collect_daih_by_frame(ctx)
     assert 0 in by_frame
-    sei = by_frame[0]
+    (sei,) = by_frame[0]
     # decoded meta hashes must MATCH the SEI...
     from tpu_vpcc.atlas.patches import create_patch_frames
 
@@ -153,3 +153,46 @@ def test_daih_detects_atlas_divergence_not_just_bytes():
     assert ah.hash_bytes(
         ah.frame_atlas_byte_string(metas), sei.hash_type
     ) != sei.atlas_hash
+
+
+def test_every_daih_payload_verifies_not_just_the_last():
+    """A frame carrying TWO hash SEIs (multi-tile streams attach one per
+    tile layer) must verify ALL of them — an earlier version kept only
+    the last, silently skipping the first's assertions."""
+    import copy
+
+    from tpu_vpcc.atlas import atlas_hash as ah
+    from tpu_vpcc.runtime.pipeline import prepare_gof
+
+    frames = make_frames(n=1)
+    s = build_fixture_stream(frames, atlas_hash_sei=True)
+    ssvu = SampleStreamV3CUnit.from_bitstream(Bitstream(s))
+    ctx = Context()
+    ssvu.decode_gof(ctx)
+    atl = ctx.get_atlas_tile_layer(0)
+    good = atl.sei.sei_suffix[-1]
+    bad = copy.deepcopy(good)
+    bad.atlas_hash = bytes(b ^ 0xFF for b in bad.atlas_hash)
+    # tampered FIRST, valid second: the old last-wins collection passed
+    atl.sei.sei_suffix = [bad, good]
+    assert len(ah.collect_daih_by_frame(ctx)[0]) == 2
+    with pytest.raises(BitstreamError, match="decoded-atlas-hash SEI mismatch"):
+        prepare_gof(ctx)
+
+
+def test_truncated_daih_payload_raises():
+    """A suffix SEI whose declared payload size overruns the buffer is
+    corruption (the former byte-wise skip raised too) — it must not
+    seek past the end and decode silently."""
+    from tpu_vpcc.bitio import BitWriter
+    from tpu_vpcc.v3c.syntax import NalUnitType, SeiMessage
+
+    w = BitWriter()
+    w.write(19, 8)   # DECODED_ATLAS_INFORMATION_HASH
+    w.write(100, 8)  # declared size far past the buffer
+    w.write(0x80, 8)  # cancel bit set; nothing else follows
+    data = w.getvalue()
+    with pytest.raises(BitstreamError, match="overruns"):
+        SeiMessage.parse(
+            Bitstream(data), NalUnitType.SUFFIX_NSEI, end_byte=len(data)
+        )

@@ -150,11 +150,12 @@ def frame_b2p_byte_string(
 
 
 def collect_daih_by_frame(context) -> dict:
-    """Frame index -> the decoded-atlas-hash SEI attached to that
-    frame's tile layers (suffix SEI). Only frames carrying their OWN
-    payload verify; ``persistence_flag`` is retained as metadata (a
-    persisted hash re-asserts identical atlas content, which the
-    general decode cannot assume)."""
+    """Frame index -> EVERY decoded-atlas-hash SEI attached to that
+    frame's tile layers (suffix SEI), in decode order — a multi-tile
+    frame may carry one per tile layer and ALL of them verify. Only
+    frames carrying their own payloads verify; ``persistence_flag`` is
+    retained as metadata (a persisted hash re-asserts identical atlas
+    content, which the general decode cannot assume)."""
     from ..v3c.syntax import SeiDecodedAtlasInformationHash
 
     out = {}
@@ -165,7 +166,7 @@ def collect_daih_by_frame(context) -> dict:
         for p in atl.sei.sei_suffix:
             if isinstance(p, SeiDecodedAtlasInformationHash) \
                     and not p.cancel_flag:
-                out[atl.header.frame_index] = p
+                out.setdefault(atl.header.frame_index, []).append(p)
     return out
 
 
@@ -177,31 +178,36 @@ def verify_frame_hashes(
     occupancy_precision: int,
     context,
     frame_index: int,
+    high_level_bytes: bytes = None,
 ) -> None:
     """Recompute every hash the SEI asserts from DECODED state and
     raise ``BitstreamError`` on any mismatch. ``occ_plane`` must be the
     frame's occupancy in raster layout. Tile-level hashes are matched
-    by tile index (the framework's coded-id-resolved index)."""
+    by tile index (the framework's coded-id-resolved index).
+    ``high_level_bytes`` lets the caller hoist the frame-invariant
+    ASPS/AFPS re-serialization out of its per-frame loop."""
     from ..bitio import BitstreamError
 
     ht = sei.hash_type
     bad = []
 
-    def check(kind, present, expect, data):
+    def check(kind, present, expect, data_fn):
+        # lazy: canonical byte strings are only built for asserted kinds
         if not present:
             return
-        got = hash_bytes(data, ht)
+        got = hash_bytes(data_fn(), ht)
         if got != expect:
             bad.append(f"{kind} (got {got.hex()}, coded {expect.hex()})")
 
     check("high-level", sei.high_level_present, sei.high_level_hash,
-          high_level_byte_string(context))
+          lambda: (high_level_bytes if high_level_bytes is not None
+                   else high_level_byte_string(context)))
     check("atlas", sei.atlas_present, sei.atlas_hash,
-          frame_atlas_byte_string(metas))
+          lambda: frame_atlas_byte_string(metas))
     check("b2p", sei.b2p_present, sei.b2p_hash,
-          frame_b2p_byte_string(
+          lambda: frame_b2p_byte_string(
               metas, occ_plane, occupancy_resolution, occupancy_precision
-          ) if sei.b2p_present else b"")
+          ))
     if sei.tiles_present or sei.tiles_b2p_present:
         by_tile = {m.tile_index: m for m in metas}
         for t, tid in enumerate(sei.tile_ids):
@@ -211,10 +217,10 @@ def verify_frame_hashes(
                 continue
             if sei.tiles_present:
                 check(f"tile {tid}", True, sei.tiles_hash[t],
-                      tile_byte_string(m))
+                      lambda m=m: tile_byte_string(m))
             if sei.tiles_b2p_present:
                 check(f"tile {tid} b2p", True, sei.tiles_b2p_hash[t],
-                      frame_b2p_byte_string(
+                      lambda m=m: frame_b2p_byte_string(
                           [m], occ_plane,
                           occupancy_resolution, occupancy_precision,
                       ))

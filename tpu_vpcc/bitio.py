@@ -192,6 +192,12 @@ class BitWriter:
     def is_byte_aligned(self) -> bool:
         return self._bit_pos == 0
 
+    def pad_to_byte(self) -> None:
+        """Zero-pad to the next byte boundary (no stop bit — cf.
+        ``byte_align``, whose leading 1 bit mirrors the TMC2 quirk)."""
+        if self._bit_pos != 0:
+            self.write(0, 8 - self._bit_pos)
+
     def getvalue(self) -> bytes:
         return bytes(self._buf)
 

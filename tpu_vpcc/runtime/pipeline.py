@@ -568,11 +568,12 @@ def prepare_gof(
     frame_count = max((m.frame_index for m in metas), default=-1) + 1
 
     if map_count_total > 2:
-        # layered-map envelope: the trailing-layer passes align with the
-        # primary emission; features whose semantics couple the two map
-        # streams (EOM in-between codewords) or whose per-point passes
-        # would need layer-aware twins (secondary attributes, smoothing)
-        # gate cleanly. PLR / pixel-interleave are single-map by parse.
+        # layered-map envelope: EOM codewords are defined against the
+        # D0/D1 pair, and smoothing's grid consumes the WHOLE frame's
+        # point set (which the layered decomposition splits across
+        # passes) — both gate cleanly. Secondary attributes DO decode
+        # (per-view twin dispatches, _merge_layer_sec_vals). PLR /
+        # pixel-interleave are single-map by parse.
         if any(m.eom_patches for m in metas):
             raise UnsupportedFeature("EOM patches with more than two maps")
         if apply_geo_smoothing or apply_attr_smoothing:
@@ -820,10 +821,19 @@ def prepare_gof(
     # hash by definition precedes).
     daih_by_frame = collect_daih_by_frame(context)
     if daih_by_frame:
+        from ..atlas.atlas_hash import high_level_byte_string
         from ..ops.tiled import untile_plane as _untile
 
         occ_res = 1 << asps.log2_patch_packing_block_size
-        for fi, sei in sorted(daih_by_frame.items()):
+        # frame-invariant; hoisted out of the loop (and only built when
+        # some payload actually asserts a high-level hash)
+        hl_bytes = (
+            high_level_byte_string(context)
+            if any(s.high_level_present
+                   for seis in daih_by_frame.values() for s in seis)
+            else b""
+        )
+        for fi, seis in sorted(daih_by_frame.items()):
             if fi >= len(occ_frames):
                 continue  # frame-count mismatches gate later, uniformly
             occ = occ_frames[fi].planes[0]
@@ -834,11 +844,14 @@ def prepare_gof(
                     (vps.frame_height // occupancy_precision) // t,
                     (vps.frame_width // occupancy_precision) // t,
                 )
-            verify_frame_hashes(
-                sei,
-                [m for m in metas if m.frame_index == fi],
-                occ, occ_res, occupancy_precision, context, fi,
-            )
+            for sei in seis:  # every payload verifies (one per tile
+                # layer in multi-tile streams)
+                verify_frame_hashes(
+                    sei,
+                    [m for m in metas if m.frame_index == fi],
+                    occ, occ_res, occupancy_precision, context, fi,
+                    high_level_bytes=hl_bytes,
+                )
 
     absolute_d1 = (
         vps.map_count_minus1 == 0 or vps.map_absolute_coding_enable_flag[1]

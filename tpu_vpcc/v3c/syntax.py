@@ -672,7 +672,16 @@ class VuiParameters:
     on ``asps.vui_parameters_present_flag``, ``reader.rs:1089``; this
     was the last piece of V3C syntax neither decoder could even skip).
     Pure display/timing metadata: parsed, stored, and roundtripped, but
-    it does not alter reconstruction."""
+    it does not alter reconstruction.
+
+    CAVEAT (spec text unavailable in this environment): the field order
+    follows F.2.1/F.2.2 as mirrored by TMC2's reader; writer/parser
+    symmetry, every-branch roundtrips, and a bit-flip sweep are pinned,
+    but a foreign stream whose VUI layout differs (e.g. multi-sub-layer
+    HRD) would desync the remaining mid-ASPS fields — the NAL-boundary
+    over-read check is the backstop, trailing-padding tolerance the
+    limit. First action with conformance material: diff this parse
+    against a real VUI-bearing CTC stream."""
 
     timing_info_present_flag: bool = False
     num_units_in_tick: int = 1001
@@ -1378,6 +1387,14 @@ class SeiMessage:
             while True:
                 payload_type, payload_size = cls._read_payload_header(bs)
                 payload_end = bs.byte_pos + payload_size
+                if payload_end > len(bs.data):
+                    # a declared size past the buffer is corruption, not
+                    # skippable padding (the former byte-wise skip raised
+                    # here too)
+                    raise BitstreamError(
+                        f"suffix SEI payload size {payload_size} overruns "
+                        f"the bitstream ({payload_end} > {len(bs.data)})"
+                    )
                 if payload_type == SeiPayloadType.DECODED_ATLAS_INFORMATION_HASH:
                     # parsed AND verified (pipeline.prepare_gof recomputes
                     # the hashes from decoded state; atlas/atlas_hash.py).

@@ -683,8 +683,7 @@ def write_sei_daih(sei) -> bytes:
                 if sei.tiles_b2p_present:
                     for b in sei.tiles_b2p_hash[t]:
                         w.write(b, 8)
-    if not w.is_byte_aligned():
-        w.write(0, 8 - w._bit_pos)
+    w.pad_to_byte()
     return write_sei_raw(
         int(SeiPayloadType.DECODED_ATLAS_INFORMATION_HASH), w.getvalue()
     )
