@@ -70,9 +70,6 @@ def hash_bytes(data: bytes, hash_type: int) -> bytes:
     raise ValueError(f"unknown hash type {hash_type}")
 
 
-HASH_LEN = {0: 16, 1: 2, 2: 4}
-
-
 def patch_byte_string(p: Patch) -> bytes:
     """Canonical serialization of one decoded patch record."""
     parts = [struct.pack(

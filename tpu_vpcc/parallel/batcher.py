@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import logging
 from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from pathlib import Path
 from typing import Dict, Iterator, List, Sequence, Tuple
 
@@ -118,6 +118,7 @@ def decode_streams_batched(
     """
     params = params if params is not None else Params()
     mesh = mesh if mesh is not None else params.mesh
+    space = mesh.shape["space"] if mesh is not None else 1
     states = []
     for i, path in enumerate(paths):
         data = Path(path).read_bytes()
@@ -160,7 +161,6 @@ def decode_streams_batched(
                         state.next_frame += 1
                     pending.add(pool.submit(prep, state))
                     continue
-                space = mesh.shape["space"] if mesh is not None else 1
                 layer_views = []
                 if gof.map_count > 2:
                     # >2 maps: the batched dispatch covers the map-0/1
@@ -203,9 +203,7 @@ def decode_streams_batched(
                     )
                     layer_results = None
                     if layer_views:
-                        from dataclasses import replace as _rc
-
-                        lcfg = _rc(prebuilt[0], drop_map0=True)
+                        lcfg = replace(prebuilt[0], drop_map0=True)
                         layer_results = [
                             _dispatch_chunked(
                                 _gof_device_inputs(

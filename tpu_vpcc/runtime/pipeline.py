@@ -22,7 +22,7 @@ import logging
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from pathlib import Path
 from typing import Iterator, List, Optional
 
@@ -2349,8 +2349,6 @@ def _gof_map_pair_view(gof: GofData, lo: int) -> GofData:
     (lo, lo+1) — the unit the device kernels reconstruct. Trailing-layer
     passes (lo >= 1) run this view with ``cfg.drop_map0`` so only the
     second map's points emit (dedup'd against map lo)."""
-    from dataclasses import replace
-
     mc = gof.map_count
     sel = [
         f * mc + lo + d
@@ -2393,8 +2391,6 @@ def _reconstruct_gof_device(gof: GofData, mesh=None, stats=None) -> Iterator[Poi
     whose points append per frame after the primary points."""
     if not gof.metas:
         return
-    from dataclasses import replace as _replace_cfg
-
     layer_views = []
     if gof.map_count > 2:
         layer_views = [
@@ -2405,7 +2401,7 @@ def _reconstruct_gof_device(gof: GofData, mesh=None, stats=None) -> Iterator[Poi
     space = mesh.shape["space"] if mesh is not None else 1
     with _st(stats, "recon_tables"):
         cfg, tables, g_bucket = _gof_tables_and_bucket(gof, space)
-    layer_cfg = _replace_cfg(cfg, drop_map0=True) if layer_views else None
+    layer_cfg = replace(cfg, drop_map0=True) if layer_views else None
     for i in range(0, len(gof.metas), chunk):
         with _st(stats, "recon_stage"):
             di = _gof_device_inputs(
