@@ -59,12 +59,16 @@ def _wait_for_gate(gate: str, timeout: float = 1200.0) -> None:
 
 def e2e_decoder_metric(
     gate: str = "",
-    n_gofs: int = 2, frames_per_gof: int = 2, width: int = 640, height: int = 640,
+    n_gofs: int = 3, frames_per_gof: int = 2, width: int = 640, height: int = 640,
 ):
     # frames_per_gof=2 == one DEVICE_BATCH chunk per GOF: the fewest
     # tunneled round trips that still exercise multi-GOF streaming —
     # under pool congestion each round trip can queue for minutes, and
-    # a skipped e2e block costs the artifact more than a smaller sample
+    # a skipped e2e block costs the artifact more than a smaller sample.
+    # n_gofs=3 (round 12, was 2): the pipelined decoder overlaps GOF
+    # k's fetch with k+1's dispatch (measured ~-32% wall on this
+    # tunnel, tools/pipeline_ab.py), which needs >= 2 overlap windows
+    # to show; same graphs, so no extra compiles
     """Frames/sec through the full streaming Decoder on a synthetic
     multi-GOF stream: V3C parse + host HEVC decode + H2D + device
     reconstruction + D2H + exact color conversion. This container has

@@ -70,7 +70,8 @@ def inspect(path, verbose: bool = False, out=sys.stdout) -> int:
                 f"  ASPS {asps.atlas_sequence_parameter_set_id}: "
                 f"{asps.frame_width}x{asps.frame_height}, "
                 f"block {1 << asps.log2_patch_packing_block_size}px, "
-                f"orientations={'8' if asps.use_eight_orientations_flag else '2'}",
+                f"orientations={'8' if asps.use_eight_orientations_flag else '2'}"
+                + (", vui=yes" if asps.vui_parameters_present_flag else ""),
                 file=out,
             )
         n_attrs = (
@@ -78,18 +79,17 @@ def inspect(path, verbose: bool = False, out=sys.stdout) -> int:
             if context.vps is not None else 1
         )
         for vt in (
-            VideoType.OCCUPANCY,
-            VideoType.GEOMETRY,
-            VideoType.GEOMETRY_D0,
-            VideoType.GEOMETRY_D1,
-            VideoType.ATTRIBUTE,
-            VideoType.ATTRIBUTE_T0,
-            VideoType.ATTRIBUTE_T1,
+            [VideoType.OCCUPANCY, VideoType.GEOMETRY]
+            # every per-map sub-stream slot (D0..D15 / T0..T15)
+            + [VideoType(VideoType.GEOMETRY_D0 + m) for m in range(16)]
+            + [VideoType.ATTRIBUTE]
+            + [VideoType(VideoType.ATTRIBUTE_T0 + m) for m in range(16)]
+            + [VideoType.GEOMETRY_RAW, VideoType.ATTRIBUTE_RAW]
         ):
-            is_attr = vt in (
-                VideoType.ATTRIBUTE,
-                VideoType.ATTRIBUTE_T0,
-                VideoType.ATTRIBUTE_T1,
+            is_attr = (
+                vt == VideoType.ATTRIBUTE
+                or VideoType.ATTRIBUTE_T0 <= vt <= VideoType.ATTRIBUTE_T15
+                or vt == VideoType.ATTRIBUTE_RAW
             )
             for k in range(max(1, n_attrs) if is_attr else 1):
                 vbs = context.get_video_bitstream(vt, k)
@@ -107,10 +107,17 @@ def inspect(path, verbose: bool = False, out=sys.stdout) -> int:
             total_patches += n_patches
             if verbose:
                 ath = atl.header
+                from ..v3c.syntax import SeiDecodedAtlasInformationHash
+
+                has_daih = atl.sei is not None and any(
+                    isinstance(p, SeiDecodedAtlasInformationHash)
+                    for p in atl.sei.sei_suffix
+                )
                 print(
                     f"  tile layer {i}: {TileType(ath.tile_type).name}-tile, "
                     f"afoc_lsb={ath.atlas_frame_order_count_lsb}, "
-                    f"{n_patches} patches, sei={'yes' if atl.sei else 'no'}",
+                    f"{n_patches} patches, sei={'yes' if atl.sei else 'no'}"
+                    + (", hash-sei=yes" if has_daih else ""),
                     file=out,
                 )
                 if verbose and n_patches:
