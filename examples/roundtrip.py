@@ -8,6 +8,7 @@ encoder (libx265 through the native bridge) stand in for a V-PCC encoder;
 the decode path is the same one used for real rec0 conformance streams.
 """
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -15,6 +16,14 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# honor JAX_PLATFORMS even under a sitecustomize that imports jax before
+# env vars are read (the config update after import is what switches
+# backends there — same pattern as runtime/cli.py)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from tpu_vpcc import Decoder, Params
 from tpu_vpcc.utils.fixtures import build_fixture_stream
