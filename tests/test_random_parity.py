@@ -14,7 +14,6 @@ from tpu_vpcc.reconstruction.oracle import (
     GeneratePointCloudParams,
     generate_point_cloud,
 )
-from tpu_vpcc.runtime.pipeline import _dispatch_device, _gof_device_inputs
 from tpu_vpcc.utils.synthetic import make_synthetic_frame
 
 
@@ -37,7 +36,7 @@ def _run_trial(seed):
     prec = int(rng.choice([2, 4]))
     if res % prec:
         prec = 2
-    mc = int(rng.choice([1, 2]))
+    mc = int(rng.choice([1, 2, 3]))  # 3: trailing-layer pass engaged
     width = int(rng.choice([64, 128]))
     n_patches = int(rng.integers(2, 7))
     sf = make_synthetic_frame(
@@ -63,19 +62,22 @@ def _run_trial(seed):
         attribute_count=1,
         frame_count=1,
     )
-    di = _gof_device_inputs(gof)
-    (pos, col), = _dispatch_device(di)
+    # through the full GOF driver (it owns chunking AND the >2-map
+    # trailing-layer decomposition), not just one raw dispatch
+    from tpu_vpcc.runtime.pipeline import _reconstruct_gof_device
+
+    (ps_dev,) = list(_reconstruct_gof_device(gof))
 
     ps = _oracle_points(sf)
-    assert len(ps) == pos.shape[0], (
-        f"count mismatch: device {pos.shape[0]} oracle {len(ps)} "
+    assert len(ps) == len(ps_dev), (
+        f"count mismatch: device {len(ps_dev)} oracle {len(ps)} "
         f"(res={res} prec={prec} mc={mc} n={n_patches})"
     )
-    np.testing.assert_array_equal(pos, ps.positions)
+    np.testing.assert_array_equal(ps_dev.positions, ps.positions)
     # the dispatch finalizes colors on device (exact integer BT.709 ->
     # u8 RGB); run the oracle's f64 reference conversion to compare
     ps.convert_yuv16_to_rgb8()
-    np.testing.assert_array_equal(col, ps.colors)
+    np.testing.assert_array_equal(ps_dev.colors, ps.colors)
 
 
 @pytest.mark.parametrize("trial", range(12))
