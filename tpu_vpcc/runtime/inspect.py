@@ -15,7 +15,7 @@ from pathlib import Path
 from ..bitio import Bitstream
 from ..v3c.context import Context
 from ..v3c.stream import SampleStreamV3CUnit
-from ..v3c.syntax import TileType, VideoType
+from ..v3c.syntax import SeiDecodedAtlasInformationHash, TileType, VideoType
 
 
 def inspect(path, verbose: bool = False, out=sys.stdout) -> int:
@@ -107,8 +107,6 @@ def inspect(path, verbose: bool = False, out=sys.stdout) -> int:
             total_patches += n_patches
             if verbose:
                 ath = atl.header
-                from ..v3c.syntax import SeiDecodedAtlasInformationHash
-
                 has_daih = atl.sei is not None and any(
                     isinstance(p, SeiDecodedAtlasInformationHash)
                     for p in atl.sei.sei_suffix
@@ -120,7 +118,7 @@ def inspect(path, verbose: bool = False, out=sys.stdout) -> int:
                     + (", hash-sei=yes" if has_daih else ""),
                     file=out,
                 )
-                if verbose and n_patches:
+                if n_patches:
                     for j, pid in enumerate(atl.patch_information_data[:8]):
                         pdu = pid.patch_data_unit
                         desc = type(pdu).__name__.replace("PatchDataUnit", "")

@@ -1729,8 +1729,6 @@ def _gof_frame_tables(gof: GofData, metas, allow_cell: bool = True):
         )
         for m in metas
     ]
-    from dataclasses import replace
-
     from ..atlas.groups import coords_fit_10bit
 
     from ..ops.tiled import narrow_emit_ok, tiled_supported
@@ -1827,8 +1825,6 @@ def _gof_device_inputs(
         )
     # split-sort policy follows the bucket (deterministic, so chunks of
     # one GOF still share a config/compile)
-    from dataclasses import replace as _replace
-
     from ..ops.tiled import choose_compaction
 
     _shift, _split_k, _split_batched = choose_compaction(
@@ -1843,7 +1839,7 @@ def _gof_device_inputs(
             g_bucket // space_multiple, cfg.slots_per_group,
             cfg.cell_groups,
         )
-    cfg = _replace(
+    cfg = replace(
         cfg, shift_compact=_shift,
         sort_split=_split_k, sort_split_batched=_split_batched,
     )
@@ -2229,8 +2225,6 @@ def _secondary_chunk_values(gof: GofData, metas, prebuilt, g_bucket,
     geometry smoothing only moves positions (discarded here) and the
     attribute-smoothing SEI targets attribute 0. Returns a per-frame
     list of ``(property_names, values)`` entries."""
-    from dataclasses import replace
-
     cfg, tables = prebuilt
     out = [[] for _ in metas]
     for sa in gof.sec_attrs:
