@@ -787,3 +787,89 @@ def test_golden_ply_snapshot():
         b"4 5 6\n"
     )
     assert format_ply(ps2) == expected2
+
+
+def test_golden_vui_parameters():
+    """Hand-assembled F.2.1 VUI bits (independent of the repo's
+    BitWriter) parse to the expected fields — a symmetric field-order
+    mistake in writer+parser cannot hide here."""
+    from tpu_vpcc.v3c.syntax import VuiParameters
+
+    b = (
+        Bits()
+        .u(1, 1)          # vui_timing_info_present_flag
+        .u(1001, 32)      # vui_num_units_in_tick
+        .u(60000, 32)     # vui_time_scale
+        .u(1, 1)          # vui_poc_proportional_to_timing_flag
+        .uvlc(3)          # vui_num_ticks_poc_diff_one_minus1
+        .u(0, 1)          # vui_hrd_parameters_present_flag
+        .u(1, 1)          # vui_tile_restrictions_present_flag
+        .u(1, 1)          # fixed_atlas_tile_structure
+        .u(0, 1)          # fixed_video_tile_structure
+        .uvlc(2)          # constrained_tiles_across_v3c_components_idc
+        .uvlc(5)          # max_num_tiles_per_atlas_minus1
+        .u(0, 1)          # vui_max_coded_video_resolution_present_flag
+        .u(1, 1)          # vui_coordinate_system_parameters_present_flag
+        .u(2, 2)          # csp_forward_axis
+        .u(1, 1)          # csp_delta_left_axis
+        .u(0, 1)          # csp_forward_sign
+        .u(1, 1)          # csp_left_sign
+        .u(0, 1)          # csp_up_sign
+        .u(1, 1)          # vui_unit_in_metres_flag
+        .u(1, 1)          # vui_display_box_info_present_flag
+        .uvlc(1).uvlc(10) # origin[0], size[0]
+        .uvlc(2).uvlc(20) # origin[1], size[1]
+        .uvlc(3).uvlc(30) # origin[2], size[2]
+        .u(0, 1)          # vui_anchor_point_present_flag
+    )
+    b.s += "0" * (-len(b.s) % 8)
+    vui = VuiParameters.parse(Bitstream(b.data()))
+    assert vui.timing_info_present_flag
+    assert vui.num_units_in_tick == 1001 and vui.time_scale == 60000
+    assert vui.poc_proportional_to_timing_flag
+    assert vui.num_ticks_poc_diff_one_minus1 == 3
+    assert not vui.hrd_parameters_present_flag
+    assert vui.tile_restrictions_present_flag
+    assert vui.fixed_atlas_tile_structure_flag
+    assert not vui.fixed_video_tile_structure_flag
+    assert vui.constrained_tiles_across_v3c_components_idc == 2
+    assert vui.max_num_tiles_per_atlas_minus1 == 5
+    assert not vui.max_coded_video_resolution_present_flag
+    csp = vui.coordinate_system_parameters
+    assert (csp.forward_axis, csp.delta_left_axis) == (2, 1)
+    assert (csp.forward_sign, csp.left_sign, csp.up_sign) == (False, True, False)
+    assert vui.unit_in_metres_flag
+    assert vui.display_box_origin == [1, 2, 3]
+    assert vui.display_box_size == [10, 20, 30]
+    assert not vui.anchor_point_present_flag
+
+
+def test_golden_decoded_atlas_hash_sei():
+    """Hand-assembled H.20.2.8 daih payload (MD5 type, atlas + b2p
+    hashes, no tile section) parses to the expected fields."""
+    from tpu_vpcc.v3c.syntax import SeiDecodedAtlasInformationHash
+
+    atlas_md5 = bytes(range(16))
+    b2p_md5 = bytes(range(16, 32))
+    b = (
+        Bits()
+        .u(0, 1)   # daih_cancel_flag
+        .u(1, 1)   # daih_persistence_flag
+        .u(0, 8)   # daih_hash_type = MD5
+        .u(0, 1)   # high_level_present
+        .u(1, 1)   # atlas_present
+        .u(1, 1)   # b2p_present
+        .u(0, 1)   # tiles_present
+        .u(0, 1)   # tiles_b2p_present
+        .stop_align()
+    )
+    for byte in atlas_md5 + b2p_md5:
+        b.u(byte, 8)
+    sei = SeiDecodedAtlasInformationHash.parse(Bitstream(b.data()))
+    assert not sei.cancel_flag and sei.persistence_flag
+    assert sei.hash_type == 0
+    assert not sei.high_level_present
+    assert sei.atlas_present and sei.b2p_present
+    assert not sei.tiles_present and not sei.tiles_b2p_present
+    assert sei.atlas_hash == atlas_md5
+    assert sei.b2p_hash == b2p_md5
